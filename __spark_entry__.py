@@ -1,38 +1,903 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator from SURVEY.md §2 (or the
+LLM-pipeline extension set) expressed as an idiomatic Spark plan through
+``affinity_spark``; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+Cross-engine determinism rules used throughout:
+
+- aggregates/computed columns aliased identically on both sides;
+- float ratios compared via exact integer arithmetic (e.g. Jaccard >= 1/2
+  as ``2*n_common >= n_union``) or emitted as ``floor(10000*x)`` ints;
+- sums of 2-decimal money values rounded to 2 (true sums are whole cents);
+- timestamps emitted as formatted strings, never raw timestamps;
+- all text hashing is md5-derived so DuckDB reproduces it bit-for-bit
+  (see affinity_spark.functions.murmur2.stable_token_hash).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from affinity_spark import TimeRange
+from affinity_spark.tables import load as load_table
+from affinity_spark.functions.text import (
+    EN_STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_columns,
+    token_count,
+    tokenize,
+)
+from affinity_spark.operators import dedup as dd
+from affinity_spark.operators import similarity as sim
+from affinity_spark.operators.graph import connected_components
+from affinity_spark.operators.index import build_inverted_index, index_lookup
+from affinity_spark.operators.kv import compact_latest, point_get, prefix_scan, ttl_filter
+from affinity_spark.operators.topk import global_top_n, top_n_per_group
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped analytical queries (headline bench workload)
+# --------------------------------------------------------------------------
+
+
+def _cents(col):
+    """Exact integer cents of a non-negative 2-decimal money expression.
+
+    ``floor(x*100 + 0.5)`` is a single deterministic IEEE-double pipeline, so
+    Spark and DuckDB produce bit-identical longs per row; summing longs is
+    then order-independent (unlike summing doubles, which differs across
+    engines by accumulation order).
+    """
+    return F.floor(col * 100 + F.lit(0.5))
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash aggregate (S10/A1/A3 spine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price_cents"
+            ),
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).alias("sum_charge_cents"),
+            F.sum(F.floor(F.col("l_discount") * 10000 + F.lit(0.5))).alias("sum_disc_bp"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_base_price_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_disc_price_cents,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_charge_cents,
+       CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_bp,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: join + agg + global top-k (TakeOrderedAndProject)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).filter(
+        (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        )
+    )
+    return global_top_n(
+        agg.select(
+            "l_orderkey",
+            "revenue_cents",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        ),
+        [F.col("revenue_cents").desc(), F.col("l_orderkey").asc()],
+        10,
+    )
+
+
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with broadcast dims + agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"]) & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure pushed-down filter + single-row agg (R2/A1)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_cents"))
+    )
+
+
+_Q6_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+  AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# KV / state read semantics (SURVEY §2.2, §2.1 S10)
+# --------------------------------------------------------------------------
+
+
+def events_point_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 point get: key-equality predicate pushed to the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return point_get(ev, {"event_id": 4242}).select(
+        "event_id", "user_id", "event_type", F.col("value").alias("val")
+    )
+
+
+_POINT_GET_SQL = """
+SELECT event_id, user_id, event_type, "value" AS val
+FROM events WHERE event_id = 4242
+"""
+
+
+def events_prefix_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 prefix + time-range scan (the ExampleBank account query shape)."""
+    ev = _t(spark, sf_dir, "events")
+    tr = TimeRange.of("2024-01-10T00:00:00Z", "2024-01-20T00:00:00Z")
+    return prefix_scan(ev, {"user_id": 42}, tr, "ts").select(
+        "event_id", "event_type", F.col("value").alias("val")
+    )
+
+
+_PREFIX_SCAN_SQL = """
+SELECT event_id, event_type, "value" AS val
+FROM events
+WHERE user_id = 42
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+
+def events_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/A3 log compaction: latest record per key by event time."""
+    ev = _t(spark, sf_dir, "events")
+    return compact_latest(
+        ev, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id", "event_id", "event_type", F.col("value").alias("val")
+    )
+
+
+_COMPACT_SQL = """
+SELECT user_id, event_id, event_type, "value" AS val
+FROM (
+  SELECT user_id, event_id, event_type, "value",
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def events_ttl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 TTL expiry as a read-time filter (fixed 'now' for determinism)."""
+    ev = _t(spark, sf_dir, "events")
+    now_ms = TimeRange.since("2024-01-31T00:00:00Z").start_ms
+    ttl_ms = 6 * 24 * 3600 * 1000  # 6 days
+    return ttl_filter(ev, "ts", ttl_ms, now_ms).select("event_id", "user_id", "event_type")
+
+
+_TTL_SQL = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+"""
+
+
+def events_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/T3 time-block stats: tumbling daily window per event type."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+    )
+
+
+_WINDOW_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6/O2 latest-N per key: rank-limited window (top-3 per user)."""
+    ev = _t(spark, sf_dir, "events")
+    return top_n_per_group(
+        ev,
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        3,
+        rank_col="recency_rank",
+    ).select("user_id", "event_id", "event_type", "recency_rank")
+
+
+_TOPN_SQL = """
+SELECT user_id, event_id, event_type, recency_rank
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS recency_rank
+  FROM events
+) WHERE recency_rank <= 3
+"""
+
+
+def orders_auto_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 per-group auto-increment id (monotonic per customer by order date)."""
+    o = _t(spark, sf_dir, "orders")
+    return top_n_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        1 << 30,
+        rank_col="auto_id",
+    ).select("o_custkey", "o_orderkey", "auto_id")
+
+
+_AUTOINC_SQL = """
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+         AS auto_id
+FROM orders
+"""
+
+
+def events_num_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 key count (exact here; approx_count_distinct is the serving path)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("num_keys"),
+        F.count(F.lit(1)).alias("num_records"),
+    )
+
+
+_NUMKEYS_SQL = """
+SELECT count(DISTINCT user_id) AS num_keys, count(*) AS num_records FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins / enrichment / set ops (SURVEY §2.6, §2.9)
+# --------------------------------------------------------------------------
+
+
+def join_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 stream-table lookup join (batch view): event enriched by dim row."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev["user_id"] == c["c_custkey"], "inner")
+        .select("event_id", "user_id", "c_name", "c_mktsegment", "event_type")
+    )
+
+
+_ENRICH_SQL = """
+SELECT event_id, user_id, c_name, c_mktsegment, event_type
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
+def mktsegment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+A1 equi-join + aggregate: order revenue per market segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("total_revenue_cents"),
+        )
+    )
+
+
+_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 set operations: INTERSECT then EXCEPT over customer key sets."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    nation3 = c.filter(F.col("c_nationkey") == 3).select(F.col("c_custkey").alias("custkey"))
+    return with_orders.intersect(building).exceptAll(nation3)
+
+
+_SETOPS_SQL = """
+(SELECT DISTINCT o_custkey AS custkey FROM orders
+ INTERSECT
+ SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_nationkey = 3
+"""
+
+
+def scatter_gather_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2/A1 scatter-gather reduce: partial-per-partition + final combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+    )
+
+
+_SCATTER_SQL = """
+SELECT count(*) AS n_rows,
+       sum(l_quantity) AS total_qty,
+       strftime(min(l_shipdate), '%Y-%m-%d') AS first_ship,
+       strftime(max(l_shipdate), '%Y-%m-%d') AS last_ship
+FROM lineitem
+"""
+
+
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (dropDuplicates) — dedup primitive on a low-card column."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+_DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
+
+
+# --------------------------------------------------------------------------
+# Secondary index & text search (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+
+def index_word_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2/J3 inverted index lookup: word -> documents (semi-join)."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, ["doc_id"], lambda d: tokenize(d["text"]), index_col="word")
+    return index_lookup(idx, docs, "spark", ["doc_id"], index_col="word").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_INDEX_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      t -> t = 'spark')) > 0
+"""
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 word count (batch view of the continuous counter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_WORDCOUNT_SQL = """
+SELECT word, count(*) AS n
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS word
+  FROM documents
+)
+GROUP BY word
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis (LLM-pipeline surface)
+# --------------------------------------------------------------------------
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+_TOKCOUNT_SQL = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''))
+         AS n_tokens
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token stats, type/token ratio, stopword density."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["n_distinct_tokens"].alias("n_distinct_tokens"),
+        F.floor(q["type_token_ratio"] * 10000).cast("long").alias("ttr_bp"),
+        F.floor(q["stopword_ratio"] * 10000).cast("long").alias("stopword_bp"),
+    )
+
+
+_STOPWORDS_SQL_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       CAST(floor(round(len(list_distinct(t)) * 1.0 / len(t), 4) * 10000) AS BIGINT) AS ttr_bp,
+       CAST(floor(round(len(list_filter(t, x -> x IN ({_STOPWORDS_SQL_LIST}))) * 1.0 / len(t), 4) * 10000) AS BIGINT)
+         AS stopword_bp
+FROM toks
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID from English-stopword density."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+_LANGID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(t) > 0
+              AND len(list_filter(t, x -> x IN ({_STOPWORDS_SQL_LIST}))) * 1.0 / len(t) >= 0.05
+            THEN 'en' ELSE 'und' END AS lang_pred
+FROM toks
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of whitespace-normalized text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication (LLM-pipeline surface)
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dd.dedup_exact(docs, "doc_id", "text")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def _duck_shingles_cte(n: int = 3) -> str:
+    """DuckDB CTEs reproducing shingle_table(): (doc_id, shingle, h0)."""
+    return f"""
+d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {n - 1}, 0) + 1),
+           i -> array_to_string(t[i:i+{n - 1}], ' ')))) AS shingle
+  FROM d WHERE len(t) >= {n}
+),
+h AS (SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h0
+      FROM sh)
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard-verified (J >= 1/2).
+
+    Output uses exact integer columns (n_common, n_union) so the hash
+    comparison is float-free.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingle_table(docs, "doc_id", "text", 3)
+    sig = dd.minhash_signatures(sh, "doc_id")
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands(sig, "doc_id"), "doc_id")
+    return dd.jaccard_verify_exact(cand, sh.select("doc_id", "shingle"), "doc_id", 1, 2)
+
+
+def _minhash_oracle_sql() -> str:
+    sig_cols = ",\n       ".join(
+        f"min(({a} * h0 + {b}) % {dd.MINHASH_P}) AS sig_{i}"
+        for i, (a, b) in enumerate(dd.MINHASH_COEF)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {band} AS band_id, md5({concat}) AS band_hash FROM sig".format(
+            band=band,
+            concat=" || '-' || ".join(
+                f"CAST(sig_{band * dd.BAND_ROWS + r} AS VARCHAR)"
+                for r in range(dd.BAND_ROWS)
+            ),
+        )
+        for band in range(dd.NUM_BANDS)
+    )
+    return f"""
+WITH {_duck_shingles_cte(3)},
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, n_common,
+       (sa.n + sb.n - n_common) AS n_union
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= 1/2 via the inverted shingle index."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingle_table(docs, "doc_id", "text", 3).select("doc_id", "shingle")
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return dd.jaccard_verify_exact(pairs, sh, "doc_id", 1, 2)
+
+
+def _ngram_jaccard_oracle_sql() -> str:
+    return f"""
+WITH {_duck_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, n_common,
+       (sa.n + sb.n - n_common) AS n_union
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 32-bit fingerprints (integer math, engine-portable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash_fingerprints(docs, "doc_id", "text", 3)
+
+
+def _simhash_oracle_sql() -> str:
+    s_cols = ",\n       ".join(
+        f"sum(((h0 >> {j}) % 2) * 2 - 1) AS s_{j}" for j in range(dd.SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+WITH {_duck_shingles_cte(3)},
+sums AS (SELECT doc_id, {s_cols} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp_expr} AS BIGINT) AS simhash FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search (LLM-pipeline surface)
+# --------------------------------------------------------------------------
+
+
+def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 query vector.
+
+    Similarity emitted as floor(10000*cos) so the hash is float-free.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    scored = sim.knn_to_query(
+        emb.filter(F.col("vec_id") != 0), query, 10, "vec_id", "embedding"
+    )
+    return scored.select(
+        "vec_id", F.floor(F.col("cosine_raw") * 10000).cast("long").alias("cos_bp")
+    )
+
+
+_KNN_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def emb_cosine_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell pairwise similarity: pairs within label cell, cos >= 0.95."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_join_within(emb, "label", 0.95, "vec_id", "embedding")
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 10000).cast("long").alias("cos_bp")
+    )
+
+
+_COSPAIR_SQL = """
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (a.nrm * b.nrm) >= 0.95
+"""
+
+
+# --------------------------------------------------------------------------
+# Graph (SURVEY §2.6 J4)
+# --------------------------------------------------------------------------
+
+
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 connected components by iterative min-label propagation.
+
+    Graph: bipartite customer <-> (nation + 1e6). True components are the
+    nation groups, so the oracle is a plain aggregate — the Spark side runs
+    the real iterative algorithm and must converge to the same labeling.
+    """
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        F.col("c_custkey").alias("src"),
+        (F.col("c_nationkey").cast("long") + F.lit(1_000_000)).alias("dst"),
+    )
+    return connected_components(edges, "src", "dst", max_iter=8)
+
+
+_GRAPH_SQL = """
+WITH m AS (SELECT c_nationkey, min(c_custkey) AS comp FROM customer GROUP BY c_nationkey)
+SELECT c_custkey AS vertex, comp AS component
+FROM customer JOIN m USING (c_nationkey)
+UNION ALL
+SELECT 1000000 + c_nationkey AS vertex, comp AS component FROM m
+"""
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_unshipped": q3_top_unshipped,
+        "q5_nation_revenue": q5_nation_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "events_point_get": events_point_get,
+        "events_prefix_timerange": events_prefix_timerange,
+        "events_compact_latest": events_compact_latest,
+        "events_ttl_scan": events_ttl_scan,
+        "events_window_stats": events_window_stats,
+        "events_topn_per_key": events_topn_per_key,
+        "events_num_keys": events_num_keys,
+        "orders_auto_increment": orders_auto_increment,
+        "join_enrich_events": join_enrich_events,
+        "mktsegment_revenue": mktsegment_revenue,
+        "set_ops_customers": set_ops_customers,
+        "scatter_gather_totals": scatter_gather_totals,
+        "distinct_event_types": distinct_event_types,
+        "index_word_lookup": index_word_lookup,
+        "word_count": word_count,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact_groups": dedup_exact_groups,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "emb_knn_brute": emb_knn_brute,
+        "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
+        "graph_components": graph_components,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_top_unshipped": _Q3_SQL,
+        "q5_nation_revenue": _Q5_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "events_point_get": _POINT_GET_SQL,
+        "events_prefix_timerange": _PREFIX_SCAN_SQL,
+        "events_compact_latest": _COMPACT_SQL,
+        "events_ttl_scan": _TTL_SQL,
+        "events_window_stats": _WINDOW_SQL,
+        "events_topn_per_key": _TOPN_SQL,
+        "events_num_keys": _NUMKEYS_SQL,
+        "orders_auto_increment": _AUTOINC_SQL,
+        "join_enrich_events": _ENRICH_SQL,
+        "mktsegment_revenue": _SEGMENT_SQL,
+        "set_ops_customers": _SETOPS_SQL,
+        "scatter_gather_totals": _SCATTER_SQL,
+        "distinct_event_types": _DISTINCT_SQL,
+        "index_word_lookup": _INDEX_SQL,
+        "word_count": _WORDCOUNT_SQL,
+        "text_token_count": _TOKCOUNT_SQL,
+        "text_quality": _QUALITY_SQL,
+        "text_lang_id": _LANGID_SQL,
+        "text_fingerprint": _FINGERPRINT_SQL,
+        "dedup_exact_groups": _DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "emb_knn_brute": _KNN_SQL,
+        "emb_cosine_pairs_bucketed": _COSPAIR_SQL,
+        "graph_components": _GRAPH_SQL,
+    }

@@ -1,0 +1,100 @@
+"""Kafka-compatible murmur2 hashing & partitioning.
+
+The reference routes keys with Kafka's default partitioner —
+``(murmur2(serializedKey) & 0x7fffffff) % numPartitions`` — so that topics it
+writes are routable by vanilla Kafka producers/consumers and vice versa
+(affinity ``api/.../core/Murmur2Partitioner.java:24-31``, ``README.md:92-98``).
+Spark's built-in ``hash()`` is murmur3 with different placement, so topic
+compatibility needs this one custom expression. Algorithm per Apache Kafka's
+public ``org.apache.kafka.common.utils.Utils.murmur2`` (Apache-2.0).
+
+Two implementations:
+- ``murmur2`` — pure-Python reference (driver-side, tests, partition math)
+- ``kafka_partition_udf`` — Arrow-batched pandas UDF (numpy, vectorized) for
+  stamping an explicit ``partition`` column on Kafka writes. This stays off
+  the hot path: it is only needed at the Kafka sink boundary, never inside
+  analytical plans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_SEED = 0x9747B28C
+_M = 0x5BD1E995
+_R = 24
+_MASK32 = 0xFFFFFFFF
+
+
+def murmur2(data: bytes) -> int:
+    """32-bit murmur2 of ``data``, identical to Kafka's Utils.murmur2."""
+    length = len(data)
+    h = (_SEED ^ length) & _MASK32
+    n4 = length & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * _M) & _MASK32
+        k ^= k >> _R
+        k = (k * _M) & _MASK32
+        h = (h * _M) & _MASK32
+        h ^= k
+    rem = length & 3
+    if rem == 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if rem >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if rem >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * _M) & _MASK32
+    h ^= h >> 13
+    h = (h * _M) & _MASK32
+    h ^= h >> 15
+    # Kafka's is a signed java int
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def murmur2_partition(key_bytes: bytes, num_partitions: int) -> int:
+    """Kafka default-partitioner placement for a serialized key."""
+    return (murmur2(key_bytes) & 0x7FFFFFFF) % num_partitions
+
+
+def kafka_partition_udf(num_partitions: int):
+    """pandas UDF: binary key column -> kafka partition id (int).
+
+    Usage: ``df.withColumn("partition", kafka_partition_udf(n)(F.col("key")))``
+    before ``df.write.format("kafka")`` so brokers place records exactly where
+    the reference's router / vanilla Kafka producers would.
+    """
+
+    @pandas_udf("int")
+    def _part(keys: pd.Series) -> pd.Series:
+        out = np.empty(len(keys), dtype=np.int32)
+        for i, k in enumerate(keys):
+            out[i] = murmur2_partition(bytes(k), num_partitions)
+        return pd.Series(out)
+
+    return _part
+
+
+def murmur2_str_col(col: Column) -> Column:
+    """murmur2 of a string column's utf-8 bytes as a Column (pandas UDF)."""
+
+    @pandas_udf("int")
+    def _m2(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: murmur2(x.encode("utf-8")))
+
+    return _m2(col)
+
+
+def stable_token_hash(col: Column) -> Column:
+    """Engine-portable 32-bit token hash: first 8 hex chars of md5 → long.
+
+    Used by MinHash/SimHash so a SQL oracle (DuckDB) can reproduce the exact
+    same hash with ``md5`` + hex parse — unlike Spark's murmur3 ``hash()``,
+    which no other engine reproduces. Stays JVM-side (md5+conv built-ins).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

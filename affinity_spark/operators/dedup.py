@@ -1,0 +1,314 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a pure DataFrame plan (scales to 100 TB — every step is a
+hash shuffle or broadcast join, never a cartesian):
+
+- exact         group-by content fingerprint (md5 of normalized text)
+- minhash-LSH   shingle → minhash signature → banded bucket join →
+                exact-Jaccard verify on candidates only
+- simhash       32-bit sign-of-sum fingerprint, near-dups by hamming bands
+- ngram-jaccard exact Jaccard over word n-gram shingle sets via inverted
+                shingle join (no LSH approximation; the verifier primitive)
+
+Cross-engine determinism: all hashing is md5-derived (``stable_token_hash``)
+with fixed affine permutation constants, so the DuckDB oracle in
+``__spark_entry__`` reproduces identical signatures, candidate sets and
+Jaccard values. ``oracle sql`` builders live here next to the Spark plans so
+the two sides cannot drift.
+
+At 100 TB: the shingle explode is map-side (no shuffle); the signature
+aggregate is one shuffle on doc_id; the LSH band join shuffles on the small
+(band, hash) key with near-uniform fan-out; verify touches only candidate
+pairs. This is the standard MinHash/LSH layout (Broder 1997; Leskovec et al.
+MMDS ch.3) expressed as Spark SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from affinity_spark.functions.murmur2 import stable_token_hash
+from affinity_spark.functions.text import doc_fingerprint
+
+# --- deterministic minhash permutation constants ---------------------------
+# h_i(x) = (A_i * h0(x) + B_i) mod P ; h0 = md5-derived 32-bit token hash.
+# P prime > 2^32; A_i < 2^30 so A*h0 < 2^62 never overflows int64 in any
+# engine (DuckDB raises on int64 overflow rather than wrapping).
+MINHASH_P = 4_294_967_311
+NUM_PERM = 16
+BAND_ROWS = 2  # 8 bands x 2 rows: candidate prob ~0.90 at J=0.5
+
+
+def _lcg_constants(n: int, seed: int = 0x5DEECE66D) -> list[tuple[int, int]]:
+    out = []
+    state = seed
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state >> 16) % ((1 << 30) - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (state >> 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_COEF = _lcg_constants(NUM_PERM)
+NUM_BANDS = NUM_PERM // BAND_ROWS
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of whitespace-tokenized text."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(count > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup groups: per content fingerprint keep min id + group size.
+
+    One hash aggregate on the fingerprint; at scale the fingerprint is
+    computed map-side so the shuffle carries (16-byte key, id) only.
+    """
+    return (
+        df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- minhash + LSH ----------------------------------------------------------
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle, h0) — exploded distinct shingles with stable hashes."""
+    return (
+        df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"))
+        .withColumn("h0", stable_token_hash(F.col("shingle")))
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str) -> DataFrame:
+    """One row per doc with NUM_PERM minhash columns sig_0..sig_{n-1}.
+
+    Single shuffle (groupBy doc); the NUM_PERM mins are computed in one
+    hash-aggregate pass, map-side partials included.
+    """
+    aggs = [
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEF)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_id, band_hash): md5 over each band's signature slice."""
+    bands = [
+        F.struct(
+            F.lit(band).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"sig_{band * BAND_ROWS + r}").cast("string")
+                        for r in range(BAND_ROWS)
+                    ],
+                )
+            ).alias("band_hash"),
+        )
+        for band in range(NUM_BANDS)
+    ]
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("b")
+    ).select(id_col, "b.band_id", "b.band_hash")
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join each LSH bucket → distinct unordered candidate pairs.
+
+    The join key (band_id, band_hash) is high-cardinality and near-uniform;
+    buckets are tiny, so the self-join is linear-ish. A pathological hot
+    bucket (all-identical docs) is handled by AQE skew splitting.
+    """
+    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingles: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via the inverted shingle table."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_verify_exact(
+    pairs: DataFrame,
+    shingles: DataFrame,
+    id_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """Exact Jaccard >= t_num/t_den on candidate pairs — integer-only.
+
+    Emits (id_a, id_b, n_common, n_union); the threshold is applied as
+    ``t_den * n_common >= t_num * n_union`` so there is no floating point
+    anywhere — the result hashes identically across engines (the SQL
+    oracles in __spark_entry__ use the same inequality).
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .filter(F.lit(t_den) * F.col("n_common") >= F.lit(t_num) * F.col("n_union"))
+        .select("id_a", "id_b", "n_common", "n_union")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, exact jaccard >= threshold) found
+    through MinHash-LSH candidate generation."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, id_col)
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col), id_col)
+    return jaccard_verify(cand, sh.select(id_col, "shingle"), id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs Jaccard >= threshold via the inverted shingle index.
+
+    No LSH: candidates are every pair sharing >=1 shingle. Right answer on
+    any data; cost grows with shingle co-occurrence, so at 100 TB this is
+    the verifier / golden oracle while minhash_lsh_dedup is the scale path.
+    """
+    sh = shingle_table(df, id_col, text_col, n).select(id_col, "shingle")
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, id_col, threshold)
+
+
+# --- simhash ----------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """32-bit SimHash per doc (Charikar 2002): bit j of the fingerprint is
+    the sign of sum over shingles of (2*bit_j(h0)-1). Integer math on md5
+    hashes → engine-portable. One explode + one hash aggregate."""
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h0"), j) % 2) * 2 - 1
+        ).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = sh.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole bucketing: split the 32 bits into (max_hamming+1) chunks —
+    any pair within the radius agrees on >=1 full chunk — join per chunk,
+    verify with bit_count(xor). Linear-ish like LSH banding.
+    """
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    parts = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            (F.shiftright(F.col("simhash"), c * width) % F.lit(mask + 1)).alias("chunk_val"),
+        )
+        for c in range(chunks)
+    ]
+    chunked = fingerprints.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*parts)).alias("c")
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_id", "chunk_val"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_id", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,80 @@
+"""Graph operators: connected components over an edge DataFrame.
+
+The reference walks adjacency state with actor messages to collect a
+component (affinity ``examples/example-distributed-graph/.../GraphApi.scala:96-117``
+``collectComponent`` BFS; batch analysis in ``AnalyticsSystemSpec.scala``).
+Spark-first: iterative min-label propagation — each round joins labels
+across edges and keeps the per-vertex min — the classic "hash-to-min"
+scheme (Rastogi et al. 2012), O(log d) rounds on real graphs. Each round is
+one shuffle on vertex id; results are checkpointed via localCheckpoint to
+cut the lineage so plans don't grow with iterations (what kills naive
+iterative Spark jobs at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id in the component.
+
+    Matches the reference's component-id convention (min vertex id,
+    ``AnalyticsSystemSpec.scala:50-52``). Undirected: edges are symmetrized.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.repartition("u").localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor's current label, propagated across each edge
+        prop = (
+            sym.join(labels, sym["v"] == labels["vertex"], "inner")
+            .select(F.col("u").alias("vertex"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("vertex", "component")
+            .union(prop)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def collect_component(
+    edges: DataFrame, vertex: int, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Vertices reachable from ``vertex`` (the reference's collectComponent)."""
+    comps = connected_components(edges, src, dst, max_iter)
+    target = comps.filter(F.col("vertex") == vertex).select(
+        F.col("component").alias("_c")
+    )
+    return (
+        comps.join(F.broadcast(target), comps["component"] == F.col("_c"))
+        .select("vertex", "component")
+    )

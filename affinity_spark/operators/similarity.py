@@ -1,0 +1,150 @@
+"""Embedding similarity search over array<float> columns.
+
+Three tiers:
+- ``knn_to_query``      brute-force cosine top-k against one query vector —
+                        a map-only scan + TakeOrderedAndProject (per-partition
+                        heap, driver merge): the exact baseline at any scale.
+- ``cosine_join_within`` bucketed pairwise similarity: pairs are generated
+                        only within a coarse bucket column (IVF-cell pattern;
+                        here the pre-assigned ``label``). Shuffle on the
+                        bucket key, never cartesian.
+- ``lsh_hyperplane_buckets`` random-hyperplane LSH: deterministic ±1
+                        hyperplanes from an LCG, sign-bit bucket per vector —
+                        the ANN scale path when no IVF assignment exists.
+
+All dot products run JVM-side via zip_with/aggregate (functions.vectors);
+a numpy ``mapInPandas`` variant is provided for very wide vectors where
+SIMD beats codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from affinity_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def knn_to_query(
+    emb: DataFrame,
+    query: DataFrame | Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k rows by cosine similarity to a single query vector.
+
+    ``query`` is either a 1-row DataFrame (id_col dropped) — broadcast-joined
+    so the scan stays map-only — or a literal python vector.
+    """
+    if isinstance(query, DataFrame):
+        q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
+        joined = emb.crossJoin(q)
+        qcol: Column = F.col("_qvec")
+    else:
+        joined = emb
+        qcol = F.array(*[F.lit(float(x)) for x in query])
+    scored = joined.select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), qcol).alias("cosine_raw"),
+    )
+    return scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_join_within(
+    emb: DataFrame,
+    bucket_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs within each bucket with cosine >= threshold (id_a < id_b).
+
+    The bucket column is the IVF coarse cell: pairwise work is confined to
+    cells, so cost is sum over cells of |cell|^2 instead of n^2. At 100 TB
+    the cell assignment comes from a centroid model (kmeans) computed once
+    and broadcast.
+    """
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(bucket_col)
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(bucket_col)
+    )
+    return (
+        a.join(b, bucket_col)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("v_a"), F.col("v_b")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+# --- random-hyperplane LSH ---------------------------------------------------
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 0xA5F152) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes via an LCG (no RNG dependency)."""
+    state = seed
+    planes = []
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(1 if (state >> 32) & 1 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_hyperplane_buckets(
+    emb: DataFrame,
+    dim: int,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector a ``bucket`` = sign bits against nbits hyperplanes.
+
+    Downstream ANN: group/join on ``bucket`` (optionally multi-probe by
+    flipping low-confidence bits). Pure JVM expressions.
+    """
+    planes = _hyperplanes(dim, nbits)
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        pcol = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(dot(F.col(vec_col), pcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def knn_mapinpandas(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """numpy variant of knn_to_query: Arrow-batched per-partition top-k then
+    global TakeOrdered. Wins for dim >~ 1k where BLAS beats codegen."""
+    import numpy as np
+
+    qv = None
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal qv
+        q = np.asarray(query, dtype=np.float64)
+        qn = np.linalg.norm(q)
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            out = pd.DataFrame({id_col: pdf[id_col], "cosine": np.round(sims, 4)})
+            yield out.nlargest(min(k, len(out)), "cosine")
+
+    schema = f"{id_col} long, cosine double"
+    scored = emb.select(id_col, vec_col).mapInPandas(score, schema)
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are chosen for correctness-at-scale first:
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing)
+- UTC session timezone (event-time semantics must not depend on host TZ)
+- Arrow on (pandas UDF fast path for the few Python-side operators)
+- shuffle partitions sized for the local harness; on a real cluster this is
+  overridden per-job (rule of thumb: ~2-3x total cores, or let AQE coalesce
+  from a high initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    # events.parquet carries TIMESTAMP(NANOS); read as long + convert (tables.py)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scan efficiency: pushdown + pruning are on by default in Spark,
+    # these make the intent explicit and pin behavior.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.parquet.columnarReaderBatchSize": "4096",
+    # broadcast joins for dimension tables (region/nation/customer-sized).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "affinity-spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if unset)
+    so the same entry points work in the test harness and on a cluster where
+    master comes from spark-submit.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is None:
+        master = "local[*]"
+    # Only set master when we're not running under an external cluster manager.
+    if not os.environ.get("SPARK_MASTER_URL"):
+        builder = builder.master(master)
+    merged = dict(_DEFAULTS)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

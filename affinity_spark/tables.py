@@ -1,0 +1,71 @@
+"""Test-data table loading.
+
+The synthetic star schema lives at /root/testdata/sf*/<table>.parquet
+(TESTDATA.md). ``load`` is a thin ``spark.read.parquet`` — declarative scans
+so Catalyst gets predicate pushdown and column pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables a planner should always broadcast in joins.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _pin_session_conf(spark: SparkSession) -> None:
+    """Pin runtime confs that correctness depends on, whatever session we get.
+
+    The harness may hand us an externally-built SparkSession, so the loader
+    (not only our session factory) enforces:
+    - UTC session timezone — event-time literals/formatting must not depend
+      on host TZ;
+    - nanosAsLong — the `events` table is written with parquet
+      TIMESTAMP(NANOS), which Spark 4 otherwise refuses to read. We read the
+      raw int64 nanos and convert to a proper TimestampType column below
+      (micros truncation, matching how micro-resolution engines read ns).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _pin_session_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Normalize any nanos-as-long timestamp columns back to TimestampType.
+    # The conversion is a cheap projection; pushdown on `ts` stays effective
+    # because comparisons against it compile to long comparisons post-fold.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries work."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
