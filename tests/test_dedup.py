@@ -1,0 +1,89 @@
+"""Dedup operators: exact groups, shingles, MinHash-LSH recall vs exact
+Jaccard, SimHash stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from affinity_spark.operators import dedup as dd
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base.replace("today", "tonight")  # high-Jaccard near-duplicate
+    far = "completely different content about spark query engines and shuffles"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, far),
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_dedup_exact_groups(spark):
+    got = dd.dedup_exact(_corpus(spark), "doc_id", "text").collect()
+    sizes = sorted(r.n_copies for r in got)
+    assert sizes == [1, 1, 1, 2]
+    dup_group = [r for r in got if r.n_copies == 2][0]
+    assert dup_group.keep_id == 1
+
+
+def test_shingle_table_distinct_per_doc(spark):
+    sh = dd.shingle_table(_corpus(spark), "doc_id", "text", 3)
+    rows = sh.filter(F.col("doc_id") == 1).collect()
+    shingles = [r.shingle for r in rows]
+    assert len(shingles) == len(set(shingles))
+    assert "the quick brown" in shingles
+    # 14 tokens -> 12 trigrams (all distinct here)
+    assert len(shingles) == 12
+    # h0 is a stable 32-bit non-negative hash
+    assert all(0 <= r.h0 < (1 << 32) for r in rows)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _corpus(spark)
+    sh = dd.shingle_table(docs, "doc_id", "text", 3)
+    sig = dd.minhash_signatures(sh, "doc_id")
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands(sig, "doc_id"), "doc_id")
+    verified = dd.jaccard_verify_exact(cand, sh.select("doc_id", "shingle"), "doc_id", 1, 2)
+    pairs = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (1, 2) in pairs  # exact dup: J = 1
+    assert (1, 3) in pairs  # near dup: J well above 1/2
+    for a, b in pairs:
+        assert a < b
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_jaccard_verify_exact_values(spark):
+    docs = _corpus(spark)
+    sh = dd.shingle_table(docs, "doc_id", "text", 3).select("doc_id", "shingle")
+    cand = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a int, id_b int")
+    got = {
+        (r.id_a, r.id_b): (r.n_common, r.n_union)
+        for r in dd.jaccard_verify_exact(cand, sh, "doc_id", 0, 1).collect()
+    }
+    # identical docs: J = 1
+    n_common, n_union = got[(1, 2)]
+    assert n_common == n_union
+    # near-dup: the final token differs -> only the last trigram differs
+    n_common, n_union = got[(1, 3)]
+    assert n_common == 11 and n_union == 13
+    # disjoint pair is dropped entirely by the shingle equi-join
+    assert (1, 4) not in got
+
+
+def test_simhash_near_dups_close_in_hamming(spark):
+    fp = {
+        r.doc_id: r.simhash
+        for r in dd.simhash_fingerprints(_corpus(spark), "doc_id", "text", 3).collect()
+    }
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(fp[1], fp[3]) <= 8  # near dup within 8/32 bits
+    assert hamming(fp[1], fp[4]) > 8  # unrelated doc far away
+    assert all(0 <= v < (1 << 32) for v in fp.values())

@@ -1,0 +1,29 @@
+"""Connected components (J4): min-label propagation over an edge frame,
+matching the reference's min-vertex-id component convention
+(AnalyticsSystemSpec.scala:50-52)."""
+
+from __future__ import annotations
+
+from affinity_spark.operators.graph import connected_components
+
+
+def test_two_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)], "src long, dst long"
+    )
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_chain_converges(spark):
+    # long path graph stresses iteration count: 0-1-2-...-9
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    got = {r.vertex: r.component for r in connected_components(edges, max_iter=20).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 10
+
+
+def test_self_loop_and_isolated_edge(spark):
+    edges = spark.createDataFrame([(5, 5), (7, 8)], "src long, dst long")
+    got = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert got == {5: 5, 7: 7, 8: 7}

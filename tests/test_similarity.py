@@ -1,0 +1,54 @@
+"""Embedding similarity search: brute-force kNN, bucketed pairwise cosine."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from affinity_spark.operators.similarity import cosine_join_within, knn_to_query
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], "x"),
+        (1, [0.9, 0.1, 0.0], "x"),  # closest to 0
+        (2, [0.0, 1.0, 0.0], "y"),
+        (3, [0.0, 0.9, 0.1], "y"),
+        (4, [-1.0, 0.0, 0.0], "x"),  # anti-parallel to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
+
+
+def test_knn_literal_query(spark):
+    got = knn_to_query(_emb(spark), [1.0, 0.0, 0.0], 3).collect()
+    assert [r.vec_id for r in got] == [0, 1, 2]
+    assert abs(got[0].cosine_raw - 1.0) < 1e-9
+    expected = 0.9 / math.sqrt(0.81 + 0.01)
+    assert abs(got[1].cosine_raw - expected) < 1e-9
+
+
+def test_knn_dataframe_query_broadcast(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding")
+    got = knn_to_query(emb.filter(F.col("vec_id") != 0), q, 2)
+    assert [r.vec_id for r in got.collect()] == [1, 2]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_cosine_join_within_buckets(spark):
+    pairs = cosine_join_within(_emb(spark), "label", 0.9).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # within-bucket near pairs only; (0,4) shares bucket x but cosine=-1
+    assert got == {(0, 1), (2, 3)}
+    for r in pairs:
+        assert r.cosine >= 0.9
+
+
+def test_cosine_join_never_crosses_buckets(spark):
+    # vectors 1 (x) and 2 (y) are orthogonal but even identical vectors in
+    # different buckets must not pair
+    rows = [(10, [1.0, 0.0], "a"), (11, [1.0, 0.0], "b")]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
+    assert cosine_join_within(df, "label", 0.5).count() == 0

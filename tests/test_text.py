@@ -1,0 +1,67 @@
+"""Text-analysis functions (LLM-pipeline surface + F1 tokenizer parity with
+the reference's split("\\s")/lower/trim usage, ESecondaryIndex.scala:109-111)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from affinity_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_columns,
+    token_count,
+    tokenize,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "The quick brown fox and the lazy dog in a field"),
+        (2, "  The   QUICK brown fox and the lazy dog in a field  "),
+        (3, "zzz qqq www"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "id int, text string")
+
+
+def test_tokenize_lower_trim_split(spark):
+    got = _docs(spark).select("id", tokenize(F.col("text")).alias("t")).collect()
+    by_id = {r.id: r.t for r in got}
+    assert by_id[1][:3] == ["the", "quick", "brown"]
+    assert by_id[1] == by_id[2]  # case/whitespace insensitive
+    assert by_id[4] == []
+
+
+def test_token_count(spark):
+    got = {r.id: r.n for r in _docs(spark).select("id", token_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 11, 2: 11, 3: 3, 4: 0}
+
+
+def test_fingerprint_normalization_invariance(spark):
+    got = {r.id: r.fp for r in _docs(spark).select("id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_lang_id(spark):
+    got = {r.id: r.lang for r in _docs(spark).select("id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[3] == "und"
+
+
+def test_quality_columns(spark):
+    q = quality_columns(F.col("text"))
+    row = (
+        _docs(spark)
+        .filter(F.col("id") == 1)
+        .select(
+            q["n_tokens"].alias("n"),
+            q["n_distinct_tokens"].alias("nd"),
+            q["stopword_ratio"].alias("sw"),
+        )
+        .collect()[0]
+    )
+    assert row.n == 11
+    assert row.nd == 10  # "the" twice
+    # stopwords present: the, the, and, a, in -> 5/11 (ratio rounded to 4dp)
+    assert abs(row.sw - 5 / 11) < 1e-4
