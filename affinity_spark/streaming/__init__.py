@@ -1,0 +1,23 @@
+"""Structured Streaming layer: the reference's stream-processing surface
+re-expressed as Spark streaming queries.
+
+Mapping (SURVEY.md §2.1, §2.3, §2.11):
+- GatewayStream ingest (S4)            → readStream + foreachBatch
+- continuous word count (A2)           → groupBy().applyInPandasWithState
+- getAndUpdate/updateAndGet (W5/W6)    → per-key state function emitting
+                                         (old, new) change records
+- event-time windows + lateness (T2/3) → withWatermark + window()
+- changelog/table sink (S7/X4)         → foreachBatch merge into keyed table
+"""
+
+from affinity_spark.streaming.state import get_and_update_stream, running_count_stream
+from affinity_spark.streaming.sinks import changelog_sink, foreach_batch_merge
+from affinity_spark.streaming.windows import tumbling_counts
+
+__all__ = [
+    "get_and_update_stream",
+    "running_count_stream",
+    "changelog_sink",
+    "foreach_batch_merge",
+    "tumbling_counts",
+]

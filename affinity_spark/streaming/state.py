@@ -1,0 +1,123 @@
+"""Per-key stateful streaming operators.
+
+The reference's whole KV layer is per-key serialized read-modify-write over
+changelog-backed local state (affinity ``core/.../state/KVStoreLocal.scala``
+W1-W7, continuous counting ``examples/.../ExampleWordCount.scala:35-52``).
+Spark-first this is ``applyInPandasWithState``: the shuffle guarantees one
+task owns a key per micro-batch (the same linearizability the reference gets
+from per-key locks + master-exclusive writes, README.md:312-324), state is
+checkpoint-backed (the changelog bootstrap/tail of Log.java becomes state
+store recovery), and Arrow batches keep the Python hop amortized.
+
+Request-response semantics (W5 returns the *previous* value to the caller)
+don't exist in a decoupled pipeline, so — per SURVEY §7 hard-part 4 — the
+operator emits (key, old, new, ts) change records downstream, preserving
+the observable before/after pair on the changelog instead of the RPC reply.
+
+Checkpoint recovery note: state survives restarts only with a recoverable
+sink (foreachBatch / file / kafka). Spark's memory sink refuses checkpoint
+recovery — fine for demos, wrong for the changelog story.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def running_count_stream(stream: DataFrame, key_col: str = "word") -> DataFrame:
+    """A2 continuous counting: per-key running count, one output row per
+    (key, micro-batch) with the updated total — the reference's word count
+    emits the updated count downstream on every input record; micro-batching
+    coalesces that to per-trigger, the documented at-least-once cadence
+    (commit.interval.ms ≈ trigger interval)."""
+
+    out_schema = StructType(
+        [StructField(key_col, StringType()), StructField("count", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n = state.get[0] if state.exists else 0
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        if seen:
+            n += seen
+            state.update((n,))
+            yield pd.DataFrame({key_col: [key[0]], "count": [n]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def get_and_update_stream(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    update_fn: Callable[[int | None, pd.Series], int | None],
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """W5/W6 per-key atomic read-modify-write as a streaming operator.
+
+    ``update_fn(old, values)`` sees the previous state (None when absent,
+    the reference's ``Option[V]``) and the batch's values for the key, and
+    returns the new value (None = delete, the tombstone path W4). Emits one
+    (key, old, new, ts_ms) change record per key per batch — the observable
+    old/new pair of ``getAndUpdate``/``updateAndGet``.
+
+    ``ttl_ms`` maps the reference's per-record TTL (MemStore.unwrap) onto
+    processing-time state timeout: state silently expires after the idle
+    TTL, the streaming-side analog of lazy delete-on-read.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("old", LongType()),
+            StructField("new", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("v", LongType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if ttl_ms else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        old = state.get[0] if state.exists else None
+        values = pd.concat([p[value_col] for p in pdfs], ignore_index=True)
+        if len(values) == 0:
+            return
+        new = update_fn(old, values)
+        if new is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((new,))
+            if ttl_ms:
+                state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"key": [key[0]], "old": [old], "new": [new]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
