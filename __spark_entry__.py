@@ -33,6 +33,9 @@ from affinity_spark.functions.text import (
     tokenize,
 )
 from affinity_spark.operators import dedup as dd
+from affinity_spark.operators.asof import asof_join
+from affinity_spark.operators.multimodal import blob_metadata, extract_features
+from affinity_spark.operators.upsert import merge_upsert
 from affinity_spark.operators import similarity as sim
 from affinity_spark.operators.graph import connected_components
 from affinity_spark.operators.index import build_inverted_index, index_lookup
@@ -455,6 +458,261 @@ _DISTINCT_SQL = "SELECT DISTINCT event_type FROM events"
 
 
 # --------------------------------------------------------------------------
+# As-of / range / window analytics / rollup (SURVEY §2.6 end-note, §2.7)
+# --------------------------------------------------------------------------
+
+
+def asof_last_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the user's latest order at-or-before the
+    event time (union+window scheme, one shuffle — §2.6 as-of mapping)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    joined = asof_join(
+        ev, o, ["user_id"], "ts", "o_orderdate", ["o_orderkey", "o_orderdate"]
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    )
+
+
+_ASOF_SQL = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.user_id, e.event_id,
+       r.o_orderkey AS last_orderkey,
+       strftime(r.o_orderdate, '%Y-%m-%d') AS last_orderdate
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (year, month): subtotal + grand-total rows (§2.7 grouping
+    sets, a Spark built-in the reference lacks)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.col("o_totalprice"),
+        )
+        .rollup("y", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user sessions split on >1h inactivity gaps
+    (batch analog of session_window, T3)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    ).select("user_id", "event_id", "session_id")
+
+
+_SESSION_SQL = """
+SELECT user_id, event_id,
+       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   IS NULL
+               OR date_diff('second',
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                            ts) > 3600
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+"""
+
+
+def orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: per order, count the same customer's other
+    orders in the preceding 30 days (inequality join — Spark built-in the
+    reference lacks, §2.6 end-note). Equi-key on customer keeps the range
+    condition a within-group band, never a cartesian."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_custkey", "o_orderdate")
+    b = o.select(
+        F.col("o_custkey").alias("b_custkey"),
+        F.col("o_orderkey").alias("b_orderkey"),
+        F.col("o_orderdate").alias("b_orderdate"),
+    )
+    joined = a.join(
+        b,
+        (a["o_custkey"] == b["b_custkey"])
+        & (b["b_orderdate"] < a["o_orderdate"])
+        & (b["b_orderdate"] >= a["o_orderdate"] - F.expr("INTERVAL 30 DAYS")),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("b_orderkey").alias("n_prior_30d")
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT a.o_orderkey, count(b.o_orderkey) AS n_prior_30d
+FROM orders a
+LEFT JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate < a.o_orderdate
+ AND b.o_orderdate >= a.o_orderdate - INTERVAL 30 DAY
+GROUP BY a.o_orderkey
+"""
+
+
+def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics: per-user running event count + value total."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(_cents(F.col("value"))).over(w).alias("running_value_cents"),
+    )
+
+
+_RUNNING_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w AS running_n,
+       sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) OVER w AS running_value_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+"""
+
+
+def events_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1-W4 batch MERGE: base table (compacted pre-cutoff state) merged
+    with the post-cutoff changelog; last write wins per key."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    base = compact_latest(
+        ev.filter(F.col("ts") < cutoff), ["user_id"], "ts", tiebreak_cols=["event_id"]
+    )
+    updates = ev.filter(F.col("ts") >= cutoff)
+    merged = merge_upsert(base, updates, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return merged.select(
+        "user_id", "event_id", "event_type", F.col("value").alias("val")
+    )
+
+
+_CHANGELOG_APPLY_SQL = """
+SELECT user_id, event_id, event_type, "value" AS val
+FROM (
+  SELECT user_id, event_id, event_type, "value",
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary columns (LLM-pipeline surface; decode stubbed)
+# --------------------------------------------------------------------------
+
+
+def docs_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (size/hash/magic/modality) — JVM-side only.
+    Text bytes stand in for media blobs; the schema/plumbing is the same."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "utf-8")
+    )
+    return blob_metadata(docs, "blob", ["doc_id"])
+
+
+_BLOB_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       upper(substr(hex(encode(text)), 1, 8)) AS magic,
+       CASE WHEN upper(substr(hex(encode(text)), 1, 8)) LIKE '89504E47%' THEN 'image/png'
+            WHEN upper(substr(hex(encode(text)), 1, 8)) LIKE 'FFD8FF%' THEN 'image/jpeg'
+            WHEN upper(substr(hex(encode(text)), 1, 8)) LIKE '52494646%' THEN 'audio/wav'
+            WHEN upper(substr(hex(encode(text)), 1, 8)) LIKE '1A45DFA3%' THEN 'video/mkv'
+            ELSE 'application/octet-stream' END AS modality
+FROM documents
+"""
+
+
+def docs_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (stub decode): Arrow-batched Python
+    over binary blobs; features emitted as exact integer basis points."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "utf-8")
+    ).withColumn("doc_id", F.col("doc_id").cast("long"))
+    feats = extract_features(docs, "doc_id", "blob")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[
+            F.floor(F.element_at("feature", i + 1) * 10000).cast("long").alias(f"f{i}_bp")
+            for i in range(4)
+        ],
+    )
+
+
+_FEATURE_STUB_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(floor(CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) / 255.0 * 10000) AS BIGINT) AS f0_bp,
+       CAST(floor(CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) / 255.0 * 10000) AS BIGINT) AS f1_bp,
+       CAST(floor(CAST(('0x' || substr(md5(text), 5, 2)) AS INTEGER) / 255.0 * 10000) AS BIGINT) AS f2_bp,
+       CAST(floor(CAST(('0x' || substr(md5(text), 7, 2)) AS INTEGER) / 255.0 * 10000) AS BIGINT) AS f3_bp
+FROM documents
+"""
+
+
+def events_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 kafka-compatible murmur2 routing of serialized keys (no SQL
+    oracle — murmur2 is not expressible in DuckDB; correctness is pinned by
+    tests/test_murmur2.py against the java-semantics transliteration)."""
+    from affinity_spark.functions.murmur2 import kafka_partition_udf
+
+    ev = _t(spark, sf_dir, "events").select("user_id").distinct()
+    key_bytes = F.encode(F.col("user_id").cast("string"), "utf-8")
+    return ev.select(
+        "user_id", kafka_partition_udf(32)(key_bytes).alias("partition")
+    )
+
+
+# --------------------------------------------------------------------------
 # Secondary index & text search (SURVEY §2.4)
 # --------------------------------------------------------------------------
 
@@ -847,6 +1105,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
         "orders_auto_increment": orders_auto_increment,
+        "asof_last_order_before_event": asof_last_order_before_event,
+        "orders_rollup": orders_rollup,
+        "events_sessionize": events_sessionize,
+        "orders_range_join": orders_range_join,
+        "events_running_totals": events_running_totals,
+        "events_changelog_apply": events_changelog_apply,
+        "docs_blob_metadata": docs_blob_metadata,
+        "docs_feature_stub": docs_feature_stub,
+        "events_partition_routing": events_partition_routing,
         "join_enrich_events": join_enrich_events,
         "mktsegment_revenue": mktsegment_revenue,
         "set_ops_customers": set_ops_customers,
@@ -882,6 +1149,16 @@ def oracle_sql() -> dict[str, str]:
         "events_topn_per_key": _TOPN_SQL,
         "events_num_keys": _NUMKEYS_SQL,
         "orders_auto_increment": _AUTOINC_SQL,
+        "asof_last_order_before_event": _ASOF_SQL,
+        "orders_rollup": _ROLLUP_SQL,
+        "events_sessionize": _SESSION_SQL,
+        "orders_range_join": _RANGE_JOIN_SQL,
+        "events_running_totals": _RUNNING_SQL,
+        "events_changelog_apply": _CHANGELOG_APPLY_SQL,
+        "docs_blob_metadata": _BLOB_META_SQL,
+        "docs_feature_stub": _FEATURE_STUB_SQL,
+        # events_partition_routing: deliberately no oracle (murmur2 not
+        # SQL-expressible); driver records the rows-only check.
         "join_enrich_events": _ENRICH_SQL,
         "mktsegment_revenue": _SEGMENT_SQL,
         "set_ops_customers": _SETOPS_SQL,
