@@ -882,7 +882,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dd.shingle_table(docs, "doc_id", "text", 3)
     sig = dd.minhash_signatures(sh, "doc_id")
     cand = dd.lsh_candidate_pairs(dd.lsh_bands(sig, "doc_id"), "doc_id")
-    return dd.jaccard_verify_exact(cand, sh.select("doc_id", "shingle"), "doc_id", 1, 2)
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
+    return dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2)
 
 
 def _minhash_oracle_sql() -> str:
@@ -938,7 +939,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    return dd.jaccard_verify_exact(pairs, sh, "doc_id", 1, 2)
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
+    return dd.jaccard_verify_arrays(pairs, arrs, "doc_id", 1, 2)
 
 
 def _ngram_jaccard_oracle_sql() -> str:

@@ -211,6 +211,96 @@ def jaccard_verify_exact(
     )
 
 
+def _h0_expr(shingle: Column) -> Column:
+    """Inline stable 32-bit token hash (same math as stable_token_hash) —
+    usable inside higher-order-function lambdas."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+
+
+def doc_shingle_arrays(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles array<string>, n_shingles) — one row per doc, no explode."""
+    arr = word_ngrams(F.col(text_col), n)
+    return df.select(
+        F.col(id_col), arr.alias("shingles"), F.size(arr).alias("n_shingles")
+    )
+
+
+def minhash_signatures_mapside(docs_arr: DataFrame, id_col: str) -> DataFrame:
+    """MinHash signatures with ZERO shuffle: per doc,
+    ``sig_i = array_min(transform(shingles, s -> (A_i*h0(s)+B_i) % P))``.
+
+    Identical values to the explode+groupBy ``minhash_signatures`` (same
+    hash, same permutations) but the whole computation is a map-side
+    projection inside whole-stage codegen — at 100 TB this removes the
+    260k-rows-per-5k-docs shingle shuffle entirely. Docs with no shingles
+    get null signatures and are excluded (they can't match anything).
+    """
+    def perm(a: int, b: int):
+        return lambda s: (F.lit(a) * _h0_expr(s) + F.lit(b)) % F.lit(MINHASH_P)
+
+    sigs = [
+        F.array_min(F.transform(F.col("shingles"), perm(a, b))).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEF)
+    ]
+    return docs_arr.filter(F.col("n_shingles") > 0).select(F.col(id_col), *sigs)
+
+
+def jaccard_verify_arrays(
+    pairs: DataFrame,
+    docs_arr: DataFrame,
+    id_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """Exact integer Jaccard on candidate pairs via ``array_intersect`` —
+    two joins against the per-doc shingle-array table (candidate-count
+    sized, tiny after LSH) instead of re-exploding every shingle.
+    """
+    a = docs_arr.select(
+        F.col(id_col).alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = docs_arr.select(
+        F.col(id_col).alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .filter(F.lit(t_den) * F.col("n_common") >= F.lit(t_num) * F.col("n_union"))
+        .select("id_a", "id_b", "n_common", "n_union")
+    )
+
+
+def simhash_fingerprints_mapside(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """SimHash with ZERO shuffle: per doc, each bit's signed sum is an
+    ``aggregate`` over the shingle array. Identical values to
+    ``simhash_fingerprints`` (same h0, same bit math), map-side only."""
+    arr = word_ngrams(F.col(text_col), n)
+    hashes = F.transform(arr, _h0_expr)
+    def bit_acc(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
+
+    bit_sums = [
+        F.aggregate(hashes, F.lit(0).cast("long"), bit_acc(j)).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = df.select(F.col(id_col), F.size(arr).alias("n_sh"), *bit_sums).filter(
+        F.col("n_sh") > 0
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
