@@ -699,6 +699,28 @@ FROM documents
 """
 
 
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 JSON source decode: parse the props JSON column, project a typed
+    field, aggregate on it (from_json → Catalyst JsonToStructs, pruned)."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k int").alias("p"),
+    )
+    return (
+        parsed.select(F.col("p.k").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_JSON_SQL = """
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k, count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
 def events_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 kafka-compatible murmur2 routing of serialized keys (no SQL
     oracle — murmur2 is not expressible in DuckDB; correctness is pinned by
@@ -1115,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changelog_apply": events_changelog_apply,
         "docs_blob_metadata": docs_blob_metadata,
         "docs_feature_stub": docs_feature_stub,
+        "events_json_extract": events_json_extract,
         "events_partition_routing": events_partition_routing,
         "join_enrich_events": join_enrich_events,
         "mktsegment_revenue": mktsegment_revenue,
@@ -1159,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
         "events_changelog_apply": _CHANGELOG_APPLY_SQL,
         "docs_blob_metadata": _BLOB_META_SQL,
         "docs_feature_stub": _FEATURE_STUB_SQL,
+        "events_json_extract": _JSON_SQL,
         # events_partition_routing: deliberately no oracle (murmur2 not
         # SQL-expressible); driver records the rows-only check.
         "join_enrich_events": _ENRICH_SQL,

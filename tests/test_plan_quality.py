@@ -1,0 +1,70 @@
+"""Plan-shape guardrails for the headline queries (SURVEY §4: the custom
+surface is zero Catalyst rules — so the tests assert Catalyst actually
+delivers pushdown/broadcast/shuffle-minimality on our plans).
+
+These run at sf0.001: plan shape is scale-invariant for these properties
+(broadcast thresholds are config, not data size, at these dims)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as e
+from affinity_spark.plans import (
+    has_broadcast_join,
+    n_exchanges,
+    pushed_filters,
+)
+from affinity_spark.plans.introspect import wholestage_codegen_ids
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = e.q1_pricing_summary(spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf
+    # scan + one shuffle for the 6-group aggregate, nothing else
+    assert n_exchanges(df) == 1
+    # collect() executes THIS df's queryExecution (count() would build a new
+    # one); AQE then finalizes the plan and codegen span ids appear.
+    df.collect()
+    assert wholestage_codegen_ids(df), "aggregate must run in codegen"
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = e.q5_nation_revenue(spark, SF)
+    assert has_broadcast_join(df)
+
+
+def test_q6_single_pass_no_join_shuffle(spark):
+    df = e.q6_forecast_revenue(spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+    # partial agg map-side, final agg single partition: one exchange
+    assert n_exchanges(df) == 1
+
+
+def test_point_get_pushdown(spark):
+    df = e.events_point_get(spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "event_id" in pf
+    assert n_exchanges(df) == 0  # pure scan+filter: no shuffle at all
+
+
+def test_enrich_join_broadcasts_dim(spark):
+    df = e.join_enrich_events(spark, SF)
+    assert has_broadcast_join(df)
+    assert n_exchanges(df) == 0  # broadcast join: no hash-partition shuffle
+
+
+def test_compact_latest_single_shuffle(spark):
+    df = e.events_compact_latest(spark, SF)
+    assert n_exchanges(df) == 1  # one shuffle on the key, max_by partials
+
+
+def test_topn_no_full_materialization(spark):
+    df = e.events_topn_per_key(spark, SF)
+    from affinity_spark.plans.introspect import executed_plan
+
+    assert "WindowGroupLimit" in executed_plan(df)
