@@ -1076,6 +1076,47 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
 """
 
 
+def mktsegment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase (salted) aggregate — same result as
+    mktsegment_revenue, verified against the same oracle. The pattern for
+    hot group keys at 100 TB (alongside AQE skew-join splitting)."""
+    from affinity_spark.operators.skew import salted_aggregate
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return salted_aggregate(
+        joined,
+        ["c_mktsegment"],
+        {
+            "n_orders": (F.lit(1), "count"),
+            "total_revenue_cents": (_cents(F.col("o_totalprice")), "sum"),
+        },
+        n_salts=8,
+    )
+
+
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (ANN scale path): 8 sign
+    bits against deterministic ±1 hyperplanes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_hyperplane_buckets(emb, 64, 8).select("vec_id", "bucket")
+
+
+def _lsh_oracle_sql() -> str:
+    planes = sim._hyperplanes(64, 8)  # noqa: SLF001 - shared deterministic constants
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    expr = " + ".join(bits)
+    return f"SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM embeddings"
+
+
 # --------------------------------------------------------------------------
 # Graph (SURVEY §2.6 J4)
 # --------------------------------------------------------------------------
@@ -1156,6 +1197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "emb_knn_brute": emb_knn_brute,
         "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
+        "emb_lsh_buckets": emb_lsh_buckets,
+        "mktsegment_revenue_salted": mktsegment_revenue_salted,
         "graph_components": graph_components,
     }
 
@@ -1202,5 +1245,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle_sql(),
         "emb_knn_brute": _KNN_SQL,
         "emb_cosine_pairs_bucketed": _COSPAIR_SQL,
+        "emb_lsh_buckets": _lsh_oracle_sql(),
+        "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
     }
