@@ -721,6 +721,86 @@ GROUP BY 1
 """
 
 
+def events_xml_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 XML source decode: build an XML payload then parse it back with
+    from_xml (attribute + nested element), proving the decode path without
+    an XML table in the fixtures."""
+    ev = _t(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit('<e id="'),
+        F.col("event_id").cast("string"),
+        F.lit('"><t>'),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_xml(xml, "_id BIGINT, t STRING").alias("x"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("x._id").alias("xml_id"),
+        F.col("x.t").alias("xml_type"),
+    )
+
+
+_XML_SQL = """
+SELECT event_id, event_id AS xml_id, event_type AS xml_type FROM events
+"""
+
+
+def events_uuid_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 UUID <-> 16-byte fixed codec: deterministic uuid from md5 of the
+    key, hyphen-formatted, and its 16-byte binary length — the reference's
+    @Fixed(16) UUID mapping (AvroRecord.scala:494-509)."""
+    ev = _t(spark, sf_dir, "events").select("event_id").distinct()
+    h = F.md5(F.col("event_id").cast("string"))
+    uuid_str = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return ev.select(
+        "event_id",
+        uuid_str.alias("uuid"),
+        F.length(F.unhex(h)).alias("n_bytes"),
+    )
+
+
+_UUID_SQL = """
+SELECT event_id,
+       substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-' ||
+       substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-' ||
+       substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-' ||
+       substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-' ||
+       substr(md5(CAST(event_id AS VARCHAR)), 21, 12) AS uuid,
+       octet_length(unhex(md5(CAST(event_id AS VARCHAR)))) AS n_bytes
+FROM (SELECT DISTINCT event_id FROM events)
+"""
+
+
+def events_timelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 event/processing-time projection: (event millis, arrival seq)
+    for compaction analysis — deterministic arrival order by (ts, id)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        (F.col("ts").cast("double") * 1000).cast("long").alias("event_ms"),
+        F.col("event_id"),
+    ).withColumn("arrival_seq", F.row_number().over(Window.orderBy(F.col("event_ms").asc(), F.col("event_id").asc())))
+
+
+_TIMELOG_SQL = """
+SELECT CAST(epoch_ms(ts) AS BIGINT) AS event_ms, event_id,
+       row_number() OVER (ORDER BY ts ASC, event_id ASC) AS arrival_seq
+FROM events
+"""
+
+
 def events_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 kafka-compatible murmur2 routing of serialized keys (no SQL
     oracle — murmur2 is not expressible in DuckDB; correctness is pinned by
@@ -1179,6 +1259,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_blob_metadata": docs_blob_metadata,
         "docs_feature_stub": docs_feature_stub,
         "events_json_extract": events_json_extract,
+        "events_xml_decode": events_xml_decode,
+        "events_uuid_codec": events_uuid_codec,
+        "events_timelog": events_timelog,
         "events_partition_routing": events_partition_routing,
         "join_enrich_events": join_enrich_events,
         "mktsegment_revenue": mktsegment_revenue,
@@ -1226,6 +1309,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_blob_metadata": _BLOB_META_SQL,
         "docs_feature_stub": _FEATURE_STUB_SQL,
         "events_json_extract": _JSON_SQL,
+        "events_xml_decode": _XML_SQL,
+        "events_uuid_codec": _UUID_SQL,
+        "events_timelog": _TIMELOG_SQL,
         # events_partition_routing: deliberately no oracle (murmur2 not
         # SQL-expressible); driver records the rows-only check.
         "join_enrich_events": _ENRICH_SQL,

@@ -41,6 +41,11 @@ HEADLINE = [
     "dedup_simhash",
     "emb_knn_brute",
     "graph_components",
+    "asof_last_order_before_event",
+    "orders_range_join",
+    "events_sessionize",
+    "orders_rollup",
+    "events_json_extract",
 ]
 
 

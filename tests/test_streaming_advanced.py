@@ -1,0 +1,96 @@
+"""T7 per-key change subscription and stream-stream join with watermarks
+(SURVEY §2.11, §2.6 J2 two-live-streams case)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def _write_jsonl(dirpath: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.rename(tmp, os.path.join(dirpath, name))
+
+
+def test_per_key_subscription_stream(spark, tmp_path):
+    """X5/T7: a subscriber to key k sees exactly that key's changes, in
+    order — the changelog readStream filter that replaces the reference's
+    WebSocket KeyValueMediator."""
+    src = str(tmp_path / "in")
+    schema = StructType(
+        [StructField("k", LongType()), StructField("ts", LongType()), StructField("v", StringType())]
+    )
+    _write_jsonl(src, "b1.json", [
+        {"k": 1, "ts": 100, "v": "a"}, {"k": 2, "ts": 101, "v": "x"}, {"k": 1, "ts": 102, "v": "b"},
+    ])
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.filter(F.col("k") == 1)  # the subscription predicate
+        .writeStream.format("memory")
+        .queryName("sub_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_jsonl(src, "b2.json", [{"k": 2, "ts": 103, "v": "y"}, {"k": 1, "ts": 104, "v": "c"}])
+        q.processAllAvailable()
+        got = [(r.ts, r.v) for r in spark.sql("select * from sub_out order by ts").collect()]
+        assert got == [(100, "a"), (102, "b"), (104, "c")]  # only key 1, in order
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """J2 two live streams: clicks joined to impressions within a time
+    bound; both sides watermarked so join state is bounded."""
+    imp_src = str(tmp_path / "imp")
+    clk_src = str(tmp_path / "clk")
+    imp_schema = StructType([StructField("ad", LongType()), StructField("its", StringType())])
+    clk_schema = StructType([StructField("ad", LongType()), StructField("cts", StringType())])
+    _write_jsonl(imp_src, "b1.json", [
+        {"ad": 1, "its": "2024-01-01 10:00:00"},
+        {"ad": 2, "its": "2024-01-01 10:01:00"},
+    ])
+    _write_jsonl(clk_src, "b1.json", [
+        {"ad": 1, "cts": "2024-01-01 10:05:00"},   # within 1h of impression
+        {"ad": 2, "cts": "2024-01-01 13:00:00"},   # too late: outside bound
+    ])
+    imp = (
+        spark.readStream.schema(imp_schema).json(imp_src)
+        .withColumn("its", F.to_timestamp("its"))
+        .withWatermark("its", "10 minutes")
+    )
+    clk = (
+        spark.readStream.schema(clk_schema).json(clk_src)
+        .withColumn("cts", F.to_timestamp("cts"))
+        .withWatermark("cts", "10 minutes")
+    )
+    joined = imp.join(
+        clk,
+        (imp["ad"] == clk["ad"])
+        & (clk["cts"] >= imp["its"])
+        & (clk["cts"] <= imp["its"] + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(imp["ad"], F.date_format("cts", "HH:mm").alias("click_at"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [(r.ad, r.click_at) for r in spark.sql("select * from ssj_out").collect()]
+        assert got == [(1, "10:05")]  # ad 2's click fell outside the interval
+    finally:
+        q.stop()
