@@ -16,8 +16,11 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1197,6 +1200,50 @@ def _lsh_oracle_sql() -> str:
     return f"SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM embeddings"
 
 
+def custom_gather_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/§2.12 user-defined gather combinator as a pandas UDAF: per event
+    type, the integer-cents median of event values — an aggregate Spark has
+    (percentile) but expressed through the Arrow GROUPED_AGG path to mirror
+    the reference's arbitrary Scala ``gather(r1, r2)`` functions."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def median_cents(v: pd.Series) -> int:
+        # discrete lower median: element at index (n-1)//2 of the sorted
+        # cents — an exact integer both engines can reproduce (float median
+        # interpolation differs between pandas and SQL engines)
+        cents = (v * 100 + 0.5).apply(math.floor).astype("int64")
+        s = cents.sort_values().reset_index(drop=True)
+        return int(s.iloc[(len(s) - 1) // 2])
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg,
+        # so the count is a (trivial) second gather combinator
+        return len(v)
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        median_cents(F.col("value")).alias("median_value_cents"),
+        n_rows(F.col("value")).alias("n"),
+    )
+
+
+_GATHER_SQL = """
+WITH cents AS (
+  SELECT event_type, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY event_type ORDER BY CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = (n - 1) // 2 + 1 THEN c END) AS median_value_cents,
+       max(n) AS n
+FROM cents
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Graph (SURVEY §2.6 J4)
 # --------------------------------------------------------------------------
@@ -1283,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_buckets": emb_lsh_buckets,
         "mktsegment_revenue_salted": mktsegment_revenue_salted,
         "graph_components": graph_components,
+        "custom_gather_agg": custom_gather_agg,
     }
 
 
@@ -1334,4 +1382,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_buckets": _lsh_oracle_sql(),
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
+        "custom_gather_agg": _GATHER_SQL,
     }

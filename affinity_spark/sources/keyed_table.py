@@ -114,3 +114,18 @@ class KeyedTable:
         ts_unit: str = "millis",
     ) -> DataFrame:
         return prefix_scan(self.read(), prefix, time_range, self.ts_col, ts_unit)
+
+    # --- maintenance ---------------------------------------------------
+
+    def vacuum(self, ttl_ms: int, now_ms: int, ts_unit: str = "millis") -> int:
+        """Physically drop records older than ``now - ttl`` (the scheduled
+        reclamation pairing the read-side ``ttl_filter``; affinity deletes
+        lazily on read, MemStore.java:140-154 — a table needs a real
+        vacuum). Returns the number of rows removed."""
+        from affinity_spark.operators.kv import ttl_filter
+
+        before = self.read()
+        n_before = before.count()
+        kept = ttl_filter(before, self.ts_col, ttl_ms, now_ms, ts_unit)
+        self.overwrite(kept)
+        return n_before - self.read().count()

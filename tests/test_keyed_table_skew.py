@@ -91,3 +91,12 @@ def test_replicate_join_matches_plain(spark):
     plain = sorted((r.v, r.name) for r in big.join(small, "k").collect())
     salted = sorted((r.v, r.name) for r in replicate_join(big, small, ["k"], n_salts=4).collect())
     assert salted == plain
+
+
+def test_keyed_table_vacuum(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    rows = [(1, 100, 1, "old"), (2, 900, 1, "fresh"), (3, 950, 1, "fresher")]
+    t.upsert(spark.createDataFrame(rows, "k long, ts long, seq int, v string"))
+    removed = t.vacuum(ttl_ms=200, now_ms=1000)
+    assert removed == 1
+    assert sorted(r.k for r in t.read().collect()) == [2, 3]
