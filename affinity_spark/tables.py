@@ -28,6 +28,13 @@ TABLES = (
 # Small dimension tables a planner should always broadcast in joins.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
+# Tables whose queries are CPU-bound per row (shingling, hashing, vector
+# math). A small table arrives as ONE parquet split and would otherwise run
+# the whole pipeline on one core; spread it to cluster parallelism. At real
+# scale the file count provides the splits and the repartition is a no-op
+# branch (n_parts >= cores).
+CPU_HEAVY_TABLES = frozenset({"documents", "embeddings"})
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -58,6 +65,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name in CPU_HEAVY_TABLES:
+        parallelism = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
     return df
 
 
