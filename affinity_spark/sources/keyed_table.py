@@ -39,6 +39,7 @@ class KeyedTable:
         tiebreak_cols: Sequence[str] = (),
         tombstone_col: str | None = None,
         num_buckets: int = 32,
+        external: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -47,6 +48,10 @@ class KeyedTable:
         self.tiebreak_cols = list(tiebreak_cols)
         self.tombstone_col = tombstone_col
         self.num_buckets = num_buckets
+        # external = populated by another system; reads only (the
+        # reference's external/readonly state rejects writes,
+        # KVStoreLocalSpec.scala:58)
+        self.external = external
         os.makedirs(path, exist_ok=True)
 
     # --- snapshot pointer ---------------------------------------------------
@@ -79,6 +84,8 @@ class KeyedTable:
         return self.spark.read.parquet(vdir)
 
     def overwrite(self, df: DataFrame) -> None:
+        if self.external:
+            raise PermissionError(f"table at {self.path} is external/read-only")
         version = f"v{int(time.time() * 1000)}"
         out = os.path.join(self.path, version)
         # cluster by key so key-equality scans skip files via min/max stats

@@ -59,6 +59,14 @@ class TimeRange:
         return cls(UNBOUNDED_START, _to_millis(end))
 
     @classmethod
+    def inclusive(cls, start: "int | str | datetime", end: "int | str | datetime") -> "TimeRange":
+        """[start, end] — end-inclusive variant. The reference's batch scans
+        include the record AT the range end because kafka offset bounds come
+        from offsetsForTimes of the end timestamp (FIXTURES.md §1 note);
+        this reproduces those literal expected sets."""
+        return cls(_to_millis(start), _to_millis(end) + 1)
+
+    @classmethod
     def unbounded(cls) -> "TimeRange":
         return cls()
 
