@@ -1159,6 +1159,41 @@ WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
 """
 
 
+def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment (ANN scale path): nearest of 8 seed centroids
+    (the 8 lowest-id vectors — SQL-reproducible codebook; the trained
+    k-means variant lives in operators/ivf.py with its own tests)."""
+    from affinity_spark.operators.ivf import assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    return assign(emb, seeds).select("vec_id", "cell")
+
+
+_IVF_SQL = """
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+dists AS (
+  SELECT e.vec_id, s.cell,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                     * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))
+           AS d
+  FROM embeddings e CROSS JOIN seeds s
+)
+SELECT vec_id, CAST(cell AS INT) AS cell
+FROM (
+  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+  FROM dists
+) WHERE rn = 1
+"""
+
+
 def mktsegment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant two-phase (salted) aggregate — same result as
     mktsegment_revenue, verified against the same oracle. The pattern for
@@ -1328,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_brute": emb_knn_brute,
         "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
         "emb_lsh_buckets": emb_lsh_buckets,
+        "emb_ivf_assign": emb_ivf_assign,
         "mktsegment_revenue_salted": mktsegment_revenue_salted,
         "graph_components": graph_components,
         "custom_gather_agg": custom_gather_agg,
@@ -1380,6 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_knn_brute": _KNN_SQL,
         "emb_cosine_pairs_bucketed": _COSPAIR_SQL,
         "emb_lsh_buckets": _lsh_oracle_sql(),
+        "emb_ivf_assign": _IVF_SQL,
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,

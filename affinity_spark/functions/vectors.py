@@ -30,4 +30,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL for zero-norm inputs.
+
+    The zero guard matters under Spark 4's default ANSI mode, where a plain
+    ``x / 0.0`` raises DIVIDE_BY_ZERO — one degenerate vector must not kill
+    a 100 TB job. NULL similarities sort last / drop out of thresholds.
+    """
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)

@@ -1,0 +1,115 @@
+"""IVF (inverted-file) approximate nearest-neighbor search.
+
+The scale path for embedding similarity at 100 TB: a small centroid
+codebook (k-means, trained once on a sample) is broadcast; every vector is
+assigned to its nearest centroid cell (map-side); queries probe only the
+``nprobe`` nearest cells, turning an O(N) scan into O(N * nprobe / k).
+``cosine_join_within`` (operators/similarity.py) is the pairwise variant of
+the same idea once cells exist.
+
+Training is deterministic: initial centroids are the k lowest-id vectors
+(ids are stable), then a fixed number of Lloyd iterations as DataFrame
+aggregations — no RNG, so tests and reruns reproduce the same codebook.
+All distance math is JVM-side (functions.vectors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from affinity_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def train_centroids(
+    emb: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means codebook (k lowest-id seeds, n_iter Lloyd
+    steps). Each step is one broadcast-assign + one groupBy-average; the
+    codebook stays driver-side (it is tiny) and is broadcast in ``assign``."""
+    seeds = [
+        [float(x) for x in r.vec]
+        for r in emb.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    ]
+    centroids = seeds
+    dim = len(seeds[0])
+    for _ in range(n_iter):
+        assigned = assign(emb, centroids, id_col, vec_col)
+        sums = (
+            assigned.select("cell", F.col(vec_col).cast("array<double>").alias("v"))
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for row in sums:
+            new_centroids[row.cell] = [row[f"s{i}"] / row.n for i in range(dim)]
+        centroids = new_centroids
+    return centroids
+
+
+def assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side nearest-centroid cell per vector (no shuffle): the codebook
+    becomes a literal array-of-arrays; argmin over squared distance."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.transform(cents, lambda c: _sq_dist(v, c))
+    cell = F.array_position(dists, F.array_min(dists)) - 1
+    return emb.withColumn("cell", cell.cast("int"))
+
+
+def search(
+    emb_assigned: DataFrame,
+    centroids: list[list[float]],
+    query: list[float],
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by cosine among vectors in the query's ``nprobe`` nearest
+    cells — the partition-pruned ANN read (cell is a partition column at
+    real scale, so non-probed cells are never scanned)."""
+    import math
+
+    def sqd(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(range(len(centroids)), key=lambda i: sqd(centroids[i], query))
+    probes = order[:nprobe]
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        emb_assigned.filter(F.col("cell").isin(probes))
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            cosine_similarity(F.col(vec_col), qcol).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -94,3 +94,42 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
         assert got == [(1, "10:05")]  # ad 2's click fell outside the interval
     finally:
         q.stop()
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """Exact streaming dedup (dropDuplicates on id within the watermark) —
+    the streaming tier of the dedup family."""
+    src = str(tmp_path / "in")
+    schema = StructType(
+        [StructField("id", LongType()), StructField("ts", StringType())]
+    )
+    _write_jsonl(src, "b1.json", [
+        {"id": 1, "ts": "2024-01-01 10:00:00"},
+        {"id": 2, "ts": "2024-01-01 10:00:05"},
+        {"id": 1, "ts": "2024-01-01 10:00:10"},  # dup within batch
+    ])
+    stream = (
+        spark.readStream.schema(schema).json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # dup across batches also dropped (state remembers id=2)
+        _write_jsonl(src, "b2.json", [
+            {"id": 2, "ts": "2024-01-01 10:01:00"},
+            {"id": 3, "ts": "2024-01-01 10:01:05"},
+        ])
+        q.processAllAvailable()
+        got = sorted(r.id for r in spark.sql("select * from dedup_out").collect())
+        assert got == [1, 2, 3]
+    finally:
+        q.stop()
