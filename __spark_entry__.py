@@ -214,6 +214,91 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join
+    (Catalyst decorrelation)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    # "late" = a lineitem shipped more than 60 days after the order date
+    # (the fixtures carry no receipt/commit dates; EXISTS shape preserved)
+    joined = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = li.select("l_orderkey", "l_shipdate")
+    return (
+        joined.join(
+            late,
+            (joined["o_orderkey"] == late["l_orderkey"])
+            & (late["l_shipdate"] > joined["o_orderdate"] + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + two-level aggregate (orders-per-
+    customer histogram, including zero-order customers)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN (SELECT * FROM orders WHERE o_orderstatus <> 'F') o
+    ON c_custkey = o.o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join (the §2.6 anti-join the reference
+    lacks), with a selective residual predicate."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1997-06-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1997-06-01 00:00:00')
+"""
+
+
 # --------------------------------------------------------------------------
 # KV / state read semantics (SURVEY §2.2, §2.1 S10)
 # --------------------------------------------------------------------------
@@ -1324,6 +1409,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_unshipped": q3_top_unshipped,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "customers_without_orders": customers_without_orders,
         "events_point_get": events_point_get,
         "events_prefix_timerange": events_prefix_timerange,
         "events_compact_latest": events_compact_latest,
@@ -1376,6 +1464,9 @@ def oracle_sql() -> dict[str, str]:
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "q13_customer_distribution": _Q13_SQL,
+        "customers_without_orders": _ANTI_SQL,
         "events_point_get": _POINT_GET_SQL,
         "events_prefix_timerange": _PREFIX_SCAN_SQL,
         "events_compact_latest": _COMPACT_SQL,
