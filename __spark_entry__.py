@@ -1069,10 +1069,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is float-free.
     """
     docs = _t(spark, sf_dir, "documents")
-    sh = dd.shingle_table(docs, "doc_id", "text", 3)
+    arrs, sh = dd.shingles_shared(docs, "doc_id", "text", 3)
     sig = dd.minhash_signatures(sh, "doc_id")
     cand = dd.lsh_candidate_pairs(dd.lsh_bands(sig, "doc_id"), "doc_id")
-    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
     return dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2)
 
 
@@ -1120,7 +1119,7 @@ WHERE 2 * n_common >= (sa.n + sb.n - n_common)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= 1/2 via the inverted shingle index."""
     docs = _t(spark, sf_dir, "documents")
-    sh = dd.shingle_table(docs, "doc_id", "text", 3).select("doc_id", "shingle")
+    arrs, sh = dd.shingles_shared(docs, "doc_id", "text", 3)
     sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     pairs = (
@@ -1129,7 +1128,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
     return dd.jaccard_verify_arrays(pairs, arrs, "doc_id", 1, 2)
 
 

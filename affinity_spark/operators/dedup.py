@@ -301,6 +301,23 @@ def simhash_fingerprints_mapside(
     return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
+def shingles_shared(df: DataFrame, id_col: str, text_col: str, n: int = 3):
+    """(arrays_frame, exploded_frame) computed from ONE materialization.
+
+    The shingle pipeline (tokenize → n-grams → distinct) is the expensive
+    map-side step and both the signature path (exploded) and the verify
+    path (arrays) need it; a lazy localCheckpoint materializes it once per
+    action and both branches read the checkpointed partitions. At cluster
+    scale swap localCheckpoint for a reliable checkpoint dir (executor loss
+    otherwise recomputes the branch).
+    """
+    arrs = doc_shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
+    exploded = arrs.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    ).withColumn("h0", stable_token_hash(F.col("shingle")))
+    return arrs, exploded
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
