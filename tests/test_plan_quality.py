@@ -68,3 +68,26 @@ def test_topn_no_full_materialization(spark):
     from affinity_spark.plans.introspect import executed_plan
 
     assert "WindowGroupLimit" in executed_plan(df)
+
+
+def test_range_join_stays_equi_keyed(spark):
+    """The 30-day band join must plan as an equi-join on customer with the
+    range as residual — a nested-loop/cartesian here would be quadratic."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    plan = executed_plan(e.orders_range_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_sessionize_single_shuffle(spark):
+    assert n_exchanges(e.events_sessionize(spark, SF)) == 1
+
+
+def test_minhash_verify_joins_broadcast(spark):
+    """Candidate verification joins are candidate-count sized — they must
+    broadcast, not shuffle the corpus."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    plan = executed_plan(e.dedup_minhash_lsh(spark, SF))
+    assert "BroadcastHashJoin" in plan
