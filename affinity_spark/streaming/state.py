@@ -17,6 +17,10 @@ the observable before/after pair on the changelog instead of the RPC reply.
 Checkpoint recovery note: state survives restarts only with a recoverable
 sink (foreachBatch / file / kafka). Spark's memory sink refuses checkpoint
 recovery — fine for demos, wrong for the changelog story.
+
+TTL note: with ProcessingTimeTimeout active the engine schedules periodic
+batches to evaluate timeouts, so ``processAllAvailable()`` never settles —
+drive TTL'd queries with a processing-time trigger and poll the sink.
 """
 
 from __future__ import annotations

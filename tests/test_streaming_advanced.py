@@ -133,3 +133,59 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
         assert got == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_get_and_update_state_ttl_expires(spark, tmp_path):
+    """W5 + per-record TTL (T4): idle key state expires via processing-time
+    timeout; the next write sees old=None (the reference's lazy
+    delete-on-read, MemStore.java:140-154)."""
+    import time as _time
+
+    from affinity_spark.streaming import get_and_update_stream
+
+    src = str(tmp_path / "in")
+    schema = StructType([StructField("k", LongType()), StructField("v", LongType())])
+
+    def add_all(old, values):
+        return (old or 0) + int(values.sum())
+
+    def wait_for(pred, timeout_s=60):
+        # ProcessingTimeTimeout keeps the engine running periodic batches,
+        # so processAllAvailable never settles — poll the sink instead.
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            rows = [
+                (r.key, r.old, r.new)
+                for r in spark.sql("select * from ttl_out").collect()
+            ]
+            if pred(rows):
+                return rows
+            _time.sleep(0.5)
+        raise AssertionError(f"timed out; sink rows: {rows}")
+
+    _write_jsonl(src, "b1.json", [{"k": 1, "v": 10}])
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        get_and_update_stream(stream, "k", "v", add_all, ttl_ms=1500)
+        .writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        wait_for(lambda rows: (1, None, 10) in rows)
+        _time.sleep(2.5)  # exceed the 1.5s idle TTL
+        # a batch for a DIFFERENT key advances processing time and fires
+        # the timeout for key 1
+        _write_jsonl(src, "b2.json", [{"k": 2, "v": 7}])
+        wait_for(lambda rows: (2, None, 7) in rows)
+        _time.sleep(1.0)  # let the timeout batch remove key 1's state
+        # key 1 writes again: state must be gone -> old is None, count restarts
+        _write_jsonl(src, "b3.json", [{"k": 1, "v": 5}])
+        rows = wait_for(lambda rows: len([r for r in rows if r[0] == 1]) >= 2)
+        assert (1, None, 10) in rows
+        assert (1, None, 5) in rows, rows  # NOT (1, 10, 15): TTL wiped it
+    finally:
+        q.stop()
