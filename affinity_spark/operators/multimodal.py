@@ -61,6 +61,81 @@ def _decode_batch(blobs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"feature": feats})
 
 
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    n_frames: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Frame sampling for video-ish blobs: one output row per sampled frame
+    (UDTF shape: explode inside mapInPandas keeps batches Arrow-sized).
+
+    STUB: frames are equal byte-slices of the blob (a real build swaps in
+    pyav keyframe extraction; schema and fan-out stay identical). Output:
+    (id, frame_idx, frame binary, n_bytes).
+    """
+    if not decode_stub:
+        raise NotImplementedError("video decoding requires codecs not in this env")
+    schema = f"{id_col} long, frame_idx int, frame binary, n_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames, sizes = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(b)
+                step = max(len(data) // n_frames, 1)
+                for f in range(min(n_frames, len(data))):
+                    chunk = data[f * step : (f + 1) * step]
+                    ids.append(i)
+                    idxs.append(f)
+                    frames.append(chunk)
+                    sizes.append(len(chunk))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame": frames, "n_bytes": sizes}
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    width: int,
+    height: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image resize plumbing: (id, resized binary, width, height).
+
+    STUB: emits a deterministic ``width*height``-byte pseudo-bitmap derived
+    from the source bytes (md5-seeded tiling) so downstream schema/batch
+    behavior is real; a production build replaces the body with PIL.
+    """
+    if not decode_stub:
+        raise NotImplementedError("image decoding requires codecs not in this env")
+    schema = f"{id_col} long, resized binary, width int, height int"
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[blob_col]:
+                seed = hashlib.md5(bytes(b)).digest()
+                tiled = (seed * (target // len(seed) + 1))[:target]
+                out.append(tiled)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": out,
+                    "width": [width] * len(out),
+                    "height": [height] * len(out),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
 def extract_features(
     df: DataFrame,
     id_col: str,

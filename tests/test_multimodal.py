@@ -44,3 +44,37 @@ def test_extract_features_stub_deterministic(spark):
 def test_real_decode_refuses(spark):
     with pytest.raises(NotImplementedError):
         extract_features(_blobs(spark), "id", "blob", decode_stub=False)
+
+
+def test_sample_frames_stub(spark):
+    from affinity_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, bytes(range(100)))], "id long, blob binary")
+    got = sample_frames(df, "id", "blob", n_frames=4).collect()
+    assert [r.frame_idx for r in got] == [0, 1, 2, 3]
+    assert all(r.n_bytes == 25 for r in got)
+    # frames partition the blob deterministically
+    assert bytes(got[0].frame) == bytes(range(25))
+
+
+def test_resize_images_stub(spark):
+    from affinity_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame([(1, PNG), (2, JPG)], "id long, blob binary")
+    got = {r.id: r for r in resize_images(df, "id", "blob", 8, 8).collect()}
+    assert all(len(bytes(r.resized)) == 64 for r in got.values())
+    assert got[1].width == 8 and got[1].height == 8
+    # deterministic and input-dependent
+    assert bytes(got[1].resized) != bytes(got[2].resized)
+    again = {r.id: bytes(r.resized) for r in resize_images(df, "id", "blob", 8, 8).collect()}
+    assert again == {k: bytes(v.resized) for k, v in got.items()}
+
+
+def test_multimodal_real_decode_refusals(spark):
+    from affinity_spark.operators.multimodal import resize_images, sample_frames
+
+    df = spark.createDataFrame([(1, TXT)], "id long, blob binary")
+    with pytest.raises(NotImplementedError):
+        sample_frames(df, "id", "blob", decode_stub=False)
+    with pytest.raises(NotImplementedError):
+        resize_images(df, "id", "blob", 8, 8, decode_stub=False)
