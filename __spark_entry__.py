@@ -250,6 +250,102 @@ GROUP BY o_orderpriority
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join + agg + top-20 (customers losing revenue
+    to returned items)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    agg = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+    )
+    return global_top_n(
+        agg, [F.col("revenue_cents").desc(), F.col("c_custkey").asc()], 20
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair volume (supplier nation ≠
+    customer nation), per year."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+        .filter(
+            (F.col("supp_nation") != F.col("cust_nation"))
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "volume_cents"
+            )
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS volume_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left outer join + two-level aggregate (orders-per-
     customer histogram, including zero-order customers)."""
@@ -1408,6 +1504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q4_order_priority": q4_order_priority,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_items": q10_returned_items,
         "q13_customer_distribution": q13_customer_distribution,
         "customers_without_orders": customers_without_orders,
         "events_point_get": events_point_get,
@@ -1463,6 +1561,8 @@ def oracle_sql() -> dict[str, str]:
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,
         "q4_order_priority": _Q4_SQL,
+        "q7_nation_volume": _Q7_SQL,
+        "q10_returned_items": _Q10_SQL,
         "q13_customer_distribution": _Q13_SQL,
         "customers_without_orders": _ANTI_SQL,
         "events_point_get": _POINT_GET_SQL,
