@@ -46,6 +46,8 @@ HEADLINE = [
     "events_sessionize",
     "orders_rollup",
     "events_json_extract",
+    "q7_nation_volume",
+    "q10_returned_items",
 ]
 
 

@@ -27,3 +27,13 @@ def test_self_loop_and_isolated_edge(spark):
     edges = spark.createDataFrame([(5, 5), (7, 8)], "src long, dst long")
     got = {r.vertex: r.component for r in connected_components(edges).collect()}
     assert got == {5: 5, 7: 7, 8: 7}
+
+
+def test_collect_component(spark):
+    from affinity_spark.operators.graph import collect_component
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    got = sorted(r.vertex for r in collect_component(edges, 2).collect())
+    assert got == [1, 2, 3]  # only vertex 2's component, not 10-11

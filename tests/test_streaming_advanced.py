@@ -189,3 +189,42 @@ def test_get_and_update_state_ttl_expires(spark, tmp_path):
         assert (1, None, 5) in rows, rows  # NOT (1, 10, 15): TTL wiped it
     finally:
         q.stop()
+
+
+def test_native_session_window_streaming(spark, tmp_path):
+    """T3 native streaming sessionization: session_window() groups events
+    separated by <15min gaps; the batch analog is events_sessionize."""
+    src = str(tmp_path / "in")
+    schema = StructType([StructField("u", LongType()), StructField("ts", StringType())])
+    _write_jsonl(src, "b1.json", [
+        {"u": 1, "ts": "2024-01-01 10:00:00"},
+        {"u": 1, "ts": "2024-01-01 10:05:00"},   # same session (gap 5m)
+        {"u": 1, "ts": "2024-01-01 11:00:00"},   # new session (gap 55m)
+        {"u": 1, "ts": "2024-01-02 09:00:00"},   # closes day-1 sessions
+    ])
+    stream = (
+        spark.readStream.schema(schema).json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "15 minutes").alias("w"), "u")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("start"), "u", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_jsonl(src, "b2.json", [{"u": 1, "ts": "2024-01-02 12:00:00"}])
+        q.processAllAvailable()
+        got = {(r.start, r.n) for r in spark.sql("select * from sess_out").collect()}
+        # two closed day-1 sessions: 10:00 (2 events) and 11:00 (1 event)
+        assert ("10:00", 2) in got and ("11:00", 1) in got
+    finally:
+        q.stop()

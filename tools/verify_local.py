@@ -45,6 +45,18 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
+def _print_diff(scols, srows, dcols, drows, limit: int = 10) -> None:
+    """With VERIFY_DIFF=1: show the first rows present on only one side
+    (canonicalized), the fastest way to localize a hash mismatch."""
+    sorder = sorted(range(len(scols)), key=lambda i: scols[i])
+    dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    sset = {tuple(canon(r[i]) for i in sorder) for r in srows}
+    dset = {tuple(canon(r[i]) for i in dorder) for r in drows}
+    for tag, only in (("spark-only", sset - dset), ("duck-only", dset - sset)):
+        for row in sorted(only)[:limit]:
+            print(f"       {tag}: {row}")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -94,6 +106,8 @@ def main() -> int:
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)} [{spark_sec:.1f}s]")
+            if os.environ.get("VERIFY_DIFF"):
+                _print_diff(scols, srows, dcols, drows)
         else:
             print(f"OK   {name}: rows={len(srows)} [{spark_sec:.1f}s]")
     print(f"\n{failures} failures")
