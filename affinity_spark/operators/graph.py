@@ -46,6 +46,10 @@ def connected_components(
             sym.join(labels, sym["v"] == labels["vertex"], "inner")
             .select(F.col("u").alias("vertex"), F.col("component"))
         )
+        # NOTE: fusing change-detection into this aggregate (carrying the
+        # old label as an extra union column) measured ~40% SLOWER at sf0.1
+        # — the extra long through the shuffle costs more than the
+        # old-vs-new join over two small checkpointed frames saves.
         new_labels = (
             labels.select("vertex", "component")
             .union(prop)
