@@ -57,6 +57,22 @@ def foreach_batch_merge(
     return apply
 
 
+def keyed_table_sink(stream: DataFrame, table, checkpoint_path: str):
+    """writeStream into a ``KeyedTable``: each micro-batch is a MERGE and
+    each merge commits a new snapshot version atomically — readers of the
+    table pointer never observe a half-written batch (the versioned
+    upgrade of the plain-directory ``changelog_sink``)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert(batch_df)
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+
+
 def changelog_sink(
     stream: DataFrame,
     table_path: str,

@@ -176,3 +176,36 @@ def test_changelog_sink_materializes_keyed_table(spark, tmp_path):
         assert got == {1: "a2", 2: "b", 3: "c"}
     finally:
         q.stop()
+
+
+def test_keyed_table_sink_snapshot_versions(spark, tmp_path):
+    """keyed_table_sink: every micro-batch commits a new snapshot version;
+    the pointer is atomic so readers never see a half-merged batch."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from affinity_spark.sources.keyed_table import KeyedTable
+    from affinity_spark.streaming.sinks import keyed_table_sink
+
+    src = str(tmp_path / "in")
+    table = KeyedTable(spark, str(tmp_path / "kt"), ["k"], "ts")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("ts", LongType()),
+            StructField("v", StringType()),
+        ]
+    )
+    _write_jsonl(src, "b1.json", [{"k": 1, "ts": 100, "v": "a"}])
+    stream = spark.readStream.schema(schema).json(src)
+    q = keyed_table_sink(stream, table, str(tmp_path / "ckpt")).start()
+    try:
+        _drain(q)
+        snapshot = {r.k: r.v for r in table.read().collect()}
+        assert snapshot == {1: "a"}
+        _write_jsonl(src, "b2.json", [{"k": 1, "ts": 200, "v": "a2"}, {"k": 2, "ts": 100, "v": "b"}])
+        _drain(q)
+        assert {r.k: r.v for r in table.read().collect()} == {1: "a2", 2: "b"}
+        # prefix read works straight off the streamed table
+        assert table.get({"k": 2}).collect()[0].v == "b"
+    finally:
+        q.stop()
