@@ -346,6 +346,68 @@ GROUP BY 1, 2, 3
 """
 
 
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate over a part join — promo
+    revenue share in basis points (exact integer ratio of cents sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias(
+            "promo_cents"
+        ),
+        F.sum(rev).alias("total_cents"),
+    )
+    # integer division, not floor(double ratio): cents*10000 can pass 2^53
+    # at large SF where double division would misround
+    return agg.select(
+        "promo_cents",
+        "total_cents",
+        F.expr("promo_cents * 10000 div total_cents").alias("promo_bp"),
+    )
+
+
+_Q14_SQL = """
+WITH j AS (
+  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum(rev) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) * 10000
+              // sum(rev) AS BIGINT) AS promo_bp
+FROM j
+"""
+
+
+def parts_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part dimension profile: per (brand, type) count, size spread, and
+    retail price cents — the catalog-maintenance scan over `part`."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        F.sum(_cents(F.col("p_retailprice"))).alias("retail_cents"),
+    )
+
+
+_PART_STATS_SQL = """
+SELECT p_brand, p_type, count(*) AS n_parts,
+       min(p_size) AS min_size, max(p_size) AS max_size,
+       CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS retail_cents
+FROM part
+GROUP BY p_brand, p_type
+"""
+
+
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: left outer join + two-level aggregate (orders-per-
     customer histogram, including zero-order customers)."""
@@ -1507,6 +1569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q10_returned_items": q10_returned_items,
         "q13_customer_distribution": q13_customer_distribution,
+        "q14_promo_share": q14_promo_share,
+        "parts_brand_stats": parts_brand_stats,
         "customers_without_orders": customers_without_orders,
         "events_point_get": events_point_get,
         "events_prefix_timerange": events_prefix_timerange,
@@ -1564,6 +1628,8 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_volume": _Q7_SQL,
         "q10_returned_items": _Q10_SQL,
         "q13_customer_distribution": _Q13_SQL,
+        "q14_promo_share": _Q14_SQL,
+        "parts_brand_stats": _PART_STATS_SQL,
         "customers_without_orders": _ANTI_SQL,
         "events_point_get": _POINT_GET_SQL,
         "events_prefix_timerange": _PREFIX_SCAN_SQL,
