@@ -100,3 +100,24 @@ def test_keyed_table_vacuum(spark, tmp_path):
     removed = t.vacuum(ttl_ms=200, now_ms=1000)
     assert removed == 1
     assert sorted(r.k for r in t.read().collect()) == [2, 3]
+
+
+def test_keyed_table_readable_by_vanilla_engine(spark, tmp_path):
+    """Interop (SURVEY §5 tier 6 analog): state written by the engine must
+    be readable by a vanilla external reader — here DuckDB reading the
+    committed version's parquet directly, as KafkaStorageSpec proves with
+    a vanilla Confluent consumer."""
+    import duckdb
+
+    t = _table(spark, tmp_path)
+    t.upsert(
+        spark.createDataFrame(
+            [(1, 100, 1, "a"), (2, 200, 1, "b")], "k long, ts long, seq int, v string"
+        )
+    )
+    vdir = t._current_version_dir()
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT k, v FROM read_parquet('{vdir}/*.parquet') ORDER BY k"
+    ).fetchall()
+    assert got == [(1, "a"), (2, "b")]
