@@ -73,3 +73,12 @@ def test_point_get_pushdown_reaches_scan(spark, tmp_path):
     _log(spark).write.mode("overwrite").parquet(p)
     plan = point_get(spark.read.parquet(p), {"key": "a"})._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "IsNotNull(key)" in plan
+
+
+def test_approx_num_keys(spark):
+    from affinity_spark.operators.kv import approx_num_keys
+
+    df = spark.createDataFrame([(i % 50, i) for i in range(1000)], "k int, v long")
+    got = approx_num_keys(df, ["k"]).collect()[0]
+    # HLL estimate of 50 distinct keys lands within its default 5% rsd
+    assert 45 <= got[0] <= 55

@@ -59,3 +59,14 @@ def test_partition_udf_matches_python(spark):
     }
     for k in keys:
         assert got[k] == murmur2_partition(k, 12)
+
+
+def test_murmur2_str_col_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from affinity_spark.functions.murmur2 import murmur2, murmur2_str_col
+
+    df = spark.createDataFrame([(f"key-{i}",) for i in range(50)], "s string")
+    got = {r.s: r.h for r in df.withColumn("h", murmur2_str_col(F.col("s"))).collect()}
+    for s, h in got.items():
+        assert h == murmur2(s.encode("utf-8"))
