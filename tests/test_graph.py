@@ -37,3 +37,37 @@ def test_collect_component(spark):
     )
     got = sorted(r.vertex for r in collect_component(edges, 2).collect())
     assert got == [1, 2, 3]  # only vertex 2's component, not 10-11
+
+
+def test_larger_random_graph_converges(spark):
+    """Convergence at size: 20k edges over 6k vertices (deterministic LCG),
+    components agree with a union-find model."""
+    state, edges = 12345, []
+    for _ in range(20_000):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        u = (state >> 16) % 6000
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        v = (state >> 16) % 6000
+        edges.append((u, v))
+
+    parent = list(range(6000))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # model: component id = min vertex id reachable
+    comp_of = {}
+    for x in {u for u, v in edges} | {v for u, v in edges}:
+        comp_of.setdefault(find(x), []).append(x)
+    expect = {x: min(members) for members in comp_of.values() for x in members}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.vertex: r.component for r in connected_components(df, max_iter=30).collect()}
+    assert got == expect

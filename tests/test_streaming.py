@@ -209,3 +209,50 @@ def test_keyed_table_sink_snapshot_versions(spark, tmp_path):
         assert table.get({"k": 2}).collect()[0].v == "b"
     finally:
         q.stop()
+
+
+def test_wordcount_to_wire_format(spark, tmp_path):
+    """The reference's full output path (A2 → S7): continuous counts
+    serialized as enveloped bytes with murmur2 partition stamping — the
+    exact record layout a vanilla Kafka consumer of the reference's output
+    topic would see, minus the broker."""
+    from affinity_spark.functions.avro_envelope import (
+        envelope_payload,
+        envelope_schema_id,
+        python_wrap,
+        wrap_envelope,
+    )
+    from affinity_spark.functions.murmur2 import kafka_partition_udf, murmur2_partition
+
+    src = str(tmp_path / "in")
+    _write_jsonl(src, "b1.json", [{"word": w} for w in ["hello", "hello", "world"]])
+    stream = spark.readStream.schema(WORDS_SCHEMA).json(src)
+    counts = running_count_stream(stream, "word")
+    wire = counts.select(
+        F.encode(F.col("word"), "utf-8").alias("key"),
+        wrap_envelope(7, F.encode(F.to_json(F.struct("word", "count")), "utf-8")).alias(
+            "value"
+        ),
+    ).withColumn("partition", kafka_partition_udf(8)(F.col("key")))
+    q = (
+        wire.writeStream.format("memory")
+        .queryName("wire_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+        rows = spark.sql("select * from wire_out").collect()
+        assert len(rows) == 2  # hello, world
+        for r in rows:
+            word = bytes(r.key).decode()
+            # partition matches the vanilla kafka default partitioner
+            assert r.partition == murmur2_partition(bytes(r.key), 8)
+            # envelope: magic 0 + schema id 7 + json payload
+            assert bytes(r.value)[:5] == python_wrap(7, b"")[:5]
+            payload = json.loads(bytes(r.value)[5:])
+            assert payload["word"] == word
+            assert payload["count"] == (2 if word == "hello" else 1)
+    finally:
+        q.stop()
