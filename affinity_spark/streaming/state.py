@@ -69,6 +69,52 @@ def running_count_stream(stream: DataFrame, key_col: str = "word") -> DataFrame:
     )
 
 
+def latest_n_stream(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    seq_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """X6 streaming latest-N: per key, an insertion-ordered ring buffer of
+    the last ``n`` values, re-emitted whenever it changes — the change-
+    listener deque of the reference's latest-news view
+    (``ExampleESGateway.scala:63-69``) as checkpointed state.
+
+    Output: (key, items array<string>) with items newest-last. ``seq_col``
+    orders arrivals within a batch (the log-offset role).
+    """
+    from pyspark.sql.types import ArrayType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("items", ArrayType(StringType())),
+        ]
+    )
+    state_schema = StructType([StructField("buf", ArrayType(StringType()))])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        for _, row in batch.sort_values(seq_col).iterrows():
+            buf.append(str(row[value_col]))
+            if len(buf) > n:
+                buf.pop(0)
+        state.update((buf,))
+        yield pd.DataFrame({key_col: [key[0]], "items": [buf]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def get_and_update_stream(
     stream: DataFrame,
     key_col: str,

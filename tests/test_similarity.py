@@ -52,3 +52,13 @@ def test_cosine_join_never_crosses_buckets(spark):
     rows = [(10, [1.0, 0.0], "a"), (11, [1.0, 0.0], "b")]
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
     assert cosine_join_within(df, "label", 0.5).count() == 0
+
+
+def test_knn_mapinpandas_agrees_with_expression_path(spark):
+    from affinity_spark.operators.similarity import knn_mapinpandas
+
+    emb = _emb(spark).withColumn("vec_id", F.col("vec_id").cast("long"))
+    q = [1.0, 0.0, 0.0]
+    expr_ids = [r.vec_id for r in knn_to_query(emb, q, 3).collect()]
+    np_ids = [r.vec_id for r in knn_mapinpandas(emb, q, 3).collect()]
+    assert np_ids == expr_ids

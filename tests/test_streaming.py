@@ -256,3 +256,50 @@ def test_wordcount_to_wire_format(spark, tmp_path):
             assert payload["count"] == (2 if word == "hello" else 1)
     finally:
         q.stop()
+
+
+def test_latest_n_stream_ring_buffer(spark, tmp_path):
+    """X6 streaming: per-key last-3 ring buffer, insertion-ordered,
+    continued across batches from state."""
+    from affinity_spark.streaming.state import latest_n_stream
+
+    src = str(tmp_path / "in")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("v", StringType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    _write_jsonl(src, "b1.json", [
+        {"k": 1, "v": "a", "seq": 1},
+        {"k": 1, "v": "b", "seq": 2},
+        {"k": 2, "v": "x", "seq": 3},
+    ])
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        latest_n_stream(stream, "k", "v", "seq", n=3)
+        .writeStream.format("memory")
+        .queryName("ring_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.k: list(r.items) for r in spark.sql("select * from ring_out").collect()}
+        assert got == {1: ["a", "b"], 2: ["x"]}
+
+        # four more for key 1: buffer keeps only the newest 3, in order
+        _write_jsonl(src, "b2.json", [
+            {"k": 1, "v": c, "seq": 10 + i} for i, c in enumerate(["c", "d", "e", "f"])
+        ])
+        q.processAllAvailable()
+        rows = spark.sql("select * from ring_out").collect()
+        latest = {}
+        for r in rows:
+            latest[r.k] = list(r.items)  # update-mode: last emission wins
+        assert latest[1] == ["d", "e", "f"]
+        assert latest[2] == ["x"]
+    finally:
+        q.stop()
