@@ -68,14 +68,16 @@ def main() -> None:
     # Warmup: absorb session/codegen startup so per-query numbers are honest.
     queries["q6_forecast_revenue"](spark, sf_dir).count()
 
-    # Best-of-2 per query: the first run pays JVM JIT + codegen compilation,
-    # the second measures the steady-state plan (what a long-running cluster
-    # actually sees).
+    # Best-of-N per query (default 2): the first run pays JVM JIT + codegen
+    # compilation, later runs measure the steady-state plan (what a
+    # long-running cluster actually sees). Raise BENCH_REPEATS on noisy
+    # hosts for a tighter minimum.
+    repeats = max(int(os.environ.get("BENCH_REPEATS", "2")), 1)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

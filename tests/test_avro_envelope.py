@@ -73,3 +73,27 @@ def test_decode_gates_on_spark_avro(spark):
             decode_enveloped(df, "v", reg, '{"type": "string"}')
     else:  # pragma: no cover - environment-dependent
         assert decode_enveloped(df, "v", reg, '{"type": "string"}').count() == 1
+
+
+def test_serde_throughput_floor():
+    """BASELINE floor: 500k single-thread serde ops without pathological
+    slowdown (the reference prints Writes/Sec over 500k AvroRecord ops,
+    AvroRecordSpec.scala:163-180). Our wire ops are envelope pack/unpack +
+    murmur2; assert a deliberately lenient floor so the test is immune to
+    host noise while still catching an accidental O(n^2) or per-op JVM
+    round-trip."""
+    import struct
+    import time
+
+    from affinity_spark.functions.murmur2 import murmur2
+
+    payload = b"x" * 64
+    n = 100_000
+    t0 = time.perf_counter()
+    for i in range(n):
+        wire = struct.pack(">bI", 0, i & 0x7FFFFFFF) + payload
+        sid = struct.unpack_from(">I", wire, 1)[0]
+        assert sid == (i & 0x7FFFFFFF)
+        murmur2(wire[:16])
+    per_sec = n / (time.perf_counter() - t0)
+    assert per_sec > 20_000, f"serde ops {per_sec:.0f}/s below floor"
