@@ -1333,6 +1333,81 @@ SELECT doc_id, CAST({fp_expr} AS BIGINT) AS simhash FROM sums
 """
 
 
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline ops COMPOSED end to end: quality filter (>= 10
+    tokens) → exact dedup (keep min id per fingerprint) → near-dup removal
+    (drop the higher id of every exact-Jaccard >= 1/2 trigram pair) →
+    surviving (doc_id, n_tokens). One declarative plan, oracle-matched."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "text", token_count(F.col("text")).alias("n_tokens"))
+    quality = scored.filter(F.col("n_tokens") >= 10)
+    keepers_ids = (
+        quality.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    keepers = quality.join(keepers_ids, "doc_id")
+    sh = dd.shingle_table(keepers, "doc_id", "text", 3).select("doc_id", "shingle")
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrs = dd.doc_shingle_arrays(keepers, "doc_id", "text", 3)
+    near_dups = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    clean = keepers.join(near_dups, "doc_id", "left_anti")
+    return clean.select("doc_id", "n_tokens")
+
+
+_PIPELINE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+q AS (SELECT * FROM t WHERE n_tokens >= 10),
+k AS (
+  SELECT min(doc_id) AS doc_id
+  FROM q GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+),
+kd AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM kd),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(tk) - 2, 0) + 1),
+           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+  FROM d WHERE len(tk) >= 3
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+dups AS (
+  SELECT DISTINCT id_b AS doc_id
+  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+)
+SELECT doc_id, n_tokens FROM kd
+WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search (LLM-pipeline surface)
 # --------------------------------------------------------------------------
@@ -1605,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "dedup_exact_groups": dedup_exact_groups,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
@@ -1665,6 +1741,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _LANGID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "dedup_exact_groups": _DEDUP_EXACT_SQL,
+        "pipeline_clean_corpus": _PIPELINE_SQL,
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
