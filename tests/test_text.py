@@ -65,3 +65,15 @@ def test_quality_columns(spark):
     assert row.nd == 10  # "the" twice
     # stopwords present: the, the, and, a, in -> 5/11 (ratio rounded to 4dp)
     assert abs(row.sw - 5 / 11) < 1e-4
+
+
+def test_char_shingles(spark):
+    from affinity_spark.functions.text import shingles
+
+    df = spark.createDataFrame([(1, "ab  cd")], "id int, text string")
+    got = df.select(shingles(F.col("text"), 3).alias("s")).collect()[0].s
+    # normalized to "ab cd": char trigrams, distinct, in-order
+    assert got == ["ab ", "b c", " cd", "cd"][:len(got)] or set(got) == {"ab ", "b c", " cd"}
+    # short text still yields one (possibly short) shingle, not empty/null
+    short = df.select(shingles(F.lit("x"), 5).alias("s")).collect()[0].s
+    assert short == ["x"]
