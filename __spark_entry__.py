@@ -770,11 +770,18 @@ GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user sessions split on >1h inactivity gaps
-    (batch analog of session_window, T3)."""
+    (batch analog of session_window, T3).
+
+    Window order is by unique ``event_id`` alone — events.parquet carries
+    TIMESTAMP(NANOS) and cross-engine ts ordering is precision-dependent
+    (Spark truncates to micros); event_id is generated in ts order, unique,
+    and identical in every engine. The gap test itself uses whole seconds,
+    which are unaffected by the nanos truncation.
+    """
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
     flagged = ev.withColumn(
         "new_session",
@@ -785,16 +792,19 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_id", "session_id")
 
 
+# CAST the windowed sum: DuckDB's integer sum() yields HUGEINT (arrow
+# decimal128), which value-hashes differently from Spark's BIGINT even when
+# numerically equal — every integer-sum oracle in this file casts to BIGINT.
 _SESSION_SQL = """
 SELECT user_id, event_id,
-       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                              ROWS UNBOUNDED PRECEDING) AS session_id
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM (
   SELECT user_id, event_id, ts,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY event_id ASC)
                    IS NULL
                OR date_diff('second',
-                            lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC),
+                            lag(ts) OVER (PARTITION BY user_id ORDER BY event_id ASC),
                             ts) > 3600
               THEN 1 ELSE 0 END AS new_session
   FROM events
@@ -842,9 +852,11 @@ def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
+    # Ordered by unique event_id (ts-monotone) — see events_sessionize note
+    # on TIMESTAMP(NANOS) precision and cross-engine ordering.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return ev.select(
@@ -858,9 +870,10 @@ def events_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUNNING_SQL = """
 SELECT user_id, event_id,
        count(*) OVER w AS running_n,
-       sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) OVER w AS running_value_cents
+       CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+           AS running_value_cents
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING)
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC ROWS UNBOUNDED PRECEDING)
 """
 
 
@@ -1645,6 +1658,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_share": q14_promo_share,
+        # Round-1 driver run produced no CORRECTNESS row for the last five
+        # registry entries (likely time-budgeted); they now run early.
+        "emb_lsh_buckets": emb_lsh_buckets,
+        "emb_ivf_assign": emb_ivf_assign,
+        "mktsegment_revenue_salted": mktsegment_revenue_salted,
+        "graph_components": graph_components,
+        "custom_gather_agg": custom_gather_agg,
         "parts_brand_stats": parts_brand_stats,
         "customers_without_orders": customers_without_orders,
         "events_point_get": events_point_get,
@@ -1686,11 +1706,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "emb_knn_brute": emb_knn_brute,
         "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
-        "emb_lsh_buckets": emb_lsh_buckets,
-        "emb_ivf_assign": emb_ivf_assign,
-        "mktsegment_revenue_salted": mktsegment_revenue_salted,
-        "graph_components": graph_components,
-        "custom_gather_agg": custom_gather_agg,
     }
 
 

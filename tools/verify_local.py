@@ -9,6 +9,7 @@ Usage: python tools/verify_local.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import hashlib
 import os
 import sys
@@ -28,6 +29,12 @@ def canon(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        # Deliberately NOT folded into int/float: DuckDB's integer sum()
+        # yields HUGEINT (arrow decimal128) which the driver's hasher
+        # distinguishes from Spark's BIGINT. Oracle SQL must CAST such sums
+        # to BIGINT; an uncast one must FAIL here, not pass silently.
+        return f"decimal:{v}"
     if isinstance(v, float):
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
