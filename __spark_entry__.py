@@ -1236,17 +1236,31 @@ h AS (SELECT doc_id, shingle,
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified (J >= 1/2).
 
+    Signatures come from the ZERO-shuffle map-side path
+    (``minhash_signatures_mapside``): per-doc array transforms inside
+    whole-stage codegen, no shingle explode/groupBy shuffle. The only
+    shuffles left are the LSH band bucket join and the candidate verify —
+    both candidate-count sized, never corpus-sized.
+
     Output uses exact integer columns (n_common, n_union) so the hash
     comparison is float-free.
     """
     docs = _t(spark, sf_dir, "documents")
-    arrs, sh = dd.shingles_shared(docs, "doc_id", "text", 3)
-    sig = dd.minhash_signatures(sh, "doc_id")
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    sig = dd.minhash_signatures_mapside(arrs, "doc_id")
     cand = dd.lsh_candidate_pairs(dd.lsh_bands(sig, "doc_id"), "doc_id")
     return dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2)
 
 
-def _minhash_oracle_sql() -> str:
+def _duck_lsh_cand_cte() -> str:
+    """DuckDB CTEs reproducing the LSH candidate pipeline over a prior
+    ``h(doc_id, shingle, h0)`` CTE: sig → bands → cand(id_a, id_b).
+
+    Same md5-derived h0, LCG permutation constants and band hashing as the
+    Spark side, so candidate sets are bit-identical across engines.
+    """
     sig_cols = ",\n       ".join(
         f"min(({a} * h0 + {b}) % {dd.MINHASH_P}) AS sig_{i}"
         for i, (a, b) in enumerate(dd.MINHASH_COEF)
@@ -1262,14 +1276,19 @@ def _minhash_oracle_sql() -> str:
         for band in range(dd.NUM_BANDS)
     )
     return f"""
-WITH {_duck_shingles_cte(3)},
 sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-),
+)"""
+
+
+def _minhash_oracle_sql() -> str:
+    return f"""
+WITH {_duck_shingles_cte(3)},
+{_duck_lsh_cand_cte()},
 sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
 common AS (
   SELECT c.id_a, c.id_b, count(*) AS n_common
@@ -1349,28 +1368,38 @@ SELECT doc_id, CAST({fp_expr} AS BIGINT) AS simhash FROM sums
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-pipeline ops COMPOSED end to end: quality filter (>= 10
     tokens) → exact dedup (keep min id per fingerprint) → near-dup removal
-    (drop the higher id of every exact-Jaccard >= 1/2 trigram pair) →
-    surviving (doc_id, n_tokens). One declarative plan, oracle-matched."""
+    via MinHash-LSH candidates + exact-Jaccard >= 1/2 verify (drop the
+    higher id of each confirmed pair) → surviving (doc_id, n_tokens).
+
+    This is the SCALE tier composed end to end: signatures are the
+    zero-shuffle map-side array transform, candidates come from the LSH
+    band join (bucket-sized, never the all-pairs shingle self-join — that
+    tier lives in dedup_ngram_jaccard as the small-scale verifier), and
+    the verify step touches candidate pairs only. The shingle arrays are
+    materialized ONCE (localCheckpoint) and shared by the signature and
+    verify branches.
+    """
+    from pyspark.sql import Window
+
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select("doc_id", "text", token_count(F.col("text")).alias("n_tokens"))
     quality = scored.filter(F.col("n_tokens") >= 10)
-    keepers_ids = (
-        quality.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # Exact dedup as a window (keep min doc_id per fingerprint): one shuffle
+    # on fp, no self-join — documents is scanned ONCE for the whole pipeline
+    # (keepers is checkpointed and feeds both the LSH branch and the final
+    # anti-join).
+    w_fp = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    keepers = (
+        quality.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=False)
     )
-    keepers = quality.join(keepers_ids, "doc_id")
-    sh = dd.shingle_table(keepers, "doc_id", "text", 3).select("doc_id", "shingle")
-    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    cand = (
-        sa.join(sb, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    arrs = dd.doc_shingle_arrays(keepers, "doc_id", "text", 3).localCheckpoint(
+        eager=False
     )
-    arrs = dd.doc_shingle_arrays(keepers, "doc_id", "text", 3)
+    sig = dd.minhash_signatures_mapside(arrs, "doc_id")
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands(sig, "doc_id"), "doc_id")
     near_dups = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
         F.col("id_b").alias("doc_id")
     ).distinct()
@@ -1378,7 +1407,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id", "n_tokens")
 
 
-_PIPELINE_SQL = f"""
+def _pipeline_oracle_sql() -> str:
+    return f"""
 WITH t AS (
   SELECT doc_id, text,
          len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''))
@@ -1391,24 +1421,24 @@ k AS (
   FROM q GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
 ),
 kd AS (SELECT q.* FROM q JOIN k USING (doc_id)),
-d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM kd),
+d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM kd),
 sh AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
-           range(1, greatest(len(tk) - 2, 0) + 1),
-           i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
-  FROM d WHERE len(tk) >= 3
+           range(1, greatest(len(t) - 2, 0) + 1),
+           i -> array_to_string(t[i:i+2], ' ')))) AS shingle
+  FROM d WHERE len(t) >= 3
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+h AS (SELECT doc_id, shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h0
+      FROM sh),
+{_duck_lsh_cand_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
 common AS (
   SELECT c.id_a, c.id_b, count(*) AS n_common
   FROM cand c
-  JOIN sh x ON x.doc_id = c.id_a
-  JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
   GROUP BY c.id_a, c.id_b
 ),
 dups AS (
@@ -1756,7 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": _LANGID_SQL,
         "text_fingerprint": _FINGERPRINT_SQL,
         "dedup_exact_groups": _DEDUP_EXACT_SQL,
-        "pipeline_clean_corpus": _PIPELINE_SQL,
+        "pipeline_clean_corpus": _pipeline_oracle_sql(),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),

@@ -91,3 +91,46 @@ def test_minhash_verify_joins_broadcast(spark):
 
     plan = executed_plan(e.dedup_minhash_lsh(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_clean_corpus_uses_lsh_not_allpairs(spark):
+    """The composed pipeline must take the LSH scale tier: candidates from
+    the band-bucket join, NEVER the all-pairs shingle self-join (that tier
+    is dedup_ngram_jaccard, the small-scale verifier). A join keyed on the
+    exploded shingle column in this plan means the quadratic path came back.
+    """
+    import re
+
+    from affinity_spark.plans.introspect import executed_plan
+
+    plan = executed_plan(e.pipeline_clean_corpus(spark, SF))
+    for line in plan.splitlines():
+        if "Join" in line and re.search(r"\[shingle#\d+", line):
+            raise AssertionError(f"shingle-keyed join in composed pipeline: {line}")
+    # LSH band join present: the only sort-merge/shuffle joins allowed key on
+    # band columns or doc ids, and signatures are map-side (no sig groupBy).
+    assert "band_hash" in plan
+    assert "HashAggregate" not in "".join(
+        l for l in plan.splitlines() if "sig_0#" in l and "Aggregate" in l
+    ), "signatures must be map-side array transforms, not explode+groupBy"
+
+
+def test_pipeline_clean_corpus_shuffle_budget(spark):
+    """Round-1 plan had 13 shuffles (all-pairs tier). The LSH rewrite must
+    stay within a 8-exchange budget (exact-dedup agg+join, band join,
+    verify joins, anti join)."""
+    assert n_exchanges(e.pipeline_clean_corpus(spark, SF)) <= 8
+
+
+def test_minhash_lsh_signatures_mapside(spark):
+    """dedup_minhash_lsh signatures come from the zero-shuffle array
+    transform: no shingle explode feeding an aggregate."""
+    import re
+
+    plan = None
+    from affinity_spark.plans.introspect import executed_plan
+
+    plan = executed_plan(e.dedup_minhash_lsh(spark, SF))
+    for line in plan.splitlines():
+        if "Join" in line and re.search(r"\[shingle#\d+", line):
+            raise AssertionError(f"shingle-keyed join in LSH dedup: {line}")
