@@ -112,19 +112,176 @@ def avro_available(spark=None) -> bool:
     return True
 
 
+# --- writer -> reader schema resolution (Avro spec "Schema Resolution") ----
+# The reference resolves every stored record against the latest compiled
+# schema at read time (AvroSerde.scala:158-173, AvroRecord.read:119-125,
+# behavior pinned by AvroProjectionSpec.scala:169). Here the resolution is a
+# Spark COLUMN projection applied after the per-writer-schema decode, so a
+# mixed-schema log unions into one stable reader shape — all JVM-side
+# expressions, no UDF.
+
+_PROMOTIONS = {
+    # writer type -> allowed reader types (Avro spec promotion lattice)
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+_SPARK_TYPES = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+    "boolean": "boolean",
+    "null": "void",
+}
+
+
+def _unwrap_nullable(schema):
+    """['null', T] / [T, 'null'] -> T (the common optional-field encoding)."""
+    if isinstance(schema, list):
+        non_null = [s for s in schema if s != "null"]
+        if len(non_null) == 1:
+            return non_null[0]
+    return schema
+
+
+def _type_name(schema) -> str:
+    schema = _unwrap_nullable(schema)
+    if isinstance(schema, dict):
+        return schema.get("type", "")
+    return schema
+
+
+def spark_type_for(avro_schema) -> str:
+    """Spark DDL type for an Avro schema node (primitives + record/array/map)."""
+    schema = _unwrap_nullable(avro_schema)
+    if isinstance(schema, str):
+        return _SPARK_TYPES[schema]
+    t = schema["type"]
+    if t == "record":
+        fields = ", ".join(
+            f"{f['name']}: {spark_type_for(f['type'])}" for f in schema["fields"]
+        )
+        return f"struct<{fields}>"
+    if t == "array":
+        return f"array<{spark_type_for(schema['items'])}>"
+    if t == "map":
+        return f"map<string, {spark_type_for(schema['values'])}>"
+    if t in ("enum", "fixed"):
+        return "string" if t == "enum" else "binary"
+    return _SPARK_TYPES[t]
+
+
+def _default_literal(field) -> Column:
+    if "default" not in field:
+        raise ValueError(
+            f"reader field {field['name']!r} absent from writer schema and "
+            "has no default — schemas are incompatible (Avro resolution)"
+        )
+    default = field["default"]
+    if default is None:
+        return F.lit(None).cast(spark_type_for(field["type"]))
+    return F.lit(default).cast(spark_type_for(field["type"]))
+
+
+def _project_node(col: Column, writer, reader) -> Column:
+    """Resolve ``col`` (decoded with ``writer``) to the ``reader`` schema."""
+    w, r = _unwrap_nullable(writer), _unwrap_nullable(reader)
+    w_name, r_name = _type_name(writer), _type_name(reader)
+    if isinstance(r, dict) and r.get("type") == "record":
+        if not (isinstance(w, dict) and w.get("type") == "record"):
+            raise ValueError(f"cannot resolve {w_name} into record {r.get('name')}")
+        w_fields = {f["name"]: f for f in w["fields"]}
+        # writer-side aliases also resolve (spec: match via name or aliases)
+        for f in w["fields"]:
+            for alias in f.get("aliases", ()):
+                w_fields.setdefault(alias, f)
+        out = []
+        for rf in r["fields"]:
+            names = [rf["name"], *rf.get("aliases", ())]
+            src = next((w_fields[n] for n in names if n in w_fields), None)
+            if src is None:
+                out.append(_default_literal(rf).alias(rf["name"]))
+            else:
+                out.append(
+                    _project_node(col[src["name"]], src["type"], rf["type"]).alias(
+                        rf["name"]
+                    )
+                )
+        return F.struct(*out)
+    if isinstance(r, dict) and r.get("type") == "array":
+        if not (isinstance(w, dict) and w.get("type") == "array"):
+            raise ValueError("cannot resolve non-array into array")
+        inner_w, inner_r = w["items"], r["items"]
+        if json.dumps(inner_w, sort_keys=True) == json.dumps(inner_r, sort_keys=True):
+            return col
+        return F.transform(col, lambda x: _project_node(x, inner_w, inner_r))
+    if isinstance(r, dict) and r.get("type") == "map":
+        if not (isinstance(w, dict) and w.get("type") == "map"):
+            raise ValueError("cannot resolve non-map into map")
+        return col  # values must match exactly for now
+    # primitives (+ enum/fixed passthrough)
+    if w_name == r_name:
+        return col
+    if r_name in _PROMOTIONS.get(w_name, ()):  # promotion lattice
+        return col.cast(spark_type_for(r))
+    raise ValueError(f"writer type {w_name!r} not resolvable to reader {r_name!r}")
+
+
+def project_to_reader(
+    col: Column, writer_schema_json: str, reader_schema_json: str
+) -> Column:
+    """Column projecting a struct decoded with the writer schema onto the
+    reader schema: field match by name/aliases, reader defaults for added
+    fields, numeric/string-bytes promotions, recursive on records/arrays."""
+    return _project_node(
+        col, json.loads(writer_schema_json), json.loads(reader_schema_json)
+    )
+
+
+def invalid_envelopes(df: DataFrame, value_col: str, registry: SchemaRegistry) -> DataFrame:
+    """Dead-letter frame: rows that are not valid envelopes (short value or
+    wrong magic byte) or whose schema id is unknown to the registry — the
+    rows the reference's AvroSerde.read would raise on."""
+    value = F.col(value_col)
+    return df.filter(
+        (~valid_envelope(value))
+        | (~envelope_schema_id(value).isin(registry.ids()))
+    )
+
+
 def decode_enveloped(
     df: DataFrame,
     value_col: str,
     registry: SchemaRegistry,
     reader_schema_json: str,
     out_col: str = "record",
+    on_invalid: str = "fail",
 ) -> DataFrame:
-    """Split by writer schema id and from_avro-decode each group with the
-    registry's writer schema projected to ``reader_schema_json``.
+    """Split by writer schema id, from_avro-decode each group with its
+    registry (writer) schema, then project every group onto
+    ``reader_schema_json`` (Avro schema-resolution rules) so the union has
+    ONE stable shape regardless of how many writer schemas the log holds.
 
-    Requires spark-avro (``avro_available()``); the envelope split itself
-    (id/payload columns) never does.
+    ``on_invalid``: ``"fail"`` (default) raises at execution time on any row
+    with a bad magic byte or an unregistered schema id — matching the
+    reference's AvroSerde.read, which raises on both; ``"drop"`` silently
+    excludes them (route them to a dead-letter sink via
+    ``invalid_envelopes`` first).
+
+    Requires spark-avro (``avro_available()``); the envelope split and the
+    projection itself (``project_to_reader``) never do.
     """
+    if on_invalid not in ("fail", "drop"):
+        raise ValueError("on_invalid must be 'fail' or 'drop'")
     if not avro_available(df.sparkSession):
         raise ImportError(
             "spark-avro is not on the classpath; envelope split functions "
@@ -138,10 +295,26 @@ def decode_enveloped(
     )
     decoded = None
     for sid in registry.ids():
-        part = parts.filter(F.col("_sid") == sid).withColumn(
-            out_col, from_avro(F.col("_payload"), registry.schema(sid))
+        part = parts.filter(valid_envelope(value) & (F.col("_sid") == sid)).withColumn(
+            out_col,
+            project_to_reader(
+                from_avro(F.col("_payload"), registry.schema(sid)),
+                registry.schema(sid),
+                reader_schema_json,
+            ),
         )
         decoded = part if decoded is None else decoded.unionByName(part)
     if decoded is None:
         raise ValueError("registry has no schemas")
+    if on_invalid == "fail":
+        bad = invalid_envelopes(df, value_col, registry).withColumn(
+            out_col,
+            F.raise_error(
+                F.concat(
+                    F.lit("invalid avro envelope (magic/schema-id): 0x"),
+                    F.hex(F.substring(value, 1, 5)),
+                )
+            ).cast(decoded.schema[out_col].dataType),
+        )
+        decoded = decoded.unionByName(bad)
     return decoded.drop("_sid", "_payload")

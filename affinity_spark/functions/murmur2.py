@@ -68,14 +68,20 @@ def kafka_partition_udf(num_partitions: int):
     Usage: ``df.withColumn("partition", kafka_partition_udf(n)(F.col("key")))``
     before ``df.write.format("kafka")`` so brokers place records exactly where
     the reference's router / vanilla Kafka producers would.
+
+    Null keys yield a NULL partition — Kafka's producer then falls back to
+    its sticky/round-robin placement for the record, same as the default
+    partitioner does for unkeyed messages (a null key must not kill the
+    whole write job).
     """
 
     @pandas_udf("int")
     def _part(keys: pd.Series) -> pd.Series:
-        out = np.empty(len(keys), dtype=np.int32)
+        out = pd.array([None] * len(keys), dtype="Int32")
         for i, k in enumerate(keys):
-            out[i] = murmur2_partition(bytes(k), num_partitions)
-        return pd.Series(out)
+            if k is not None:
+                out[i] = murmur2_partition(bytes(k), num_partitions)
+        return pd.Series(out, dtype="Int32")
 
     return _part
 

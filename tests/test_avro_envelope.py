@@ -97,3 +97,108 @@ def test_serde_throughput_floor():
         murmur2(wire[:16])
     per_sec = n / (time.perf_counter() - t0)
     assert per_sec > 20_000, f"serde ops {per_sec:.0f}/s below floor"
+
+
+# --- writer -> reader schema resolution (AvroSerde.scala:158-173; behavior
+# mirrored from AvroProjectionSpec.scala:169) -------------------------------
+
+V1 = """{"type":"record","name":"User","fields":[
+  {"name":"id","type":"int"},
+  {"name":"name","type":"string"}]}"""
+
+V2 = """{"type":"record","name":"User","fields":[
+  {"name":"id","type":"int"},
+  {"name":"name","type":"string"},
+  {"name":"score","type":"double","default":0.5},
+  {"name":"tags","type":{"type":"array","items":"string"},"default":[]}]}"""
+
+READER = """{"type":"record","name":"User","fields":[
+  {"name":"id","type":"long"},
+  {"name":"full_name","type":"string","aliases":["name"]},
+  {"name":"score","type":"double","default":0.5}]}"""
+
+
+def _decoded(spark, schema_ddl, rows):
+    return spark.createDataFrame(rows, schema_ddl)
+
+
+def test_projection_promotes_defaults_and_aliases(spark):
+    from affinity_spark.functions.avro_envelope import project_to_reader
+
+    df = _decoded(spark, "rec struct<id: int, name: string>", [((7, "ada"),)])
+    out = df.select(project_to_reader(F.col("rec"), V1, READER).alias("r"))
+    assert out.schema["r"].dataType.simpleString() == (
+        "struct<id:bigint,full_name:string,score:double>"
+    )
+    row = out.collect()[0].r
+    assert row.id == 7 and row.full_name == "ada" and row.score == 0.5
+
+
+def test_projection_makes_mixed_writers_union_stable(spark):
+    """The round-1 gap: different writer schemas must land in ONE shape."""
+    from affinity_spark.functions.avro_envelope import project_to_reader
+
+    d1 = _decoded(spark, "rec struct<id: int, name: string>", [((1, "a"),)]).select(
+        project_to_reader(F.col("rec"), V1, READER).alias("r")
+    )
+    d2 = _decoded(
+        spark,
+        "rec struct<id: int, name: string, score: double, tags: array<string>>",
+        [((2, "b", 0.9, ["x"]),)],
+    ).select(project_to_reader(F.col("rec"), V2, READER).alias("r"))
+    # identical shape (nullability may differ on literal defaults; unionByName
+    # reconciles that)
+    assert d1.schema.simpleString() == d2.schema.simpleString()
+    rows = {r.r.id: r.r for r in d1.unionByName(d2).collect()}
+    assert rows[1].score == 0.5 and rows[2].score == 0.9
+    assert rows[1].full_name == "a" and rows[2].full_name == "b"
+
+
+def test_projection_incompatible_raises(spark):
+    from affinity_spark.functions.avro_envelope import project_to_reader
+
+    no_default = """{"type":"record","name":"U","fields":[
+      {"name":"missing","type":"string"}]}"""
+    with pytest.raises(ValueError, match="no default"):
+        project_to_reader(F.col("rec"), V1, no_default)
+    demotion = """{"type":"record","name":"U","fields":[
+      {"name":"id","type":"int"}]}"""
+    long_writer = """{"type":"record","name":"U","fields":[
+      {"name":"id","type":"long"}]}"""
+    with pytest.raises(ValueError, match="not resolvable"):
+        project_to_reader(F.col("rec"), long_writer, demotion)
+
+
+def test_projection_nested_record_and_nullable(spark):
+    from affinity_spark.functions.avro_envelope import project_to_reader
+
+    wn = """{"type":"record","name":"O","fields":[
+      {"name":"who","type":{"type":"record","name":"W","fields":[
+        {"name":"id","type":"int"}]}}]}"""
+    rn = """{"type":"record","name":"O","fields":[
+      {"name":"who","type":{"type":"record","name":"W","fields":[
+        {"name":"id","type":"long"},
+        {"name":"email","type":["null","string"],"default":null}]}}]}"""
+    df = _decoded(spark, "rec struct<who: struct<id: int>>", [(((3,),),)])
+    out = df.select(project_to_reader(F.col("rec"), wn, rn).alias("r"))
+    row = out.collect()[0].r
+    assert row.who.id == 3 and row.who.email is None
+
+
+def test_invalid_envelopes_dead_letter(spark):
+    from affinity_spark.functions.avro_envelope import (
+        SchemaRegistry,
+        invalid_envelopes,
+    )
+
+    reg = SchemaRegistry()
+    sid = reg.register(V1)
+    rows = [
+        (1, python_wrap(sid, b"ok")),       # valid
+        (2, python_wrap(99, b"orphan")),    # unknown schema id
+        (3, b"\x01\x00\x00\x00\x01xx"),     # wrong magic
+        (4, b"\x00\x00"),                   # too short
+    ]
+    df = spark.createDataFrame(rows, "id int, v binary")
+    bad = sorted(r.id for r in invalid_envelopes(df, "v", reg).collect())
+    assert bad == [2, 3, 4]

@@ -70,3 +70,27 @@ def test_murmur2_str_col_matches_python(spark):
     got = {r.s: r.h for r in df.withColumn("h", murmur2_str_col(F.col("s"))).collect()}
     for s, h in got.items():
         assert h == murmur2(s.encode("utf-8"))
+
+
+def test_partition_udf_null_key_yields_null_partition(spark):
+    """Kafka's default partitioner round-robins null-keyed records; a null
+    key must produce a NULL partition, not a job-killing TypeError."""
+    from pyspark.sql import functions as F
+
+    from affinity_spark.functions.murmur2 import (
+        kafka_partition_udf,
+        murmur2_partition,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"alpha"), (2, None), (3, b"beta")], "id int, key binary"
+    )
+    got = {
+        r.id: r.p
+        for r in df.select(
+            "id", kafka_partition_udf(8)(F.col("key")).alias("p")
+        ).collect()
+    }
+    assert got[2] is None
+    assert got[1] == murmur2_partition(b"alpha", 8)
+    assert got[3] == murmur2_partition(b"beta", 8)
