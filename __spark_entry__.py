@@ -970,6 +970,81 @@ FROM documents
 """
 
 
+def docs_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode through the multimodal path: each document row is
+    turned into a genuine PNG (even doc_id) or 16-bit PCM WAV (odd) whose
+    geometry/content derive deterministically from doc_id, then decoded by
+    the pure-python codecs (``functions/codecs.py``: chunk walk, zlib
+    inflate, scanline unfilter / RIFF PCM parse) inside Arrow-batched
+    mapInPandas. The oracle recomputes width/height/sample counts and the
+    pixel/amplitude checksum in closed form — a wrong decoder (skipped
+    chunk, bad unfilter, wrong endianness) breaks the hash.
+
+    Reference parity: the multimodal story the reference lacks entirely;
+    decode runs where the data lives, no driver collect, schema fixed.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from affinity_spark.functions.codecs import (
+        decode_png,
+        decode_wav,
+        encode_png_gray,
+        encode_wav_pcm16,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    schema = "doc_id long, modality string, d1 int, d2 int, checksum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "modality": [], "d1": [], "d2": [], "checksum": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = 1 + did % 16, 1 + did % 8
+                    pixels = bytes((did * 7 + i * 3) % 256 for i in range(w * h))
+                    img = decode_png(encode_png_gray(w, h, pixels))
+                    out["doc_id"].append(did)
+                    out["modality"].append("image/png")
+                    out["d1"].append(img.width)
+                    out["d2"].append(img.height)
+                    out["checksum"].append(sum(img.pixels))
+                else:
+                    rate, n = 8000 + did % 100, 16 + did % 17
+                    samples = [((did * 11 + i * 5) % 2048) - 1024 for i in range(n)]
+                    wav = decode_wav(encode_wav_pcm16(rate, 1, samples))
+                    out["doc_id"].append(did)
+                    out["modality"].append("audio/wav")
+                    out["d1"].append(wav.sample_rate)
+                    out["d2"].append(len(wav.samples))
+                    out["checksum"].append(sum(abs(s) for s in wav.samples))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
+_MEDIA_DECODE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS modality,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16
+                 ELSE 8000 + doc_id % 100 END AS INTEGER) AS d1,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 8
+                 ELSE 16 + doc_id % 17 END AS INTEGER) AS d2,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN
+              list_sum(list_transform(
+                range(0, (1 + doc_id % 16) * (1 + doc_id % 8)),
+                i -> (doc_id * 7 + i * 3) % 256))
+            ELSE
+              list_sum(list_transform(
+                range(0, 16 + doc_id % 17),
+                i -> abs(((doc_id * 11 + i * 5) % 2048) - 1024)))
+            END AS BIGINT) AS checksum
+FROM documents
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 JSON source decode: parse the props JSON column, project a typed
     field, aggregate on it (from_json → Catalyst JsonToStructs, pruned)."""
@@ -1725,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_changelog_apply": events_changelog_apply,
         "docs_blob_metadata": docs_blob_metadata,
         "docs_feature_stub": docs_feature_stub,
+        "docs_media_decode": docs_media_decode,
         "events_json_extract": events_json_extract,
         "events_xml_decode": events_xml_decode,
         "events_uuid_codec": events_uuid_codec,
@@ -1780,6 +1856,7 @@ def oracle_sql() -> dict[str, str]:
         "events_changelog_apply": _CHANGELOG_APPLY_SQL,
         "docs_blob_metadata": _BLOB_META_SQL,
         "docs_feature_stub": _FEATURE_STUB_SQL,
+        "docs_media_decode": _MEDIA_DECODE_SQL,
         "events_json_extract": _JSON_SQL,
         "events_xml_decode": _XML_SQL,
         "events_uuid_codec": _UUID_SQL,

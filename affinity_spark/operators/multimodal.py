@@ -6,11 +6,12 @@ struct; all per-blob compute runs as Arrow-batched ``mapInPandas`` so the
 end) → partition-parallel Python batches → typed struct out. No driver
 collect, no per-row Python UDF.
 
-The decode step (pixels/samples) is STUBBED — codec libraries are not in
-this container. ``decode_stub=True`` produces a deterministic fake feature
-vector from the bytes so the plumbing (schema, batch shape, partitioning)
-is real and testable; a production deployment swaps ``_decode_batch`` for
-PIL/ffmpeg and nothing else changes.
+PNG and WAV decode for REAL via the stdlib-only codecs in
+``functions/codecs.py`` (chunk walk + zlib unfilter / RIFF PCM parse);
+other codecs (JPEG/MKV/...) still raise ``NotImplementedError`` on the
+real path — ``decode_stub=True`` keeps the deterministic fake-feature
+route for plumbing tests. A production deployment adds PIL/ffmpeg inside
+``_decode_real_batch`` and nothing else changes.
 """
 
 from __future__ import annotations
@@ -21,6 +22,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from affinity_spark.functions.codecs import decode_png, decode_wav
 
 BLOB_META_SCHEMA = (
     "n_bytes long, content_md5 string, magic string, modality string"
@@ -50,14 +53,54 @@ def blob_metadata(df: DataFrame, blob_col: str, keep_cols: list[str]) -> DataFra
 def _decode_batch(blobs: pd.Series) -> pd.DataFrame:
     """STUB decode: deterministic 4-float pseudo-feature per blob.
 
-    Real deployments replace this with the codec (PIL.Image.open /
-    torchaudio / pyav). Raises NotImplementedError when asked for real
-    decoding so nothing silently ships fake features.
+    The real path is ``_decode_real_batch`` (PNG/WAV actually decoded);
+    this fake stays for plumbing tests of not-yet-supported codecs.
     """
     feats = []
     for b in blobs:
         h = hashlib.md5(bytes(b)).digest()
         feats.append([x / 255.0 for x in h[:4]])
+    return pd.DataFrame({"feature": feats})
+
+
+def _decode_real_batch(blobs: pd.Series) -> pd.DataFrame:
+    """REAL decode for PNG and WAV (pure-python codecs); anything else
+    raises so unsupported media never silently ships fake features.
+
+    Feature layout (fixed width 4, so the column type is stable):
+    - PNG: [width, height, mean_pixel, channels]
+    - WAV: [sample_rate, channels, n_samples, mean_abs_amplitude]
+    """
+    feats = []
+    for b in blobs:
+        data = bytes(b)
+        if data[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(data)
+            n = len(img.pixels)
+            feats.append(
+                [
+                    float(img.width),
+                    float(img.height),
+                    (sum(img.pixels) / n) if n else 0.0,
+                    float(img.channels),
+                ]
+            )
+        elif data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            wav = decode_wav(data)
+            n = len(wav.samples)
+            feats.append(
+                [
+                    float(wav.sample_rate),
+                    float(wav.channels),
+                    float(n),
+                    (sum(abs(s) for s in wav.samples) / n) if n else 0.0,
+                ]
+            )
+        else:
+            raise NotImplementedError(
+                f"no real decoder for magic {data[:4]!r}; PNG and WAV are "
+                "supported, other codecs need PIL/ffmpeg"
+            )
     return pd.DataFrame({"feature": feats})
 
 
@@ -145,20 +188,15 @@ def extract_features(
     """Per-blob feature extraction via mapInPandas (Arrow batches).
 
     Output: (id, n_bytes, feature array<double>). With ``decode_stub=False``
-    this raises ``NotImplementedError`` — the real decoder is not bundled.
+    PNG and WAV blobs are decoded FOR REAL (stdlib codecs); other formats
+    raise ``NotImplementedError`` at execution time.
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            "real media decoding requires codec libraries not present in "
-            "this environment; pass decode_stub=True for the deterministic "
-            "plumbing-test path"
-        )
-
     schema = f"{id_col} long, n_bytes long, feature array<double>"
+    decode = _decode_batch if decode_stub else _decode_real_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = _decode_batch(pdf[blob_col])
+            out = decode(pdf[blob_col])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,

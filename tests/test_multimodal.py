@@ -41,9 +41,11 @@ def test_extract_features_stub_deterministic(spark):
     assert again == {r.id: r.feature for r in feats}
 
 
-def test_real_decode_refuses(spark):
-    with pytest.raises(NotImplementedError):
-        extract_features(_blobs(spark), "id", "blob", decode_stub=False)
+def test_real_decode_refuses_unsupported_codec(spark):
+    """decode_stub=False is now a REAL path for PNG/WAV (test_codecs.py);
+    blobs that are neither still refuse loudly at execution time."""
+    with pytest.raises(Exception, match="no real decoder"):
+        extract_features(_blobs(spark), "id", "blob", decode_stub=False).collect()
 
 
 def test_sample_frames_stub(spark):
