@@ -11,7 +11,16 @@ engine-level semantics are identical and implemented as DataFrame plans:
   files (at 100 TB: partitionBy leading key cols + clustering/z-order)
 
 Versioned directories + an atomic pointer file give snapshot-isolated
-readers without a table format dependency.
+readers without a table format dependency:
+
+- commits are optimistic check-and-swap under a lock file — a writer whose
+  base version is no longer current raises ``ConcurrentWriteError`` instead
+  of silently losing the other writer's update (the reference serializes
+  writes per key through partition masters, KVStoreLocal.scala:589-631; two
+  maintenance jobs on one table need the same guarantee here);
+- the last ``retain_versions`` snapshots stay on disk so a lazy DataFrame
+  over the previous version keeps reading during and after the next commit;
+  ``vacuum_versions`` reclaims older ones.
 """
 
 from __future__ import annotations
@@ -20,6 +29,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +37,11 @@ from pyspark.sql import DataFrame, SparkSession
 from affinity_spark.operators.kv import point_get, prefix_scan
 from affinity_spark.operators.upsert import merge_upsert
 from affinity_spark.timerange import TimeRange
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed since this write's base snapshot was read
+    (or holds the commit lock): retry from the new current version."""
 
 
 class KeyedTable:
@@ -40,6 +55,8 @@ class KeyedTable:
         tombstone_col: str | None = None,
         num_buckets: int = 32,
         external: bool = False,
+        retain_versions: int = 2,
+        lock_timeout_s: float = 10.0,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -48,6 +65,8 @@ class KeyedTable:
         self.tiebreak_cols = list(tiebreak_cols)
         self.tombstone_col = tombstone_col
         self.num_buckets = num_buckets
+        self.retain_versions = max(1, retain_versions)
+        self.lock_timeout_s = lock_timeout_s
         # external = populated by another system; reads only (the
         # reference's external/readonly state rejects writes,
         # KVStoreLocalSpec.scala:58)
@@ -66,11 +85,61 @@ class KeyedTable:
         with open(self._pointer) as f:
             return os.path.join(self.path, json.load(f)["version"])
 
-    def _commit_version(self, version: str) -> None:
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "committed_at": time.time()}, f)
-        os.replace(tmp, self._pointer)
+    @property
+    def _lock(self) -> str:
+        return os.path.join(self.path, "_commit.lock")
+
+    def _acquire_lock(self) -> int:
+        deadline = time.time() + self.lock_timeout_s
+        while True:
+            try:
+                return os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # break locks from dead writers (no heartbeat; mtime-aged)
+                try:
+                    if time.time() - os.path.getmtime(self._lock) > 60:
+                        os.unlink(self._lock)
+                        continue
+                except OSError:
+                    continue
+                if time.time() > deadline:
+                    raise ConcurrentWriteError(
+                        f"commit lock at {self._lock} held past "
+                        f"{self.lock_timeout_s}s"
+                    ) from None
+                time.sleep(0.05)
+
+    def _commit_version(self, version: str, expected_base: str | None) -> None:
+        """Check-and-swap: commit only if the current version is still the
+        one this write was computed from; otherwise a concurrent writer won
+        and committing would silently drop its changes."""
+        fd = self._acquire_lock()
+        try:
+            current = self._current_version_dir()
+            if current != expected_base:
+                raise ConcurrentWriteError(
+                    f"table at {self.path} moved from "
+                    f"{os.path.basename(expected_base) if expected_base else None} "
+                    f"to {os.path.basename(current) if current else None} during "
+                    "this write; re-read and retry"
+                )
+            tmp = self._pointer + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"version": version, "committed_at": time.time()}, f)
+            os.replace(tmp, self._pointer)
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(self._lock)
+            except OSError:
+                pass
+
+    def _version_dirs(self) -> list[str]:
+        return sorted(
+            os.path.join(self.path, d)
+            for d in os.listdir(self.path)
+            if d.startswith("v") and os.path.isdir(os.path.join(self.path, d))
+        )
 
     # --- io -------------------------------------------------------------
 
@@ -83,31 +152,71 @@ class KeyedTable:
             raise FileNotFoundError(f"table at {self.path} has no committed version")
         return self.spark.read.parquet(vdir)
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, expected_base: str | None = "UNSET") -> None:
+        """Write a new snapshot version and CAS the pointer to it.
+
+        ``expected_base`` is the version dir this write was computed from
+        (``None`` for a first write); it defaults to the current version at
+        call time — pass the captured value explicitly whenever ``df`` was
+        derived from an earlier ``read()`` so a racing writer is detected.
+        """
         if self.external:
             raise PermissionError(f"table at {self.path} is external/read-only")
-        version = f"v{int(time.time() * 1000)}"
+        if expected_base == "UNSET":
+            expected_base = self._current_version_dir()
+        version = f"v{int(time.time() * 1000):016d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, version)
         # cluster by key so key-equality scans skip files via min/max stats
         df.repartition(self.num_buckets, *self.key_cols).write.mode("overwrite").parquet(out)
-        old = self._current_version_dir()
-        self._commit_version(version)
-        if old and os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        try:
+            self._commit_version(version, expected_base)
+        except ConcurrentWriteError:
+            shutil.rmtree(out, ignore_errors=True)  # orphaned loser snapshot
+            raise
+        self._reclaim_versions()
+
+    def _reclaim_versions(self) -> None:
+        """Drop all but the newest ``retain_versions`` snapshots (never the
+        current one) — snapshot-isolated readers of the previous version
+        keep their files through the next commit."""
+        current = self._current_version_dir()
+        dirs = [d for d in self._version_dirs() if d != current]
+        dirs.sort(key=os.path.getmtime)
+        excess = len(dirs) - (self.retain_versions - 1)
+        for d in dirs[:excess] if excess > 0 else []:
+            shutil.rmtree(d, ignore_errors=True)
+
+    def vacuum_versions(self, keep: int = 1) -> int:
+        """Explicit reclamation to ``keep`` snapshots; returns dirs removed."""
+        current = self._current_version_dir()
+        dirs = [d for d in self._version_dirs() if d != current]
+        dirs.sort(key=os.path.getmtime)
+        excess = len(dirs) - (keep - 1)
+        removed = 0
+        for d in dirs[:excess] if excess > 0 else []:
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+        return removed
 
     def upsert(self, updates: DataFrame) -> None:
-        """MERGE: last-write-wins by (ts, tiebreaks); tombstones delete."""
-        if not self.exists():
+        """MERGE: last-write-wins by (ts, tiebreaks); tombstones delete.
+
+        The base version is captured before the merge and CAS-verified at
+        commit: two concurrent upserts cannot silently lose one side's
+        updates — the loser raises ``ConcurrentWriteError``.
+        """
+        base_version = self._current_version_dir()
+        if base_version is None:
             merged = merge_upsert(
                 updates.limit(0), updates, self.key_cols, self.ts_col,
                 self.tiebreak_cols, self.tombstone_col,
             )
         else:
             merged = merge_upsert(
-                self.read(), updates, self.key_cols, self.ts_col,
-                self.tiebreak_cols, self.tombstone_col,
+                self.spark.read.parquet(base_version), updates, self.key_cols,
+                self.ts_col, self.tiebreak_cols, self.tombstone_col,
             )
-        self.overwrite(merged)
+        self.overwrite(merged, expected_base=base_version)
 
     # --- reads ----------------------------------------------------------
 
@@ -131,8 +240,9 @@ class KeyedTable:
         vacuum). Returns the number of rows removed."""
         from affinity_spark.operators.kv import ttl_filter
 
+        base_version = self._current_version_dir()
         before = self.read()
         n_before = before.count()
         kept = ttl_filter(before, self.ts_col, ttl_ms, now_ms, ts_unit)
-        self.overwrite(kept)
+        self.overwrite(kept, expected_base=base_version)
         return n_before - self.read().count()

@@ -11,7 +11,11 @@ Mapping (SURVEY.md §2.1, §2.3, §2.11):
 """
 
 from affinity_spark.streaming.state import get_and_update_stream, running_count_stream
-from affinity_spark.streaming.sinks import changelog_sink, foreach_batch_merge
+from affinity_spark.streaming.sinks import (
+    changelog_sink,
+    foreach_batch_merge,
+    read_keyed_table,
+)
 from affinity_spark.streaming.windows import tumbling_counts
 
 __all__ = [
@@ -19,5 +23,6 @@ __all__ = [
     "running_count_stream",
     "changelog_sink",
     "foreach_batch_merge",
+    "read_keyed_table",
     "tumbling_counts",
 ]

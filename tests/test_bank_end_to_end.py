@@ -23,7 +23,7 @@ from pyspark.sql.types import (
 
 from affinity_spark import TimeRange
 from affinity_spark.operators.kv import prefix_scan
-from affinity_spark.streaming import changelog_sink
+from affinity_spark.streaming import changelog_sink, read_keyed_table
 
 SCHEMA = StructType(
     [
@@ -67,13 +67,13 @@ def bank_table(spark, tmp_path_factory):
         feed("b1.json", BATCH_1)
         q.processAllAvailable()
         # mid-stream checkpoint: partial state is already queryable
-        partial = spark.read.parquet(table)
+        partial = read_keyed_table(spark, table)
         assert partial.count() == 3
         feed("b2.json", BATCH_2)
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(table)
+    return read_keyed_table(spark, table)
 
 
 def test_account_queries_from_materialized_state(spark, bank_table):

@@ -17,6 +17,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from affinity_spark.streaming import (
     changelog_sink,
+    read_keyed_table,
     get_and_update_stream,
     running_count_stream,
     tumbling_counts,
@@ -158,7 +159,7 @@ def test_changelog_sink_materializes_keyed_table(spark, tmp_path):
     ).start()
     try:
         _drain(q)
-        got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+        got = {r.k: r.v for r in read_keyed_table(spark, table).collect()}
         assert got == {1: "a", 2: "b"}
 
         # update k=1, insert k=3; stale ts for k=2 must NOT win
@@ -172,7 +173,7 @@ def test_changelog_sink_materializes_keyed_table(spark, tmp_path):
             ],
         )
         _drain(q)
-        got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+        got = {r.k: r.v for r in read_keyed_table(spark, table).collect()}
         assert got == {1: "a2", 2: "b", 3: "c"}
     finally:
         q.stop()
