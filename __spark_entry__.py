@@ -1323,11 +1323,12 @@ h AS (SELECT doc_id, shingle,
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard-verified (J >= 1/2).
 
-    Signatures come from the ZERO-shuffle map-side path
-    (``minhash_signatures_mapside``): per-doc array transforms inside
-    whole-stage codegen, no shingle explode/groupBy shuffle. The only
-    shuffles left are the LSH band bucket join and the candidate verify —
-    both candidate-count sized, never corpus-sized.
+    Bands come from the ZERO-shuffle single-expression path
+    (``lsh_bands_mapside``): one md5 per shingle, minima folded and band
+    structs built inside one aggregate — no shingle explode/groupBy shuffle
+    and no per-permutation re-hashing. The only shuffles left are the LSH
+    band bucket join and the candidate verify — both candidate-count sized,
+    never corpus-sized.
 
     Output uses exact integer columns (n_common, n_union) so the hash
     comparison is float-free.
@@ -1336,8 +1337,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3).localCheckpoint(
         eager=False
     )
-    sig = dd.minhash_signatures_mapside(arrs, "doc_id")
-    cand = dd.lsh_candidate_pairs(dd.lsh_bands(sig, "doc_id"), "doc_id")
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
     return dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2)
 
 
@@ -1485,8 +1485,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = dd.doc_shingle_arrays(keepers, "doc_id", "text", 3).localCheckpoint(
         eager=False
     )
-    sig = dd.minhash_signatures_mapside(arrs, "doc_id")
-    cand = dd.lsh_candidate_pairs(dd.lsh_bands(sig, "doc_id"), "doc_id")
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
     near_dups = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
         F.col("id_b").alias("doc_id")
     ).distinct()

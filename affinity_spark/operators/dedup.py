@@ -276,6 +276,59 @@ def jaccard_verify_arrays(
     )
 
 
+def lsh_bands_mapside(docs_arr: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_id, band_hash) computed in ONE map-side expression with the
+    token hash evaluated ONCE per shingle.
+
+    ``minhash_signatures_mapside`` re-hashes every shingle per permutation
+    (16 md5s per shingle — the lambdas can't share subexpressions across
+    separate ``transform`` calls), which costs more CPU than the shuffle it
+    saves. Here a single ``aggregate`` does: shingles → h0 array (one md5
+    each) → fold to the 16 per-permutation minima → ``finish`` builds the
+    band structs from the already-computed accumulator. Same band hashes as
+    ``lsh_bands(minhash_signatures(...))`` (agreement-tested), zero shuffle,
+    one hash per shingle.
+    """
+    a_arr = F.array(*[F.lit(a) for a, _ in MINHASH_COEF])
+    b_arr = F.array(*[F.lit(b) for _, b in MINHASH_COEF])
+    idx1 = F.sequence(F.lit(1), F.lit(NUM_PERM))
+    p = F.lit(MINHASH_P)
+
+    def step(acc, h):
+        def upd(cur, i):
+            return F.least(
+                cur, (F.element_at(a_arr, i.cast("int")) * h + F.element_at(b_arr, i.cast("int"))) % p
+            )
+
+        return F.zip_with(acc, idx1, upd)
+
+    def finish(acc):
+        def band(b):
+            lo = (b * BAND_ROWS).cast("int")
+            parts = []
+            for r in range(BAND_ROWS):
+                if r:
+                    parts.append(F.lit("-"))
+                parts.append(F.element_at(acc, lo + F.lit(r + 1)).cast("string"))
+            return F.struct(
+                b.cast("int").alias("band_id"), F.md5(F.concat(*parts)).alias("band_hash")
+            )
+
+        return F.transform(F.sequence(F.lit(0), F.lit(NUM_BANDS - 1)), band)
+
+    bands = F.aggregate(
+        F.transform(F.col("shingles"), _h0_expr),
+        F.array_repeat(p.cast("long"), NUM_PERM),
+        step,
+        finish,
+    )
+    return (
+        docs_arr.filter(F.col("n_shingles") > 0)
+        .select(F.col(id_col), F.explode(bands).alias("b"))
+        .select(id_col, "b.band_id", "b.band_hash")
+    )
+
+
 def simhash_fingerprints_mapside(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:

@@ -87,3 +87,19 @@ def test_simhash_near_dups_close_in_hamming(spark):
     assert hamming(fp[1], fp[3]) <= 8  # near dup within 8/32 bits
     assert hamming(fp[1], fp[4]) > 8  # unrelated doc far away
     assert all(0 <= v < (1 << 32) for v in fp.values())
+
+
+def test_lsh_bands_mapside_agrees_with_groupby_path(spark):
+    """The single-expression band builder must produce bit-identical
+    (id, band_id, band_hash) rows to lsh_bands(minhash_signatures(...))."""
+    import affinity_spark.operators.dedup as dd
+
+    docs = _corpus(spark)
+    sh = dd.shingle_table(docs, "doc_id", "text", 3)
+    ref = {
+        tuple(r)
+        for r in dd.lsh_bands(dd.minhash_signatures(sh, "doc_id"), "doc_id").collect()
+    }
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
+    new = {tuple(r) for r in dd.lsh_bands_mapside(arrs, "doc_id").collect()}
+    assert ref == new and ref
