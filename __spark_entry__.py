@@ -1639,6 +1639,108 @@ FROM (
 """
 
 
+def emb_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF ANN read: assign vectors to the 8-seed codebook,
+    probe the query's nprobe=2 nearest cells only, cosine top-10 inside
+    them. At scale `cell` is a partition column, so the non-probed ~6/8 of
+    the corpus is never scanned — the partition-pruned ANN read the
+    SURVEY's similarity family targets (IVF per Jégou et al.).
+
+    Query vector = embedding of vec_id 0 (excluded from candidates);
+    similarity emitted as floor(10000*cos) so the hash is float-free.
+    """
+    from affinity_spark.operators.ivf import assign, search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    assigned = assign(emb.filter(F.col("vec_id") != 0), seeds)
+    res = search(assigned, seeds, seeds[0], 10, nprobe=2)
+    return res.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.floor(F.col("cosine") * 10000).cast("long").alias("cos_bp"),
+    )
+
+
+_IVF_SEARCH_SQL = """
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT s.cell FROM seeds s, q
+  ORDER BY list_sum(list_transform(range(1, len(s.cv) + 1),
+             i -> (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                * (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) ASC,
+           s.cell ASC
+  LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, s.cell, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE)))) ASC,
+             s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, a.cell,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM assigned a, q
+  WHERE a.cell IN (SELECT cell FROM probes)
+)
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS (hamming <= 3) via pigeonhole bucketing:
+    the 32-bit fingerprint splits into 4 chunks, any pair within radius 3
+    agrees on >= 1 full chunk, so candidates come from 4 chunk-equality
+    bucket joins and only candidates pay the bit_count verify. The oracle
+    is the exhaustive all-pairs hamming — a bucketing bug that DROPS a
+    true pair breaks the hash (false-negative detection, not just shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = dd.simhash_fingerprints(docs, "doc_id", "text", 3)
+    return dd.simhash_near_pairs(fps, "doc_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _simhash_pairs_oracle_sql() -> str:
+    s_cols = ",\n       ".join(
+        f"sum(((h0 >> {j}) % 2) * 2 - 1) AS s_{j}" for j in range(dd.SIMHASH_BITS)
+    )
+    fp_expr = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+WITH {_duck_shingles_cte(3)},
+sums AS (SELECT doc_id, {s_cols} FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp_expr} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def mktsegment_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant two-phase (salted) aggregate — same result as
     mktsegment_revenue, verified against the same oracle. The pattern for
@@ -1823,6 +1925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "emb_knn_brute": emb_knn_brute,
         "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
+        "emb_ivf_search": emb_ivf_search,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
     }
 
 
@@ -1882,6 +1986,8 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_pairs_bucketed": _COSPAIR_SQL,
         "emb_lsh_buckets": _lsh_oracle_sql(),
         "emb_ivf_assign": _IVF_SQL,
+        "emb_ivf_search": _IVF_SEARCH_SQL,
+        "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,
