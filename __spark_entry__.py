@@ -1148,15 +1148,28 @@ FROM events
 
 
 def events_partition_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1 kafka-compatible murmur2 routing of serialized keys (no SQL
-    oracle — murmur2 is not expressible in DuckDB; correctness is pinned by
-    tests/test_murmur2.py against the java-semantics transliteration)."""
+    """R1/T8 kafka-compatible murmur2 routing of serialized keys.
+
+    Oracle-checked for real since round 2: the DuckDB side replays Kafka's
+    murmur2 bit-exactly via ``duckdb_murmur2_partition_sql`` (the 4-byte
+    block loop unrolled into CTE stages with mod-2^32 BIGINT arithmetic),
+    upgrading this from the one rows-only WEAK check to a full value-hash
+    comparison. Java-vector parity is additionally pinned in
+    tests/test_murmur2.py."""
     from affinity_spark.functions.murmur2 import kafka_partition_udf
 
     ev = _t(spark, sf_dir, "events").select("user_id").distinct()
     key_bytes = F.encode(F.col("user_id").cast("string"), "utf-8")
     return ev.select(
         "user_id", kafka_partition_udf(32)(key_bytes).alias("partition")
+    )
+
+
+def _routing_oracle_sql() -> str:
+    from affinity_spark.functions.murmur2 import duckdb_murmur2_partition_sql
+
+    return duckdb_murmur2_partition_sql(
+        32, "SELECT DISTINCT user_id FROM events"
     )
 
 
@@ -1964,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "events_xml_decode": _XML_SQL,
         "events_uuid_codec": _UUID_SQL,
         "events_timelog": _TIMELOG_SQL,
+        "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
         # SQL-expressible); driver records the rows-only check.
         "join_enrich_events": _ENRICH_SQL,

@@ -104,3 +104,71 @@ def stable_token_hash(col: Column) -> Column:
     which no other engine reproduces. Stays JVM-side (md5+conv built-ins).
     """
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def duckdb_murmur2_partition_sql(
+    num_partitions: int,
+    source: str,
+    key_expr: str = "CAST(user_id AS VARCHAR)",
+    id_cols: str = "user_id",
+    n_blocks: int = 5,
+) -> str:
+    """DuckDB SQL reproducing Kafka murmur2 partition placement bit-exactly.
+
+    murmur2's 4-byte-block loop is unrolled into generated CTE stages
+    (``n_blocks`` blocks = keys up to ``4*n_blocks + 3`` bytes — 5 covers
+    every decimal BIGINT); all arithmetic is BIGINT with explicit mod-2^32
+    wraparound so DuckDB's overflow-checking int64 math matches Java's
+    wrapping int32. Exists so the R1/T8 routing queries get a REAL value
+    oracle instead of a rows-only check; agreement with ``murmur2()`` is
+    pinned for 100k keys in tests/test_murmur2.py.
+    """
+    m, p32 = _M, 1 << 32
+    ctes = [
+        f"mk0 AS (SELECT {id_cols}, {key_expr} AS s FROM ({source}))",
+        f"mst AS (SELECT {id_cols}, s, length(s) AS L, "
+        f"xor(CAST({_SEED} AS BIGINT), length(s)) AS h FROM mk0)",
+    ]
+    prev = "mst"
+    for b in range(n_blocks):
+        off = b * 4
+        kb = " + ".join(
+            f"ascii(substr(s, {off + j + 1}, 1)) * {256 ** j}" for j in range(4)
+        )
+        ctes.append(
+            f"mb{b}a AS (SELECT {id_cols}, s, L, h, CASE WHEN L >= {off + 4} "
+            f"THEN (CAST({kb} AS BIGINT) * {m}) % {p32} ELSE 0 END AS k1 FROM {prev})"
+        )
+        ctes.append(
+            f"mb{b}b AS (SELECT {id_cols}, s, L, h, "
+            f"(xor(k1, k1 >> {_R}) * {m}) % {p32} AS k3 FROM mb{b}a)"
+        )
+        ctes.append(
+            f"mb{b}c AS (SELECT {id_cols}, s, L, CASE WHEN L >= {off + 4} "
+            f"THEN xor((h * {m}) % {p32}, k3) ELSE h END AS h FROM mb{b}b)"
+        )
+        prev = f"mb{b}c"
+    ctes.append(
+        f"mrm AS (SELECT {id_cols}, s, L, (L // 4) * 4 AS n4, "
+        f"CASE WHEN L % 4 = 3 THEN xor(h, CAST(ascii(substr(s, (L // 4) * 4 + 3, 1)) "
+        f"AS BIGINT) << 16) ELSE h END AS h FROM {prev})"
+    )
+    ctes.append(
+        f"mr2 AS (SELECT {id_cols}, s, L, n4, CASE WHEN L % 4 >= 2 "
+        f"THEN xor(h, CAST(ascii(substr(s, n4 + 2, 1)) AS BIGINT) << 8) "
+        f"ELSE h END AS h FROM mrm)"
+    )
+    ctes.append(
+        f"mr1 AS (SELECT {id_cols}, s, L, CASE WHEN L % 4 >= 1 "
+        f"THEN (xor(h, ascii(substr(s, n4 + 1, 1))) * {m}) % {p32} "
+        f"ELSE h END AS h FROM mr2)"
+    )
+    ctes.append(f"mf1 AS (SELECT {id_cols}, xor(h, h >> 13) AS h FROM mr1)")
+    ctes.append(f"mf2 AS (SELECT {id_cols}, (h * {m}) % {p32} AS h FROM mf1)")
+    ctes.append(f"mf3 AS (SELECT {id_cols}, xor(h, h >> 15) AS h FROM mf2)")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT {id_cols}, CAST((h & 2147483647) % {num_partitions} AS INTEGER)"
+        " AS partition FROM mf3"
+    )

@@ -94,3 +94,32 @@ def test_partition_udf_null_key_yields_null_partition(spark):
     assert got[2] is None
     assert got[1] == murmur2_partition(b"alpha", 8)
     assert got[3] == murmur2_partition(b"beta", 8)
+
+
+def test_duckdb_murmur2_sql_agrees_with_reference_100k():
+    """The generated DuckDB SQL must match Kafka murmur2 placement for every
+    key 0..100000 plus a 17-digit key (exercises all 5 unrolled blocks)."""
+    import duckdb
+
+    from affinity_spark.functions.murmur2 import (
+        duckdb_murmur2_partition_sql,
+        murmur2_partition,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT unnest(range(0, 100000)) AS user_id "
+        "UNION ALL SELECT 12345678901234567"
+    )
+    got = dict(
+        con.execute(
+            duckdb_murmur2_partition_sql(32, "SELECT DISTINCT user_id FROM events")
+        ).fetchall()
+    )
+    assert len(got) == 100001
+    bad = [
+        uid
+        for uid, p in got.items()
+        if p != murmur2_partition(str(uid).encode(), 32)
+    ]
+    assert bad == []
