@@ -276,7 +276,9 @@ def jaccard_verify_arrays(
     )
 
 
-def lsh_bands_mapside(docs_arr: DataFrame, id_col: str) -> DataFrame:
+def lsh_bands_mapside(
+    docs_arr: DataFrame, id_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """(id, band_id, band_hash) computed in ONE map-side expression with the
     token hash evaluated ONCE per shingle.
 
@@ -322,10 +324,11 @@ def lsh_bands_mapside(docs_arr: DataFrame, id_col: str) -> DataFrame:
         step,
         finish,
     )
+    extra = [F.col(c) for c in keep_cols]
     return (
         docs_arr.filter(F.col("n_shingles") > 0)
-        .select(F.col(id_col), F.explode(bands).alias("b"))
-        .select(id_col, "b.band_id", "b.band_hash")
+        .select(F.col(id_col), *extra, F.explode(bands).alias("b"))
+        .select(id_col, *keep_cols, "b.band_id", "b.band_hash")
     )
 
 
