@@ -1797,9 +1797,15 @@ def _lsh_oracle_sql() -> str:
 
 def custom_gather_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/§2.12 user-defined gather combinator as a pandas UDAF: per event
-    type, the integer-cents median of event values — an aggregate Spark has
-    (percentile) but expressed through the Arrow GROUPED_AGG path to mirror
-    the reference's arbitrary Scala ``gather(r1, r2)`` functions."""
+    type, the integer-cents median of event values.
+
+    DELIBERATE surface demo, not a recipe: Spark's built-in
+    ``percentile``/``median``/``percentile_approx`` computes this JVM-side
+    and is the production answer (~5x cheaper — a GROUPED_AGG pandas UDAF
+    pays Arrow transfer + Python per group and disables partial
+    aggregation). This exists to mirror the reference's arbitrary Scala
+    ``gather(r1, r2)`` combinators through the Arrow GROUPED_AGG path; copy
+    the built-in, not this, for real medians."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
