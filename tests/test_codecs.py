@@ -129,3 +129,43 @@ def test_extract_features_real_path_unknown_codec_raises(spark):
     df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0jpeg?")], "doc_id long, blob binary")
     with pytest.raises(Exception, match="no real decoder"):
         extract_features(df, "doc_id", "blob", decode_stub=False).collect()
+
+
+# --- property tests --------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, data):
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h,
+                max_size=w * h,
+            )
+        )
+    )
+    img = decode_png(encode_png_gray(w, h, pixels))
+    assert (img.width, img.height) == (w, h)
+    assert img.pixels == pixels
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rate=st.integers(min_value=1, max_value=192000),
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=200
+    ),
+)
+def test_wav_roundtrip_property(rate, samples):
+    wav = decode_wav(encode_wav_pcm16(rate, 1, samples))
+    assert wav.sample_rate == rate
+    assert wav.samples == samples
