@@ -780,6 +780,36 @@ GROUP BY ROLLUP(year(o_orderdate), month(o_orderdate))
 """
 
 
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (year, priority) with grouping_id: all four grouping sets in one
+    pass (§2.7 grouping sets — rollup's sibling; one shuffle, the expand
+    happens map-side)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_totalprice"),
+        )
+        .cube("y", "prio")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT year(o_orderdate) AS y, o_orderpriority AS prio,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY CUBE(year(o_orderdate), o_orderpriority)
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: per-user sessions split on >1h inactivity gaps
     (batch analog of session_window, T3).
@@ -1914,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_auto_increment": orders_auto_increment,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
+        "orders_cube": orders_cube,
         "events_sessionize": events_sessionize,
         "orders_range_join": orders_range_join,
         "events_running_totals": events_running_totals,
@@ -1972,6 +2003,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_auto_increment": _AUTOINC_SQL,
         "asof_last_order_before_event": _ASOF_SQL,
         "orders_rollup": _ROLLUP_SQL,
+        "orders_cube": _CUBE_SQL,
         "events_sessionize": _SESSION_SQL,
         "orders_range_join": _RANGE_JOIN_SQL,
         "events_running_totals": _RUNNING_SQL,

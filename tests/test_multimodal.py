@@ -43,8 +43,10 @@ def test_extract_features_stub_deterministic(spark):
 
 def test_real_decode_refuses_unsupported_codec(spark):
     """decode_stub=False is now a REAL path for PNG/WAV (test_codecs.py);
-    blobs that are neither still refuse loudly at execution time."""
-    with pytest.raises(Exception, match="no real decoder"):
+    blobs that are neither refuse loudly at execution time — the JPEG blob
+    hits 'no real decoder', and the PNG-magic-but-garbage blob dies inside
+    the real PNG parser (missing IHDR). Either way: loud, never fake."""
+    with pytest.raises(Exception, match="no real decoder|PNG"):
         extract_features(_blobs(spark), "id", "blob", decode_stub=False).collect()
 
 
