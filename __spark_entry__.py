@@ -1905,6 +1905,380 @@ SELECT 1000000 + c_nationkey AS vertex, comp AS component FROM m
 
 
 # --------------------------------------------------------------------------
+# TPC-H subquery family (Q8/Q15/Q17/Q18/Q19/Q21/Q22 shapes) — correlated
+# scalar subqueries, EXISTS / NOT EXISTS, IN-with-HAVING, disjunctive
+# pushdown, CTE + scalar max. Columns the trimmed testdata lacks
+# (commit/receipt dates, c_phone, p_container) are substituted with
+# shape-preserving predicates; each docstring notes the swap.
+# --------------------------------------------------------------------------
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 6-way star join + per-year ratio of conditional sums
+    (NATION_1's share of AMERICA-region ECONOMY revenue, basis points).
+
+    lineitem is the only shuffled input; every dimension broadcasts. The
+    share is an exact integer ratio (cents*10000 div cents) — never a
+    double division, so the hash is engine-independent.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == n1["n_nationkey"])
+        .join(F.broadcast(r), n1["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("sn_key"))
+    )
+    agg = (
+        j.select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("rev")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("nation_cents"),
+            F.sum("rev").alias("total_cents"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "nation_cents",
+        "total_cents",
+        F.when(
+            F.col("total_cents") != 0,
+            F.expr("nation_cents * 10000 div total_cents"),
+        ).alias("share_bp"),
+    )
+
+
+_Q8_SQL = """
+WITH j AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev,
+         n2.n_name AS supp_nation
+  FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END) AS BIGINT)
+         AS nation_cents,
+       CAST(sum(rev) AS BIGINT) AS total_cents,
+       CAST(CASE WHEN sum(rev) <> 0
+                 THEN sum(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END)
+                      * 10000 // sum(rev)
+            END AS BIGINT) AS share_bp
+FROM j
+GROUP BY o_year
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue CTE + scalar-max subquery. The max is a
+    1-row broadcast joined back on equality (ties kept, per spec)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "total_rev_cents"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_rev_cents").alias("total_rev_cents"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), "total_rev_cents")
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev_cents")
+    )
+
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_cents
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM revenue)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — revenue from lineitems
+    whose quantity is below 20% of their part's average quantity.
+
+    p_container (absent) → `p_size <= 10`. The correlated avg folds into a
+    window over l_partkey AFTER the part filter (per-part avg is invariant
+    to a part-level filter), so the whole query is one scan + one shuffle.
+    The `qty < 0.2*avg` comparison is exact integers: 5*qty*cnt < sum
+    (quantities are whole numbers).
+    """
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+    )
+    fl = li.join(F.broadcast(p.select("p_partkey")), li["l_partkey"] == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    below = fl.select(
+        "l_extendedprice",
+        (5 * F.col("l_quantity").cast("long")).alias("qty5"),
+        F.sum(F.col("l_quantity").cast("long")).over(w).alias("sum_qty"),
+        F.count(F.lit(1)).over(w).alias("cnt_qty"),
+    ).filter(F.col("qty5") * F.col("cnt_qty") < F.col("sum_qty"))
+    return below.agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("total_cents")
+    ).select("total_cents", F.expr("total_cents div 7").alias("avg_weekly_cents"))
+
+
+_Q17_SQL = """
+WITH fl AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23' AND p_size <= 10
+), w AS (
+  SELECT l_extendedprice,
+         5 * CAST(l_quantity AS BIGINT) AS qty5,
+         CAST(sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_partkey) AS BIGINT) AS sum_qty,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt_qty
+  FROM fl
+)
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) // 7 AS BIGINT) AS avg_weekly_cents
+FROM w
+WHERE qty5 * cnt_qty < sum_qty
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery over a grouped HAVING (orders whose
+    total quantity exceeds 300) re-joined to orders + customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            _cents(F.col("o_totalprice")).alias("total_price_cents"),
+            "sum_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_price_cents,
+       sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+) b ON o_orderkey = b.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 300
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs band predicates across a join. Catalyst
+    extracts the common join key and pushes the OR-combined residuals to
+    both scans. p_container/l_shipmode (absent) → brand/size/qty bands."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).filter(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_cents"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS against the same
+    fact — a semi-join then an anti-join with inequality residuals.
+
+    commit/receipt dates (absent) → `l_returnflag = 'R'` marks the failed
+    line: suppliers who returned a line on a finalized multi-supplier
+    order where no co-supplier returned one.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    waiting = l1.join(
+        l2,
+        (l1["l_orderkey"] == l2["l2_orderkey"]) & (l1["l_suppkey"] != l2["l2_suppkey"]),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == l3["l3_orderkey"])
+        & (F.col("l_suppkey") != l3["l3_suppkey"]),
+        "left_anti",
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery + NOT EXISTS anti-join +
+    group-by country. c_phone's country code (absent) → c_nationkey. The
+    `acctbal > avg(positive acctbal)` compare is exact integer arithmetic:
+    cents*count > sum_cents. Every customer in this data has ≥1 order, so
+    the NOT EXISTS is scoped to orders from 1999 on (dormant customers) —
+    same correlated-anti shape, non-empty answer.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("sum_c"),
+        F.count(F.lit(1)).alias("cnt_c"),
+    )
+    rich = c.crossJoin(F.broadcast(stats)).filter(
+        _cents(F.col("c_acctbal")) * F.col("cnt_c") > F.col("sum_c")
+    )
+    noorders = rich.join(
+        o.select("o_custkey"), rich["c_custkey"] == F.col("o_custkey"), "left_anti"
+    )
+    return noorders.groupBy(F.col("c_nationkey").alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_cents(F.col("c_acctbal"))).alias("totacctbal_cents"),
+    )
+
+
+_Q22_SQL = """
+WITH stats AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c,
+         count(*) AS cnt_c
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+FROM customer, stats
+WHERE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * cnt_c > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -1977,6 +2351,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
         "emb_ivf_search": emb_ivf_search,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "q8_market_share": q8_market_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q22_sales_opportunity": q22_sales_opportunity,
     }
 
 
@@ -2043,4 +2424,11 @@ def oracle_sql() -> dict[str, str]:
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q17_small_quantity_revenue": _Q17_SQL,
+        "q18_large_volume_customers": _Q18_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
+        "q21_suppliers_kept_waiting": _Q21_SQL,
+        "q22_sales_opportunity": _Q22_SQL,
     }
