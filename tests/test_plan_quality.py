@@ -134,3 +134,36 @@ def test_minhash_lsh_signatures_mapside(spark):
     for line in plan.splitlines():
         if "Join" in line and re.search(r"\[shingle#\d+", line):
             raise AssertionError(f"shingle-keyed join in LSH dedup: {line}")
+
+
+def test_q17_correlated_avg_single_window_shuffle(spark):
+    """Q17's correlated scalar subquery folds to ONE window shuffle on
+    l_partkey (plus the single-partition final agg) — a naive plan joins
+    lineitem against a separately aggregated lineitem (two scans, two
+    shuffles on the fact)."""
+    df = e.q17_small_quantity_revenue(spark, SF)
+    assert n_exchanges(df) <= 2
+    pf = " ".join(pushed_filters(df))
+    assert "p_brand" in pf and "p_size" in pf  # part filter reaches its scan
+
+
+def test_q19_disjunction_pushes_to_part_scan(spark):
+    """OR-of-ANDs: the part-side disjunction must reach the part scan, and
+    the common join key must keep this an equi-join (no nested loop)."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    df = e.q19_disjunctive_revenue(spark, SF)
+    pf = " ".join(pushed_filters(df))
+    assert "p_brand" in pf
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_exists_shapes_stay_hashed(spark):
+    """EXISTS/NOT EXISTS with inequality residuals must execute as hashed
+    semi/anti joins on the order key — never a nested loop over the fact."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    plan = executed_plan(e.q21_suppliers_kept_waiting(spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
