@@ -2278,6 +2278,320 @@ GROUP BY c_nationkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part within a region — the
+    correlated MIN subquery. partsupp (absent from this dataset) → supply
+    offers derived from lineitem: a (part, supplier) pair's cost is its
+    cheapest observed unit price, exact integers (price cents div
+    whole-unit quantity, truncating on both engines).
+
+    The correlated min folds into a window over p_partkey; the part filter
+    is part-level, so pushing it BEFORE the offer aggregation prunes the
+    shuffle without changing the per-part minimum. One lineitem shuffle,
+    every dimension broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offers = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_name")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "l_suppkey",
+            _cents(F.col("l_extendedprice")).alias("ep_cents"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "l_suppkey",
+            F.expr("ep_cents div qty").alias("unit_cents"),
+        )
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min("unit_cents").alias("cost_cents"))
+    )
+    eu = (
+        offers.join(F.broadcast(s), offers["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .select("p_partkey", "p_name", "s_name", "n_name", "cost_cents")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eu.withColumn("min_cost", F.min("cost_cents").over(w))
+        .filter(F.col("cost_cents") == F.col("min_cost"))
+        .select("s_name", "n_name", "p_partkey", "p_name", "cost_cents")
+    )
+
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)
+                  // CAST(l_quantity AS BIGINT)) AS BIGINT) AS cost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT ps.l_partkey, ps.cost_cents, s_name, n_name
+  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), w AS (
+  SELECT *, min(cost_cents) OVER (PARTITION BY l_partkey) AS min_cost FROM eu
+)
+SELECT s_name, n_name, p_partkey, p_name, cost_cents
+FROM w JOIN part ON l_partkey = p_partkey
+WHERE cost_cents = min_cost AND p_size <= 15 AND p_type = 'LARGE'
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for a
+    part-name pattern. ps_supplycost (absent) → cost modeled as 10% of the
+    part's retail price per unit, all in exact integer cents
+    (retail_cents * qty div 10 — truncating division on both engines).
+
+    lineitem ⋈ orders is the single shuffle; part (name-filtered),
+    supplier, and nation broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("gear"))
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev_cents"
+            ),
+            (
+                _cents(F.col("p_retailprice")) * F.col("l_quantity").cast("long")
+            ).alias("cost10"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            (F.col("rev_cents") - F.expr("cost10 div 10")).alias("profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit").alias("profit_cents"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT)
+         - CAST(floor(p_retailprice*100+0.5) AS BIGINT)
+           * CAST(l_quantity AS BIGINT) // 10) AS BIGINT) AS profit_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for one nation's suppliers, kept
+    when above a fraction of the total — the scalar-aggregate HAVING.
+    partsupp value (absent) → sum of observed sale value per part from
+    that nation's suppliers. The 0.1% threshold compares exact integers
+    (value*1000 > total); the 1-row total broadcasts back.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    sup = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    val = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    tot = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("partkey", "value_cents")
+    )
+
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(floor(l_extendedprice*100+0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+), tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM val)
+SELECT partkey, value_cents FROM val, tot WHERE value_cents * 1000 > total_cents
+"""
+
+
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority-class conditional counts over late lines.
+    l_shipmode/l_receiptdate (absent) → class by l_returnflag, lateness as
+    shipped ≥ 60 days after the order date (timestamp interval arithmetic,
+    identical on both engines). One lineitem⋈orders shuffle; the
+    ship-year conjuncts push to the lineitem scan.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("flag_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag AS flag_class,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+       AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+       AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+    NOT-IN supplier exclusion. The partsupp relation (absent) → observed
+    (part, supplier) pairs from lineitem; the excluded-supplier subquery
+    (spec: complaint comments) → suppliers with negative account balance,
+    executed as a broadcast anti-join. count(DISTINCT) dedups pairs, so no
+    separate distinct shuffle is needed.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1,4,9,14,19,23,36,45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subqueries → semi-join chain. Suppliers
+    in a region who, for some name-pattern part, shipped more in 1996 than
+    half their all-time quantity for that part (ps_availqty's '> half of
+    yearly shipments' test re-based on observed shipments; exact integer
+    compare 2*qty_1996 > qty_total). Part filter broadcasts into the
+    lineitem aggregation; the qualifying-supplier set broadcasts into a
+    semi-join against supplier.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    pf = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    in96 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("long")
+    shipped = (
+        li.join(F.broadcast(pf), li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in96, qty).otherwise(F.lit(0))).alias("qty_1996"),
+            F.sum(qty).alias("qty_total"),
+        )
+    )
+    excess = (
+        shipped.filter(
+            (F.col("qty_1996") * 2 > F.col("qty_total")) & (F.col("qty_1996") > 0)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        s.join(F.broadcast(excess), s["s_suppkey"] == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .select("s_name", "n_name")
+    )
+
+
+_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+    CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_1996,
+    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND s_suppkey IN (SELECT l_suppkey FROM shipped
+                    WHERE qty_1996 * 2 > qty_total AND qty_1996 > 0)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -2358,6 +2672,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
         "q22_sales_opportunity": q22_sales_opportunity,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q12_late_shipments": q12_late_shipments,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
     }
 
 
@@ -2431,4 +2751,10 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": _Q19_SQL,
         "q21_suppliers_kept_waiting": _Q21_SQL,
         "q22_sales_opportunity": _Q22_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q9_product_profit": _Q9_SQL,
+        "q11_important_stock": _Q11_SQL,
+        "q12_late_shipments": _Q12_SQL,
+        "q16_supplier_count": _Q16_SQL,
+        "q20_excess_stock_suppliers": _Q20_SQL,
     }
