@@ -1620,9 +1620,11 @@ LIMIT 10
 
 
 def emb_cosine_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-cell pairwise similarity: pairs within label cell, cos >= 0.95."""
+    """IVF-cell pairwise similarity: pairs within label cell, cos >= 0.35
+    (threshold sits just inside the regenerated corpus's within-cell cosine
+    range, max ~0.47/0.51 at sf0.01/0.1, so the pair set is non-trivial)."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = sim.cosine_join_within(emb, "label", 0.95, "vec_id", "embedding")
+    pairs = sim.cosine_join_within(emb, "label", 0.35, "vec_id", "embedding")
     return pairs.select(
         "id_a", "id_b", F.floor(F.col("cosine") * 10000).cast("long").alias("cos_bp")
     )
@@ -1643,7 +1645,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-      / (a.nrm * b.nrm) >= 0.95
+      / (a.nrm * b.nrm) >= 0.35
 """
 
 
@@ -1872,6 +1874,153 @@ SELECT event_type,
        max(n) AS n
 FROM cents
 GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus management: deterministic split / stratified sample / sequence
+# packing / semantic near-dup (training-data pipeline extension set).
+# All randomness is md5-derived from stable ids so both engines agree
+# bit-for-bit (operators/sampling.py docstring has the scale rationale).
+# --------------------------------------------------------------------------
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split the corpus 90/5/5 into train/val/test and account for it.
+
+    The split of a row is a pure function of md5(doc_id) — stable across
+    runs, engines, and data growth (new docs never move old ones between
+    splits). The aggregate output verifies every row's assignment *and* the
+    token accounting a loader would consume.
+    """
+    from affinity_spark.operators.sampling import train_split
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = train_split(docs.select("doc_id", "text"), "doc_id")
+    return lab.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("tok_sum"),
+    )
+
+
+_TRAIN_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> t <> ''))) AS BIGINT) AS tok_sum
+FROM b
+GROUP BY 1
+"""
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic subsample (corpus mixing): keep 100% of en,
+    50% of fr, 25% of everything else — a zero-shuffle md5-bucket filter, the
+    scalable alternative to sample() whose membership survives reruns."""
+    from affinity_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 100, "fr": 50, "de": 25, "es": 25, "zh": 25}
+    kept = stratified_sample(docs, "doc_id", "lang", rates)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+
+
+_STRATIFIED_SQL = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           AS bucket
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM b
+WHERE (lang = 'en' AND bucket < 1000)
+   OR (lang = 'fr' AND bucket < 500)
+   OR (lang IN ('de', 'es', 'zh') AND bucket < 250)
+GROUP BY lang
+"""
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 2048-token context windows, per source
+    shard: pack_id = exclusive running token count div 2048. Shards pack
+    independently (one parallel per-shard window, never a global sort); a
+    straddling doc continues into the next pack — block packing with zero
+    padding waste. Output: per-pack doc/token accounting."""
+    from affinity_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(with_tok, "source", "doc_id", "n_tokens", 2048)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+_PACK_SQL = """
+WITH tok AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT source, n_tokens,
+         (CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          - n_tokens) // 2048 AS pack_id
+  FROM tok
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM cum
+GROUP BY source, pack_id
+"""
+
+
+def emb_near_dup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup dedup (SemDeDup, Abbas et al. 2023): within each
+    IVF cell (label), a vector is dropped iff some lower-id vector in the
+    cell has cosine >= 0.35 with it; survivors keep the corpus. Candidate
+    pairs are cell-confined (Σ|cell|², never n²) and the drop set is one
+    distinct + left-anti join."""
+    from affinity_spark.operators.sampling import near_dup_survivors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_join_within(emb, "label", 0.35, "vec_id", "embedding")
+    return near_dup_survivors(pairs, emb.select("vec_id", "label"))
+
+
+_NEAR_DUP_SQL = """
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           AS nrm
+  FROM embeddings
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (a.nrm * b.nrm) >= 0.35
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = e.vec_id)
 """
 
 
@@ -2665,6 +2814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
         "emb_ivf_search": emb_ivf_search,
         "dedup_simhash_pairs": dedup_simhash_pairs,
+        "docs_train_split": docs_train_split,
+        "docs_stratified_sample": docs_stratified_sample,
+        "docs_pack_sequences": docs_pack_sequences,
+        "emb_near_dup_drop": emb_near_dup_drop,
         "q8_market_share": q8_market_share,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -2741,6 +2894,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivf_assign": _IVF_SQL,
         "emb_ivf_search": _IVF_SEARCH_SQL,
         "dedup_simhash_pairs": _simhash_pairs_oracle_sql(),
+        "docs_train_split": _TRAIN_SPLIT_SQL,
+        "docs_stratified_sample": _STRATIFIED_SQL,
+        "docs_pack_sequences": _PACK_SQL,
+        "emb_near_dup_drop": _NEAR_DUP_SQL,
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,

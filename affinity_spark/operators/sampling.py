@@ -1,0 +1,135 @@
+"""Deterministic sampling / splitting / packing for training-data pipelines.
+
+These are the corpus-management primitives an LLM data pipeline runs after
+cleaning and dedup (SURVEY §7 phase 6): carve the corpus into train/val/test,
+draw stratified subsamples, and pack documents into fixed-token context
+windows. All are expressed as pure DataFrame transforms whose randomness is
+*derived* (md5 of the stable document id), never drawn — so a re-run, a
+different executor count, or a different engine (the DuckDB oracle) lands
+every row in the same bucket.
+
+Scale notes (100 TB):
+- ``hash_bucket`` is a map-side projection — zero shuffle; a split/sample is
+  a pushdown-friendly filter over it. This is why hash-splits beat
+  ``df.randomSplit`` in pipelines: randomSplit re-draws per run and per
+  lineage replay, hash splits are stable under retries and incremental
+  reruns.
+- ``pack_sequences`` windows are partitioned by a shard column (``source``):
+  each shard packs independently (the standard concat-and-chunk layout),
+  so the sort is per-shard and parallel, never a global single-partition
+  window. A straddling document continues into the next pack — chunking at
+  the context boundary, exactly what a block-packed training loader does.
+
+Reference intent: the reference has no training-pipeline layer (its analogue
+is the per-key deterministic murmur2 routing, e.g.
+``core/src/main/scala/io/amient/affinity/core/util/ObjectHashPartitioner.scala``);
+the determinism contract here mirrors that routing-stability requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Total buckets for hash splits — 1000 gives 0.1% split granularity.
+N_BUCKETS = 1000
+
+
+def hash_bucket(id_col: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Stable bucket in [0, n_buckets) from the document id.
+
+    md5-derived (first 8 hex chars → int) so DuckDB reproduces it exactly:
+    ``CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % n``.
+    """
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+    return (h % F.lit(n_buckets)).cast("long")
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Label every row train/val/test by stable hash bucket (percent bounds).
+
+    Adds ``bucket`` and ``split`` columns; no shuffle, no state — the split
+    of a row is a pure function of its id, so adding new data never moves
+    old rows across splits (critical for eval-set hygiene at corpus scale).
+    """
+    if not 0 < train_pct + val_pct <= 100:
+        raise ValueError("train_pct + val_pct must be in (0, 100]")
+    b = hash_bucket(F.col(id_col))
+    lo_train = train_pct * (N_BUCKETS // 100)
+    lo_val = (train_pct + val_pct) * (N_BUCKETS // 100)
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < lo_train, F.lit("train"))
+        .when(F.col("bucket") < lo_val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, stratum_col: str, pct_by_stratum: dict[str, int]
+) -> DataFrame:
+    """Deterministic per-stratum subsample: keep rows whose hash bucket falls
+    under the stratum's percentage. Unlisted strata are dropped.
+
+    A pure filter (bucket < pct*10) — zero-shuffle map-side sampling whose
+    rate can differ per stratum (e.g. downsample web crawl to 10%, keep
+    curated sources at 100%), the standard corpus-mixing move.
+    """
+    b = hash_bucket(F.col(id_col))
+    keep = F.lit(False)
+    for stratum, pct in sorted(pct_by_stratum.items()):
+        keep = keep | (
+            (F.col(stratum_col) == F.lit(stratum)) & (b < F.lit(pct * (N_BUCKETS // 100)))
+        )
+    return df.filter(keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    tokens_col: str,
+    context_tokens: int,
+) -> DataFrame:
+    """Assign each document the context-window pack it *starts* in.
+
+    Concat-and-chunk packing: within a shard, documents are laid out in
+    ``order_col`` order and the token stream is cut every ``context_tokens``
+    tokens; ``pack_id`` = exclusive-running-token-count div context size.
+    A document straddling a boundary continues into the next pack (block
+    packing — no padding waste, the layout GPT-style loaders use).
+
+    One shuffle (window partition by shard); shards pack independently and
+    in parallel, so the plan scales with shard count, not corpus size.
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w)
+    return df.withColumn(
+        "pack_id",
+        ((cum - F.col(tokens_col)) / F.lit(context_tokens)).cast("long"),
+    )
+
+
+def near_dup_survivors(
+    pairs: DataFrame, emb: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Keep-first semantic dedup: drop any row appearing as the *larger* id
+    of a near-duplicate pair (pairs carry id_a < id_b), keep everything else.
+
+    ``pairs`` comes from a bucketed candidate generator
+    (:func:`affinity_spark.operators.similarity.cosine_join_within`), so the
+    anti-join is against a candidate set bounded by Σ|cell|² — the SemDeDup
+    recipe (Abbas et al. 2023): cluster, compare within cluster, keep the
+    lowest-id member of each near-dup group.
+    """
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(dropped, id_col, "left_anti")

@@ -59,12 +59,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _pin_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # Normalize any nanos-as-long timestamp columns back to TimestampType.
-    # The conversion is a cheap projection; pushdown on `ts` stays effective
-    # because comparisons against it compile to long comparisons post-fold.
+    # Normalize timestamp physical variants to one logical type (TimestampType
+    # under the pinned UTC session) so operators see a stable schema whatever
+    # the generator wrote:
+    # - TIMESTAMP(NANOS) arrives as long under nanosAsLong → truncate to
+    #   micros (matching micro-resolution engines reading ns);
+    # - TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ →
+    #   cast to TIMESTAMP (identity on the wall-clock value under UTC; NTZ
+    #   additionally refuses numeric casts like ts::long in ANSI mode).
+    # Both are cheap projections; pushdown survives post-fold.
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.typeName() in ("long", "bigint"):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     if name in CPU_HEAVY_TABLES:
         parallelism = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < parallelism:
