@@ -1,0 +1,117 @@
+"""Semantics of the corpus-management operators (operators/sampling.py):
+determinism under repartition, split-boundary math, packing layout, and the
+near-dup survivor rule. The value-level cross-engine checks live in the
+oracle gate (docs_train_split / docs_stratified_sample / docs_pack_sequences
+/ emb_near_dup_drop)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from affinity_spark.operators.sampling import (
+    N_BUCKETS,
+    hash_bucket,
+    near_dup_survivors,
+    pack_sequences,
+    stratified_sample,
+    train_split,
+)
+
+
+def _py_bucket(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % N_BUCKETS
+
+
+def test_hash_bucket_matches_reference_md5(spark):
+    df = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: r.b
+        for r in df.select("doc_id", hash_bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    assert got == {i: _py_bucket(i) for i in range(200)}
+
+
+def test_split_is_stable_under_repartition(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    one = {r.doc_id: r.split for r in train_split(df, "doc_id").collect()}
+    other = {
+        r.doc_id: r.split
+        for r in train_split(df.repartition(7), "doc_id").collect()
+    }
+    assert one == other
+    # 90/5/5 within binomial slack on 500 draws.
+    n_train = sum(1 for s in one.values() if s == "train")
+    assert 400 <= n_train <= 490
+    assert set(one.values()) == {"train", "val", "test"}
+
+
+def test_split_membership_survives_corpus_growth(spark):
+    small = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    grown = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    before = {r.doc_id: r.split for r in train_split(small, "doc_id").collect()}
+    after = {r.doc_id: r.split for r in train_split(grown, "doc_id").collect()}
+    assert all(after[k] == v for k, v in before.items())
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "web" if i % 2 else "books") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = stratified_sample(df, "doc_id", "source", {"books": 100, "web": 10})
+    got = kept.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    assert by["books"] == 500  # 100% of its stratum
+    assert 20 <= by["web"] <= 90  # ~10% of 500
+    # unlisted strata are dropped
+    df2 = df.withColumn("source", F.lit("other"))
+    assert stratified_sample(df2, "doc_id", "source", {"books": 100}).count() == 0
+    # exact same membership on rerun
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in kept.collect()
+    )
+
+
+def test_pack_sequences_chunk_layout(spark):
+    # One shard; tokens 600 each, budget 1000: packs by exclusive cumsum:
+    # doc0 starts at 0 -> pack 0, doc1 at 600 -> pack 0, doc2 at 1200 ->
+    # pack 1, doc3 at 1800 -> pack 1, doc4 at 2400 -> pack 2 ...
+    rows = [(i, "s", 600) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tokens int")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(df, "src", "doc_id", "n_tokens", 1000).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    rows = [(i, f"s{i % 3}", 100) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tokens int")
+    packed = pack_sequences(df, "src", "doc_id", "n_tokens", 300)
+    # each shard has 10 docs of 100 tokens -> packs of 3 docs: ids 0..3
+    per_shard = (
+        packed.groupBy("src").agg(F.max("pack_id").alias("mx")).collect()
+    )
+    assert all(r.mx == 3 for r in per_shard)
+
+
+def test_near_dup_survivor_rule_on_chain(spark):
+    # pairs a<b: (1,2) and (2,3) near-dups, (1,3) not. The rule is
+    # "survive iff NO smaller-id near-dup exists" (parallel SemDeDup),
+    # so 2 AND 3 are both dropped — not the sequential-greedy answer
+    # where 3 survives because its only dup 2 was removed first.
+    emb = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1)], "vec_id long, label int"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    surv = sorted(r.vec_id for r in near_dup_survivors(pairs, emb).collect())
+    assert surv == [1, 4]
+
+
+def test_train_split_rejects_bad_percents(spark):
+    import pytest
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        train_split(df, "doc_id", train_pct=99, val_pct=10)
