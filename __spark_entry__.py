@@ -1327,6 +1327,69 @@ FROM documents
 """
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate per doc: one codegen'd regexp_count of the
+    GPT-2-style pattern (functions/text.py::BPE_TOKEN_PATTERN) — the token
+    accounting a training pipeline budgets with, no vocab or UDF needed."""
+    from affinity_spark.functions.text import bpe_token_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_estimate(F.col("text")).alias("n_bpe"))
+
+
+_BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text),
+            $re$'[a-z]+| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\\s']+|\\s+$re$)) AS BIGINT)
+         AS n_bpe
+FROM documents
+"""
+
+
+def text_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003) per doc:
+    k=7 char grams, window w=4, md5-derived hashes — the guaranteed-recall
+    substring-match fingerprint family. Emits the count and an md5 digest of
+    the sorted fingerprint set so the value hash verifies every selected
+    fingerprint."""
+    from affinity_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"), k=7, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fps"),
+        F.md5(
+            F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")
+        ).alias("fp_digest"),
+    )
+
+
+_WINNOW_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 7
+              THEN list_transform(range(1, len(t) - 5),
+                   i -> CAST(('0x' || substr(md5(substr(t, i, 7)), 1, 8)) AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM n
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+                   j -> list_min(hs[j:j+3]))))
+              ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM h
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM w
+"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication (LLM-pipeline surface)
 # --------------------------------------------------------------------------
@@ -2752,8 +2815,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered for the driver's time-budgeted CORRECTNESS pass: the
+    # flagship first, then every query with no driver row yet (r2-new
+    # shapes + the five the r1 run never reached), then the veterans
+    # that were driver-green in round 1.
     return {
         "q1_pricing_summary": q1_pricing_summary,
+        "emb_lsh_buckets": emb_lsh_buckets,
+        "emb_ivf_assign": emb_ivf_assign,
+        "mktsegment_revenue_salted": mktsegment_revenue_salted,
+        "graph_components": graph_components,
+        "custom_gather_agg": custom_gather_agg,
+        "orders_cube": orders_cube,
+        "docs_media_decode": docs_media_decode,
+        "emb_ivf_search": emb_ivf_search,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "docs_train_split": docs_train_split,
+        "docs_stratified_sample": docs_stratified_sample,
+        "docs_pack_sequences": docs_pack_sequences,
+        "emb_near_dup_drop": emb_near_dup_drop,
+        "text_bpe_tokens": text_bpe_tokens,
+        "text_winnow_fps": text_winnow_fps,
+        "q8_market_share": q8_market_share,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_stock": q11_important_stock,
+        "q12_late_shipments": q12_late_shipments,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "q3_top_unshipped": q3_top_unshipped,
         "q5_nation_revenue": q5_nation_revenue,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -2762,13 +2857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_share": q14_promo_share,
-        # Round-1 driver run produced no CORRECTNESS row for the last five
-        # registry entries (likely time-budgeted); they now run early.
-        "emb_lsh_buckets": emb_lsh_buckets,
-        "emb_ivf_assign": emb_ivf_assign,
-        "mktsegment_revenue_salted": mktsegment_revenue_salted,
-        "graph_components": graph_components,
-        "custom_gather_agg": custom_gather_agg,
         "parts_brand_stats": parts_brand_stats,
         "customers_without_orders": customers_without_orders,
         "events_point_get": events_point_get,
@@ -2781,14 +2869,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_auto_increment": orders_auto_increment,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
-        "orders_cube": orders_cube,
         "events_sessionize": events_sessionize,
         "orders_range_join": orders_range_join,
         "events_running_totals": events_running_totals,
         "events_changelog_apply": events_changelog_apply,
         "docs_blob_metadata": docs_blob_metadata,
         "docs_feature_stub": docs_feature_stub,
-        "docs_media_decode": docs_media_decode,
         "events_json_extract": events_json_extract,
         "events_xml_decode": events_xml_decode,
         "events_uuid_codec": events_uuid_codec,
@@ -2812,27 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "emb_knn_brute": emb_knn_brute,
         "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
-        "emb_ivf_search": emb_ivf_search,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "docs_train_split": docs_train_split,
-        "docs_stratified_sample": docs_stratified_sample,
-        "docs_pack_sequences": docs_pack_sequences,
-        "emb_near_dup_drop": emb_near_dup_drop,
-        "q8_market_share": q8_market_share,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
-        "q22_sales_opportunity": q22_sales_opportunity,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_stock": q11_important_stock,
-        "q12_late_shipments": q12_late_shipments,
-        "q16_supplier_count": q16_supplier_count,
-        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
     }
-
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2898,6 +2964,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_stratified_sample": _STRATIFIED_SQL,
         "docs_pack_sequences": _PACK_SQL,
         "emb_near_dup_drop": _NEAR_DUP_SQL,
+        "text_bpe_tokens": _BPE_SQL,
+        "text_winnow_fps": _WINNOW_SQL,
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,

@@ -94,3 +94,64 @@ def doc_fingerprint(text: Column) -> Column:
     the identical fingerprint; this is the cross-system dedup key.
     """
     return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+#: BPE-ish token pattern (GPT-2 style, lower-cased input): contraction
+#: suffixes, space-prefixed letter runs, short digit runs (BPE vocabularies
+#: chunk numbers), punctuation runs, whitespace runs. Plain alternation —
+#: no lookarounds — so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_TOKEN_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\s']+|\s+"
+
+
+def bpe_token_estimate(text: Column) -> Column:
+    """Estimated BPE token count: matches of :data:`BPE_TOKEN_PATTERN` over
+    the lower-cased text. Tracks real tokenizer counts far better than
+    whitespace words (digits and punctuation cost tokens) while staying a
+    single JVM-side codegen'd ``regexp_count`` — no vocab lookup, no UDF.
+    The real tokenizer swaps in at the same seam as a pandas UDF when a
+    vocab file is available."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_TOKEN_PATTERN)).cast("long")
+
+
+def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003):
+    hash every char k-gram of the normalized text, slide a window of w
+    hashes, keep each window's minimum, distinct the kept set.
+
+    Guarantees a match for any shared substring of length >= k + w - 1 while
+    storing ~2/(w+1) of the gram hashes — the plagiarism/near-dup
+    fingerprint MOSS uses. Pure array expressions, all codegen'd; hashes are
+    md5-derived so the DuckDB oracle reproduces the set bit-for-bit.
+
+    Each gram is hashed ONCE: the hash array is let-bound as a lambda
+    variable by wrapping it in a single-element array and transforming over
+    that (PySpark HOF lambdas re-evaluate any *outer* expression they
+    reference per element — the repo-wide lesson from lsh_bands_mapside —
+    but a lambda *variable* is a real binding).
+
+    Returns a sorted array<long> column (empty for texts shorter than
+    k + w - 1 chars).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+    def gram_hash(i: Column) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.substring(norm, i, k)), 1, 8), 16, 10
+        ).cast("long")
+
+    n_grams = F.length(norm) - F.lit(k - 1)
+    hashes = F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash)
+
+    def windows_of(h: Column) -> Column:
+        def win_min(j: Column) -> Column:
+            return F.array_min(F.slice(h, j, w))
+
+        return F.transform(
+            F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)), win_min
+        )
+
+    mins = F.transform(F.array(hashes), windows_of).getItem(0)
+    return F.when(
+        F.length(norm) >= F.lit(k + w - 1),
+        F.array_sort(F.array_distinct(mins)),
+    ).otherwise(F.array().cast("array<bigint>"))

@@ -77,3 +77,72 @@ def test_char_shingles(spark):
     # short text still yields one (possibly short) shingle, not empty/null
     short = df.select(shingles(F.lit("x"), 5).alias("s")).collect()[0].s
     assert short == ["x"]
+
+
+def _py_winnow(text: str, k: int = 7, w: int = 4) -> list[int]:
+    """Reference winnowing: all k-gram md5 hashes, min per window, distinct."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text.strip().lower())
+    if len(t) < k + w - 1:
+        return []
+    hs = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    mins = [min(hs[j : j + w]) for j in range(len(hs) - w + 1)]
+    return sorted(set(mins))
+
+
+def test_winnow_matches_python_reference(spark):
+    from affinity_spark.functions.text import winnow_fingerprints
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "The  quick\tbrown  FOX jumps over the lazy dog",  # same after normalize
+        "short",  # below k+w-1 -> empty
+        "exactly10c",  # exactly k+w-1 chars -> one window
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+    got = {
+        r.id: list(r.fps)
+        for r in df.select(
+            "id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t), f"text {i!r}"
+    # normalization: 0 and 1 fingerprint identically
+    assert got[0] == got[1]
+    assert got[2] == [] and got[4] == []
+    assert len(got[3]) == 1
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # winnowing guarantee: docs sharing a substring of >= k+w-1 chars share
+    # at least one fingerprint
+    from affinity_spark.functions.text import winnow_fingerprints
+
+    shared = "a very distinctive shared passage of text"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared), (2, shared + " suffix two")],
+        "id int, text string",
+    )
+    rows = {r.id: set(r.fps) for r in df.select("id", winnow_fingerprints(F.col("text")).alias("fps")).collect()}
+    assert rows[1] & rows[2]
+
+
+def test_bpe_token_estimate_counts(spark):
+    from affinity_spark.functions.text import bpe_token_estimate
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world! It's 2024..."), (2, ""), (3, "plain words only")],
+        "id int, text string",
+    )
+    got = {r.id: r.n for r in df.select("id", bpe_token_estimate(F.col("text")).alias("n")).collect()}
+    # 'hello' ',' ' world' '!' ' it' \"'s\" ' 202'(3-digit chunk) '4' '...'
+    assert got[1] == 9
+    assert got[2] == 0
+    assert got[3] == 3
