@@ -2054,6 +2054,73 @@ GROUP BY source, pack_id
 """
 
 
+def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-side ops COMPOSED end to end: quality filter (>= 10
+    tokens) -> exact dedup (min doc_id per content fingerprint, window on
+    fp, no self-join) -> deterministic 90% train split (zero-shuffle md5
+    bucket) -> concat-and-chunk packing into 2048-token context windows per
+    source shard -> per-pack accounting.
+
+    Two shuffles total: the fingerprint window and the shard window (the
+    final groupBy reuses the shard partitioning). The split adds none —
+    membership is a projection of doc_id. This is the batch a training
+    loader would mount, produced by one declarative plan.
+    """
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.sampling import pack_sequences, train_split
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", "text", token_count(F.col("text")).alias("n_tokens")
+    )
+    quality = scored.filter(F.col("n_tokens") >= 10)
+    w_fp = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    keepers = (
+        quality.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "text")
+    )
+    train = train_split(keepers, "doc_id").filter(F.col("split") == "train")
+    packed = pack_sequences(train, "source", "doc_id", "n_tokens", 2048)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+_TRAIN_PIPE_SQL = """
+WITH t AS (
+  SELECT doc_id, source, text,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+q AS (SELECT * FROM t WHERE n_tokens >= 10),
+k AS (
+  SELECT min(doc_id) AS doc_id
+  FROM q GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+),
+kd AS (SELECT q.doc_id, q.source, q.n_tokens FROM q JOIN k USING (doc_id)),
+tr AS (
+  SELECT * FROM kd
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 900
+),
+cum AS (
+  SELECT source, n_tokens,
+         (CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          - n_tokens) // 2048 AS pack_id
+  FROM tr
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM cum
+GROUP BY source, pack_id
+"""
+
+
+
 def emb_near_dup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup dedup (SemDeDup, Abbas et al. 2023): within each
     IVF cell (label), a vector is dropped iff some lower-id vector in the
@@ -2836,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup_drop": emb_near_dup_drop,
         "text_bpe_tokens": text_bpe_tokens,
         "text_winnow_fps": text_winnow_fps,
+        "pipeline_training_corpus": pipeline_training_corpus,
         "q8_market_share": q8_market_share,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -2966,6 +3034,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup_drop": _NEAR_DUP_SQL,
         "text_bpe_tokens": _BPE_SQL,
         "text_winnow_fps": _WINNOW_SQL,
+        "pipeline_training_corpus": _TRAIN_PIPE_SQL,
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,
