@@ -2054,6 +2054,34 @@ GROUP BY source, pack_id
 """
 
 
+def docs_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source subsample (distributed reservoir stand-in):
+    rank by md5(doc_id) within each source, keep the 5 smallest —
+    selection is a pure function of ids, so retries/engines agree, and
+    WindowGroupLimit prunes to 5 rows per group before the shuffle."""
+    from affinity_spark.operators.sampling import per_group_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = per_group_sample(docs.select("doc_id", "source"), "doc_id", "source", 5)
+    return kept.select("doc_id", "source")
+
+
+_RESERVOIR_SQL = """
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 2147483648 ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+"""
+
+
+
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-side ops COMPOSED end to end: quality filter (>= 10
     tokens) -> exact dedup (min doc_id per content fingerprint, window on
@@ -2904,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "text_winnow_fps": text_winnow_fps,
         "pipeline_training_corpus": pipeline_training_corpus,
+        "docs_reservoir_per_source": docs_reservoir_per_source,
         "q8_market_share": q8_market_share,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -3035,6 +3064,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_tokens": _BPE_SQL,
         "text_winnow_fps": _WINNOW_SQL,
         "pipeline_training_corpus": _TRAIN_PIPE_SQL,
+        "docs_reservoir_per_source": _RESERVOIR_SQL,
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,

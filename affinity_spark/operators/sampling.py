@@ -133,3 +133,26 @@ def near_dup_survivors(
     """
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return emb.join(dropped, id_col, "left_anti")
+
+
+def per_group_sample(
+    df: DataFrame, id_col: str, group_col: str, k: int
+) -> DataFrame:
+    """Deterministic K-per-group subsample (the distributed stand-in for
+    per-group reservoir sampling): rank rows inside each group by the
+    md5-derived hash of their id and keep the K smallest.
+
+    Because the rank key is a pure function of the id, the selected set is
+    stable across runs, retries, and engines — a true reservoir's selection
+    depends on encounter order, which a distributed scan can't fix. One
+    shuffle on the group key; ``WindowGroupLimit`` keeps only K rows per
+    group on the map side before the exchange.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

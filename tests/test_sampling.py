@@ -115,3 +115,18 @@ def test_train_split_rejects_bad_percents(spark):
     df = spark.range(3).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         train_split(df, "doc_id", train_pct=99, val_pct=10)
+
+
+def test_per_group_sample_deterministic_and_pruned(spark):
+    from affinity_spark.operators.sampling import per_group_sample
+
+    rows = [(i, f"g{i % 4}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    got = per_group_sample(df, "doc_id", "g", 3)
+    sel = sorted((r.g, r.doc_id) for r in got.collect())
+    again = sorted((r.g, r.doc_id) for r in per_group_sample(df.repartition(5), "doc_id", "g", 3).collect())
+    assert sel == again and len(sel) == 12
+    # rank-limit pushes a WindowGroupLimit below the exchange
+    got.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
