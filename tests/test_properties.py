@@ -94,3 +94,58 @@ def test_timerange_predicate_matches_contains(spark):
         via_spark = {r.id for r in df.filter(tr.predicate(F.col("ts"), "millis")).collect()}
         via_model = {i for i, t in rows if tr.contains(t)}
         assert via_spark == via_model, (start, end)
+
+
+# ---- corpus-management properties (sampling.py vs plain-python models) ----
+
+pack_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # shard — few shards
+        st.integers(min_value=0, max_value=500),   # token count (0 allowed)
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(pack_rows, st.integers(min_value=1, max_value=600))
+@SLOW
+def test_pack_sequences_matches_model(spark, rows, budget):
+    from affinity_spark.operators.sampling import pack_sequences
+
+    data = [(i, f"s{s}", t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, shard string, n_tokens int")
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(df, "shard", "doc_id", "n_tokens", budget).collect()
+    }
+    # model: per shard in doc_id order, pack = exclusive-cumsum // budget
+    expect = {}
+    cum: dict[str, int] = {}
+    for d, sh, tk in sorted(data, key=lambda x: x[0]):
+        start = cum.get(sh, 0)
+        expect[d] = start // budget
+        cum[sh] = start + tk
+    assert got == expect
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=30,
+                unique=True))
+@SLOW
+def test_train_split_partitions_every_row_exactly_once(spark, ids):
+    from affinity_spark.operators.sampling import train_split
+
+    if not ids:
+        return
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = train_split(df, "doc_id").collect()
+    assert len(rows) == len(ids)
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    # bucket bounds consistent with labels
+    for r in rows:
+        if r.bucket < 900:
+            assert r.split == "train"
+        elif r.bucket < 950:
+            assert r.split == "val"
+        else:
+            assert r.split == "test"
