@@ -2082,6 +2082,31 @@ WHERE rk <= 5
 
 
 
+def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA: token-length histogram (50-token buckets, capped at 19) —
+    the distribution readout that gates length filters before training.
+    One map-side projection + one small agg; bucket math is integer so both
+    engines bin identically."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = token_count(F.col("text"))
+    bucket = F.least(nt / F.lit(50), F.lit(19)).cast("long")
+    return (
+        docs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_TOKEN_HIST_SQL = """
+SELECT least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '')) // 50, 19) AS bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-side ops COMPOSED end to end: quality filter (>= 10
     tokens) -> exact dedup (min doc_id per content fingerprint, window on
@@ -2933,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnow_fps": text_winnow_fps,
         "pipeline_training_corpus": pipeline_training_corpus,
         "docs_reservoir_per_source": docs_reservoir_per_source,
+        "docs_token_histogram": docs_token_histogram,
         "q8_market_share": q8_market_share,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -3065,6 +3091,7 @@ def oracle_sql() -> dict[str, str]:
         "text_winnow_fps": _WINNOW_SQL,
         "pipeline_training_corpus": _TRAIN_PIPE_SQL,
         "docs_reservoir_per_source": _RESERVOIR_SQL,
+        "docs_token_histogram": _TOKEN_HIST_SQL,
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,

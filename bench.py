@@ -50,6 +50,19 @@ HEADLINE = [
     "q10_returned_items",
 ]
 
+# Training-pipeline extension set, timed separately so the headline total
+# stays comparable across rounds (it predates these ops).
+EXTENDED = [
+    "pipeline_clean_corpus",
+    "pipeline_training_corpus",
+    "docs_train_split",
+    "docs_pack_sequences",
+    "docs_reservoir_per_source",
+    "text_bpe_tokens",
+    "text_winnow_fps",
+    "emb_near_dup_drop",
+]
+
 
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -83,6 +96,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = queries[name]
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        extended[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -92,6 +115,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_of(sf_dir),
+                "extended_total": round(sum(extended.values()), 3),
+                "extended": extended,
             }
         )
     )
