@@ -2107,6 +2107,67 @@ GROUP BY 1
 
 
 
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-candidate near-dup pairs: docs sharing >= 2 RARE winnow
+    fingerprints. Common fingerprints carry no signal in a template-heavy
+    corpus (this one's median fp appears in 16 docs), so fps seen in > 3
+    docs are dropped first — the df-cutoff MOSS applies, and the guard that
+    keeps the fp-keyed candidate join bounded at corpus scale (join cost is
+    sum over kept fps of df², df <= 3). Two shuffles: the df count and the
+    pair aggregate; the self-join broadcasts nothing hot because hot keys
+    are gone before it."""
+    from affinity_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
+    )
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= 3)
+    er = fps.join(rare.select("fp"), "fp")
+    a = er.select(F.col("doc_id").alias("id_a"), "fp")
+    b = er.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+_WINNOW_PAIRS_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 7
+              THEN list_transform(range(1, len(t) - 5),
+                   i -> CAST(('0x' || substr(md5(substr(t, i, 7)), 1, 8)) AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM n
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_distinct(list_transform(range(1, len(hs) - 2),
+                   j -> list_min(hs[j:j+3])))
+              ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM h
+), e AS (
+  SELECT doc_id, unnest(fps) AS fp FROM w
+), rare AS (
+  SELECT fp FROM e GROUP BY fp HAVING count(*) <= 3
+), er AS (
+  SELECT e.doc_id, e.fp FROM e JOIN rare USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM er a JOIN er b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+
+
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-side ops COMPOSED end to end: quality filter (>= 10
     tokens) -> exact dedup (min doc_id per content fingerprint, window on
@@ -2959,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_corpus": pipeline_training_corpus,
         "docs_reservoir_per_source": docs_reservoir_per_source,
         "docs_token_histogram": docs_token_histogram,
+        "dedup_winnow_pairs": dedup_winnow_pairs,
         "q8_market_share": q8_market_share,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -3092,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_training_corpus": _TRAIN_PIPE_SQL,
         "docs_reservoir_per_source": _RESERVOIR_SQL,
         "docs_token_histogram": _TOKEN_HIST_SQL,
+        "dedup_winnow_pairs": _WINNOW_PAIRS_SQL,
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,
