@@ -1876,7 +1876,9 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_hyperplane_buckets(emb, 64, 8).select("vec_id", "bucket")
 
 
-def _lsh_oracle_sql() -> str:
+def _lsh_bucket_expr() -> str:
+    """DuckDB expression for the 8-bit hyperplane bucket of `embedding`
+    (identical deterministic planes as the Spark side)."""
     planes = sim._hyperplanes(64, 8)  # noqa: SLF001 - shared deterministic constants
     bits = []
     for j, plane in enumerate(planes):
@@ -1886,8 +1888,80 @@ def _lsh_oracle_sql() -> str:
             f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])) > 0 "
             f"THEN {1 << j} ELSE 0 END)"
         )
-    expr = " + ".join(bits)
-    return f"SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM embeddings"
+    return " + ".join(bits)
+
+
+def _lsh_oracle_sql() -> str:
+    return (
+        f"SELECT vec_id, CAST({_lsh_bucket_expr()} AS BIGINT) AS bucket "
+        f"FROM embeddings"
+    )
+
+
+def emb_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hyperplane-LSH ANN read: bucket every vector by 8 sign
+    bits, probe ONLY the query's bucket, cosine top-10 inside it. At scale
+    `bucket` is the partition/cluster column, so ~255/256 of the corpus is
+    never scanned — the LSH twin of emb_ivf_search (nprobe=1; multi-probe =
+    flipping low-confidence bits adds buckets, same plan shape).
+
+    Query vector = vec_id 0's embedding (excluded from candidates);
+    similarity emitted as floor(10000*cos) so the hash is float-free.
+    Multi-probe: the query probes its own bucket plus the 8 one-bit flips
+    (Lv et al. 2007) — 9/256 of the corpus scanned instead of 1/256, the
+    standard recall/scan-fraction dial."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = sim.lsh_hyperplane_buckets(emb, 64, 8)
+    probes = F.array(*[F.lit(0)] + [F.lit(1 << j) for j in range(8)])
+    q = (
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(probes).alias("flip"),
+            F.col("bucket").alias("qb"),
+            F.col("embedding").alias("qv"),
+        )
+        .select(
+            (F.col("qb").bitwiseXOR(F.col("flip"))).alias("bucket"), F.col("qv")
+        )
+    )
+    cands = bucketed.filter(F.col("vec_id") != 0).join(F.broadcast(q), "bucket")
+    scored = cands.select(
+        "vec_id",
+        sim.cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
+    )
+    return (
+        scored.orderBy(F.col("c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.floor(F.col("c") * 10000).cast("long").alias("cos_bp"))
+    )
+
+
+def _lsh_search_oracle_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_lsh_bucket_expr()} AS BIGINT) AS bucket
+  FROM embeddings
+),
+q0 AS (SELECT bucket, embedding AS qv FROM b WHERE vec_id = 0),
+q AS (
+  SELECT xor(q0.bucket, f.flip) AS bucket, q0.qv
+  FROM q0 CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
+),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
 
 
 def custom_gather_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3021,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_reservoir_per_source": docs_reservoir_per_source,
         "docs_token_histogram": docs_token_histogram,
         "dedup_winnow_pairs": dedup_winnow_pairs,
+        "emb_lsh_search": emb_lsh_search,
         "q8_market_share": q8_market_share,
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -3155,6 +3230,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_reservoir_per_source": _RESERVOIR_SQL,
         "docs_token_histogram": _TOKEN_HIST_SQL,
         "dedup_winnow_pairs": _WINNOW_PAIRS_SQL,
+        "emb_lsh_search": _lsh_search_oracle_sql(),
         "mktsegment_revenue_salted": _SEGMENT_SQL,
         "graph_components": _GRAPH_SQL,
         "custom_gather_agg": _GATHER_SQL,
