@@ -149,3 +149,46 @@ def test_train_split_partitions_every_row_exactly_once(spark, ids):
             assert r.split == "val"
         else:
             assert r.split == "test"
+
+
+# Latin-1 only: above 0xFF, locale case folding (e.g. Turkish İ) diverges
+# between Python str.lower and engine lowercasing — not a property the
+# operator promises.
+text_strategy = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs"),
+                           max_codepoint=0xFF),
+    min_size=0,
+    max_size=120,
+)
+
+
+@given(st.lists(text_strategy, min_size=1, max_size=6))
+@SLOW
+def test_winnow_matches_model_on_random_text(spark, texts):
+    import hashlib
+    import re
+
+    from affinity_spark.functions.text import winnow_fingerprints
+
+    def model(text: str, k: int = 7, w: int = 4) -> list[int]:
+        # ASCII \s semantics: Java regex (Spark) and RE2 (DuckDB) both treat
+        # \s as ASCII-only — those two must agree; python re's Unicode \s
+        # (which would eat U+00A0) is the odd one out.
+        t = re.sub(r"[ \t\n\r\f\v]+", " ", text.strip(" \t\n\r\f\v").lower())
+        if len(t) < k + w - 1:
+            return []
+        hs = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:8], 16)
+            for i in range(len(t) - k + 1)
+        ]
+        return sorted({min(hs[j : j + w]) for j in range(len(hs) - w + 1)})
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    got = {
+        r.id: list(r.fps)
+        for r in df.select("id", winnow_fingerprints(F.col("text")).alias("fps")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == model(t), repr(t)
