@@ -28,15 +28,39 @@ def token_count(text: Column) -> Column:
     return F.size(tokenize(text))
 
 
+def let_bound(bound: Column, body) -> Column:
+    """Evaluate ``bound`` ONCE and pass it to ``body`` as a lambda variable.
+
+    HOF lambdas re-evaluate any *outer* expression they reference once per
+    element — referencing an O(n) expression (a regex normalization, a
+    split) inside a transform over n elements silently costs O(n²) per row.
+    A lambda *variable* is a real binding: wrap the expensive expression in
+    a single-element array and transform over that.
+    """
+    return F.transform(F.array(bound), body).getItem(0)
+
+
 def shingles(text: Column, n: int = 5) -> Column:
     """Character n-gram shingles of the whitespace-normalized text.
 
     Used as the MinHash input set. Expressed with sequence+transform so it
-    runs JVM-side; returns distinct shingles (set semantics).
+    runs JVM-side; returns distinct shingles (set semantics). The
+    normalized text is let-bound so the regex runs once per doc, not once
+    per gram (O(n), not O(n²), in document length).
     """
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(n))))
+
+    def grams_of(cs: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(cs) - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(cs, i, n), ""))
+        )
+
+    # Grams come from O(1) char-array slices, NOT substring(norm, i, n):
+    # substring on a long UTF-8 string byte-scans to char i, so per-gram
+    # substrings cost O(n²) per document. split('') is char-correct for
+    # multibyte text, keeping md5 parity with the oracle's char-based substr.
+    return let_bound(F.split(norm, ""), grams_of)
 
 
 def stopword_ratio(text: Column) -> Column:
@@ -134,13 +158,23 @@ def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
     """
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
-    def gram_hash(i: Column) -> Column:
-        return F.conv(
-            F.substring(F.md5(F.substring(norm, i, k)), 1, 8), 16, 10
-        ).cast("long")
+    def hashes_of(cs: Column) -> Column:
+        def gram_hash(i: Column) -> Column:
+            return F.conv(
+                F.substring(F.md5(F.array_join(F.slice(cs, i, k), "")), 1, 8),
+                16,
+                10,
+            ).cast("long")
 
-    n_grams = F.length(norm) - F.lit(k - 1)
-    hashes = F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash)
+        n_grams = F.size(cs) - F.lit(k - 1)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash
+        )
+
+    # char-array slices, not substring(norm, i, k): substring byte-scans to
+    # char i on UTF-8, so per-gram substrings are O(n²) per doc (measured
+    # 75 s on ONE 170KB doc before this change).
+    hashes = let_bound(F.split(norm, ""), hashes_of)
 
     def windows_of(h: Column) -> Column:
         def win_min(j: Column) -> Column:
@@ -150,7 +184,7 @@ def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
             F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)), win_min
         )
 
-    mins = F.transform(F.array(hashes), windows_of).getItem(0)
+    mins = let_bound(hashes, windows_of)
     return F.when(
         F.length(norm) >= F.lit(k + w - 1),
         F.array_sort(F.array_distinct(mins)),

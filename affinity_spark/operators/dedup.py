@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from affinity_spark.functions.murmur2 import stable_token_hash
-from affinity_spark.functions.text import doc_fingerprint
+from affinity_spark.functions.text import doc_fingerprint, let_bound
 
 # --- deterministic minhash permutation constants ---------------------------
 # h_i(x) = (A_i * h0(x) + B_i) mod P ; h0 = md5-derived 32-bit token hash.
@@ -57,14 +57,22 @@ NUM_BANDS = NUM_PERM // BAND_ROWS
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of whitespace-tokenized text."""
-    toks = F.split(F.lower(F.trim(text)), r"\s+")
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    return F.when(count > 0, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    """Distinct word n-gram shingles of whitespace-tokenized text.
+
+    The token array is let-bound so the split runs once per doc, not once
+    per gram (O(tokens), not O(tokens²))."""
+
+    def grams_of(tk: Column) -> Column:
+        count = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+        )
+        return F.when(count > 0, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let_bound(F.split(F.lower(F.trim(text)), r"\s+"), grams_of)
 
 
 # --- exact ------------------------------------------------------------------
@@ -339,22 +347,42 @@ def simhash_fingerprints_mapside(
     ``aggregate`` over the shingle array. Identical values to
     ``simhash_fingerprints`` (same h0, same bit math), map-side only."""
     arr = word_ngrams(F.col(text_col), n)
-    hashes = F.transform(arr, _h0_expr)
-    def bit_acc(j: int):
-        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
+    idx1 = F.sequence(F.lit(1), F.lit(SIMHASH_BITS))
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
 
-    bit_sums = [
-        F.aggregate(hashes, F.lit(0).cast("long"), bit_acc(j)).alias(f"s_{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    sums = df.select(F.col(id_col), F.size(arr).alias("n_sh"), *bit_sums).filter(
-        F.col("n_sh") > 0
+    # ONE aggregate with a 32-wide accumulator: each shingle is hashed once
+    # and its 32 signed bits folded in a single pass (32 separate per-bit
+    # aggregate columns would re-run word_ngrams + md5 per column — the
+    # shared-subexpression trap in CLAUDE.md). Bit j is tested with a
+    # literal power-of-two mask (shiftright's amount must be a python int,
+    # so it can't take the lambda's bit index).
+    def step(acc, h):
+        def upd(cur, j):
+            mask = F.element_at(pow2, j.cast("int"))
+            return cur + F.when(h.bitwiseAND(mask) != 0, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.zip_with(acc, idx1, upd)
+
+    def finish(acc):
+        def add_bit(fp, j):
+            return fp + F.when(
+                F.element_at(acc, j.cast("int")) > 0,
+                F.element_at(pow2, j.cast("int")),
+            ).otherwise(F.lit(0).cast("long"))
+
+        return F.aggregate(idx1, F.lit(0).cast("long"), add_bit)
+
+    sums = df.select(
+        F.col(id_col),
+        F.size(arr).alias("n_sh"),
+        F.aggregate(
+            F.transform(arr, _h0_expr),
+            F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+            step,
+            finish,
+        ).alias("simhash"),
     )
-    fp = None
-    for j in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = term if fp is None else fp + term
-    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    return sums.filter(F.col("n_sh") > 0).select(F.col(id_col), "simhash")
 
 
 def shingles_shared(df: DataFrame, id_col: str, text_col: str, n: int = 3):

@@ -26,3 +26,54 @@ def test_queries_run_at_smallest_sf(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf)
         df.limit(5).collect()  # force execution of the plan
+
+
+def test_every_oracle_parses_in_duckdb():
+    """EXPLAIN every oracle against empty views — catches SQL syntax/binder
+    errors in seconds without running the full value gate."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE region (r_regionkey INT, r_name VARCHAR)")
+    con.sql("CREATE TABLE nation (n_nationkey INT, n_name VARCHAR, n_regionkey INT)")
+    con.sql(
+        "CREATE TABLE customer (c_custkey BIGINT, c_name VARCHAR, c_nationkey INT,"
+        " c_acctbal DOUBLE, c_mktsegment VARCHAR)"
+    )
+    con.sql(
+        "CREATE TABLE supplier (s_suppkey BIGINT, s_name VARCHAR, s_nationkey INT,"
+        " s_acctbal DOUBLE)"
+    )
+    con.sql(
+        "CREATE TABLE part (p_partkey BIGINT, p_name VARCHAR, p_brand VARCHAR,"
+        " p_type VARCHAR, p_size INT, p_retailprice DOUBLE)"
+    )
+    con.sql(
+        "CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP,"
+        " o_orderpriority VARCHAR)"
+    )
+    con.sql(
+        "CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT,"
+        " l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE,"
+        " l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE,"
+        " l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP)"
+    )
+    con.sql(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    con.sql(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.sql("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], label INT)")
+    bad = {}
+    for name, sql in entrymod.oracle_sql().items():
+        try:
+            con.sql(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            bad[name] = str(e).splitlines()[0]
+    assert not bad, bad

@@ -146,3 +146,23 @@ def test_bpe_token_estimate_counts(spark):
     assert got[1] == 9
     assert got[2] == 0
     assert got[3] == 3
+
+
+def test_gram_ops_handle_large_documents(spark):
+    """A 200KB document must flow through winnowing and shingling without
+    quadratic blowup (the array ops are O(n*w) by construction)."""
+    import time
+
+    from affinity_spark.functions.text import winnow_fingerprints
+    from affinity_spark.operators.dedup import word_ngrams
+
+    big = ("lorem ipsum dolor sit amet " * 8000).strip()  # ~216KB, 40k tokens
+    df = spark.createDataFrame([(1, big)], "id int, text string")
+    t0 = time.perf_counter()
+    n_fps = df.select(F.size(winnow_fingerprints(F.col("text"))).alias("n")).collect()[0].n
+    n_sh = df.select(F.size(word_ngrams(F.col("text"), 3)).alias("n")).collect()[0].n
+    elapsed = time.perf_counter() - t0
+    # repeated text -> tiny distinct fingerprint set, full shingle count
+    assert 0 < n_fps < 200
+    assert n_sh == 5  # distinct trigrams of a 5-word cycle
+    assert elapsed < 60, f"gram ops took {elapsed:.1f}s on one 200KB doc"
