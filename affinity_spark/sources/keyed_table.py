@@ -152,6 +152,28 @@ class KeyedTable:
             raise FileNotFoundError(f"table at {self.path} has no committed version")
         return self.spark.read.parquet(vdir)
 
+    def versions(self) -> list[str]:
+        """Retained snapshot version names, oldest first (bounded by the
+        retention setting; older versions are reclaimed on commit)."""
+        return [os.path.basename(d) for d in self._version_dirs()]
+
+    def read_version(self, version: str) -> DataFrame:
+        """Time travel: read a RETAINED historical snapshot by name.
+
+        Snapshot reads are how a pipeline re-derives downstream state from
+        the exact input a past run saw (the reference's changelog-bootstrap
+        role, state/KVStoreLocal bootstrap path — here a full-snapshot read
+        instead of a log replay). Only versions within the retention window
+        exist; reading a reclaimed one raises like any missing table.
+        """
+        vdir = os.path.join(self.path, version)
+        if not os.path.isdir(vdir):
+            raise FileNotFoundError(
+                f"version {version!r} not retained at {self.path}; "
+                f"available: {self.versions()}"
+            )
+        return self.spark.read.parquet(vdir)
+
     def overwrite(self, df: DataFrame, expected_base: str | None = "UNSET") -> None:
         """Write a new snapshot version and CAS the pointer to it.
 

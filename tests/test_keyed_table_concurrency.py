@@ -98,3 +98,24 @@ def test_held_lock_times_out(spark, tmp_path):
     with pytest.raises(ConcurrentWriteError, match="lock"):
         t.upsert(_df(spark, [(2, 100, "b")]))
     os.unlink(t._lock)
+
+
+def test_time_travel_reads_retained_snapshots(spark, tmp_path):
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    t = KeyedTable(
+        spark, str(tmp_path / "tt"), key_cols=["k"], ts_col="ts", retain_versions=3
+    )
+    t.overwrite(spark.createDataFrame([(1, 1, "a")], "k int, ts long, v string"))
+    v1 = t.versions()[-1]
+    t.overwrite(spark.createDataFrame([(1, 2, "b"), (2, 1, "c")], "k int, ts long, v string"))
+    v2 = t.versions()[-1]
+
+    assert {r.v for r in t.read_version(v1).collect()} == {"a"}
+    assert {r.v for r in t.read_version(v2).collect()} == {"b", "c"}
+    assert t.read_version(v2).count() == t.read().count()
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.read_version("v_nope")
