@@ -2242,6 +2242,35 @@ HAVING count(*) >= 2
 
 
 
+def docs_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab via the pivot operator (§2.7 aggregation family): doc
+    counts per source × language with an explicit pivot column list —
+    explicit values keep the plan a single pass (no extra distinct scan to
+    discover them) and pin the output schema for the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, langs)
+        .select("source", *[F.col(l).cast("long").alias(f"n_{l}") for l in langs])
+    )
+
+
+_LANG_PIVOT_SQL = """
+SELECT source,
+       count(*) FILTER (lang = 'de') AS n_de,
+       count(*) FILTER (lang = 'en') AS n_en,
+       count(*) FILTER (lang = 'es') AS n_es,
+       count(*) FILTER (lang = 'fr') AS n_fr,
+       count(*) FILTER (lang = 'zh') AS n_zh
+FROM documents
+GROUP BY source
+"""
+
+
+
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-side ops COMPOSED end to end: quality filter (>= 10
     tokens) -> exact dedup (min doc_id per content fingerprint, window on
@@ -3094,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_corpus": pipeline_training_corpus,
         "docs_reservoir_per_source": docs_reservoir_per_source,
         "docs_token_histogram": docs_token_histogram,
+        "docs_lang_pivot": docs_lang_pivot,
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "emb_lsh_search": emb_lsh_search,
         "q8_market_share": q8_market_share,
@@ -3229,6 +3259,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_training_corpus": _TRAIN_PIPE_SQL,
         "docs_reservoir_per_source": _RESERVOIR_SQL,
         "docs_token_histogram": _TOKEN_HIST_SQL,
+        "docs_lang_pivot": _LANG_PIVOT_SQL,
         "dedup_winnow_pairs": _WINNOW_PAIRS_SQL,
         "emb_lsh_search": _lsh_search_oracle_sql(),
         "mktsegment_revenue_salted": _SEGMENT_SQL,
