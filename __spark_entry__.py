@@ -2271,6 +2271,33 @@ GROUP BY source
 
 
 
+def docs_lang_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt (unpivot) back to long form: the wide source × language counts
+    from the pivot flow into (source, lang, n) rows — the §2.7 reshaping
+    pair. Zero-filled cells survive the round trip, so the output is the
+    full source × lang grid (the oracle builds the same grid with a cross
+    join + left join)."""
+    wide = docs_lang_pivot(spark, sf_dir)
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        wide.unpivot(
+            "source", [f"n_{l}" for l in langs], "lang", "n"
+        )
+        .withColumn("lang", F.regexp_replace("lang", "^n_", ""))
+        .select("source", "lang", F.col("n").cast("long").alias("n"))
+    )
+
+
+_LANG_UNPIVOT_SQL = """
+WITH s AS (SELECT DISTINCT source FROM documents),
+l AS (SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS lang),
+c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+SELECT s.source, l.lang, COALESCE(c.n, 0) AS n
+FROM s CROSS JOIN l LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+"""
+
+
+
 def pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-side ops COMPOSED end to end: quality filter (>= 10
     tokens) -> exact dedup (min doc_id per content fingerprint, window on
@@ -3124,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_reservoir_per_source": docs_reservoir_per_source,
         "docs_token_histogram": docs_token_histogram,
         "docs_lang_pivot": docs_lang_pivot,
+        "docs_lang_unpivot": docs_lang_unpivot,
         "dedup_winnow_pairs": dedup_winnow_pairs,
         "emb_lsh_search": emb_lsh_search,
         "q8_market_share": q8_market_share,
@@ -3260,6 +3288,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_reservoir_per_source": _RESERVOIR_SQL,
         "docs_token_histogram": _TOKEN_HIST_SQL,
         "docs_lang_pivot": _LANG_PIVOT_SQL,
+        "docs_lang_unpivot": _LANG_UNPIVOT_SQL,
         "dedup_winnow_pairs": _WINNOW_PAIRS_SQL,
         "emb_lsh_search": _lsh_search_oracle_sql(),
         "mktsegment_revenue_salted": _SEGMENT_SQL,
