@@ -565,6 +565,45 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — the §2.11 window shape tumbling can't
+    express: 2-hour windows every 1 hour, so each event lands in exactly
+    two overlapping windows. Built on F.window(ts, '2 hours', '1 hour');
+    the window start is emitted as a formatted string (timestamps never
+    hash raw). The oracle replays the hop membership arithmetic
+    (start = hour(ts) - k, k in {0,1}) in closed form."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents(F.col("value"))).alias("sum_value_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value_cents",
+        )
+    )
+
+
+_SLIDING_SQL = """
+WITH hopped AS (
+  SELECT event_type, "value",
+         date_trunc('hour', ts) - (k.k * INTERVAL 1 HOUR) AS win_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+)
+SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM hopped
+GROUP BY 1, 2
+"""
+
+
+
 def events_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6/O2 latest-N per key: rank-limited window (top-3 per user)."""
     ev = _t(spark, sf_dir, "events")
@@ -3182,6 +3221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_compact_latest": events_compact_latest,
         "events_ttl_scan": events_ttl_scan,
         "events_window_stats": events_window_stats,
+        "events_sliding_stats": events_sliding_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
         "orders_auto_increment": orders_auto_increment,
@@ -3236,6 +3276,7 @@ def oracle_sql() -> dict[str, str]:
         "events_compact_latest": _COMPACT_SQL,
         "events_ttl_scan": _TTL_SQL,
         "events_window_stats": _WINDOW_SQL,
+        "events_sliding_stats": _SLIDING_SQL,
         "events_topn_per_key": _TOPN_SQL,
         "events_num_keys": _NUMKEYS_SQL,
         "orders_auto_increment": _AUTOINC_SQL,
