@@ -1199,14 +1199,44 @@ FROM (SELECT DISTINCT event_id FROM events)
 
 def events_timelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S14 event/processing-time projection: (event millis, arrival seq)
-    for compaction analysis — deterministic arrival order by (ts, id)."""
+    for compaction analysis — deterministic arrival order by (ts, id).
+
+    A global sequence number WITHOUT a global single-partition sort: rank
+    within hour buckets (parallel windows over the big data), prefix-sum
+    only the per-bucket counts (a window over #hours rows, broadcast back).
+    The hour bucket is a prefix of the global sort key, so bucket-local rank
+    + bucket offset equals the global row_number — same output, but the
+    only unpartitioned window runs over thousands of rows, not the corpus.
+    """
     from pyspark.sql import Window
 
-    ev = _t(spark, sf_dir, "events")
-    return ev.select(
+    ev = _t(spark, sf_dir, "events").select(
         (F.col("ts").cast("double") * 1000).cast("long").alias("event_ms"),
         F.col("event_id"),
-    ).withColumn("arrival_seq", F.row_number().over(Window.orderBy(F.col("event_ms").asc(), F.col("event_id").asc())))
+        F.date_trunc("hour", "ts").alias("bkt"),
+    )
+    w_in = Window.partitionBy("bkt").orderBy(
+        F.col("event_ms").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("rk", F.row_number().over(w_in))
+    w_off = (
+        Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ev.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("off", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+        .select("bkt", "off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "bkt")
+        .select(
+            "event_ms",
+            "event_id",
+            (F.col("off") + F.col("rk")).cast("long").alias("arrival_seq"),
+        )
+    )
 
 
 _TIMELOG_SQL = """
