@@ -893,6 +893,47 @@ FROM (
 """
 
 
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 via the NATIVE session_window operator in batch: per-user sessions
+    merging events with gaps < 30 min; a gap of exactly 30 min starts a new
+    session (window is [ts, ts+gap)). The oracle replays the same semantics
+    as gaps-and-islands SQL (new session iff diff_us >= 1800e6), with the
+    session start emitted as a formatted string (never a raw timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+ids AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM flagged
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events
+FROM ids
+GROUP BY user_id, sid
+"""
+
+
+
 def orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: per order, count the same customer's other
     orders in the preceding 30 days (inequality join — Spark built-in the
@@ -3258,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
         "events_sessionize": events_sessionize,
+        "events_session_window_agg": events_session_window_agg,
         "orders_range_join": orders_range_join,
         "events_running_totals": events_running_totals,
         "events_changelog_apply": events_changelog_apply,
@@ -3314,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": _ROLLUP_SQL,
         "orders_cube": _CUBE_SQL,
         "events_sessionize": _SESSION_SQL,
+        "events_session_window_agg": _SESSION_WINDOW_SQL,
         "orders_range_join": _RANGE_JOIN_SQL,
         "events_running_totals": _RUNNING_SQL,
         "events_changelog_apply": _CHANGELOG_APPLY_SQL,
