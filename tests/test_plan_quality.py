@@ -167,3 +167,43 @@ def test_q21_exists_shapes_stay_hashed(spark):
     plan = executed_plan(e.q21_suppliers_kept_waiting(spark, SF))
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_training_pipeline_two_shuffles(spark):
+    """The composed training pipeline must stay at 2 shuffles: fingerprint
+    window + shard window; the final per-pack agg reuses the shard
+    partitioning and the hash split adds no exchange."""
+    assert n_exchanges(e.pipeline_training_corpus(spark, SF)) <= 2
+
+
+def test_lsh_search_zero_shuffle_broadcast_probe(spark):
+    """Multi-probe LSH read: candidates join against a BROADCAST probe set —
+    no hash exchange anywhere before the top-k."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    df = e.emb_lsh_search(spark, SF)
+    assert n_exchanges(df) == 0
+    assert "BroadcastHashJoin" in executed_plan(df)
+
+
+def test_timelog_has_no_global_sort_over_raw_events(spark):
+    """events_timelog's only unpartitioned window runs over per-hour bucket
+    counts; the raw events window must be partitioned by bucket."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    plan = executed_plan(e.events_timelog(spark, SF))
+    # every Window over event rows is partitioned (bkt#... in partition spec)
+    for line in plan.splitlines():
+        if "Window [" in line and "windowspecdefinition()" in line:
+            raise AssertionError(f"unpartitioned window over events: {line}")
+
+
+def test_winnow_pair_join_capped(spark):
+    """dedup_winnow_pairs joins only df<=3 fingerprints — the plan must be
+    hash joins end to end (no nested loop) within 3 shuffles."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    df = e.dedup_winnow_pairs(spark, SF)
+    assert n_exchanges(df) <= 3
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
