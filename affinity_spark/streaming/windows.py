@@ -34,3 +34,31 @@ def tumbling_counts(
             F.col("n"),
         )
     )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Sliding (hopping) event-time window counts: each event lands in
+    window_duration/slide overlapping windows (batch analog:
+    ``events_sliding_stats``). State is bounded by the watermark exactly as
+    in the tumbling form — the extra cost of overlap is one state row per
+    hop, not per event."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration, slide).alias("w"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            F.col("n"),
+        )
+    )

@@ -304,3 +304,50 @@ def test_latest_n_stream_ring_buffer(spark, tmp_path):
         assert latest[2] == ["x"]
     finally:
         q.stop()
+
+
+def test_sliding_window_counts_each_event_in_two_hops(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from affinity_spark.streaming.windows import sliding_counts
+
+    src = str(tmp_path / "slide_src")
+    _os.makedirs(src)
+    rows = [
+        {"ts": "2024-03-01 10:05:00", "k": "a"},
+        {"ts": "2024-03-01 10:50:00", "k": "a"},
+        {"ts": "2024-03-01 11:10:00", "k": "b"},
+    ]
+    with open(_os.path.join(src, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = (
+        spark.readStream.schema("ts string, k string")
+        .json(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = sliding_counts(stream, "ts", "k", "2 hours", "1 hour", "10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (str(r.window_start), r.k): r.n
+            for r in spark.sql("SELECT * FROM slide_sink").collect()
+        }
+    finally:
+        q.stop()
+    # both 10:xx 'a' events: hop windows 09:00-11:00 and 10:00-12:00
+    assert got[("2024-03-01 09:00:00", "a")] == 2
+    assert got[("2024-03-01 10:00:00", "a")] == 2
+    # the 11:10 'b' event: windows 10:00-12:00 and 11:00-13:00
+    assert got[("2024-03-01 10:00:00", "b")] == 1
+    assert got[("2024-03-01 11:00:00", "b")] == 1
+    # each event in exactly 2 hops -> total count doubles the input
+    assert sum(got.values()) == 2 * len(rows)
