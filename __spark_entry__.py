@@ -1466,11 +1466,14 @@ def text_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     fps = winnow_fingerprints(F.col("text"), k=7, w=4)
-    return docs.select(
+    # materialize the O(n*k) fingerprint array ONCE behind an alias:
+    # CollapseProject won't inline a non-cheap expression referenced twice,
+    # so size + digest both read the computed array (shared-subexpr trap).
+    return docs.select("doc_id", fps.alias("fps")).select(
         "doc_id",
-        F.size(fps).cast("long").alias("n_fps"),
+        F.size("fps").cast("long").alias("n_fps"),
         F.md5(
-            F.array_join(F.transform(fps, lambda x: x.cast("string")), ",")
+            F.array_join(F.transform("fps", lambda x: x.cast("string")), ",")
         ).alias("fp_digest"),
     )
 
@@ -2272,10 +2275,10 @@ def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-side projection + one small agg; bucket math is integer so both
     engines bin identically."""
     docs = _t(spark, sf_dir, "documents")
-    nt = token_count(F.col("text"))
-    bucket = F.least(nt / F.lit(50), F.lit(19)).cast("long")
+    nt = token_count(F.col("text")).cast("long")
     return (
-        docs.select(bucket.alias("bucket"))
+        docs.select(nt.alias("nt"))
+        .select(F.expr("least(nt div 50, 19L)").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -3236,12 +3239,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for the driver's time-budgeted CORRECTNESS pass: the
-    # flagship first, then every query with no driver row yet (r2-new
-    # shapes + the five the r1 run never reached), then the veterans
-    # that were driver-green in round 1.
+    # Ordered for the driver's time-budgeted CORRECTNESS pass (~50 rows):
+    # 1) flagship; 2-6) the five queries with no driver row in ANY round
+    # (r2 budget cut at 50 before reaching them); 7-38) the 32 queries
+    # whose only driver row predates the r2 testdata regeneration; then
+    # the r2-green queries, freshest evidence last.
     return {
         "q1_pricing_summary": q1_pricing_summary,
+        "events_sessionize": events_sessionize,
+        "events_running_totals": events_running_totals,
+        "events_sliding_stats": events_sliding_stats,
+        "events_session_window_agg": events_session_window_agg,
+        "events_partition_routing": events_partition_routing,
+        "events_window_stats": events_window_stats,
+        "events_topn_per_key": events_topn_per_key,
+        "events_num_keys": events_num_keys,
+        "orders_auto_increment": orders_auto_increment,
+        "asof_last_order_before_event": asof_last_order_before_event,
+        "orders_rollup": orders_rollup,
+        "orders_range_join": orders_range_join,
+        "events_changelog_apply": events_changelog_apply,
+        "docs_blob_metadata": docs_blob_metadata,
+        "docs_feature_stub": docs_feature_stub,
+        "events_json_extract": events_json_extract,
+        "events_xml_decode": events_xml_decode,
+        "events_uuid_codec": events_uuid_codec,
+        "events_timelog": events_timelog,
+        "join_enrich_events": join_enrich_events,
+        "mktsegment_revenue": mktsegment_revenue,
+        "set_ops_customers": set_ops_customers,
+        "scatter_gather_totals": scatter_gather_totals,
+        "distinct_event_types": distinct_event_types,
+        "index_word_lookup": index_word_lookup,
+        "word_count": word_count,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact_groups": dedup_exact_groups,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "emb_knn_brute": emb_knn_brute,
+        "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
         "emb_lsh_buckets": emb_lsh_buckets,
         "emb_ivf_assign": emb_ivf_assign,
         "mktsegment_revenue_salted": mktsegment_revenue_salted,
@@ -3291,43 +3332,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_prefix_timerange": events_prefix_timerange,
         "events_compact_latest": events_compact_latest,
         "events_ttl_scan": events_ttl_scan,
-        "events_window_stats": events_window_stats,
-        "events_sliding_stats": events_sliding_stats,
-        "events_topn_per_key": events_topn_per_key,
-        "events_num_keys": events_num_keys,
-        "orders_auto_increment": orders_auto_increment,
-        "asof_last_order_before_event": asof_last_order_before_event,
-        "orders_rollup": orders_rollup,
-        "events_sessionize": events_sessionize,
-        "events_session_window_agg": events_session_window_agg,
-        "orders_range_join": orders_range_join,
-        "events_running_totals": events_running_totals,
-        "events_changelog_apply": events_changelog_apply,
-        "docs_blob_metadata": docs_blob_metadata,
-        "docs_feature_stub": docs_feature_stub,
-        "events_json_extract": events_json_extract,
-        "events_xml_decode": events_xml_decode,
-        "events_uuid_codec": events_uuid_codec,
-        "events_timelog": events_timelog,
-        "events_partition_routing": events_partition_routing,
-        "join_enrich_events": join_enrich_events,
-        "mktsegment_revenue": mktsegment_revenue,
-        "set_ops_customers": set_ops_customers,
-        "scatter_gather_totals": scatter_gather_totals,
-        "distinct_event_types": distinct_event_types,
-        "index_word_lookup": index_word_lookup,
-        "word_count": word_count,
-        "text_token_count": text_token_count,
-        "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
-        "dedup_exact_groups": dedup_exact_groups,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_simhash": dedup_simhash,
-        "emb_knn_brute": emb_knn_brute,
-        "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
     }
 
 def oracle_sql() -> dict[str, str]:

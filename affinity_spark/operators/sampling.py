@@ -21,8 +21,8 @@ Scale notes (100 TB):
   the context boundary, exactly what a block-packed training loader does.
 
 Reference intent: the reference has no training-pipeline layer (its analogue
-is the per-key deterministic murmur2 routing, e.g.
-``core/src/main/scala/io/amient/affinity/core/util/ObjectHashPartitioner.scala``);
+is the per-key deterministic murmur2 routing,
+``api/src/main/java/io/amient/affinity/core/Murmur2Partitioner.java:24-31``);
 the determinism contract here mirrors that routing-stability requirement.
 """
 
@@ -113,9 +113,13 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum(F.col(tokens_col)).over(w)
-    return df.withColumn(
-        "pack_id",
-        ((cum - F.col(tokens_col)) / F.lit(context_tokens)).cast("long"),
+    # integer `div`, not double division: for non-power-of-two context
+    # sizes a double quotient can land on the wrong side of an integer
+    # boundary vs the oracle's `//` once cumulative sums grow large.
+    return (
+        df.withColumn("_cum_prev", (cum - F.col(tokens_col)).cast("long"))
+        .withColumn("pack_id", F.expr(f"_cum_prev div {int(context_tokens)}L"))
+        .drop("_cum_prev")
     )
 
 

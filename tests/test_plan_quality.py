@@ -186,16 +186,63 @@ def test_lsh_search_zero_shuffle_broadcast_probe(spark):
     assert "BroadcastHashJoin" in executed_plan(df)
 
 
+def _window_specs(plan: str) -> list[list[str]]:
+    """Top-level argument lists of every windowspecdefinition(...) in a plan
+    string (paren-matched, so nested specifiedwindowframe(...) stays one arg)."""
+    specs = []
+    i = 0
+    marker = "windowspecdefinition("
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            break
+        k = j + len(marker)
+        depth, start, args, buf = 1, k, [], []
+        while depth:
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            if depth == 1 and c == "," :
+                args.append("".join(buf).strip())
+                buf = []
+            elif depth:
+                buf.append(c)
+            k += 1
+        if buf:
+            args.append("".join(buf).strip())
+        specs.append(args)
+        i = k
+    return specs
+
+
 def test_timelog_has_no_global_sort_over_raw_events(spark):
     """events_timelog's only unpartitioned window runs over per-hour bucket
-    counts; the raw events window must be partitioned by bucket."""
+    counts; any window ordering raw event rows (event_ms/event_id) must be
+    partitioned by the hour bucket."""
     from affinity_spark.plans.introspect import executed_plan
 
     plan = executed_plan(e.events_timelog(spark, SF))
-    # every Window over event rows is partitioned (bkt#... in partition spec)
-    for line in plan.splitlines():
-        if "Window [" in line and "windowspecdefinition()" in line:
-            raise AssertionError(f"unpartitioned window over events: {line}")
+    specs = _window_specs(plan)
+    assert specs, "expected windowspecdefinition nodes in the timelog plan"
+    for args in specs:
+        # partition columns are the args before the first ordering arg
+        part = [a for a in args if " ASC" not in a and " DESC" not in a
+                and not a.startswith("specifiedwindowframe")]
+        order = [a for a in args if " ASC" in a or " DESC" in a]
+        over_events = any("event_ms" in a or "event_id" in a for a in order)
+        if over_events and not part:
+            raise AssertionError(
+                f"unpartitioned window over raw events: {args}")
+    # self-check: the guard must actually have seen the events window
+    # (a plan with no event-ordered window at all means the query changed
+    # shape and this test needs updating, not silently passing)
+    assert any(
+        any(("event_ms" in a or "event_id" in a) and (" ASC" in a or " DESC" in a)
+            for a in args)
+        for args in specs
+    ), "no window orders raw events — guard is stale"
 
 
 def test_winnow_pair_join_capped(spark):
