@@ -1205,6 +1205,83 @@ SELECT event_id, event_id AS xml_id, event_type AS xml_type FROM events
 """
 
 
+_AVRO_V1 = """{"type":"record","name":"Ev","fields":[
+  {"name":"id","type":"long"},
+  {"name":"etype","type":"string"},
+  {"name":"cents","type":"int"}]}"""
+_AVRO_V2 = """{"type":"record","name":"Ev","fields":[
+  {"name":"id","type":"long"},
+  {"name":"kind","type":"string"},
+  {"name":"cents","type":"long"},
+  {"name":"source","type":"string"}]}"""
+_AVRO_READER = """{"type":"record","name":"Ev","fields":[
+  {"name":"id","type":"long"},
+  {"name":"etype","type":"string","aliases":["kind"]},
+  {"name":"cents","type":"long"},
+  {"name":"source","type":"string","default":"unknown"}]}"""
+
+
+def events_avro_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full AvroSerde read path with NO spark-avro jar (reference
+    AvroSerde.scala:123-173 + AvroProjectionSpec.scala): events are encoded
+    to REAL Avro binary in executors under two writer schemas (v1 for even
+    ids — int cents, 'etype'; v2 for odd ids — long cents, renamed 'kind',
+    extra 'source'), enveloped [magic 0][BE schema id], then decoded back
+    through decode_enveloped's pure-python engine, which resolves both
+    writers onto one reader shape (alias match, int->long promotion,
+    reader default). The oracle recomputes the expected field values in
+    SQL, so the value hash certifies the entire binary round trip."""
+    from affinity_spark.functions.avro_envelope import (
+        SchemaRegistry,
+        decode_enveloped,
+        encode_enveloped_python,
+    )
+
+    reg = SchemaRegistry()
+    sid1, sid2 = reg.register(_AVRO_V1), reg.register(_AVRO_V2)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    even = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("etype"),
+            F.col("cents").cast("int").alias("cents"),
+        ).alias("rec")
+    )
+    odd = ev.filter(F.col("event_id") % 2 == 1).select(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.col("event_type").alias("kind"),
+            F.col("cents"),
+            F.lit("stream-v2").alias("source"),
+        ).alias("rec")
+    )
+    log = (
+        encode_enveloped_python(even, "rec", reg, sid1)
+        .select("value")
+        .unionByName(encode_enveloped_python(odd, "rec", reg, sid2).select("value"))
+    )
+    out = decode_enveloped(log, "value", reg, _AVRO_READER, engine="auto")
+    return out.select(
+        F.col("record.id").alias("event_id"),
+        F.col("record.etype").alias("etype"),
+        F.col("record.cents").alias("cents"),
+        F.col("record.source").alias("source"),
+    )
+
+
+_AVRO_SQL = """
+SELECT event_id,
+       event_type AS etype,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       CASE WHEN event_id % 2 = 1 THEN 'stream-v2' ELSE 'unknown' END AS source
+FROM events
+"""
+
+
 def events_uuid_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F4 UUID <-> 16-byte fixed codec: deterministic uuid from md5 of the
     key, hyphen-formatted, and its 16-byte binary length — the reference's
@@ -3251,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_stats": events_sliding_stats,
         "events_session_window_agg": events_session_window_agg,
         "events_partition_routing": events_partition_routing,
+        "events_avro_decode": events_avro_decode,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -3370,6 +3448,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": _JSON_SQL,
         "events_xml_decode": _XML_SQL,
         "events_uuid_codec": _UUID_SQL,
+        "events_avro_decode": _AVRO_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

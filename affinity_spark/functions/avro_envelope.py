@@ -10,9 +10,11 @@ unhex/concat — all whole-stage-codegen'd, no UDF), and ``SchemaRegistry``
 is the id→schema mapping used to group rows by writer schema before a
 per-schema ``from_avro`` decode.
 
-``from_avro``/``to_avro`` live in the optional spark-avro artifact; decode
-helpers gate on its presence (``avro_available()``) so the envelope layer
-works — and is tested — without it.
+``from_avro``/``to_avro`` live in the optional spark-avro artifact; when the
+jar is absent (it is in this env), ``decode_enveloped`` falls back to the
+pure-python Avro binary codec (``avro_binary.py``) over Arrow-batched
+``mapInPandas`` — same envelope split, same writer→reader resolution
+semantics, executable end-to-end with no jar and no external lib.
 """
 
 from __future__ import annotations
@@ -258,6 +260,98 @@ def invalid_envelopes(df: DataFrame, value_col: str, registry: SchemaRegistry) -
     )
 
 
+def encode_enveloped_python(
+    df: DataFrame,
+    record_col: str,
+    registry: SchemaRegistry,
+    schema_id: int,
+    out_col: str = "value",
+) -> DataFrame:
+    """Encode a struct column to enveloped Avro binary with the pure-python
+    codec (``avro_binary.encode_datum``): [magic 0][4-byte BE schema id]
+    [avro binary of the record under the registry's writer schema]. Runs in
+    executors via Arrow-batched ``mapInPandas`` — the producer half of the
+    no-jar path, bit-compatible with ``python_wrap``/``wrap_envelope``."""
+    from pyspark.sql.types import StructField, StructType, BinaryType
+
+    from .avro_binary import encode_datum
+
+    schema_json = registry.schema(schema_id)
+    header = struct.pack(">bI", MAGIC_BYTE, schema_id)
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(out_col, BinaryType())]
+    )
+
+    def _encode(batches):
+        writer = json.loads(schema_json)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                header + encode_datum(writer, rec) for rec in pdf[record_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_encode, out_schema)
+
+
+def decode_enveloped_python(
+    df: DataFrame,
+    value_col: str,
+    registry: SchemaRegistry,
+    reader_schema_json: str,
+    out_col: str = "record",
+    on_invalid: str = "fail",
+) -> DataFrame:
+    """No-jar twin of ``decode_enveloped``: per-row envelope split + Avro
+    binary decode with the row's writer schema + resolution onto the reader
+    schema, all inside one Arrow-batched ``mapInPandas`` (no per-schema
+    union — the schema dispatch is a dict lookup per row, so a log with
+    many writer schemas costs one pass regardless)."""
+    from pyspark.sql.types import StructField, StructType
+
+    from .avro_binary import decode_datum, resolve_datum
+
+    if on_invalid not in ("fail", "drop"):
+        raise ValueError("on_invalid must be 'fail' or 'drop'")
+    schemas = {sid: registry.schema(sid) for sid in registry.ids()}
+    if not schemas:
+        raise ValueError("registry has no schemas")
+    out_type = StructType.fromDDL(
+        f"`{out_col}` {spark_type_for(json.loads(reader_schema_json))}"
+    ).fields[0].dataType
+    out_schema = StructType(
+        [f for f in df.schema.fields] + [StructField(out_col, out_type)]
+    )
+
+    def _decode(batches):
+        import pandas as pd
+
+        writers = {sid: json.loads(js) for sid, js in schemas.items()}
+        reader = json.loads(reader_schema_json)
+        for pdf in batches:
+            recs, keep = [], []
+            for i, v in enumerate(pdf[value_col]):
+                b = bytes(v)
+                sid = int.from_bytes(b[1:5], "big") if len(b) >= 5 else None
+                if len(b) < 5 or b[0] != MAGIC_BYTE or sid not in writers:
+                    if on_invalid == "fail":
+                        raise ValueError(
+                            "invalid avro envelope (magic/schema-id): "
+                            f"0x{b[:5].hex()}"
+                        )
+                    continue
+                datum, _ = decode_datum(writers[sid], b, 5)
+                recs.append(resolve_datum(writers[sid], reader, datum))
+                keep.append(i)
+            out = pdf.iloc[keep].copy() if len(keep) != len(pdf) else pdf.copy()
+            # explicit object dtype: an empty batch would otherwise default
+            # to float64 and fail the Arrow struct conversion
+            out[out_col] = pd.Series(recs, index=out.index, dtype="object")
+            yield out
+
+    return df.mapInPandas(_decode, out_schema)
+
+
 def decode_enveloped(
     df: DataFrame,
     value_col: str,
@@ -265,6 +359,7 @@ def decode_enveloped(
     reader_schema_json: str,
     out_col: str = "record",
     on_invalid: str = "fail",
+    engine: str = "auto",
 ) -> DataFrame:
     """Split by writer schema id, from_avro-decode each group with its
     registry (writer) schema, then project every group onto
@@ -277,15 +372,24 @@ def decode_enveloped(
     excludes them (route them to a dead-letter sink via
     ``invalid_envelopes`` first).
 
-    Requires spark-avro (``avro_available()``); the envelope split and the
-    projection itself (``project_to_reader``) never do.
+    ``engine``: ``"jvm"`` (spark-avro ``from_avro``, whole-stage codegen),
+    ``"python"`` (``decode_enveloped_python`` — no jar needed), or
+    ``"auto"`` (jvm when ``avro_available()``, else python).
     """
     if on_invalid not in ("fail", "drop"):
         raise ValueError("on_invalid must be 'fail' or 'drop'")
+    if engine not in ("auto", "jvm", "python"):
+        raise ValueError("engine must be 'auto', 'jvm' or 'python'")
+    if engine == "auto":
+        engine = "jvm" if avro_available(df.sparkSession) else "python"
+    if engine == "python":
+        return decode_enveloped_python(
+            df, value_col, registry, reader_schema_json, out_col, on_invalid
+        )
     if not avro_available(df.sparkSession):
         raise ImportError(
             "spark-avro is not on the classpath; envelope split functions "
-            "work without it, full decode does not"
+            "work without it, jvm decode does not (use engine='python')"
         )
     from pyspark.sql.avro.functions import from_avro
 

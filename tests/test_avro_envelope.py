@@ -62,17 +62,24 @@ def test_registry_dedups_canonical():
     assert reg.ids() == [a, c]
 
 
-def test_decode_gates_on_spark_avro(spark):
+def test_decode_jvm_engine_gates_on_spark_avro(spark):
+    """engine='jvm' still gates on the jar; engine='auto' falls back to the
+    pure-python codec and decodes regardless."""
+    from affinity_spark.functions.avro_binary import encode_datum
     from affinity_spark.functions.avro_envelope import decode_enveloped
 
     reg = SchemaRegistry()
-    reg.register('{"type": "string"}')
-    df = spark.createDataFrame([(python_wrap(1, b"x"),)], "v binary")
+    schema = '{"type":"record","name":"S","fields":[{"name":"s","type":"string"}]}'
+    reg.register(schema)
+    payload = encode_datum({"type": "record", "name": "S",
+                            "fields": [{"name": "s", "type": "string"}]},
+                           {"s": "x"})
+    df = spark.createDataFrame([(python_wrap(1, payload),)], "v binary")
     if not avro_available(spark):
         with pytest.raises(ImportError):
-            decode_enveloped(df, "v", reg, '{"type": "string"}')
-    else:  # pragma: no cover - environment-dependent
-        assert decode_enveloped(df, "v", reg, '{"type": "string"}').count() == 1
+            decode_enveloped(df, "v", reg, schema, engine="jvm").collect()
+    rows = decode_enveloped(df, "v", reg, schema, engine="auto").collect()
+    assert rows[0].record.s == "x"
 
 
 def test_serde_throughput_floor():
