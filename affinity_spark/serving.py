@@ -1,0 +1,143 @@
+"""Transport-free serving gateway: the reference's query surface without HTTP.
+
+The reference's primary entry point is an HTTP/WS gateway over partitioned
+state — point gets, prefix/range scans and per-key subscriptions
+(``core/src/main/scala/io/amient/affinity/core/actor/GatewayHttp.scala:50-111,
+220-330``, ``ws-client/``; behavior pinned by
+``examples/example-range-lookups/src/test/scala/io/amient/affinity/example/
+ExampleBankSpec.scala:75-178`` — account reads, branch reads, time cutoffs).
+SURVEY descopes the transport itself; this shim closes the entry point: ONE
+python class exposing the same three operations over a
+:class:`~affinity_spark.sources.keyed_table.KeyedTable` (or any keyed
+DataFrame), returning plain python rows the way a handler would serialize
+them.
+
+Serving contract notes:
+- ``point_get``/``prefix_range`` COLLECT — this is the serving path, where
+  results are key-bounded (an account's transactions, a branch's day), the
+  same contract as ``kv.range_materialize``. The analytical path stays
+  DataFrame-shaped via the underlying operators.
+- ``subscribe`` is a generator over a changelog STREAM filtered to one key
+  — the ws-client's key subscription (initial state, then every update in
+  arrival order). The filter is pushed into the stream before the sink, so
+  a subscription costs a predicate, not a full materialization, no matter
+  how wide the log is.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from typing import Iterator, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from affinity_spark.operators.kv import point_get, prefix_scan
+from affinity_spark.timerange import TimeRange
+
+
+class Subscription:
+    """Handle for one per-key changelog subscription: ``take(n)`` blocks
+    for the next n events; ``stop()`` tears the stream down."""
+
+    def __init__(self, query, buffer: deque, lock: threading.Lock):
+        self._query = query
+        self._buffer = buffer
+        self._lock = lock
+
+    def take(self, n: int, timeout_s: float = 20.0) -> list[dict]:
+        out: list[dict] = []
+        deadline = time.monotonic() + timeout_s
+        while len(out) < n:
+            with self._lock:
+                while self._buffer and len(out) < n:
+                    out.append(self._buffer.popleft())
+            if len(out) < n:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"subscription delivered {len(out)}/{n} events in {timeout_s}s"
+                    )
+                self._query.processAllAvailable()
+                time.sleep(0.05)
+        return out
+
+    def events(self, timeout_s: float = 20.0) -> Iterator[dict]:
+        """Generator view: yields events one at a time until ``stop()``."""
+        while self._query.isActive:
+            yield self.take(1, timeout_s)[0]
+
+    def stop(self) -> None:
+        self._query.stop()
+
+
+class ServingGateway:
+    """Point-get + prefix/range + per-key subscribe over keyed state."""
+
+    def __init__(self, table=None, df: DataFrame | None = None, ts_col: str | None = None,
+                 ts_unit: str = "millis"):
+        if (table is None) == (df is None):
+            raise ValueError("exactly one of table= or df= is required")
+        self._table = table
+        self._df = df
+        self._ts_col = ts_col if table is None else table.ts_col
+        self._ts_unit = ts_unit
+
+    def _frame(self) -> DataFrame:
+        return self._df if self._table is None else self._table.read()
+
+    # -- request handlers (what an HTTP route would call) -------------------
+
+    def point_get(self, key: Mapping[str, object]) -> list[dict]:
+        """GET /{table}/{full key}: the rows for exactly one key."""
+        return [r.asDict() for r in point_get(self._frame(), key).collect()]
+
+    def prefix_range(
+        self,
+        prefix: Mapping[str, object],
+        time_range: TimeRange | None = None,
+    ) -> list[dict]:
+        """GET /{table}/{key prefix}[?from=..&until=..]: all rows under a
+        key prefix, optionally time-bounded (the branch reads of
+        ExampleBankSpec)."""
+        rows = prefix_scan(
+            self._frame(), prefix, time_range, self._ts_col, self._ts_unit
+        )
+        return [r.asDict() for r in rows.collect()]
+
+    def subscribe(
+        self,
+        changes: DataFrame,
+        key: Mapping[str, object],
+        checkpoint_dir: str,
+        include_initial: bool = True,
+    ) -> Subscription:
+        """Per-key subscription over a streaming changelog DataFrame: the
+        current state for the key first (ws-client semantics), then every
+        subsequent change to that key in arrival order."""
+        if not changes.isStreaming:
+            raise ValueError("subscribe() needs a streaming DataFrame")
+        buffer: deque = deque()
+        lock = threading.Lock()
+        if include_initial:
+            with lock:
+                buffer.extend(self.point_get(key))
+        cond = None
+        for col, val in key.items():
+            c = F.col(col) == F.lit(val)
+            cond = c if cond is None else cond & c
+        filtered = changes.filter(cond) if cond is not None else changes
+
+        def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+            rows = [r.asDict() for r in batch_df.collect()]
+            with lock:
+                buffer.extend(rows)
+
+        query = (
+            filtered.writeStream.outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .foreachBatch(_sink)
+            .start()
+        )
+        return Subscription(query, buffer, lock)
