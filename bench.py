@@ -72,8 +72,93 @@ def sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+# Executor/scheduler noise that is known-benign in this harness: accumulator
+# updates arriving from stages AQE already cancelled/replanned race the
+# DAGScheduler and print a stack trace without affecting any result (the
+# BENCH_r02 tail). Anything trace-shaped NOT matching these fails the run
+# loudly instead of hiding in a log.
+_BENIGN_STDERR = (
+    "updateAccumulators",
+    "TaskKilled",
+    "another attempt succeeded",
+    "Stage cancelled",
+    "SparkContext was shut down",
+)
+
+
+def _trace_shaped(line: str) -> bool:
+    return (
+        " ERROR " in line
+        or "Exception" in line
+        or "Error:" in line
+        or line.lstrip().startswith("at ")
+        or line.startswith("Caused by")
+    )
+
+
+def classify_stderr(text: str) -> tuple[str, list[str]]:
+    """('clean'|'benign'|'unexpected', offending lines).
+
+    Trace-shaped lines are grouped into blocks (a new log ERROR header or
+    any non-trace line starts a new block); a block is benign when any of
+    its lines matches a known-benign pattern — the whole trace belongs to
+    that scheduler event, frames included."""
+    blocks: list[list[str]] = []
+    current: list[str] | None = None
+    for line in text.splitlines():
+        if not _trace_shaped(line):
+            current = None
+            continue
+        if " ERROR " in line or current is None:
+            current = [line]
+            blocks.append(current)
+        else:
+            current.append(line)
+    bad = [b for b in blocks if not any(p in l for l in b for p in _BENIGN_STDERR)]
+    if bad:
+        return "unexpected", [l for b in bad for l in b][:20]
+    return ("benign", []) if blocks else ("clean", [])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Capture fd-2 for the whole run (the JVM writes log4j + executor traces
+    # straight to it) so traces are classified, not silently interleaved.
+    import tempfile
+
+    saved_stderr = os.dup(2)
+    capture = tempfile.NamedTemporaryFile(
+        mode="w+", prefix="bench-stderr-", suffix=".log", delete=False
+    )
+    os.dup2(capture.fileno(), 2)
+    try:
+        payload = _run(sf_dir)
+    finally:
+        sys.stderr.flush()
+        os.dup2(saved_stderr, 2)
+        os.close(saved_stderr)
+    capture.seek(0)
+    text = capture.read()
+    capture.close()
+    verdict, lines = classify_stderr(text)
+    payload["stderr_classification"] = verdict
+    print(json.dumps(payload))
+    if verdict == "benign":
+        print(
+            "bench stderr: known-benign scheduler trace "
+            "(cancelled-stage accumulator update)",
+            file=sys.stderr,
+        )
+    elif verdict == "unexpected":
+        print("bench stderr: UNEXPECTED executor/scheduler errors:", file=sys.stderr)
+        for line in lines:
+            print(f"  {line}", file=sys.stderr)
+        print(f"full capture: {capture.name}", file=sys.stderr)
+        sys.exit(2)
+    os.unlink(capture.name)
+
+
+def _run(sf_dir: str) -> dict:
     spark = get_spark(app_name="affinity-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
@@ -107,19 +192,15 @@ def main() -> None:
         extended[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(sf_dir),
-                "extended_total": round(sum(extended.values()), 3),
-                "extended": extended,
-            }
-        )
-    )
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+        "extended_total": round(sum(extended.values()), 3),
+        "extended": extended,
+    }
 
 
 if __name__ == "__main__":
