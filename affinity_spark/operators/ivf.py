@@ -47,21 +47,26 @@ def train_centroids(
         .collect()
     ]
     centroids = seeds
-    dim = len(seeds[0])
     for _ in range(n_iter):
         assigned = assign(emb, centroids, id_col, vec_col)
-        sums = (
-            assigned.select("cell", F.col(vec_col).cast("array<double>").alias("v"))
-            .groupBy("cell")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        # per-(cell, dimension) sums via posexplode — NOT one agg column per
+        # dimension: a dim-wide agg list blows past codegen method limits at
+        # dim >= ~1k and falls back to interpreted eval. Two agg expressions
+        # regardless of dim; map-side partial agg keeps the shuffle at
+        # k*dim entries per task either way. Collected result is k*dim rows
+        # (the codebook — tiny by design).
+        rows = (
+            assigned.select(
+                "cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x"),
             )
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        new_centroids = list(centroids)
-        for row in sums:
-            new_centroids[row.cell] = [row[f"s{i}"] / row.n for i in range(dim)]
+        new_centroids = [list(c) for c in centroids]
+        for row in rows:
+            new_centroids[row.cell][row.pos] = row.s / row.n
         centroids = new_centroids
     return centroids
 

@@ -64,3 +64,36 @@ def test_search_nprobe_widens(spark):
     narrow = search(assigned, cents, [5.0, 5.0, 0.1], 30, nprobe=1).count()
     wide = search(assigned, cents, [5.0, 5.0, 0.1], 30, nprobe=2).count()
     assert narrow == 10 and wide == 20  # each extra probe adds one cell
+
+
+def test_training_agrees_with_numpy_lloyd(spark):
+    """The posexplode training form computes exactly deterministic Lloyd
+    steps: agree bit-for-bit with a python/numpy model on the same seeds."""
+    import numpy as np
+
+    emb = _clustered(spark)
+    got = train_centroids(emb, 3, n_iter=3)
+    data = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    X = np.array([data[i] for i in sorted(data)])
+    cents = X[:3].astype(float).copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        for c in range(3):
+            if (cell == c).any():
+                cents[c] = X[cell == c].mean(axis=0)
+    assert np.allclose(np.array(got), cents)
+
+
+def test_training_survives_wide_dims(spark):
+    """dim=1024 smoke: the agg stays two expressions regardless of width
+    (the old one-column-per-dimension form died past codegen limits here)."""
+    dim, n = 1024, 40
+    rows = [
+        (i, [float((i * 31 + d * 7) % 13) for d in range(dim)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = train_centroids(emb, 4, n_iter=1)
+    assert len(cents) == 4 and all(len(c) == dim for c in cents)
+    assigned = assign(emb, cents)
+    assert assigned.count() == n
