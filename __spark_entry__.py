@@ -1728,6 +1728,88 @@ WHERE 2 * n_common >= (sa.n + sb.n - n_common)
 """
 
 
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile style): training docs sharing
+    a word n-gram with the held-out eval slice (doc_id % 97 == 0) are
+    flagged. n=4 here — the synthetic corpus's small vocabulary means
+    13-grams (the production default) never repeat across docs; the
+    operator takes n as a parameter. Broadcast semi-join: zero shuffle
+    over the training corpus."""
+    from affinity_spark.operators.decontam import contamination_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_hits(train, eval_docs, "doc_id", "text", n=4)
+
+
+_DECONTAM_SQL = """
+WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 0) + 1),
+               i -> array_to_string(t[i:i+3], ' ')))) AS gram
+      FROM d WHERE len(t) >= 4),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, count(*) AS n
+         FROM g JOIN e USING (gram) WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (word-repetition family, Rae et al. 2021):
+    integer mean-word-length and top-token-dominance signals plus the pass
+    flag. Thresholds picked from this corpus's distributions (mwl_x100
+    370-530, top_token_bp 515-3000, n_words 10-99) so both outcomes
+    occur. Zero shuffle: every signal is map-side."""
+    from affinity_spark.functions.text import gopher_rule_struct
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id", gopher_rule_struct(F.col("text")).alias("g"))
+    out = g.select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        F.col("g.mean_word_len_x100").alias("mwl_x100"),
+        F.col("g.top_token_bp").alias("top_token_bp"),
+    )
+    passes = (
+        (F.col("n_words") >= 20)
+        & F.col("mwl_x100").between(300, 1000)
+        & (F.col("top_token_bp") <= 1500)
+    )
+    return out.withColumn("quality_pass", passes)
+
+
+_GOPHER_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(t, w -> len(w))), 0) * 100
+              // greatest(len(t), 1) AS BIGINT) AS mwl_x100,
+         CAST(COALESCE(list_max(list_transform(list_distinct(t),
+                w -> len(list_filter(t, x -> x = w)))), 0) * 10000
+              // greatest(len(t), 1) AS BIGINT) AS top_token_bp
+  FROM toks
+)
+SELECT doc_id, n_words, mwl_x100, top_token_bp,
+       (n_words >= 20 AND mwl_x100 BETWEEN 300 AND 1000
+        AND top_token_bp <= 1500) AS quality_pass
+FROM m
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprints (integer math, engine-portable)."""
     docs = _t(spark, sf_dir, "documents")
@@ -3329,6 +3411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window_agg": events_session_window_agg,
         "events_partition_routing": events_partition_routing,
         "events_avro_decode": events_avro_decode,
+        "docs_decontaminate": docs_decontaminate,
+        "docs_gopher_rules": docs_gopher_rules,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -3449,6 +3533,8 @@ def oracle_sql() -> dict[str, str]:
         "events_xml_decode": _XML_SQL,
         "events_uuid_codec": _UUID_SQL,
         "events_avro_decode": _AVRO_SQL,
+        "docs_decontaminate": _DECONTAM_SQL,
+        "docs_gopher_rules": _GOPHER_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

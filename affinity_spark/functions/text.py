@@ -189,3 +189,54 @@ def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
         F.length(norm) >= F.lit(k + w - 1),
         F.array_sort(F.array_distinct(mins)),
     ).otherwise(F.array().cast("array<bigint>"))
+
+
+def _int_div(a: Column, b: Column) -> Column:
+    """Exact integer division on columns (HOF-safe, unlike F.expr("div")):
+    the numerator is reduced to an exact multiple first, so the double
+    quotient is exact for any value below 2^53."""
+    return F.when(b > 0, ((a - a % b) / b).cast("long")).otherwise(F.lit(0).cast("long"))
+
+
+def gopher_rule_struct(text: Column) -> Column:
+    """Gopher-style repetition/shape rules as ONE struct column of INTEGER
+    fields (engine-
+    portable: integer division, never float ratios — the repo's
+    hash-compare rule). Signals complementing ``quality_columns``: mean
+    word length (x100) and top-token dominance (basis points) — the
+    word-repetition family of the Gopher quality filters (Rae et al. 2021,
+    public).
+
+    All map-side, zero shuffle: the top-token count is a max over the
+    doc's OWN distinct tokens (O(distinct x n) per row) — at corpus scale
+    this beats an explode + two-shuffle groupBy whenever document
+    vocabulary is bounded, which is exactly the regime the repetition rule
+    targets (an unbounded-vocabulary doc passes trivially).
+
+    Returned as a single struct on purpose: alias it once, expand fields
+    from the alias — field-per-call would re-evaluate the tokenize +
+    aggregate pipeline per field (the shared-subexpression trap).
+    """
+    toks_expr = tokenize(text)
+
+    def struct_of(toks: Column) -> Column:
+        n = F.size(toks).cast("long")
+        total_len = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        top_cnt = F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda w: F.size(F.filter(toks, lambda x: x == w)),
+                )
+            ),
+            F.lit(0),
+        ).cast("long")
+        return F.struct(
+            n.alias("n_words"),
+            _int_div(total_len * 100, n).alias("mean_word_len_x100"),
+            _int_div(top_cnt * 10000, n).alias("top_token_bp"),
+        )
+
+    return let_bound(toks_expr, struct_of)
