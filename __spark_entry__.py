@@ -1155,6 +1155,72 @@ FROM documents
 """
 
 
+def docs_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling: each doc becomes a genuine
+    Matroska file (EBML header/track/cluster, ``codecs.encode_mkv``) with
+    2 + doc_id % 7 frames at 40 ms spacing, keyframes every 4th, payload
+    md5(doc_id-i); ``sample_frames(decode_stub=False)`` then walks the
+    container for real (VINT parse, SimpleBlock timestamps + flags) and
+    picks 3 uniformly-spaced frames by integer math. The oracle recomputes
+    indices/timestamps/flags/payload-md5 in closed form — a wrong EBML
+    walk or timestamp reconstruction breaks the hash."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from affinity_spark.functions.codecs import encode_mkv
+    from affinity_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    (
+                        i * 40,
+                        i % 4 == 0,
+                        hashlib.md5(f"{did}-{i}".encode()).digest(),
+                    )
+                    for i in range(2 + did % 7)
+                ]
+                blobs.append(encode_mkv(64, 48, frames))
+            out = pdf.copy()
+            out["blob"] = pd.Series(blobs, index=out.index, dtype="object")
+            yield out
+
+    videos = docs.mapInPandas(build, "doc_id long, blob binary")
+    sampled = sample_frames(videos, "doc_id", "blob", n_frames=3, decode_stub=False)
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        "keyframe",
+        F.lower(F.hex(F.col("frame"))).alias("payload_md5"),
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH base AS (SELECT doc_id, 2 + doc_id % 7 AS total FROM documents),
+idx AS (
+  SELECT doc_id,
+         unnest(CASE WHEN total <= 3 THEN range(0, total)
+                     ELSE list_distinct([0, (total - 1) // 2, total - 1])
+                END) AS fi
+  FROM base
+)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(fi * 40 AS BIGINT) AS ts_ms,
+       fi % 4 = 0 AS keyframe,
+       md5(CAST(doc_id AS VARCHAR) || '-' || CAST(fi AS VARCHAR)) AS payload_md5
+FROM idx
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12 JSON source decode: parse the props JSON column, project a typed
     field, aggregate on it (from_json → Catalyst JsonToStructs, pruned)."""
@@ -3413,6 +3479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_avro_decode": events_avro_decode,
         "docs_decontaminate": docs_decontaminate,
         "docs_gopher_rules": docs_gopher_rules,
+        "docs_frame_sample": docs_frame_sample,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -3535,6 +3602,7 @@ def oracle_sql() -> dict[str, str]:
         "events_avro_decode": _AVRO_SQL,
         "docs_decontaminate": _DECONTAM_SQL,
         "docs_gopher_rules": _GOPHER_SQL,
+        "docs_frame_sample": _FRAME_SAMPLE_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

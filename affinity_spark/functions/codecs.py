@@ -174,3 +174,202 @@ def decode_wav(data: bytes) -> WavAudio:
     if fmt is None:
         raise ValueError("WAV missing fmt_ chunk")
     return WavAudio(fmt[2], fmt[1], fmt[5], samples)
+
+
+# --------------------------------------------------------------------------
+# Matroska (MKV) — EBML container walk, video track + SimpleBlock frames.
+# EBML is the public RFC 8794 binary format; element IDs are from the public
+# Matroska spec. No compression involved at the container level, so a full
+# pure-python parse is exact: frame timestamps, keyframe flags and payload
+# bytes come straight out of the VINT walk. Codec PAYLOAD decode (H.264
+# etc.) stays out of scope — the container layer is what frame sampling
+# needs (timestamps + keyframe flags select frames; payloads pass through
+# opaque, which is exactly how a real sampler hands frames to a decoder).
+# --------------------------------------------------------------------------
+
+_EBML = 0x1A45DFA3
+_DOCTYPE = 0x4282
+_SEGMENT = 0x18538067
+_INFO = 0x1549A966
+_TS_SCALE = 0x2AD7B1
+_TRACKS = 0x1654AE6B
+_TRACK_ENTRY = 0xAE
+_TRACK_NUMBER = 0xD7
+_TRACK_TYPE = 0x83
+_CODEC_ID = 0x86
+_VIDEO = 0xE0
+_PIXEL_W = 0xB0
+_PIXEL_H = 0xBA
+_CLUSTER = 0x1F43B675
+_CLUSTER_TS = 0xE7
+_SIMPLE_BLOCK = 0xA3
+
+_MASTERS = {_EBML, _SEGMENT, _INFO, _TRACKS, _TRACK_ENTRY, _VIDEO, _CLUSTER}
+
+
+@dataclass
+class MkvFrame:
+    ts_ms: int
+    keyframe: bool
+    data: bytes
+
+
+@dataclass
+class MkvVideo:
+    doc_type: str
+    timestamp_scale: int  # ns per timestamp unit
+    codec_id: str
+    width: int
+    height: int
+    frames: list
+
+
+def _vint_encode(value: int) -> bytes:
+    """EBML VINT with length marker (RFC 8794 §4): shortest form."""
+    for length in range(1, 9):
+        if value < (1 << (7 * length)) - 1:
+            return (value | (1 << (7 * length))).to_bytes(length, "big")
+    raise ValueError("vint out of range")
+
+
+def _vint_decode(data: bytes, pos: int) -> tuple[int, int]:
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 9 - first.bit_length()
+    raw = int.from_bytes(data[pos : pos + length], "big")
+    return raw & ~(1 << (7 * length)), pos + length
+
+
+def _id_encode(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _id_decode(data: bytes, pos: int) -> tuple[int, int]:
+    # element IDs are VINTs stored WITH their marker bit
+    length = 9 - data[pos].bit_length()
+    if length > 4:
+        raise ValueError("invalid EBML element id")
+    return int.from_bytes(data[pos : pos + length], "big"), pos + length
+
+
+def _uint_bytes(v: int) -> bytes:
+    return v.to_bytes(max((v.bit_length() + 7) // 8, 1), "big")
+
+
+def _elem(eid: int, payload: bytes) -> bytes:
+    return _id_encode(eid) + _vint_encode(len(payload)) + payload
+
+
+def encode_mkv(
+    width: int,
+    height: int,
+    frames: list,  # [(ts_ms, keyframe, bytes)]
+    codec_id: str = "V_UNCOMPRESSED",
+) -> bytes:
+    """Minimal valid Matroska file: EBML header, Info (1 ms timestamp
+    scale), one video track, one cluster of SimpleBlocks."""
+    header = _elem(
+        _EBML,
+        _elem(_DOCTYPE, b"matroska"),
+    )
+    info = _elem(_INFO, _elem(_TS_SCALE, _uint_bytes(1_000_000)))
+    track = _elem(
+        _TRACKS,
+        _elem(
+            _TRACK_ENTRY,
+            _elem(_TRACK_NUMBER, _uint_bytes(1))
+            + _elem(_TRACK_TYPE, _uint_bytes(1))
+            + _elem(_CODEC_ID, codec_id.encode())
+            + _elem(
+                _VIDEO,
+                _elem(_PIXEL_W, _uint_bytes(width)) + _elem(_PIXEL_H, _uint_bytes(height)),
+            ),
+        ),
+    )
+    blocks = b""
+    for ts_ms, keyframe, data in frames:
+        if not -32768 <= ts_ms <= 32767:
+            raise ValueError("relative timestamp exceeds int16 (add clusters)")
+        payload = (
+            _vint_encode(1)  # track number
+            + struct.pack(">h", ts_ms)  # relative timestamp
+            + bytes([0x80 if keyframe else 0x00])  # flags: keyframe bit
+            + bytes(data)
+        )
+        blocks += _elem(_SIMPLE_BLOCK, payload)
+    cluster = _elem(_CLUSTER, _elem(_CLUSTER_TS, _uint_bytes(0)) + blocks)
+    return header + _elem(_SEGMENT, info + track + cluster)
+
+
+def _walk(data: bytes, pos: int, end: int):
+    while pos < end:
+        eid, pos = _id_decode(data, pos)
+        size, pos = _vint_decode(data, pos)
+        yield eid, pos, pos + size
+        pos += size
+
+
+def decode_mkv(data: bytes) -> MkvVideo:
+    """EBML walk: doc type, timestamp scale, first video track's geometry,
+    and every SimpleBlock as (absolute ms, keyframe, payload). Unknown
+    elements are skipped by size — the EBML forward-compat contract."""
+    data = bytes(data)
+    out = MkvVideo("", 1_000_000, "", 0, 0, [])
+    top = list(_walk(data, 0, len(data)))
+    if not top or top[0][0] != _EBML:
+        raise ValueError("not an EBML/Matroska stream")
+    for eid, start, stop in top:
+        if eid == _EBML:
+            for ceid, cstart, cstop in _walk(data, start, stop):
+                if ceid == _DOCTYPE:
+                    out.doc_type = data[cstart:cstop].decode()
+        elif eid == _SEGMENT:
+            _decode_segment(data, start, stop, out)
+    if out.doc_type not in ("matroska", "webm"):
+        raise ValueError(f"unsupported EBML doc type {out.doc_type!r}")
+    return out
+
+
+def _decode_segment(data: bytes, pos: int, end: int, out: MkvVideo) -> None:
+    for eid, start, stop in _walk(data, pos, end):
+        if eid == _INFO:
+            for ceid, cstart, cstop in _walk(data, start, stop):
+                if ceid == _TS_SCALE:
+                    out.timestamp_scale = int.from_bytes(data[cstart:cstop], "big")
+        elif eid == _TRACKS:
+            for ceid, cstart, cstop in _walk(data, start, stop):
+                if ceid == _TRACK_ENTRY:
+                    _decode_track(data, cstart, cstop, out)
+        elif eid == _CLUSTER:
+            cluster_ts = 0
+            for ceid, cstart, cstop in _walk(data, start, stop):
+                if ceid == _CLUSTER_TS:
+                    cluster_ts = int.from_bytes(data[cstart:cstop], "big")
+                elif ceid == _SIMPLE_BLOCK:
+                    _, p = _vint_decode(data, cstart)  # track number
+                    (rel,) = struct.unpack_from(">h", data, p)
+                    flags = data[p + 2]
+                    units = cluster_ts + rel
+                    ts_ms = units * out.timestamp_scale // 1_000_000
+                    out.frames.append(
+                        MkvFrame(ts_ms, bool(flags & 0x80), data[p + 3 : cstop])
+                    )
+
+
+def _decode_track(data: bytes, pos: int, end: int, out: MkvVideo) -> None:
+    is_video = False
+    codec, w, h = "", 0, 0
+    for eid, start, stop in _walk(data, pos, end):
+        if eid == _TRACK_TYPE:
+            is_video = int.from_bytes(data[start:stop], "big") == 1
+        elif eid == _CODEC_ID:
+            codec = data[start:stop].decode()
+        elif eid == _VIDEO:
+            for ceid, cstart, cstop in _walk(data, start, stop):
+                if ceid == _PIXEL_W:
+                    w = int.from_bytes(data[cstart:cstop], "big")
+                elif ceid == _PIXEL_H:
+                    h = int.from_bytes(data[cstart:cstop], "big")
+    if is_video and not out.codec_id:
+        out.codec_id, out.width, out.height = codec, w, h

@@ -114,12 +114,19 @@ def sample_frames(
     """Frame sampling for video-ish blobs: one output row per sampled frame
     (UDTF shape: explode inside mapInPandas keeps batches Arrow-sized).
 
-    STUB: frames are equal byte-slices of the blob (a real build swaps in
-    pyav keyframe extraction; schema and fan-out stay identical). Output:
+    ``decode_stub=True``: frames are equal byte-slices of the blob; output
     (id, frame_idx, frame binary, n_bytes).
+
+    ``decode_stub=False``: REAL Matroska container decode
+    (``functions/codecs.decode_mkv`` — EBML walk, SimpleBlock timestamps,
+    keyframe flags). ``n_frames`` uniformly-spaced frames are selected by
+    integer index math (``j*(total-1) div (n-1)``); output
+    (id, frame_idx, ts_ms, keyframe, frame binary, n_bytes). Codec payload
+    decode stays out of scope — frames pass through opaque, as a sampler
+    hands them to a downstream decoder.
     """
     if not decode_stub:
-        raise NotImplementedError("video decoding requires codecs not in this env")
+        return _sample_frames_mkv(df, id_col, blob_col, n_frames)
     schema = f"{id_col} long, frame_idx int, frame binary, n_bytes long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,6 +144,46 @@ def sample_frames(
             yield pd.DataFrame(
                 {id_col: ids, "frame_idx": idxs, "frame": frames, "n_bytes": sizes}
             )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def _sample_frames_mkv(
+    df: DataFrame, id_col: str, blob_col: str, n_frames: int
+) -> DataFrame:
+    schema = (
+        f"{id_col} long, frame_idx int, ts_ms long, keyframe boolean, "
+        "frame binary, n_bytes long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from affinity_spark.functions.codecs import decode_mkv
+
+        for pdf in batches:
+            out = {
+                id_col: [], "frame_idx": [], "ts_ms": [],
+                "keyframe": [], "frame": [], "n_bytes": [],
+            }
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                video = decode_mkv(bytes(b))
+                total = len(video.frames)
+                if total == 0:
+                    continue
+                if total <= n_frames or n_frames == 1:
+                    idxs = list(range(total if n_frames > 1 else 1))
+                else:
+                    idxs = sorted(
+                        {(j * (total - 1)) // (n_frames - 1) for j in range(n_frames)}
+                    )
+                for idx in idxs:
+                    f = video.frames[idx]
+                    out[id_col].append(int(i))
+                    out["frame_idx"].append(idx)
+                    out["ts_ms"].append(f.ts_ms)
+                    out["keyframe"].append(f.keyframe)
+                    out["frame"].append(f.data)
+                    out["n_bytes"].append(len(f.data))
+            yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
 

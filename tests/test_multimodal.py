@@ -75,10 +75,56 @@ def test_resize_images_stub(spark):
 
 
 def test_multimodal_real_decode_refusals(spark):
+    """resize still refuses (no JPEG codec); frame sampling is now a REAL
+    Matroska path — non-MKV bytes fail at execution with a parse error."""
+    from pyspark.errors.exceptions.captured import PythonException
+
     from affinity_spark.operators.multimodal import resize_images, sample_frames
 
     df = spark.createDataFrame([(1, TXT)], "id long, blob binary")
-    with pytest.raises(NotImplementedError):
-        sample_frames(df, "id", "blob", decode_stub=False)
+    with pytest.raises(PythonException, match="EBML"):
+        sample_frames(df, "id", "blob", decode_stub=False).collect()
     with pytest.raises(NotImplementedError):
         resize_images(df, "id", "blob", 8, 8, decode_stub=False)
+
+
+def test_sample_frames_real_mkv(spark):
+    """Real container decode end-to-end: 10-frame MKV per row, 4 uniform
+    samples with true timestamps + keyframe flags + opaque payloads."""
+    from affinity_spark.functions.codecs import encode_mkv
+    from affinity_spark.operators.multimodal import sample_frames
+
+    def mkv(seed):
+        frames = [
+            (i * 40, i % 5 == 0, bytes([(seed + i) % 256] * (4 + i)))
+            for i in range(10)
+        ]
+        return encode_mkv(64, 48, frames)
+
+    df = spark.createDataFrame(
+        [(1, mkv(10)), (2, mkv(99))], "id long, blob binary"
+    )
+    got = sample_frames(df, "id", "blob", n_frames=4, decode_stub=False).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.id, []).append(r)
+    for rid, rows in by_id.items():
+        rows.sort(key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == [0, 3, 6, 9]
+        assert [r.ts_ms for r in rows] == [0, 120, 240, 360]
+        assert [r.keyframe for r in rows] == [True, False, False, False]
+        assert rows[3].n_bytes == 13
+    seed = {1: 10, 2: 99}
+    for rid, rows in by_id.items():
+        assert bytes(rows[1].frame) == bytes([(seed[rid] + 3) % 256] * 7)
+
+
+def test_mkv_decoder_skips_unknown_elements():
+    """EBML forward-compat: Void/unknown elements are skipped by size."""
+    from affinity_spark.functions.codecs import decode_mkv, encode_mkv
+
+    mkv = encode_mkv(8, 8, [(0, True, b"xy")])
+    # splice a Void element (id 0xEC, size 3) into the top level
+    patched = mkv + bytes([0xEC, 0x83, 1, 2, 3])
+    v = decode_mkv(patched)
+    assert v.width == 8 and len(v.frames) == 1 and v.frames[0].data == b"xy"
