@@ -1794,6 +1794,29 @@ WHERE 2 * n_common >= (sa.n + sb.n - n_common)
 """
 
 
+def docs_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained ON the corpus (operators/bpe.py: one
+    word-count shuffle, vocab-sized driver merge loop, 24 merges), then
+    applied to every document. Output: doc_id, n_bpe_tokens, md5 digest of
+    the space-joined token stream — deterministic, retry-stable.
+
+    NO SQL oracle by design: merge training is an argmax-iterated loop (a
+    genuinely non-SQL-expressible iterative algorithm, like the reference's
+    convergence loops); correctness is pinned by tests/test_bpe.py goldens
+    + the python-model agreement test, and the driver records the
+    rows-only check."""
+    from affinity_spark.operators.bpe import bpe_segment, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=24, min_count=2)
+    seg = bpe_segment(docs, "doc_id", "text", merges)
+    return seg.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.array_join(F.col("tokens"), " ")).alias("token_digest"),
+    )
+
+
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (GPT-3/Pile style): training docs sharing
     a word n-gram with the held-out eval slice (doc_id % 97 == 0) are
@@ -3480,6 +3503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": docs_decontaminate,
         "docs_gopher_rules": docs_gopher_rules,
         "docs_frame_sample": docs_frame_sample,
+        "docs_bpe_segment": docs_bpe_segment,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
