@@ -2108,6 +2108,115 @@ FROM (
 """
 
 
+_PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
+
+
+def _pq_seed_books(emb) -> list[list[list[float]]]:
+    """Seed codebooks: subvector slices of the 8 lowest-id vectors —
+    SQL-reproducible, like the IVF seed cells (trained PQ lives in
+    operators/pq.py with its own tests)."""
+    d_sub = _PQ_DIM // _PQ_M
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(_PQ_K).collect()
+    return [
+        [[float(x) for x in r.embedding[s * d_sub : (s + 1) * d_sub]] for r in rows]
+        for s in range(_PQ_M)
+    ]
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): 64-dim vectors
+    compressed to 4 subspace codes against the seed codebooks — map-side
+    argmin per subspace, zero shuffle (the memory-scale half of ANN;
+    operators/ivf.py is the pruning half)."""
+    from affinity_spark.operators.pq import assign_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return assign_codes(emb, _pq_seed_books(emb))
+
+
+def _pq_dist_sql(s: int) -> str:
+    d = _PQ_DIM // _PQ_M
+    off = s * d
+    return (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> (CAST(e.embedding[{off} + i] AS DOUBLE) - CAST(s.sv[{off} + i] AS DOUBLE))"
+        f" * (CAST(e.embedding[{off} + i] AS DOUBLE) - CAST(s.sv[{off} + i] AS DOUBLE))))"
+    )
+
+
+_PQ_SEEDS_CTE = f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, embedding AS sv
+  FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+)"""
+
+
+def _pq_code_ctes(where: str = "") -> str:
+    """c0..c{m-1} CTEs: per-subspace argmin codes (ties -> lowest idx,
+    matching array_position-first semantics)."""
+    return ",\n".join(
+        f"""c{s} AS (
+  SELECT vec_id, CAST(idx AS INT) AS code_{s} FROM (
+    SELECT e.vec_id, s.idx,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_pq_dist_sql(s)} ASC, s.idx ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s {where}) WHERE rn = 1
+)"""
+        for s in range(_PQ_M)
+    )
+
+
+def _pq_codes_sql() -> str:
+    joins = " ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))
+    cols = ", ".join(f"code_{s}" for s in range(_PQ_M))
+    return f"""
+WITH {_PQ_SEEDS_CTE},
+{_pq_code_ctes()}
+SELECT vec_id, {cols} FROM c0 {joins}
+"""
+
+
+def emb_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over PQ codes: the vec_id=0 query's per-subspace distance
+    table is a literal array, each row costs 4 lookups — the scan touches
+    codes (4 ints/row), never raw vectors. Distances in basis points so the
+    hash is float-free."""
+    from affinity_spark.operators.pq import adc_search, assign_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_seed_books(emb)
+    codes = assign_codes(emb.filter(F.col("vec_id") != 0), books)
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    top = adc_search(codes, books, query, 10)
+    return top.select(
+        "vec_id", F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_bp")
+    )
+
+
+def _pq_search_sql() -> str:
+    table_ctes = ",\n".join(
+        f"""t{s} AS (
+  SELECT s.idx, {_pq_dist_sql(s)} AS d
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) e CROSS JOIN seeds s
+)"""
+        for s in range(_PQ_M)
+    )
+    code_joins = " ".join(f"JOIN t{s} ON t{s}.idx = c{s}.code_{s}" for s in range(_PQ_M))
+    cjoins = " ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))
+    adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH {_PQ_SEEDS_CTE},
+{_pq_code_ctes("WHERE e.vec_id <> 0")},
+{table_ctes}
+SELECT c0.vec_id, CAST(floor(({adc}) * 10000) AS BIGINT) AS adc_bp
+FROM c0 {cjoins} {code_joins}
+ORDER BY ({adc}) ASC, c0.vec_id ASC
+LIMIT 10
+"""
+
+
 def emb_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end IVF ANN read: assign vectors to the 8-seed codebook,
     probe the query's nprobe=2 nearest cells only, cosine top-10 inside
@@ -3504,6 +3613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_gopher_rules": docs_gopher_rules,
         "docs_frame_sample": docs_frame_sample,
         "docs_bpe_segment": docs_bpe_segment,
+        "emb_pq_codes": emb_pq_codes,
+        "emb_pq_search": emb_pq_search,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -3627,6 +3738,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_decontaminate": _DECONTAM_SQL,
         "docs_gopher_rules": _GOPHER_SQL,
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
+        "emb_pq_codes": _pq_codes_sql(),
+        "emb_pq_search": _pq_search_sql(),
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
