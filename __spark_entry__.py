@@ -1899,6 +1899,133 @@ FROM m
 """
 
 
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (§2.13 training-pipeline extension): per-class match
+    counts + redacted-text digest + a ``clean`` partition-prune flag.
+
+    The synthetic corpus contains no PII (no digits, no '@' anywhere), so
+    the query derives an augmented text column by deterministically
+    injecting synthetic PII for two of every three doc_ids — the SAME
+    derivation in the oracle — leaving doc_id % 3 == 2 rows clean so both
+    outcomes occur. Everything is a map-side regexp projection: zero
+    shuffle, codegen end to end (see ``operators/pii.py``)."""
+    from affinity_spark.operators.pii import pii_counts, scrub_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@mail.example.com now")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" from 10."),
+                did % 256,
+                F.lit(".0."),
+                (did * 7) % 256,
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", aug.alias("aug"))
+    counts = pii_counts(F.col("aug"))
+    out = base.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(scrub_text(F.col("aug"))).alias("masked_md5"),
+    )
+    total = sum((F.col(n) for n in counts), F.lit(0).cast("long"))
+    return out.withColumn("clean", total == 0)
+
+
+_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN
+             ' contact user' || doc_id || '@mail.example.com now'
+           WHEN doc_id % 3 = 1 THEN
+             ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+             || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+           ELSE ''
+         END AS aug
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS masked_md5,
+  (len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+   + len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b'))) = 0 AS clean
+FROM aug
+"""
+
+
+_BM25_TERMS = ("vector", "stream", "merge")
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style top-20 ranked retrieval for an OR-of-terms query
+    (§2.13 extension of the inverted-index family, X1/X2). Integer
+    fixed-point scoring so the oracle matches bit-for-bit; per-term tf is
+    a map-side array filter (no explode), corpus stats reduce to ONE
+    broadcast row, top-k is TakeOrderedAndProject — the only exchange in
+    the plan is the 1-row stats agg (see ``operators/ranking.py``)."""
+    from affinity_spark.operators.ranking import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+
+
+def _bm25_oracle_sql() -> str:
+    tfs = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{term}')) AS BIGINT) AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = "\n       + ".join(
+        f"CASE WHEN tf{i} > 0 THEN ((n - df{i}) * 1000 // n) * "
+        f"((tf{i} * 2200 * l * 1000) // (tf{i} * 1000 * l + 300 * l + 900 * dl * n)) "
+        f"ELSE 0 END"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> t <> '') AS t
+           FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         {tfs}
+         FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l,
+         {dfs}
+          FROM base),
+scored AS (SELECT doc_id,
+       CAST({contribs} AS BIGINT) AS score_x1e6
+  FROM base, stats)
+SELECT doc_id, score_x1e6 FROM scored
+WHERE score_x1e6 > 0
+ORDER BY score_x1e6 DESC, doc_id
+LIMIT 20
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 32-bit fingerprints (integer math, engine-portable)."""
     docs = _t(spark, sf_dir, "documents")
@@ -3615,6 +3742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bpe_segment": docs_bpe_segment,
         "emb_pq_codes": emb_pq_codes,
         "emb_pq_search": emb_pq_search,
+        "docs_pii_scrub": docs_pii_scrub,
+        "docs_bm25_search": docs_bm25_search,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -3740,6 +3869,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
         "emb_pq_codes": _pq_codes_sql(),
         "emb_pq_search": _pq_search_sql(),
+        "docs_pii_scrub": _PII_SQL,
+        "docs_bm25_search": _bm25_oracle_sql(),
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

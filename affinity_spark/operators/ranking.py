@@ -1,0 +1,97 @@
+"""BM25-style ranked retrieval over the documents corpus.
+
+The reference's query surface is key/prefix/index lookup
+(``core/src/main/scala/io/amient/affinity/core/storage/KVStoreIndex.scala:20-37``);
+ranked full-text retrieval is the §2.13 training/search extension of the
+same inverted-index family (``operators/index.py``).
+
+Spark-first scale shape — for a FIXED small query (a handful of terms),
+never build the full inverted index:
+
+1. per-doc term frequencies are map-side array ops
+   (``size(filter(tokens, t -> t = term))``) — no explode, no shuffle;
+2. corpus statistics (N, total token length, per-term document
+   frequencies) reduce to ONE row, broadcast back via a 1-row cross
+   join — the only exchange in the plan;
+3. scoring is a pure integer projection; top-k is
+   ``TakeOrderedAndProject`` (never a global sort).
+
+Scoring is the BM25 saturation formula with k1=1.2, b=0.75 rewritten as
+exact integer arithmetic so a DuckDB oracle reproduces it bit-for-bit
+(the repo's cross-engine hash rule: never compare summed doubles):
+
+    sat_x1000  = (tf*2200*L*1000) div (tf*1000*L + 300*L + 900*dl*N)
+    idf_x1000  = (N - df) * 1000 div N          -- linear idf surrogate
+    score_x1e6 = sum over terms of idf_x1000 * sat_x1000
+
+where dl = doc token count, L = total corpus token count. The linear
+(N-df)/N rarity weight replaces log-idf: log() on doubles is not
+integer-exact across engines, and monotonicity in df — all ranking needs
+— is preserved. BIGINT headroom: tf*2200*L*1000 needs L·tf < 4e12,
+fine for per-shard scoring at any practical shard size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1_X10 = 12
+B_X100 = 75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k ``(doc id, score_x1e6)`` for an OR-of-terms query.
+
+    Two scans of ``docs`` (one reduced to a single broadcast stats row),
+    zero explodes, one TakeOrderedAndProject. Ties break on doc id.
+    """
+    from affinity_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), tokenize(F.col(text_col)).alias("_t")
+    )
+
+    def tf(term: str) -> F.Column:
+        return F.size(F.filter(F.col("_t"), lambda x: x == F.lit(term))).cast("long")
+
+    base = toks.select(
+        "_id",
+        F.size(F.col("_t")).cast("long").alias("_dl"),
+        *[tf(t).alias(f"_tf_{i}") for i, t in enumerate(terms)],
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_dl").alias("_l"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = base.crossJoin(F.broadcast(stats))
+    contribs = []
+    for i in range(len(terms)):
+        tf_i = F.col(f"_tf_{i}")
+        sat = F.expr(
+            f"(_tf_{i} * 2200 * _l * 1000) div "
+            f"(_tf_{i} * 1000 * _l + 300 * _l + 900 * _dl * _n)"
+        )
+        idf = F.expr(f"((_n - _df_{i}) * 1000) div _n")
+        contribs.append(F.when(tf_i > 0, idf * sat).otherwise(F.lit(0)))
+    score = sum(contribs[1:], contribs[0]).cast("long")
+    return (
+        scored.select(F.col("_id").alias(id_col), score.alias("score_x1e6"))
+        .filter(F.col("score_x1e6") > 0)
+        .orderBy(F.col("score_x1e6").desc(), F.col(id_col))
+        .limit(k)
+    )
