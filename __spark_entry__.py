@@ -1755,6 +1755,74 @@ WHERE 2 * n_common >= (sa.n + sb.n - n_common)
 """
 
 
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: LSH candidates → exact-Jaccard
+    verify (J >= 1/2) → connected components → one canonical doc per
+    cluster (min doc_id, the reference's component-id convention,
+    ``AnalyticsSystemSpec.scala:50-52``). This is the dedup endgame a real
+    corpus pipeline runs: transitive duplicate groups with a single
+    survivor, where pairwise drop-the-higher-id would over- or under-drop
+    on chains (a~b, b~c but a!~c).
+
+    Scale shape: zero-shuffle map-side signatures, candidate-sized verify
+    join, hash-to-min CC with per-round lineage cuts. The oracle replays
+    the banding bit-exactly and closes the components with a recursive
+    CTE."""
+    from affinity_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=False
+    )
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
+    pairs = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("vertex").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("vertex") == F.col("component")).alias("is_canonical"),
+        "cluster_size",
+    )
+
+
+def _cluster_canonical_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_shingles_cte(3)},
+{_duck_lsh_cand_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+walk AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT w.v, e.b AS r FROM walk w JOIN edges e ON e.a = w.r
+),
+comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY v),
+csize AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY cluster_id)
+SELECT doc_id, cluster_id, doc_id = cluster_id AS is_canonical, cluster_size
+FROM comp JOIN csize USING (cluster_id)
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= 1/2 via the inverted shingle index."""
     docs = _t(spark, sf_dir, "documents")
@@ -2652,6 +2720,90 @@ SELECT CASE WHEN bucket < 900 THEN 'train'
                                 t -> t <> ''))) AS BIGINT) AS tok_sum
 FROM b
 GROUP BY 1
+"""
+
+
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (CCNet/RefinedWeb paragraph
+    dedup). The synthetic docs are single-line, so the query derives a
+    multi-line column first: a per-source header (25 docs share it → df 25
+    > 10, dropped), the original text (kept unless genuinely duplicated
+    across >10 docs), and a per-doc footer (df 1, kept — also guarantees
+    no doc loses every line). The SAME derivation runs in the oracle.
+    Shape: line-df agg + AQE-broadcast anti-join + per-doc regroup (see
+    ``dedup.line_dedup``)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat_ws(
+        "\n",
+        F.concat(F.lit("(c) boilerplate of "), F.col("source")),
+        F.col("text"),
+        F.concat(F.lit("footer "), F.col("doc_id")),
+    )
+    base = docs.select("doc_id", aug.alias("aug"))
+    return dd.line_dedup(base, "doc_id", "aug", 10)
+
+
+_LINE_DEDUP_SQL = """
+WITH a AS (
+  SELECT doc_id,
+         '(c) boilerplate of ' || source || chr(10) || text
+           || chr(10) || 'footer ' || doc_id AS aug
+  FROM documents
+),
+d AS (SELECT doc_id, string_split(aug, chr(10)) AS l FROM a),
+lines AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+         unnest(range(1, len(l) + 1)) AS pos, unnest(l) AS line
+  FROM d
+),
+bl AS (SELECT line FROM lines GROUP BY line
+       HAVING count(DISTINCT doc_id) > 10),
+kept AS (SELECT doc_id, n_lines, pos, line FROM lines ANTI JOIN bl USING (line))
+SELECT doc_id,
+       CAST(min(n_lines) AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(n_lines) - count(*) AS BIGINT) AS n_dropped,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+FROM kept GROUP BY doc_id
+"""
+
+
+def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: fill a 600-token budget PER SOURCE in
+    stable hash order (take-while on the exclusive running token sum, last
+    doc may overshoot). The stop condition is token mass, not a row
+    percentage — the "equal tokens per source" mixing move a training
+    pipeline actually wants. One partition-aligned shuffle; selection is a
+    pure function of ids (rerun/retry-stable)."""
+    from affinity_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    picked = token_budget_sample(scored, "doc_id", "source", "n_tokens", 600)
+    return picked.select("doc_id", "source", "n_tokens", "cum_before")
+
+
+_SOURCE_MIX_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2147483648 AS hk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY hk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_before
+FROM c WHERE cum_before < 600
 """
 
 
@@ -3744,6 +3896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_search": emb_pq_search,
         "docs_pii_scrub": docs_pii_scrub,
         "docs_bm25_search": docs_bm25_search,
+        "dedup_cluster_canonical": dedup_cluster_canonical,
+        "docs_source_mix": docs_source_mix,
+        "docs_line_dedup": docs_line_dedup,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -3871,6 +4026,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_pq_search": _pq_search_sql(),
         "docs_pii_scrub": _PII_SQL,
         "docs_bm25_search": _bm25_oracle_sql(),
+        "dedup_cluster_canonical": _cluster_canonical_oracle_sql(),
+        "docs_source_mix": _SOURCE_MIX_SQL,
+        "docs_line_dedup": _LINE_DEDUP_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

@@ -503,3 +503,47 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- corpus-level line (boilerplate) dedup ----------------------------------
+
+
+def line_dedup(
+    df: DataFrame, id_col: str, text_col: str, max_doc_freq: int
+) -> DataFrame:
+    """Remove boilerplate LINES that occur in more than ``max_doc_freq``
+    distinct documents (the CCNet/RefinedWeb paragraph-dedup move: headers,
+    footers, cookie banners — repeated across a corpus — vanish while each
+    document's unique prose survives in original order).
+
+    Shape: posexplode lines → line document-frequency agg → anti-join the
+    (small) boilerplate set → regroup per document. The boilerplate side of
+    the anti-join is an aggregate output tiny relative to the corpus, so
+    AQE broadcasts it — the only corpus-sized exchanges are the line-df agg
+    and the per-document regroup. Docs whose every line is boilerplate drop
+    out of the result (count them upstream if that matters).
+
+    Returns (id, n_lines, n_kept, n_dropped, clean_md5) with ``clean_md5``
+    the digest of the surviving lines rejoined with '\\n' in order.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") > max_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "line")))
+    return kept.groupBy(id_col).agg(
+        F.first("n_lines").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.first("n_lines") - F.count(F.lit(1))).alias("n_dropped"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda s: s["line"]), "\n")
+        ).alias("clean_md5"),
+    )

@@ -160,3 +160,36 @@ def per_group_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Fill a per-group token budget: docs are taken in stable hash order
+    until each group's cumulative weight reaches ``budget`` (the last doc
+    may overshoot — take-while on the EXCLUSIVE running sum).
+
+    This is the corpus-mixing primitive behind "x billion tokens per
+    source": unlike a percentage sample, the stop condition is the token
+    count itself, so skewed sources contribute equal token mass. Hash
+    order makes the selection a pure function of ids — stable across
+    runs, retries and engines.
+
+    One shuffle (the per-group window); at 100 TB the group is the
+    partition column, so the exchange is partition-aligned and the
+    running sum never sees more than one group per task.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(F.col(weight_col)).over(w), F.lit(0)).cast("long")
+    return (
+        df.withColumn("cum_before", cum)
+        .filter(F.col("cum_before") < budget)
+    )
