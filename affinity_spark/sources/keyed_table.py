@@ -255,6 +255,64 @@ class KeyedTable:
 
     # --- maintenance ---------------------------------------------------
 
+    def file_stats(self) -> dict:
+        """Physical layout of the current snapshot: file count + byte sizes.
+        The signal a table-maintenance scheduler watches for the small-file
+        problem."""
+        vdir = self._current_version_dir()
+        if vdir is None:
+            raise FileNotFoundError(f"table at {self.path} has no committed version")
+        sizes = [
+            os.path.getsize(os.path.join(vdir, f))
+            for f in os.listdir(vdir)
+            if f.endswith(".parquet")
+        ]
+        return {
+            "version": os.path.basename(vdir),
+            "n_files": len(sizes),
+            "total_bytes": sum(sizes),
+            "max_file_bytes": max(sizes, default=0),
+        }
+
+    def compact(self, target_file_bytes: int = 128 << 20) -> dict:
+        """Rewrite the current snapshot into ceil(total/target) files.
+
+        The 100 TB small-file problem: streaming upserts commit one
+        trigger's worth of rows per bucket, so a long-lived table decays
+        into thousands of KB-sized parquet files whose open/footer cost
+        dominates scans. Compaction is a pure physical rewrite — same rows,
+        fewer files, key clustering preserved so equality scans still prune
+        by min/max stats — committed through the same CAS as any write: a
+        compaction racing an upsert LOSES cleanly (ConcurrentWriteError)
+        instead of resurrecting pre-upsert data, mirroring how the
+        reference serializes writes through partition masters
+        (``core/src/main/scala/io/amient/affinity/core/util/KVStoreLocal.scala``-style
+        single-writer semantics). No-op (returns current stats, no new
+        version) when the table is already at or below the target count.
+        """
+        if self.external:
+            raise PermissionError(f"table at {self.path} is external/read-only")
+        base_version = self._current_version_dir()
+        stats = self.file_stats()
+        n_target = max(1, -(-stats["total_bytes"] // max(1, target_file_bytes)))
+        if stats["n_files"] <= n_target:
+            return {**stats, "compacted": False, "n_files_after": stats["n_files"]}
+        df = self.spark.read.parquet(base_version)
+        version = f"v{int(time.time() * 1000):016d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.path, version)
+        df.repartition(n_target, *self.key_cols).write.mode("overwrite").parquet(out)
+        try:
+            self._commit_version(version, base_version)
+        except ConcurrentWriteError:
+            shutil.rmtree(out, ignore_errors=True)
+            raise
+        self._reclaim_versions()
+        return {
+            **stats,
+            "compacted": True,
+            "n_files_after": self.file_stats()["n_files"],
+        }
+
     def vacuum(self, ttl_ms: int, now_ms: int, ts_unit: str = "millis") -> int:
         """Physically drop records older than ``now - ttl`` (the scheduled
         reclamation pairing the read-side ``ttl_filter``; affinity deletes
