@@ -999,6 +999,97 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC ROWS UNBOUNDED PRECEDING
 """
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete quantiles (p50/p90/p99 of value, in cents) per
+    event_type by RANK SELECTION: the value at 1-based sorted position
+    (n-1)*q div 100 + 1. percentile_approx/quantile_cont interpolate in
+    doubles and diverge across engines; rank selection is integer-exact
+    and tie-order-independent (equal cents at a rank pick the same cents
+    whatever the tie order). One shuffle on event_type; the sort is
+    per-type within partitions, never global."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = _cents(F.col("value"))
+    w = Window.partitionBy("event_type").orderBy(
+        cents.asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        cents.alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"(n - 1) * {q} div 100 + 1"), F.col("cents"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick(50).alias("p50_cents"),
+        pick(90).alias("p90_cents"),
+        pick(99).alias("p99_cents"),
+    )
+
+
+_QUANTILES_SQL = """
+WITH r AS (
+  SELECT event_type,
+         CAST(floor("value" * 100 + 0.5) AS BIGINT) AS cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(floor("value" * 100 + 0.5) AS BIGINT),
+                                     event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       CAST(min(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN cents END) AS BIGINT)
+         AS p50_cents,
+       CAST(min(CASE WHEN rn = (n - 1) * 90 // 100 + 1 THEN cents END) AS BIGINT)
+         AS p90_cents,
+       CAST(min(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN cents END) AS BIGINT)
+         AS p99_cents
+FROM r GROUP BY event_type
+"""
+
+
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap statistics in integer milliseconds
+    (lead/lag family): gaps from consecutive events in event_id order
+    (ts-monotone — see events_sessionize note), min/max/integer-mean.
+    Users with one event have no gaps and are excluded. One shuffle."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ms = F.expr("unix_micros(ts) div 1000")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    gaps = ev.select(
+        "user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.min("gap_ms").alias("min_gap_ms"),
+        F.max("gap_ms").alias("max_gap_ms"),
+        F.expr("sum(gap_ms) div count(*)").alias("mean_gap_ms"),
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) // 1000
+           - lag(epoch_us(ts) // 1000) OVER (PARTITION BY user_id
+                                             ORDER BY event_id) AS gap_ms
+  FROM events
+)
+SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_events,
+       CAST(min(gap_ms) AS BIGINT) AS min_gap_ms,
+       CAST(max(gap_ms) AS BIGINT) AS max_gap_ms,
+       CAST(sum(gap_ms) // count(*) AS BIGINT) AS mean_gap_ms
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def events_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1-W4 batch MERGE: base table (compacted pre-cutoff state) merged
     with the post-cutoff changelog; last write wins per key."""
@@ -3899,6 +3990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canonical": dedup_cluster_canonical,
         "docs_source_mix": docs_source_mix,
         "docs_line_dedup": docs_line_dedup,
+        "events_value_quantiles": events_value_quantiles,
+        "events_interarrival": events_interarrival,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4029,6 +4122,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": _cluster_canonical_oracle_sql(),
         "docs_source_mix": _SOURCE_MIX_SQL,
         "docs_line_dedup": _LINE_DEDUP_SQL,
+        "events_value_quantiles": _QUANTILES_SQL,
+        "events_interarrival": _INTERARRIVAL_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
