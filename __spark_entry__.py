@@ -1171,6 +1171,56 @@ FROM documents
 """
 
 
+def docs_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end to end: each doc row becomes a
+    genuine JPEG (SOI/DQT/SOF0/DHT/SOS, Annex-K huffman, forward DCT)
+    of a flat gray tile whose geometry and level derive from doc_id,
+    then is decoded back by the pure-python baseline decoder
+    (``functions/codecs.py``: marker walk, canonical huffman, dequant,
+    IDCT). With the all-8s quant table a flat tile round-trips EXACTLY
+    (DC = 8*(v-128) quantizes losslessly), so the oracle recomputes
+    width/height/mean/checksum in closed form — any huffman, zigzag,
+    dequant or IDCT defect breaks the value hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from affinity_spark.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    schema = "doc_id long, width int, height int, mean_gray long, checksum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mean_gray": [],
+                   "checksum": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, g = 8 + (did % 3) * 4, 8 + (did % 5) * 2, (did * 13) % 256
+                img = decode_jpeg(encode_jpeg_baseline(w, h, bytes([g] * (w * h))))
+                assert (img.width, img.height) == (w, h)
+                out["doc_id"].append(did)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["mean_gray"].append(sum(img.pixels) // len(img.pixels))
+                out["checksum"].append(sum(img.pixels))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
+_JPEG_DECODE_SQL = """
+SELECT doc_id,
+       CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
+       CAST(8 + (doc_id % 5) * 2 AS INT) AS height,
+       CAST((doc_id * 13) % 256 AS BIGINT) AS mean_gray,
+       CAST((doc_id * 13) % 256
+            * (8 + (doc_id % 3) * 4) * (8 + (doc_id % 5) * 2) AS BIGINT)
+         AS checksum
+FROM documents
+"""
+
+
 def docs_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode through the multimodal path: each document row is
     turned into a genuine PNG (even doc_id) or 16-bit PCM WAV (odd) whose
@@ -3992,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup": docs_line_dedup,
         "events_value_quantiles": events_value_quantiles,
         "events_interarrival": events_interarrival,
+        "docs_jpeg_decode": docs_jpeg_decode,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4124,6 +4175,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_line_dedup": _LINE_DEDUP_SQL,
         "events_value_quantiles": _QUANTILES_SQL,
         "events_interarrival": _INTERARRIVAL_SQL,
+        "docs_jpeg_decode": _JPEG_DECODE_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

@@ -6,12 +6,13 @@ struct; all per-blob compute runs as Arrow-batched ``mapInPandas`` so the
 end) → partition-parallel Python batches → typed struct out. No driver
 collect, no per-row Python UDF.
 
-PNG and WAV decode for REAL via the stdlib-only codecs in
-``functions/codecs.py`` (chunk walk + zlib unfilter / RIFF PCM parse);
-other codecs (JPEG/MKV/...) still raise ``NotImplementedError`` on the
-real path — ``decode_stub=True`` keeps the deterministic fake-feature
-route for plumbing tests. A production deployment adds PIL/ffmpeg inside
-``_decode_real_batch`` and nothing else changes.
+PNG, WAV, baseline JPEG and the Matroska container layer decode for REAL
+via the pure-python codecs in ``functions/codecs.py`` (chunk walk + zlib
+unfilter / RIFF PCM parse / huffman+IDCT / EBML walk); anything else
+still raises ``NotImplementedError`` on the real path —
+``decode_stub=True`` keeps the deterministic fake-feature route for
+plumbing tests of unsupported codecs. A production deployment swaps the
+codec bodies for PIL/ffmpeg and nothing else changes.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from affinity_spark.functions.codecs import decode_png, decode_wav
+from affinity_spark.functions.codecs import decode_jpeg, decode_png, decode_wav
 
 BLOB_META_SCHEMA = (
     "n_bytes long, content_md5 string, magic string, modality string"
@@ -64,17 +65,30 @@ def _decode_batch(blobs: pd.Series) -> pd.DataFrame:
 
 
 def _decode_real_batch(blobs: pd.Series) -> pd.DataFrame:
-    """REAL decode for PNG and WAV (pure-python codecs); anything else
-    raises so unsupported media never silently ships fake features.
+    """REAL decode for PNG, baseline JPEG and WAV (pure-python codecs);
+    anything else raises so unsupported media never silently ships fake
+    features.
 
     Feature layout (fixed width 4, so the column type is stable):
-    - PNG: [width, height, mean_pixel, channels]
-    - WAV: [sample_rate, channels, n_samples, mean_abs_amplitude]
+    - PNG:  [width, height, mean_pixel, channels]
+    - JPEG: [width, height, mean_pixel, n_components]
+    - WAV:  [sample_rate, channels, n_samples, mean_abs_amplitude]
     """
     feats = []
     for b in blobs:
         data = bytes(b)
-        if data[:8] == b"\x89PNG\r\n\x1a\n":
+        if data[:2] == b"\xff\xd8":
+            jpg = decode_jpeg(data)
+            n = len(jpg.pixels)
+            feats.append(
+                [
+                    float(jpg.width),
+                    float(jpg.height),
+                    (sum(jpg.pixels) / n) if n else 0.0,
+                    float(jpg.n_components),
+                ]
+            )
+        elif data[:8] == b"\x89PNG\r\n\x1a\n":
             img = decode_png(data)
             n = len(img.pixels)
             feats.append(
@@ -98,8 +112,8 @@ def _decode_real_batch(blobs: pd.Series) -> pd.DataFrame:
             )
         else:
             raise NotImplementedError(
-                f"no real decoder for magic {data[:4]!r}; PNG and WAV are "
-                "supported, other codecs need PIL/ffmpeg"
+                f"no real decoder for magic {data[:4]!r}; PNG, baseline "
+                "JPEG and WAV are supported, other codecs need PIL/ffmpeg"
             )
     return pd.DataFrame({"feature": feats})
 
@@ -198,12 +212,19 @@ def resize_images(
 ) -> DataFrame:
     """Image resize plumbing: (id, resized binary, width, height).
 
-    STUB: emits a deterministic ``width*height``-byte pseudo-bitmap derived
-    from the source bytes (md5-seeded tiling) so downstream schema/batch
-    behavior is real; a production build replaces the body with PIL.
+    ``decode_stub=True``: emits a deterministic ``width*height``-byte
+    pseudo-bitmap derived from the source bytes (md5-seeded tiling) so
+    downstream schema/batch behavior is real without any codec.
+
+    ``decode_stub=False``: REAL resize — PNG and baseline JPEG blobs are
+    decoded by the pure-python codecs and resampled nearest-neighbor
+    (integer index math ``src = dst * src_dim div dst_dim``); the output
+    binary is the raw interleaved bitmap (grayscale or RGB at the
+    source's channel count) ready for a feature extractor. Other formats
+    raise.
     """
     if not decode_stub:
-        raise NotImplementedError("image decoding requires codecs not in this env")
+        return _resize_images_real(df, id_col, blob_col, width, height)
     schema = f"{id_col} long, resized binary, width int, height int"
     target = width * height
 
@@ -251,5 +272,47 @@ def extract_features(
                     "feature": out["feature"].values,
                 }
             )
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def _resize_images_real(
+    df: DataFrame, id_col: str, blob_col: str, width: int, height: int
+) -> DataFrame:
+    """Real nearest-neighbor resize over decoded PNG/JPEG pixels."""
+    schema = f"{id_col} long, resized binary, width int, height int, channels int"
+
+    def resample(pixels: bytes, sw: int, sh: int, ch: int) -> bytes:
+        out = bytearray(width * height * ch)
+        for y in range(height):
+            sy = y * sh // height
+            for x in range(width):
+                sx = x * sw // width
+                src = (sy * sw + sx) * ch
+                dst = (y * width + x) * ch
+                out[dst : dst + ch] = pixels[src : src + ch]
+        return bytes(out)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {id_col: [], "resized": [], "width": [], "height": [], "channels": []}
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                data = bytes(b)
+                if data[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(data)
+                    sw, sh, ch, px = img.width, img.height, img.channels, img.pixels
+                elif data[:2] == b"\xff\xd8":
+                    jpg = decode_jpeg(data)
+                    sw, sh, ch, px = jpg.width, jpg.height, jpg.n_components, jpg.pixels
+                else:
+                    raise NotImplementedError(
+                        f"no real decoder for magic {data[:4]!r}"
+                    )
+                rows[id_col].append(int(rid))
+                rows["resized"].append(resample(px, sw, sh, ch))
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["channels"].append(ch)
+            yield pd.DataFrame(rows)
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)

@@ -126,9 +126,15 @@ def test_extract_features_real_path(spark):
 def test_extract_features_real_path_unknown_codec_raises(spark):
     from affinity_spark.operators.multimodal import extract_features
 
-    df = spark.createDataFrame([(1, b"\xff\xd8\xff\xe0jpeg?")], "doc_id long, blob binary")
+    df = spark.createDataFrame([(1, b"GIF89a....")], "doc_id long, blob binary")
     with pytest.raises(Exception, match="no real decoder"):
         extract_features(df, "doc_id", "blob", decode_stub=False).collect()
+    # truncated JPEG (valid magic, no scan) fails loudly, not silently
+    trunc = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0jpeg?")], "doc_id long, blob binary"
+    )
+    with pytest.raises(Exception):
+        extract_features(trunc, "doc_id", "blob", decode_stub=False).collect()
 
 
 # --- property tests --------------------------------------------------------

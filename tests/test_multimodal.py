@@ -75,8 +75,8 @@ def test_resize_images_stub(spark):
 
 
 def test_multimodal_real_decode_refusals(spark):
-    """resize still refuses (no JPEG codec); frame sampling is now a REAL
-    Matroska path — non-MKV bytes fail at execution with a parse error."""
+    """Real paths refuse unsupported bytes AT EXECUTION, loudly: frame
+    sampling needs EBML, resize needs PNG/JPEG magic."""
     from pyspark.errors.exceptions.captured import PythonException
 
     from affinity_spark.operators.multimodal import resize_images, sample_frames
@@ -84,8 +84,37 @@ def test_multimodal_real_decode_refusals(spark):
     df = spark.createDataFrame([(1, TXT)], "id long, blob binary")
     with pytest.raises(PythonException, match="EBML"):
         sample_frames(df, "id", "blob", decode_stub=False).collect()
-    with pytest.raises(NotImplementedError):
-        resize_images(df, "id", "blob", 8, 8, decode_stub=False)
+    with pytest.raises(PythonException, match="no real decoder"):
+        resize_images(df, "id", "blob", 8, 8, decode_stub=False).collect()
+
+
+def test_extract_features_real_jpeg(spark):
+    from affinity_spark.functions.codecs import encode_jpeg_baseline
+    from affinity_spark.operators.multimodal import extract_features
+
+    jpg = encode_jpeg_baseline(16, 8, bytes([90] * 128))
+    df = spark.createDataFrame([(1, bytearray(jpg))], "id long, blob binary")
+    feats = extract_features(df, "id", "blob", decode_stub=False).collect()
+    assert feats[0]["feature"] == [16.0, 8.0, 90.0, 1.0]
+
+
+def test_resize_images_real_png_and_jpeg(spark):
+    from affinity_spark.functions.codecs import encode_jpeg_baseline, encode_png_gray
+    from affinity_spark.operators.multimodal import resize_images
+
+    # PNG: 4x4 checkerboard of 0/255 -> 2x2 nearest-neighbor keeps corners
+    board = bytes((0 if (x // 2 + y // 2) % 2 == 0 else 255)
+                  for y in range(4) for x in range(4))
+    png = encode_png_gray(4, 4, board)
+    jpg = encode_jpeg_baseline(16, 16, bytes([200] * 256))
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(jpg))], "id long, blob binary"
+    )
+    got = {r["id"]: r for r in
+           resize_images(df, "id", "blob", 2, 2, decode_stub=False).collect()}
+    assert bytes(got[1]["resized"]) == bytes([board[0], board[2], board[8], board[10]])
+    assert bytes(got[2]["resized"]) == bytes([200] * 4)
+    assert got[2]["channels"] == 1
 
 
 def test_sample_frames_real_mkv(spark):
