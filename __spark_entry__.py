@@ -1171,6 +1171,109 @@ FROM documents
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase per user: each stage must
+    happen strictly AFTER the user's first event of the previous stage
+    (event_id order, ts-monotone). Three chained min-over-window passes
+    on the SAME partitioning — one shuffle total, no self-joins (the
+    naive funnel is two self-joins on the fact table). Nullable stage
+    ids make drop-off visible per user."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    fv = F.min(F.when(F.col("event_type") == "view", F.col("event_id"))).over(w)
+    step1 = ev.withColumn("fv", fv)
+    fc = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("event_id") > F.col("fv")),
+               F.col("event_id"))
+    ).over(w)
+    step2 = step1.withColumn("fc", fc)
+    fp = F.min(
+        F.when((F.col("event_type") == "purchase") & (F.col("event_id") > F.col("fc")),
+               F.col("event_id"))
+    ).over(w)
+    # collapse per-user via groupBy on the window's own partitioning key —
+    # reuses the single exchange (a distinct over all four columns would
+    # re-shuffle on the compound key)
+    return (
+        step2.withColumn("fp", fp)
+        .groupBy("user_id")
+        .agg(
+            F.min("fv").alias("first_view_id"),
+            F.min("fc").alias("first_click_id"),
+            F.min("fp").alias("first_purchase_id"),
+        )
+        .withColumn("converted", F.col("first_purchase_id").isNotNull())
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, event_id, event_type,
+         min(CASE WHEN event_type = 'view' THEN event_id END)
+           OVER (PARTITION BY user_id) AS fv
+  FROM events
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND event_id > fv
+                     THEN event_id END)
+              OVER (PARTITION BY user_id) AS fc
+  FROM s1
+),
+s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND event_id > fc
+                     THEN event_id END)
+              OVER (PARTITION BY user_id) AS fp
+  FROM s2
+)
+SELECT DISTINCT user_id,
+       CAST(fv AS BIGINT) AS first_view_id,
+       CAST(fc AS BIGINT) AS first_click_id,
+       CAST(fp AS BIGINT) AS first_purchase_id,
+       fp IS NOT NULL AS converted
+FROM s3
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen hour; how many were
+    active again in the NEXT hour. One pass over events: per-user
+    (first hour, distinct-hour set) in a single aggregation, then the
+    k=+1 membership test is an array_contains — no self-join of the fact
+    table (the textbook formulation joins activity back to cohorts).
+    Two shuffles; the per-user hour set is bounded by hours-in-retention
+    window (~10^4 at a year of hourly granularity), not event count."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) div 3600000000")
+    per_user = (
+        ev.select("user_id", hour.alias("h"))
+        .groupBy("user_id")
+        .agg(F.min("h").alias("cohort_h"), F.collect_set("h").alias("hs"))
+    )
+    retained = F.array_contains(F.col("hs"), F.col("cohort_h") + 1)
+    return per_user.groupBy("cohort_h").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(retained.cast("long")).alias("n_retained_next"),
+    )
+
+
+_COHORT_SQL = """
+WITH seen AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events
+),
+per_user AS (
+  SELECT user_id, min(h) AS cohort_h, list(DISTINCT h) AS hs
+  FROM seen GROUP BY user_id
+)
+SELECT cohort_h,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN list_contains(hs, cohort_h + 1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained_next
+FROM per_user GROUP BY cohort_h
+"""
+
+
 def docs_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode end to end: each doc row becomes a
     genuine JPEG (SOI/DQT/SOF0/DHT/SOS, Annex-K huffman, forward DCT)
@@ -4043,6 +4146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantiles": events_value_quantiles,
         "events_interarrival": events_interarrival,
         "docs_jpeg_decode": docs_jpeg_decode,
+        "events_funnel": events_funnel,
+        "events_cohort_retention": events_cohort_retention,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4176,6 +4281,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": _QUANTILES_SQL,
         "events_interarrival": _INTERARRIVAL_SQL,
         "docs_jpeg_decode": _JPEG_DECODE_SQL,
+        "events_funnel": _FUNNEL_SQL,
+        "events_cohort_retention": _COHORT_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
