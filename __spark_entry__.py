@@ -1171,6 +1171,38 @@ FROM documents
 """
 
 
+def events_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, hour): bit
+    interleaving as plain integer expressions (``functions/zorder.py``),
+    the multi-dimensional data-skipping layout of Delta/Iceberg ZORDER BY.
+    The oracle replays the interleave bit-for-bit; the layout benefit
+    (per-file min/max envelopes tight in BOTH dimensions) is pinned by
+    tests/test_zorder.py. Pure projection — zero shuffle."""
+    from affinity_spark.functions.zorder import morton_interleave
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.expr("unix_micros(ts) div 3600000000")
+    return ev.select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("u16"),
+        (hour % 65536).alias("h16"),
+        morton_interleave(F.col("user_id") % 65536, hour % 65536).alias("zkey"),
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    from affinity_spark.functions.zorder import morton_sql
+
+    z = morton_sql("user_id % 65536", "(epoch_us(ts) // 3600000000) % 65536")
+    return f"""
+SELECT event_id,
+       CAST(user_id % 65536 AS BIGINT) AS u16,
+       CAST((epoch_us(ts) // 3600000000) % 65536 AS BIGINT) AS h16,
+       CAST({z} AS BIGINT) AS zkey
+FROM events
+"""
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view → click → purchase per user: each stage must
     happen strictly AFTER the user's first event of the previous stage
@@ -4148,6 +4180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jpeg_decode": docs_jpeg_decode,
         "events_funnel": events_funnel,
         "events_cohort_retention": events_cohort_retention,
+        "events_zorder_key": events_zorder_key,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4283,6 +4316,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_jpeg_decode": _JPEG_DECODE_SQL,
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
+        "events_zorder_key": _zorder_oracle_sql(),
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
