@@ -255,6 +255,79 @@ class KeyedTable:
 
     # --- maintenance ---------------------------------------------------
 
+    def write_manifest(self, version: str | None = None) -> dict:
+        """Per-file min/max stats manifest for a snapshot, harvested from
+        parquet FOOTERS (pyarrow — no Spark job, no data read).
+
+        This is the Iceberg/Delta file-skipping move built from plain
+        parquet: a point get or prefix scan consults the manifest and
+        opens only files whose [min, max] envelope can contain the key,
+        so serving cost scales with matching files, not table size. Call
+        after a commit (opt-in — ``read_pruned`` falls back transparently
+        when absent); the manifest itself is tiny (one JSON row per
+        file)."""
+        import pyarrow.parquet as pq
+
+        vdir = (
+            os.path.join(self.path, version)
+            if version
+            else self._current_version_dir()
+        )
+        if vdir is None or not os.path.isdir(vdir):
+            raise FileNotFoundError(f"no snapshot dir to manifest at {self.path}")
+        entries = []
+        for fname in sorted(os.listdir(vdir)):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.ParquetFile(os.path.join(vdir, fname)).metadata
+            cols: dict[str, list] = {}
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    if st is None or not st.has_min_max or name not in self.key_cols:
+                        continue
+                    lo, hi = st.min, st.max
+                    if name in cols:
+                        cols[name] = [min(cols[name][0], lo), max(cols[name][1], hi)]
+                    else:
+                        cols[name] = [lo, hi]
+            entries.append({"file": fname, "rows": meta.num_rows, "stats": cols})
+        manifest = {"version": os.path.basename(vdir), "files": entries}
+        with open(os.path.join(vdir, "_manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+
+    def read_pruned(self, key: Mapping[str, object]) -> DataFrame:
+        """Point/prefix read that opens ONLY the files whose footer-stat
+        envelope can contain the key (falls back to the full snapshot when
+        no manifest exists). Same result as ``get``/``scan`` — the manifest
+        is a pure physical optimization, which the pruning test asserts."""
+        vdir = self._current_version_dir()
+        if vdir is None:
+            raise FileNotFoundError(f"table at {self.path} has no committed version")
+        mpath = os.path.join(vdir, "_manifest.json")
+        if not os.path.exists(mpath):
+            return point_get(self.spark.read.parquet(vdir), key)
+        with open(mpath) as f:
+            manifest = json.load(f)
+        keep = []
+        for entry in manifest["files"]:
+            ok = True
+            for col, val in key.items():
+                if col in entry["stats"]:
+                    lo, hi = entry["stats"][col]
+                    if not (lo <= val <= hi):
+                        ok = False
+                        break
+            if ok:
+                keep.append(os.path.join(vdir, entry["file"]))
+        if not keep:
+            return point_get(self.spark.read.parquet(vdir), key).limit(0)
+        return point_get(self.spark.read.parquet(*keep), key)
+
     def file_stats(self) -> dict:
         """Physical layout of the current snapshot: file count + byte sizes.
         The signal a table-maintenance scheduler watches for the small-file
