@@ -4140,6 +4140,42 @@ WHERE r_name = 'EUROPE'
 """
 
 
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16-token
+    overlap) — the retrieval/context-prep splitter run before embedding, and
+    the long-document fallback when a doc exceeds the context window.
+    Zero shuffles: chunk boundaries are a pure function of each document's
+    own token count (map-side posexplode, no global numbering), and the
+    chunk fingerprint is md5-derived so any engine reproduces it."""
+    from affinity_spark.operators.chunking import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_tokens(docs, "doc_id", "text", chunk_size=64, overlap=16)
+
+
+# stride = 64 - 16 = 48; n_chunks = max(ceil((n-16)/48), 1) in pure integer
+# math; DuckDB list slice is 1-based inclusive and clamps at the list end,
+# mirroring Spark's slice(toks, start, 64).
+_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest((len(toks) - 16 + 47) // 48, 1) AS n_chunks
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(toks[1 + i*48 : i*48 + 64]) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(toks[1 + i*48 : i*48 + 64], ' ')) AS chunk_md5
+FROM p, unnest(range(0, n_chunks)) AS r(i)
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4181,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_cohort_retention": events_cohort_retention,
         "events_zorder_key": events_zorder_key,
+        "docs_chunk_overlap": docs_chunk_overlap,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4317,6 +4354,7 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": _FUNNEL_SQL,
         "events_cohort_retention": _COHORT_SQL,
         "events_zorder_key": _zorder_oracle_sql(),
+        "docs_chunk_overlap": _CHUNK_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
