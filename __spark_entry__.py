@@ -31,6 +31,7 @@ from affinity_spark.functions.text import (
     EN_STOPWORDS,
     doc_fingerprint,
     lang_id,
+    let_bound,
     quality_columns,
     token_count,
     tokenize,
@@ -4176,6 +4177,73 @@ FROM p, unnest(range(0, n_chunks)) AS r(i)
 """
 
 
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search from a positional inverted index (X1/X2 extended with
+    positions): the phrase is itself data-derived — the corpus's most
+    frequent bigram (ties broken by bigram text) — so the query is
+    regeneration-proof, then matched by aligning per-term posting lists on
+    (doc, pos - term_offset). At scale the positional index is persisted
+    partitioned by term, so each phrase term is a partition-pruned scan and
+    the alignment join is bounded by posting-list sizes, never corpus size.
+    Bigrams use ANSI-safe F.get (null on out-of-bounds), never element_at."""
+    from affinity_spark.operators.index import build_positional_index, phrase_lookup
+
+    docs = _t(spark, sf_dir, "documents")
+    toks_expr = tokenize(F.col("text"))
+
+    def bigrams_of(t):
+        n = F.size(t)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.get(t, i - 1), F.get(t, i)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bg = docs.select(F.explode(let_bound(toks_expr, bigrams_of)).alias("bg"))
+    top = (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("bg"))
+        .limit(1)
+    )
+    terms = top.select(
+        F.split(F.col("bg"), " ").getItem(0).alias("term_0"),
+        F.split(F.col("bg"), " ").getItem(1).alias("term_1"),
+    )
+    pidx = build_positional_index(docs, ["doc_id"], tokenize(F.col("text")))
+    matches = phrase_lookup(pidx, terms, ["doc_id"])
+    phrase = top.select(F.col("bg").alias("phrase"))
+    return matches.crossJoin(F.broadcast(phrase)).select(
+        "doc_id", "phrase", "n_matches"
+    )
+
+
+_PHRASE_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS bg
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+),
+top AS (
+  SELECT bg AS phrase FROM bg GROUP BY bg ORDER BY count(*) DESC, bg LIMIT 1
+),
+m AS (
+  SELECT t.doc_id, top.phrase,
+         CAST(len(list_filter(range(1, len(t.toks)),
+                              i -> t.toks[i] || ' ' || t.toks[i+1] = top.phrase))
+              AS BIGINT) AS n_matches
+  FROM t CROSS JOIN top
+)
+SELECT doc_id, phrase, n_matches FROM m WHERE n_matches >= 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4218,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": events_cohort_retention,
         "events_zorder_key": events_zorder_key,
         "docs_chunk_overlap": docs_chunk_overlap,
+        "docs_phrase_search": docs_phrase_search,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4355,6 +4424,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": _COHORT_SQL,
         "events_zorder_key": _zorder_oracle_sql(),
         "docs_chunk_overlap": _CHUNK_SQL,
+        "docs_phrase_search": _PHRASE_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

@@ -67,6 +67,72 @@ def index_lookup(
     return primary_df.join(keys, on=list(key_cols), how="left_semi")
 
 
+def build_positional_index(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    tokens: Column,
+    index_col: str = "term",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Positional inverted index: one row per (term, position, primary key).
+
+    The positional extension of :func:`build_inverted_index` — keeping the
+    token offset makes phrase and proximity queries answerable from the
+    index alone (no re-tokenization of matched documents). Same §2.12
+    extractor shape as the reference's word index
+    (``examples/example-secondary-index/.../ESecondaryIndex.scala:109-111``)
+    with ``posexplode`` in place of ``explode``.
+
+    At scale the index is persisted partitioned by ``term`` so a phrase
+    lookup is a partition-pruned scan per phrase term; positions are 0-based.
+    """
+    cols = [F.col(c) for c in key_cols]
+    return df.select(
+        *cols, F.posexplode(tokens).alias(pos_col, index_col)
+    ).select(*key_cols, index_col, F.col(pos_col).cast("long").alias(pos_col))
+
+
+def phrase_lookup(
+    pos_index: DataFrame,
+    phrase_terms: Sequence[str] | DataFrame,
+    key_cols: Sequence[str],
+    index_col: str = "term",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Phrase match from the positional index: keys where the terms appear
+    at consecutive positions, with the number of starting positions.
+
+    ``phrase_terms`` is either a literal list of tokens or a 1-row DataFrame
+    with columns ``term_0..term_{k-1}`` (so the phrase may itself be
+    data-derived and stay engine-side). Each term's postings are filtered
+    from the index (partition-pruned scans when the index is stored
+    partitioned by term), aligned by subtracting the term's offset from its
+    position, and intersected — join cost is bounded by posting-list sizes,
+    never corpus size. Returns ``(*key_cols, n_matches)``.
+    """
+    if isinstance(phrase_terms, DataFrame):
+        w = F.broadcast(phrase_terms)
+        k = len(phrase_terms.columns)
+        aligned = None
+        for i in range(k):
+            hits = pos_index.join(
+                w, pos_index[index_col] == w[f"term_{i}"], "inner"
+            ).select(*key_cols, (F.col(pos_col) - F.lit(i)).alias(pos_col))
+            aligned = hits if aligned is None else aligned.join(
+                hits, [*key_cols, pos_col], "inner"
+            )
+    else:
+        aligned = None
+        for i, term in enumerate(phrase_terms):
+            hits = pos_index.filter(F.col(index_col) == F.lit(term)).select(
+                *key_cols, (F.col(pos_col) - F.lit(i)).alias(pos_col)
+            )
+            aligned = hits if aligned is None else aligned.join(
+                hits, [*key_cols, pos_col], "inner"
+            )
+    return aligned.groupBy(*key_cols).agg(F.count("*").alias("n_matches"))
+
+
 def delete_by_index(
     index_df: DataFrame,
     primary_df: DataFrame,
