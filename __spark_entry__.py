@@ -4244,6 +4244,93 @@ SELECT doc_id, phrase, n_matches FROM m WHERE n_matches >= 1
 """
 
 
+def docs_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020, public): score
+    every document against a bigram model trained on the lang='en' reference
+    slice, in integer floor-log2 "bits" (length(bin(x))-1 — exact in any
+    engine, unlike float logs). High bits-per-bigram ranks out-of-domain /
+    low-quality docs for the quality gate. Model tables are vocab-sized and
+    broadcast; ONE corpus-sized shuffle (groupBy doc)."""
+    from affinity_spark.operators.lm import lm_score_bits, train_bigram_model
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
+    return lm_score_bits(docs, model)
+
+
+_LM_BITS_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+db AS (
+  SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+),
+c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM db WHERE lang = 'en' GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+),
+v AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM c2),
+scored AS (
+  SELECT db.doc_id,
+         (length(bin(COALESCE(c1.c1, 0) + v.v)) - 1)
+       - (length(bin(COALESCE(c2.c, 0) + 1)) - 1) AS bits
+  FROM db CROSS JOIN v
+  LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+  LEFT JOIN c1 ON db.w1 = c1.w1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS nll_bits,
+       CAST(sum(bits) AS BIGINT) * 100 // CAST(count(*) AS BIGINT)
+         AS bits_per_bigram_x100
+FROM scored GROUP BY doc_id
+"""
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, public): hashed-unigram
+    floor-log2 likelihood ratio between the lang='en' target slice and the
+    whole corpus, summed per document — the score used to importance-
+    resample pretraining data toward a target domain. md5-derived buckets
+    so any engine reproduces the weights; 1024-row model broadcast."""
+    from affinity_spark.operators.lm import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
+_DSIR_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+),
+counts AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS cs,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM toks GROUP BY b
+)
+SELECT toks.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum((length(bin(ct + 1)) - 1) - (length(bin(cs + 1)) - 1)) AS BIGINT)
+         AS weight_bits
+FROM toks JOIN counts ON toks.b = counts.b
+GROUP BY toks.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4287,6 +4374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_key": events_zorder_key,
         "docs_chunk_overlap": docs_chunk_overlap,
         "docs_phrase_search": docs_phrase_search,
+        "docs_lm_bits": docs_lm_bits,
+        "docs_dsir_weights": docs_dsir_weights,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4425,6 +4514,8 @@ def oracle_sql() -> dict[str, str]:
         "events_zorder_key": _zorder_oracle_sql(),
         "docs_chunk_overlap": _CHUNK_SQL,
         "docs_phrase_search": _PHRASE_SQL,
+        "docs_lm_bits": _LM_BITS_SQL,
+        "docs_dsir_weights": _DSIR_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

@@ -1,0 +1,184 @@
+"""Count-based language-model scoring and importance weighting.
+
+Two public-paper quality-filter families a training-data pipeline runs at
+corpus scale, both expressed as pure DataFrame plans with integer
+fixed-point math so any engine reproduces the scores bit-for-bit:
+
+- :func:`lm_score_bits` — CCNet-style perplexity filtering (Wenzek et al.
+  2020): score every document against a bigram model trained on a trusted
+  reference slice; high bits-per-bigram ≈ out-of-domain / low-quality text.
+- :func:`dsir_weights` — DSIR-style importance weights (Xie et al. 2023):
+  hashed-unigram log-likelihood ratio between a target distribution and the
+  raw corpus, the score used to importance-resample pretraining data toward
+  a target domain.
+
+Float logs diverge across engines at the ULP level, so both operators use
+the integer floor-log2 ``flog2(x) = length(bin(x)) - 1`` (exact in any
+engine with a binary formatter) — the scores are coarse by design: they
+rank and gate, they are not entropy estimates.
+
+Scale design: models are vocabulary/bucket-sized — orders of magnitude
+smaller than the corpus — so scoring is explode → broadcast join → one
+groupBy(doc) shuffle. Training is one explode + count over the reference
+slice only. Nothing driver-side; no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from affinity_spark.functions.text import _int_div, let_bound, tokenize
+
+
+def flog2(x: Column) -> Column:
+    """Integer floor(log2(x)) for x >= 1: bit-length minus one. Exact in
+    both Spark and DuckDB (``length(bin(x)) - 1``), unlike float log2."""
+    return (F.length(F.bin(x)) - 1).cast("long")
+
+
+def doc_bigrams(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
+    """Explode each document into adjacent token pairs ``(w1, w2)``.
+
+    ANSI-safe: uses ``F.get`` (null on out-of-bounds), never ``element_at``;
+    the sequence only covers valid starts so no nulls are produced.
+    Documents with fewer than two tokens yield no rows.
+    """
+    toks_expr = tokenize(F.col(text_col))
+
+    def pairs_of(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.get(t, i - 1).alias("w1"), F.get(t, i).alias("w2")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    return df.select(
+        *id_cols, F.explode(let_bound(toks_expr, pairs_of)).alias("_bg")
+    ).select(*id_cols, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+
+def train_bigram_model(ref_docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram counts over the reference slice: ``(w1, w2, c)``.
+
+    Context counts and vocabulary size are derived from this one table
+    downstream (no second corpus pass). Output is vocabulary²-bounded —
+    broadcastable for any realistic vocabulary."""
+    return (
+        doc_bigrams(ref_docs, [], text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def lm_score_bits(
+    docs: DataFrame,
+    bigram_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score each document against the bigram model in integer "bits".
+
+    Per-bigram cost ``flog2(C1(w1) + V) - flog2(C2(w1, w2) + 1)`` is the
+    floor-log2 of the add-one-smoothed inverse conditional probability
+    (``C1`` = left-context count, ``V`` = left-vocabulary size, both derived
+    from the model); summed per document it is a monotone integer proxy for
+    the negative log-likelihood. Returns one row per document with >= 1
+    bigram: ``(id, n_bigrams, nll_bits, bits_per_bigram_x100)``.
+
+    Plan: model-side aggregates are model-sized (broadcast); document
+    bigrams join them map-side; ONE corpus-sized shuffle (groupBy doc).
+    """
+    c2 = bigram_model
+    c1 = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
+    v = c2.agg(F.countDistinct("w1").cast("long").alias("v"))
+
+    db = doc_bigrams(docs, [id_col], text_col)
+    scored = (
+        db.crossJoin(F.broadcast(v))
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .select(
+            id_col,
+            (
+                flog2(F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+                - flog2(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1))
+            ).alias("bits"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("bits").cast("long").alias("nll_bits"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "nll_bits",
+        _int_div(F.col("nll_bits") * 100, F.col("n_bigrams")).alias(
+            "bits_per_bigram_x100"
+        ),
+    )
+
+
+def hashed_bucket(token: Column, n_buckets: int = 1024) -> Column:
+    """md5-derived feature bucket — engine-portable (any system with md5
+    reproduces the bucketing, so weights are comparable across engines)."""
+    return (
+        F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long") % n_buckets
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_filter: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR importance weight per document, in integer bits.
+
+    Tokens hash into ``n_buckets`` md5 buckets; per-token weight is
+    ``flog2(Ct(b) + 1) - flog2(Cs(b) + 1)`` where ``Ct`` counts the bucket
+    in the target slice (rows matching ``target_filter``) and ``Cs`` in the
+    whole corpus — the floor-log2 likelihood ratio of the hashed-unigram
+    models. Summed per document it ranks documents by target-domain
+    affinity for importance resampling. Returns
+    ``(id, n_tokens, weight_bits)`` for documents with >= 1 token.
+
+    Plan: the token explode is declared once and evaluated twice — once
+    reducing to the ``n_buckets``-row count model (map-side partial agg, a
+    bucket-sized shuffle), once joined back against that broadcast model for
+    scoring (one corpus-sized groupBy(doc) shuffle). Both target and source
+    counts come from the same aggregate via a conditional sum, so the model
+    pass is single. At 100 TB, persist the exploded projection (or harvest
+    the model from a sample) to collapse the two scans into one.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        target_filter.alias("_is_target"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).select(
+        id_col, "_is_target", hashed_bucket(F.col("tok"), n_buckets).alias("b")
+    )
+
+    counts = toks.groupBy("b").agg(
+        F.count("*").cast("long").alias("cs"),
+        F.sum(F.when(F.col("_is_target"), 1).otherwise(0)).cast("long").alias("ct"),
+    )
+
+    scored = toks.join(F.broadcast(counts), ["b"], "left").select(
+        id_col,
+        (
+            flog2(F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+            - flog2(F.coalesce(F.col("cs"), F.lit(0)) + F.lit(1))
+        ).alias("bits"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("bits").cast("long").alias("weight_bits"),
+    )
