@@ -11,6 +11,11 @@ Mapping (SURVEY.md §2.1, §2.3, §2.11):
 """
 
 from affinity_spark.streaming.state import get_and_update_stream, running_count_stream
+from affinity_spark.streaming.ivm import (
+    apply_agg_delta,
+    batch_delta_agg,
+    incremental_agg_sink,
+)
 from affinity_spark.streaming.sinks import (
     changelog_sink,
     foreach_batch_merge,
@@ -21,6 +26,9 @@ from affinity_spark.streaming.windows import tumbling_counts
 __all__ = [
     "get_and_update_stream",
     "running_count_stream",
+    "apply_agg_delta",
+    "batch_delta_agg",
+    "incremental_agg_sink",
     "changelog_sink",
     "foreach_batch_merge",
     "read_keyed_table",
