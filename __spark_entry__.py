@@ -4331,6 +4331,50 @@ GROUP BY toks.doc_id
 """
 
 
+def docs_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-n-gram repetition rules at n=2 (Rae et al. 2021
+    §A.1.1): per doc, the top bigram's share and the duplicate-bigram share
+    in integer basis points. Complements docs_gopher_rules' token-level
+    signals; all map-side (let-bound bigram + distinct arrays, no explode,
+    zero shuffle)."""
+    from affinity_spark.functions.text import gopher_rep_struct
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = docs.select("doc_id", gopher_rep_struct(F.col("text")).alias("r"))
+    return rep.select(
+        "doc_id", "r.n_bigrams", "r.top_bigram_bp", "r.dup_bigram_bp"
+    ).where(F.col("n_bigrams") >= 1)
+
+
+_GOPHER_REP_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(bg) AS BIGINT) AS m,
+         CAST(len(list_distinct(bg)) AS BIGINT) AS d,
+         CAST(list_max(list_transform(list_distinct(bg),
+                                      w -> len(list_filter(bg, x -> x = w))))
+              AS BIGINT) AS top
+  FROM b
+)
+SELECT doc_id,
+       m AS n_bigrams,
+       top * 10000 // m AS top_bigram_bp,
+       (m - d) * 10000 // m AS dup_bigram_bp
+FROM s WHERE m >= 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4376,6 +4420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_phrase_search": docs_phrase_search,
         "docs_lm_bits": docs_lm_bits,
         "docs_dsir_weights": docs_dsir_weights,
+        "docs_gopher_rep": docs_gopher_rep,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4516,6 +4561,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_phrase_search": _PHRASE_SQL,
         "docs_lm_bits": _LM_BITS_SQL,
         "docs_dsir_weights": _DSIR_SQL,
+        "docs_gopher_rep": _GOPHER_REP_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

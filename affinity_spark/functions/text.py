@@ -240,3 +240,51 @@ def gopher_rule_struct(text: Column) -> Column:
         )
 
     return let_bound(toks_expr, struct_of)
+
+
+def gopher_rep_struct(text: Column) -> Column:
+    """Gopher duplicate-n-gram rules (Rae et al. 2021 §A.1.1, public) at
+    n=2, as ONE struct of integer fields: ``n_bigrams``,
+    ``top_bigram_bp`` (most frequent bigram's share, basis points) and
+    ``dup_bigram_bp`` (share of bigram occurrences beyond their first —
+    ``(n - distinct) / n``). Repetitive machine-generated text scores high
+    on both; integer basis points keep the gate engine-portable.
+
+    Map-side like :func:`gopher_rule_struct`: the bigram array is built
+    once (let-bound), the top count is O(distinct × n) over the doc's own
+    bigrams — zero shuffle, no explode.
+    """
+    toks_expr = tokenize(text)
+
+    def bigrams_of(t: Column) -> Column:
+        n = F.size(t)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.get(t, i - 1), F.get(t, i)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def struct_of(bg: Column) -> Column:
+        # distinct set let-bound too: d and top both need it, and a HOF
+        # lambda would otherwise rebuild it per reference
+        def with_distinct(dist: Column) -> Column:
+            m = F.size(bg).cast("long")
+            top = F.coalesce(
+                F.array_max(
+                    F.transform(dist, lambda w: F.size(F.filter(bg, lambda x: x == w)))
+                ),
+                F.lit(0),
+            ).cast("long")
+            return F.struct(
+                m.alias("n_bigrams"),
+                _int_div(top * 10000, m).alias("top_bigram_bp"),
+                _int_div((m - F.size(dist).cast("long")) * 10000, m).alias(
+                    "dup_bigram_bp"
+                ),
+            )
+
+        return let_bound(F.array_distinct(bg), with_distinct)
+
+    return let_bound(let_bound(toks_expr, bigrams_of), struct_of)

@@ -65,3 +65,26 @@ def test_gopher_struct_values(spark):
     # empty text: all zeros, no division error (ANSI mode)
     assert by_id[2].n_words == 0 and by_id[2].top_token_bp == 0
     assert by_id[3].mean_word_len_x100 == 400
+
+
+def test_gopher_rep_struct_values(spark):
+    from affinity_spark.functions.text import gopher_rep_struct
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # bigrams: ab ba ab ba -> m=4, d=2, top=2
+            (2, "x y z"),       # bigrams: xy yz -> m=2, d=2, top=1
+            (3, "solo"),        # no bigrams
+            (4, ""),            # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.g
+        for r in df.select("doc_id", gopher_rep_struct(F.col("text")).alias("g")).collect()
+    }
+    assert (got[1].n_bigrams, got[1].top_bigram_bp, got[1].dup_bigram_bp) == (4, 5000, 5000)
+    assert (got[2].n_bigrams, got[2].top_bigram_bp, got[2].dup_bigram_bp) == (2, 5000, 0)
+    # degenerate docs: zero bigrams, no ANSI division error
+    assert got[3].n_bigrams == 0 and got[3].dup_bigram_bp == 0
+    assert got[4].n_bigrams == 0
