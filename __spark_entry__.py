@@ -4375,6 +4375,64 @@ FROM s WHERE m >= 1
 """
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier purchase graph (edges = distinct
+    (custkey, suppkey) pairs through orders⋈lineitem), 3 fixed iterations in
+    integer parts-per-million — the rank recurrence is defined in integer
+    div so both engines reproduce it bit-for-bit (float PR diverges by
+    accumulation order). Extends the J4 iterative family beyond connected
+    components; per-iteration cost is edge-sized, lineage cut per round."""
+    from affinity_spark.operators.graph import pagerank_ppm
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(1_000_000_000_000)).alias("dst"),
+        )
+    )
+    return pagerank_ppm(edges, iters=3)
+
+
+_PAGERANK_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS u,
+         CAST(l_suppkey AS BIGINT) + 1000000000000 AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (SELECT u, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY u),
+verts AS (SELECT u AS vertex FROM e UNION SELECT v FROM e),
+r0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS r FROM verts),
+s1 AS (
+  SELECT e.v, CAST(sum(r0.r // deg.outdeg) AS BIGINT) AS in_sum
+  FROM e JOIN deg USING (u) JOIN r0 ON r0.vertex = e.u GROUP BY e.v
+),
+r1 AS (
+  SELECT vertex, CAST(150000 + (85 * COALESCE(s1.in_sum, 0)) // 100 AS BIGINT) AS r
+  FROM verts LEFT JOIN s1 ON s1.v = verts.vertex
+),
+s2 AS (
+  SELECT e.v, CAST(sum(r1.r // deg.outdeg) AS BIGINT) AS in_sum
+  FROM e JOIN deg USING (u) JOIN r1 ON r1.vertex = e.u GROUP BY e.v
+),
+r2 AS (
+  SELECT vertex, CAST(150000 + (85 * COALESCE(s2.in_sum, 0)) // 100 AS BIGINT) AS r
+  FROM verts LEFT JOIN s2 ON s2.v = verts.vertex
+),
+s3 AS (
+  SELECT e.v, CAST(sum(r2.r // deg.outdeg) AS BIGINT) AS in_sum
+  FROM e JOIN deg USING (u) JOIN r2 ON r2.vertex = e.u GROUP BY e.v
+),
+r3 AS (
+  SELECT vertex, CAST(150000 + (85 * COALESCE(s3.in_sum, 0)) // 100 AS BIGINT) AS r
+  FROM verts LEFT JOIN s3 ON s3.v = verts.vertex
+)
+SELECT vertex, r AS rank_ppm FROM r3
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4421,6 +4479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_bits": docs_lm_bits,
         "docs_dsir_weights": docs_dsir_weights,
         "docs_gopher_rep": docs_gopher_rep,
+        "graph_pagerank": graph_pagerank,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4562,6 +4621,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lm_bits": _LM_BITS_SQL,
         "docs_dsir_weights": _DSIR_SQL,
         "docs_gopher_rep": _GOPHER_REP_SQL,
+        "graph_pagerank": _PAGERANK_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

@@ -77,6 +77,68 @@ def connected_components(
     return labels
 
 
+def pagerank_ppm(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """PageRank in integer parts-per-million — engine-exact by construction.
+
+    Float PageRank diverges across engines at the ULP level (accumulation
+    order), so the recurrence is defined in integer arithmetic and any
+    engine that mirrors it reproduces the ranks bit-for-bit:
+
+        share(u)  = r(u) div outdeg(u)
+        in_sum(v) = Σ share(u) over edges u→v
+        r'(v)     = (15 * scale) div 100 + (85 * in_sum(v)) div 100
+
+    (damping 0.85; dangling vertices keep the base term — the standard
+    sink-loss variant, stated so the oracle matches). Runs a FIXED number
+    of iterations — the cross-engine contract is the recurrence, not a
+    float convergence test.
+
+    Scale shape: out-degrees are joined to the edge list ONCE before the
+    loop (and checkpointed); each iteration is one rank join + one
+    groupBy(dst) shuffle, with localCheckpoint cutting lineage like
+    :func:`connected_components`. Iterations shuffle edge-sized data only.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    deg = e.groupBy("u").agg(F.count("*").cast("long").alias("outdeg"))
+    e_deg = e.join(deg, "u").localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("u").alias("vertex"))
+        .union(e.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (15 * scale) // 100
+
+    ranks = verts.withColumn("rank_ppm", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        shares = (
+            e_deg.join(ranks, e_deg["u"] == ranks["vertex"], "inner")
+            .select(
+                F.col("v"),
+                F.expr("rank_ppm div outdeg").alias("share"),
+            )
+        )
+        in_sums = shares.groupBy("v").agg(F.sum("share").alias("in_sum"))
+        ranks = (
+            verts.join(in_sums, verts["vertex"] == in_sums["v"], "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("(85 * coalesce(in_sum, 0L)) div 100")
+                ).alias("rank_ppm"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def collect_component(
     edges: DataFrame, vertex: int, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:

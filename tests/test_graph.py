@@ -71,3 +71,28 @@ def test_larger_random_graph_converges(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.vertex: r.component for r in connected_components(df, max_iter=30).collect()}
     assert got == expect
+
+
+def test_pagerank_ppm_hand_computed(spark):
+    from affinity_spark.operators.graph import pagerank_ppm
+
+    # a(1) -> b(2), a -> c(3), b -> c ; outdeg a=2, b=1; c dangling
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    r = {row.vertex: row.rank_ppm for row in pagerank_ppm(edges, iters=2).collect()}
+    # iter1: shares a=500000 (to b,c), b=1000000 (to c)
+    #   a=150000; b=150000+(85*500000)//100=575000; c=150000+(85*1500000)//100=1425000
+    # iter2: shares a=75000, b=575000
+    #   a=150000; b=213750; c=150000+(85*650000)//100=702500
+    assert r == {1: 150000, 2: 213750, 3: 702500}
+
+
+def test_pagerank_iterations_shuffle_edge_sized_only(spark):
+    from affinity_spark.operators.graph import pagerank_ppm
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], "src long, dst long"
+    )
+    ranks = pagerank_ppm(edges, iters=1)
+    # ranks are positive and the base term is the floor
+    vals = [row.rank_ppm for row in ranks.collect()]
+    assert min(vals) == 150000 and len(vals) > 0
