@@ -33,6 +33,7 @@ import uuid
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from affinity_spark.operators.kv import point_get, prefix_scan
 from affinity_spark.operators.upsert import merge_upsert
@@ -254,6 +255,37 @@ class KeyedTable:
         return prefix_scan(self.read(), prefix, time_range, self.ts_col, ts_unit)
 
     # --- maintenance ---------------------------------------------------
+
+    def changes_between(self, old_version: str, new_version: str) -> DataFrame:
+        """Change-data-feed between two retained snapshots: one row per key
+        whose state differs, classified ``insert`` / ``update`` / ``delete``
+        with the old and new value structs.
+
+        The lakehouse CDF read (Delta's ``table_changes``), and the batch
+        analogue of the reference's changelog tail (X4): a downstream
+        consumer that missed the live stream re-derives exactly the deltas
+        by diffing the snapshots it has. Unchanged keys are dropped —
+        comparison is null-safe struct equality over all non-key columns.
+
+        Scale: both snapshots share the table's key layout, so the diff is
+        one co-partitioned full-outer join (no broadcast of either side);
+        with file-skipping manifests the join reads only files whose key
+        envelopes overlap.
+        """
+        old = self.read_version(old_version)
+        new = self.read_version(new_version)
+        val_cols = [c for c in new.columns if c not in self.key_cols]
+        o = old.select(*self.key_cols, F.struct(*val_cols).alias("old_values"))
+        n = new.select(*self.key_cols, F.struct(*val_cols).alias("new_values"))
+        j = o.join(n, self.key_cols, "full_outer")
+        change = (
+            F.when(F.col("old_values").isNull(), F.lit("insert"))
+            .when(F.col("new_values").isNull(), F.lit("delete"))
+            .when(~F.col("old_values").eqNullSafe(F.col("new_values")), F.lit("update"))
+        )
+        return j.select(
+            *self.key_cols, change.alias("change"), "old_values", "new_values"
+        ).where(F.col("change").isNotNull())
 
     def write_manifest(self, version: str | None = None) -> dict:
         """Per-file min/max stats manifest for a snapshot, harvested from

@@ -119,3 +119,30 @@ def test_time_travel_reads_retained_snapshots(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         t.read_version("v_nope")
+
+
+def test_changes_between_classifies_insert_update_delete(spark, tmp_path):
+    """CDF read: diffing two retained snapshots yields exactly the deltas."""
+    t = _table(spark, tmp_path, retain_versions=4, tombstone_col=None)
+    t.upsert(_df(spark, [(1, 100, "a"), (2, 100, "b"), (3, 100, "c")]))
+    t.upsert(_df(spark, [(2, 200, "b2"), (4, 200, "d")]))  # update 2, insert 4
+    v_old, v_new = t.versions()[-2], t.versions()[-1]
+
+    got = {r.k: r.change for r in t.changes_between(v_old, v_new).collect()}
+    assert got == {2: "update", 4: "insert"}
+
+    rows = {r.k: r for r in t.changes_between(v_old, v_new).collect()}
+    assert rows[2].old_values.v == "b" and rows[2].new_values.v == "b2"
+    assert rows[4].old_values is None and rows[4].new_values.v == "d"
+
+    # reverse diff sees the inverse operations
+    rev = {r.k: r.change for r in t.changes_between(v_new, v_old).collect()}
+    assert rev == {2: "update", 4: "delete"}
+
+
+def test_changes_between_empty_for_identical_snapshots(spark, tmp_path):
+    t = _table(spark, tmp_path, retain_versions=4)
+    t.upsert(_df(spark, [(1, 100, "a")]))
+    t.upsert(_df(spark, [(1, 100, "a")]))  # no-op merge, new snapshot
+    v_old, v_new = t.versions()[-2], t.versions()[-1]
+    assert t.changes_between(v_old, v_new).count() == 0
