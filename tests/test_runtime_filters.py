@@ -52,3 +52,23 @@ def test_selective_join_injects_bloom_filter_into_fact_scan(tuned, tmp_path):
     assert "might_contain" in plan and "bloom_filter_agg" in plan
     # semi-reduction only — results identical to the unfiltered plan
     assert len(rows) == sum(1 for i in range(20_000) if i % 7 == 3)
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark, tmp_path):
+    """count/min/max over a parquet table resolve from file footers (DSv2
+    scan carries the pushed aggregate) — at 100 TB this is the difference
+    between reading metadata and reading every row."""
+    spark.range(0, 10_000).selectExpr("id", "id % 5 as g").write.parquet(
+        str(tmp_path / "t")
+    )
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        q = spark.read.parquet(str(tmp_path / "t")).agg(
+            F.count("*").alias("n"), F.min("id").alias("mn"), F.max("id").alias("mx")
+        )
+        assert q.collect()[0] == (10_000, 0, 9_999)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*), MIN(id), MAX(id)]" in plan
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
