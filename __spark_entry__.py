@@ -4433,6 +4433,62 @@ SELECT vertex, r AS rank_ppm FROM r3
 """
 
 
+def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of per-user event frequencies: the d×w counter
+    table (d=3, w=256) built in ONE pass — each row contributes its d
+    (depth, bucket) cells via an inline array, partial aggregation makes
+    the shuffle sketch-sized (768 rows) regardless of event volume. The
+    integer counter table IS the cross-engine contract; estimates are a
+    driver-side min over a key's cells (unit-tested)."""
+    from affinity_spark.operators.sketches import cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_sketch(ev, F.col("user_id").cast("string"), depth=3, width=256)
+
+
+_CMS_SQL = """
+WITH cells AS (
+  SELECT i AS depth,
+         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                  CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 256 AS bucket
+  FROM events, unnest(range(0, 3)) AS r(i)
+)
+SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM cells GROUP BY depth, bucket
+"""
+
+
+def events_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table for distinct users (p=8 → 256 buckets):
+    60-bit md5 hash split into bucket + rank field, register = max leading-
+    zero rank per bucket, computed exactly via length(bin(x))−1. The
+    INTEGER register table is the engine contract (merge = elementwise
+    max); the float estimate is a driver post-step. Shuffle is 256 rows at
+    any data volume — the approx-distinct shape that replaces exact key
+    state when it stops fitting."""
+    from affinity_spark.operators.sketches import hll_registers
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_registers(ev, F.col("user_id").cast("string"), p=8)
+
+
+_HLL_SQL = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+split AS (
+  SELECT hv % 256 AS bucket, hv // 256 AS w FROM h
+)
+SELECT bucket,
+       CAST(max(CASE WHEN w > 0 THEN 52 - (length(bin(w)) - 1)
+                     ELSE 53 END) AS BIGINT) AS register
+FROM split GROUP BY bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4480,6 +4536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dsir_weights": docs_dsir_weights,
         "docs_gopher_rep": docs_gopher_rep,
         "graph_pagerank": graph_pagerank,
+        "events_cms_counts": events_cms_counts,
+        "events_hll_registers": events_hll_registers,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4622,6 +4680,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_dsir_weights": _DSIR_SQL,
         "docs_gopher_rep": _GOPHER_REP_SQL,
         "graph_pagerank": _PAGERANK_SQL,
+        "events_cms_counts": _CMS_SQL,
+        "events_hll_registers": _HLL_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

@@ -1,0 +1,117 @@
+"""Mergeable distributed sketches: count-min and HyperLogLog registers.
+
+Sketches are the scale answer to "how often / how many distinct" questions
+that don't justify an exact shuffle of the full key set: the sketch TABLE
+is tiny and fixed-size (d×w counters, 2^p registers), partial aggregation
+happens map-side, and merging is associative (sum for count-min, max for
+HLL) — so 1000 executors each reduce their partitions to a sketch and the
+final combine is constant-sized regardless of data volume. The reference
+keeps exact per-key state; sketches are the §2.13-era counterpart for
+cardinalities where exact state no longer fits.
+
+Engine parity: hashes are md5-derived (any engine reproduces them), and
+the operators return the sketch's INTEGER state (counters / registers),
+not a float estimate — estimates are a trivial driver-side post-step
+(:func:`cms_estimate`, :func:`hll_estimate`), while the state itself is
+bit-for-bit checkable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h(x: Column, salt: int, hex_chars: int = 8) -> Column:
+    """md5-derived positive integer hash of ``x`` with an integer salt
+    (``hex_chars`` ≤ 15 keeps conv() inside the positive int64 range)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), x)), 1, hex_chars), 16, 10
+    ).cast("long")
+
+
+def cms_sketch(
+    df: DataFrame,
+    key: Column,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of ``key`` occurrences: ``(depth, bucket, cnt)``.
+
+    One pass: each row contributes ``depth`` (row, bucket) updates via an
+    inline array explode (map-side, no per-depth re-scan), then one
+    ``groupBy(depth, bucket)`` whose output is exactly ``depth × width``
+    rows — the shuffle is sketch-sized thanks to partial aggregation.
+    Merging two sketches = summing counters per (depth, bucket).
+    """
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("depth"),
+                (_h(key, i) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.depth").alias("depth"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(sketch_rows: list, key_value: str, depth: int = 3, width: int = 256) -> int:
+    """Point estimate for one key from a collected sketch: min over the
+    key's d counters (never underestimates; overestimates by collisions)."""
+    import hashlib
+
+    table = {(r["depth"], r["bucket"]): r["cnt"] for r in sketch_rows}
+    est = None
+    for i in range(depth):
+        h = int(hashlib.md5(f"{i}:{key_value}".encode()).hexdigest()[:8], 16)
+        c = table.get((i, h % width), 0)
+        est = c if est is None else min(est, c)
+    return int(est or 0)
+
+
+#: HLL geometry: 60-bit md5-derived hash = p bucket bits + (60-p) rank field
+HLL_HASH_BITS = 60
+
+
+def hll_registers(df: DataFrame, key: Column, p: int = 8) -> DataFrame:
+    """HyperLogLog register table of ``key``'s distinct values:
+    ``(bucket, register)`` with ``2^p`` rows.
+
+    The 60-bit md5 hash splits into a ``p``-bit bucket and a rank field;
+    ``register`` is the max over the bucket's values of (leading-zero count
+    of the rank field) + 1 — computed exactly as ``field_bits − floor_log2``
+    via ``length(bin(x)) − 1``, so any engine reproduces the registers.
+    Merging sketches = elementwise max; the shuffle is 2^p rows.
+    """
+    field_bits = HLL_HASH_BITS - p
+    h = _h(key, 0, hex_chars=15)  # 60 bits, positive
+    bucket = h % (1 << p)
+    # rank field via shiftright — exact integer op; any float path loses
+    # low bits of a 60-bit value (doubles are exact only below 2^53).
+    proj = df.select(
+        bucket.alias("bucket"), F.shiftright(h, p).alias("_w")
+    )
+    rank = F.when(
+        F.col("_w") > 0,
+        F.lit(field_bits) - (F.length(F.bin(F.col("_w"))) - 1),
+    ).otherwise(F.lit(field_bits + 1)).cast("long")
+    return (
+        proj.select("bucket", rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_estimate(register_rows: list, p: int = 8) -> float:
+    """Standard HLL estimate from collected registers (driver-side float —
+    the cross-engine contract is the register table, not this number)."""
+    m = 1 << p
+    regs = {r["bucket"]: r["register"] for r in register_rows}
+    z = sum(2.0 ** -regs.get(b, 0) for b in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m / z

@@ -1,0 +1,66 @@
+"""Count-min and HLL sketches: estimate bounds, mergeability, exact state."""
+
+from pyspark.sql import functions as F
+
+from affinity_spark.operators.sketches import (
+    cms_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "k string")
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_keys(spark):
+    rows = ["a"] * 100 + ["b"] * 50 + [f"x{i}" for i in range(200)]
+    sk = [r.asDict() for r in cms_sketch(_events(spark, rows), F.col("k")).collect()]
+    true = {"a": 100, "b": 50, "x0": 1}
+    for k, t in true.items():
+        est = cms_estimate(sk, k)
+        assert est >= t  # count-min never underestimates
+    # heavy keys dominate their buckets: estimate stays close
+    assert cms_estimate(sk, "a") <= 100 + 10
+    assert cms_estimate(sk, "b") <= 50 + 10
+
+
+def test_cms_sketches_merge_by_summing(spark):
+    part1, part2 = ["a"] * 10 + ["b"], ["a"] * 5 + ["c"] * 3
+    s_all = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms_sketch(_events(spark, part1 + part2), F.col("k")).collect()
+    }
+    s1 = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms_sketch(_events(spark, part1), F.col("k")).collect()
+    }
+    s2 = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms_sketch(_events(spark, part2), F.col("k")).collect()
+    }
+    merged = {c: s1.get(c, 0) + s2.get(c, 0) for c in set(s1) | set(s2)}
+    assert merged == s_all
+
+
+def test_hll_registers_merge_by_max_and_estimate_tracks_cardinality(spark):
+    a = [f"u{i}" for i in range(500)]
+    b = [f"u{i}" for i in range(250, 750)]  # 250 overlap → union 750
+    ra = {r.bucket: r.register for r in hll_registers(_events(spark, a), F.col("k")).collect()}
+    rb = {r.bucket: r.register for r in hll_registers(_events(spark, b), F.col("k")).collect()}
+    runion = {
+        r.bucket: r.register
+        for r in hll_registers(_events(spark, a + b), F.col("k")).collect()
+    }
+    merged = {x: max(ra.get(x, 0), rb.get(x, 0)) for x in set(ra) | set(rb)}
+    assert merged == runion
+
+    est = hll_estimate([{"bucket": k, "register": v} for k, v in runion.items()])
+    assert 750 * 0.8 <= est <= 750 * 1.2  # p=8 → ~6.5% standard error
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    once = hll_registers(_events(spark, ["a", "b", "c"]), F.col("k")).collect()
+    many = hll_registers(_events(spark, ["a", "b", "c"] * 50), F.col("k")).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, many))
