@@ -4489,6 +4489,56 @@ FROM split GROUP BY bucket
 """
 
 
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (τ=2, the XLM-R α=0.5 move): each
+    source's token budget ∝ isqrt(its token mass), filled in stable hash
+    order — between raw-proportional (giant sources drown the mix) and
+    uniform (tiny sources overweighted). All integer math (exact isqrt +
+    integer div), so the selection is engine- and rerun-exact."""
+    from affinity_spark.operators.sampling import temperature_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    picked = temperature_budget_sample(scored, "doc_id", "source", "n_tokens", 3000)
+    return picked.select("doc_id", "source", "n_tokens", "grp_budget", "cum_before")
+
+
+_TEMP_MIX_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2147483648 AS hk
+  FROM documents
+),
+tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tt FROM t GROUP BY source),
+sq AS (
+  SELECT source, tt,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= tt THEN s0 + 1
+              WHEN s0 * s0 > tt THEN s0 - 1
+              ELSE s0 END AS w
+  FROM (SELECT source, tt, CAST(floor(sqrt(tt)) AS BIGINT) AS s0 FROM tot)
+),
+b AS (
+  SELECT source, (3000 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM sq) AS grp_budget
+  FROM sq
+),
+c AS (
+  SELECT t.doc_id, t.source, t.n_tokens, b.grp_budget,
+         CAST(COALESCE(sum(t.n_tokens) OVER (
+           PARTITION BY t.source ORDER BY t.hk, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t JOIN b USING (source)
+)
+SELECT doc_id, source, n_tokens, grp_budget, cum_before
+FROM c WHERE cum_before < grp_budget
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4538,6 +4588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "events_cms_counts": events_cms_counts,
         "events_hll_registers": events_hll_registers,
+        "docs_temperature_mix": docs_temperature_mix,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4682,6 +4733,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _PAGERANK_SQL,
         "events_cms_counts": _CMS_SQL,
         "events_hll_registers": _HLL_SQL,
+        "docs_temperature_mix": _TEMP_MIX_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

@@ -162,6 +162,68 @@ def per_group_sample(
     )
 
 
+def isqrt(x: Column) -> Column:
+    """Exact integer sqrt of a nonnegative BIGINT column.
+
+    floor(sqrt(double)) is correct for almost all inputs (IEEE sqrt is
+    correctly rounded) but the two CASE corrections make it exact at every
+    perfect-square boundary on any engine — the same guard the DuckDB
+    oracle applies, so both sides agree bit-for-bit.
+    """
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    s = F.when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
+    return F.when(s * s > x, s - 1).otherwise(s)
+
+
+def temperature_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    total_budget: int,
+) -> DataFrame:
+    """Temperature-scaled source mixing (τ=2): each group's token budget is
+    proportional to sqrt of its total token mass, then filled in stable
+    hash order like :func:`token_budget_sample`.
+
+    The multilingual/pretraining sampling move (sampling exponent 1/τ,
+    e.g. XLM-R's α=0.5): raw proportional sampling lets giant sources
+    drown the mixture, uniform budgets overweight tiny ones — √-scaling is
+    the standard compromise. All integer math: budgets are
+    ``(total_budget * isqrt(T_g)) div Σ isqrt(T)``, so any engine
+    reproduces the selection exactly.
+
+    Plan: group totals are a group-count-sized aggregate broadcast back;
+    the fill is the same single partition-aligned window as
+    ``token_budget_sample``.
+    """
+    totals = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("_t")
+    )
+    weights = totals.select(group_col, isqrt(F.col("_t")).alias("_w"))
+    wsum = weights.agg(F.sum("_w").cast("long").alias("_wsum"))
+    budgets = (
+        weights.crossJoin(F.broadcast(wsum))
+        .select(
+            group_col,
+            F.expr(f"(CAST({total_budget} AS BIGINT) * _w) div _wsum").alias(
+                "grp_budget"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(hash_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(F.col(weight_col)).over(w), F.lit(0)).cast("long")
+    return (
+        df.join(F.broadcast(budgets), group_col)
+        .withColumn("cum_before", cum)
+        .filter(F.col("cum_before") < F.col("grp_budget"))
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     id_col: str,

@@ -130,3 +130,34 @@ def test_per_group_sample_deterministic_and_pruned(spark):
     got.collect()
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_isqrt_exact_at_boundaries(spark):
+    from affinity_spark.operators.sampling import isqrt
+    import math
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 17, 24, 25, 10**12, 10**12 + 1,
+            (10**6) ** 2, (10**6) ** 2 - 1, 2**52 - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r.x: r.s for r in df.select("x", isqrt(F.col("x")).alias("s")).collect()}
+    assert got == {v: math.isqrt(v) for v in vals}
+
+
+def test_temperature_budgets_scale_with_sqrt_of_mass(spark):
+    from affinity_spark.operators.sampling import temperature_budget_sample
+
+    # source A: 100 docs x 100 tokens = 10000; source B: 4 docs x 25 = 100
+    rows = [(i, "A", 100) for i in range(100)] + [(1000 + i, "B", 25) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    picked = temperature_budget_sample(df, "doc_id", "source", "n_tokens", 1100)
+    by_src = {}
+    for r in picked.collect():
+        by_src.setdefault(r.source, []).append(r)
+    # isqrt masses: A=100, B=10 -> budgets 1100*100//110=1000, 1100*10//110=100
+    assert {r.grp_budget for r in by_src["A"]} == {1000}
+    assert {r.grp_budget for r in by_src["B"]} == {100}
+    # A fills 10 docs (10x100 = budget, last cum_before 900 < 1000);
+    # B fills its whole 4 docs (100 tokens = budget)
+    assert len(by_src["A"]) == 10
+    assert len(by_src["B"]) == 4
+    # raw-proportional would have given A 100x B's budget; sqrt gives 10x
