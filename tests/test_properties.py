@@ -192,3 +192,82 @@ def test_winnow_matches_model_on_random_text(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == model(t), repr(t)
+
+
+# --- round-3 integer-exact primitives vs python models ---------------------
+
+@given(st.lists(st.integers(min_value=0, max_value=2**52 - 1), min_size=1, max_size=30))
+@SLOW
+def test_isqrt_matches_math_isqrt(spark, xs):
+    import math
+    from affinity_spark.operators.sampling import isqrt
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = [(r.x, r.s) for r in df.select("x", isqrt(F.col("x")).alias("s")).collect()]
+    assert all(s == math.isqrt(x) for x, s in got)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**60 - 1), min_size=1, max_size=30))
+@SLOW
+def test_flog2_matches_bit_length(spark, xs):
+    from affinity_spark.operators.lm import flog2
+
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = [(r.x, r.f) for r in df.select("x", flog2(F.col("x")).alias("f")).collect()]
+    assert all(f == x.bit_length() - 1 for x, f in got)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab cd\t\n", min_size=0, max_size=80),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=6),
+)
+@SLOW
+def test_chunking_matches_python_model(spark, texts, size, overlap):
+    import hashlib
+    from affinity_spark.operators.chunking import chunk_tokens
+
+    if overlap >= size:
+        overlap = size - 1
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_tokens, r.chunk_md5)
+        for r in chunk_tokens(df, chunk_size=size, overlap=overlap).collect()
+    }
+    want = {}
+    stride = size - overlap
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.lower().strip().split() if t]
+        if not toks:
+            continue
+        n_chunks = max(-(-(len(toks) - overlap) // stride), 1)
+        for i in range(n_chunks):
+            piece = toks[i * stride : i * stride + size]
+            want[(doc_id, i)] = (
+                len(piece),
+                hashlib.md5(" ".join(piece).encode()).hexdigest(),
+            )
+    assert got == want
+
+
+@given(st.lists(st.sampled_from(["a", "b", "c", "dd", "ee"]), min_size=1, max_size=40))
+@SLOW
+def test_cms_matches_python_model(spark, keys):
+    import hashlib
+    from affinity_spark.operators.sketches import cms_sketch
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        (r.depth, r.bucket): r.cnt
+        for r in cms_sketch(df, F.col("k"), depth=3, width=16).collect()
+    }
+    want: dict = {}
+    for k in keys:
+        for i in range(3):
+            b = int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16) % 16
+            want[(i, b)] = want.get((i, b), 0) + 1
+    assert got == want
