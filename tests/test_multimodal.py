@@ -42,11 +42,13 @@ def test_extract_features_stub_deterministic(spark):
 
 
 def test_real_decode_refuses_unsupported_codec(spark):
-    """decode_stub=False is now a REAL path for PNG/WAV (test_codecs.py);
-    blobs that are neither refuse loudly at execution time — the JPEG blob
-    hits 'no real decoder', and the PNG-magic-but-garbage blob dies inside
-    the real PNG parser (missing IHDR). Either way: loud, never fake."""
-    with pytest.raises(Exception, match="no real decoder|PNG"):
+    """decode_stub=False is now a REAL path for PNG/WAV/JPEG (test_codecs.py,
+    test_jpeg.py); garbage blobs refuse loudly at execution time — the
+    JPEG-magic blob dies inside the real JPEG marker walk ('expected
+    marker'), the PNG-magic-but-garbage blob inside the real PNG parser,
+    and anything unrecognized hits 'no real decoder'. Which one surfaces
+    first depends on partition order; all are loud, never fake."""
+    with pytest.raises(Exception, match="no real decoder|PNG|marker"):
         extract_features(_blobs(spark), "id", "blob", decode_stub=False).collect()
 
 
