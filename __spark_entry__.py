@@ -4539,6 +4539,56 @@ FROM c WHERE cum_before < grp_budget
 """
 
 
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's most
+    similar DIFFERENT-label neighbor among its 4-bit LSH bucket candidates —
+    the negative the retrieval index would actually confuse it with.
+    Candidates are bucket-confined (Σ|bucket|² cross-label pairs, never n²);
+    the per-anchor argmax orders by integer (cos_bp DESC, id ASC) so ties
+    resolve identically in any engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = sim.lsh_hyperplane_buckets(emb, 64, 4, keep_cols=["label"])
+    return sim.hard_negatives(buckets, "bucket", "label")
+
+
+def _lsh_bucket_expr_n(nbits: int) -> str:
+    """DuckDB expression for the nbits-bit hyperplane bucket of `embedding`
+    (same deterministic planes as the Spark side)."""
+    planes = sim._hyperplanes(64, nbits)  # noqa: SLF001 - shared deterministic constants
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _hard_neg_oracle_sql() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         {_lsh_bucket_expr_n(4)} AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS id_b,
+         CAST(floor(
+           list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.label <> b.label
+)
+SELECT vec_id, id_b AS hard_neg_id, cos_bp
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_bp DESC, id_b ASC) = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4589,6 +4639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_counts": events_cms_counts,
         "events_hll_registers": events_hll_registers,
         "docs_temperature_mix": docs_temperature_mix,
+        "emb_hard_negatives": emb_hard_negatives,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4734,6 +4785,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cms_counts": _CMS_SQL,
         "events_hll_registers": _HLL_SQL,
         "docs_temperature_mix": _TEMP_MIX_SQL,
+        "emb_hard_negatives": _hard_neg_oracle_sql(),
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

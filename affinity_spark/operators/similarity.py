@@ -86,6 +86,59 @@ def cosine_join_within(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    bucket_col: str,
+    label_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor, the
+    most-similar vector with a DIFFERENT label among its own ANN-bucket
+    candidates — the "hardest" negative the retrieval index would confuse
+    it with.
+
+    Candidates are confined to the anchor's bucket (LSH or IVF cell), so
+    cost is Σ|bucket|² cross-label pairs, never n². Similarity is emitted
+    as floor(cos×10000) basis points and the per-anchor argmax orders by
+    (cos_bp DESC, id ASC) — integer ordering, so ties resolve identically
+    in any engine. Returns ``(id, hard_neg_id, cos_bp)``.
+    """
+    from pyspark.sql import Window
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        F.col(label_col).alias("lbl_a"),
+        F.col(bucket_col),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        F.col(label_col).alias("lbl_b"),
+        F.col(bucket_col),
+    )
+    cand = (
+        a.join(b, bucket_col)
+        .filter(F.col("lbl_a") != F.col("lbl_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(cosine_similarity(F.col("v_a"), F.col("v_b")) * 10000)
+            .cast("long")
+            .alias("cos_bp"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("cos_bp").desc(), F.col("id_b").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("id_a").alias(id_col), F.col("id_b").alias("hard_neg_id"), "cos_bp")
+    )
+
+
 # --- random-hyperplane LSH ---------------------------------------------------
 
 
@@ -108,18 +161,24 @@ def lsh_hyperplane_buckets(
     nbits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Assign each vector a ``bucket`` = sign bits against nbits hyperplanes.
 
     Downstream ANN: group/join on ``bucket`` (optionally multi-probe by
-    flipping low-confidence bits). Pure JVM expressions.
+    flipping low-confidence bits). Pure JVM expressions. ``keep_cols``
+    carries extra columns (e.g. a label for hard-negative mining) through
+    the projection so no join-back is needed.
     """
     planes = _hyperplanes(dim, nbits)
     bucket = F.lit(0)
     for j, plane in enumerate(planes):
         pcol = F.array(*[F.lit(float(x)) for x in plane])
         bucket = bucket + F.when(dot(F.col(vec_col), pcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return emb.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    return emb.select(
+        F.col(id_col), F.col(vec_col), *[F.col(c) for c in keep_cols],
+        bucket.alias("bucket"),
+    )
 
 
 def knn_mapinpandas(

@@ -62,3 +62,28 @@ def test_knn_mapinpandas_agrees_with_expression_path(spark):
     expr_ids = [r.vec_id for r in knn_to_query(emb, q, 3).collect()]
     np_ids = [r.vec_id for r in knn_mapinpandas(emb, q, 3).collect()]
     assert np_ids == expr_ids
+
+
+def test_hard_negatives_picks_best_cross_label_in_bucket(spark):
+    from affinity_spark.operators.similarity import hard_negatives
+
+    # one bucket: anchors pick the most-similar different-label vector
+    rows = [
+        (1, [1.0, 0.0], "a", 0),
+        (2, [0.9, 0.1], "a", 0),   # same label as 1 — never its negative
+        (3, [0.8, 0.6], "b", 0),   # closest cross-label to 1
+        (4, [0.0, 1.0], "b", 0),
+        (5, [1.0, 0.0], "c", 1),   # different bucket — isolated, no negative
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string, bucket int"
+    )
+    got = {r.vec_id: (r.hard_neg_id, r.cos_bp) for r in
+           hard_negatives(df, "bucket", "label").collect()}
+    assert got[1][0] == 3           # not 2 (same label), not 4 (less similar)
+    assert 5 not in got             # bucket-isolated: no candidates, absent
+    # symmetric check: 3's hardest negative is 1 (cos 0.8) over 4's... 
+    # cos(3,1)=0.8, cos(3,2)~0.78, cos(3,4)=0.6: picks a cross-label best
+    assert got[3][0] in (1, 2)
+    # ties impossible here; cos_bp integer and monotone with similarity
+    assert got[1][1] > got[4][1]
