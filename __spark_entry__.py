@@ -4589,6 +4589,103 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_bp DESC, id_b ASC) =
 """
 
 
+def docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phasing: rank docs by length into 4 ntile phases
+    (short→long, the classic length-curriculum) and assign a stable md5
+    shard within each phase — the (phase, shard) layout a curriculum
+    training loop reads in order. ntile over the total order
+    (n_tokens, doc_id) is engine-identical; shard is md5-derived.
+
+    Scale note: ntile is a GLOBAL window — exact equal-count phases
+    require a total order by definition. At 100 TB the same layout is
+    produced with approximate phase BOUNDARIES (percentile_approx on
+    n_tokens, broadcast, map-side compare), trading exact equal counts for
+    a boundary-sized slop; this query keeps the exact form because the
+    oracle contract is exact ntile."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = token_count(F.col("text")).cast("long")
+    w = Window.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", nt.alias("n_tokens"))
+        .withColumn("phase", F.ntile(4).over(w).cast("long"))
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % 8
+            ),
+        )
+    )
+
+
+_CURRICULUM_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(ntile(4) OVER (ORDER BY
+            len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) ASC, doc_id ASC) AS BIGINT) AS phase,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+         AS shard
+FROM documents
+"""
+
+
+def nation_account_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join readout: per-nation customer vs supplier account
+    totals in cents, nations missing either side zero-filled — the join
+    type the registry lacked a driver row for. Both aggregates are
+    nation-keyed (tiny) so the full-outer is a coalesced broadcast-side
+    merge, not a data-sized shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cents = lambda col: F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    ca = c.groupBy("c_nationkey").agg(
+        F.sum(cents("c_acctbal")).alias("cust_cents"),
+        F.count("*").alias("n_cust"),
+    )
+    sa = s.groupBy("s_nationkey").agg(
+        F.sum(cents("s_acctbal")).alias("supp_cents"),
+        F.count("*").alias("n_supp"),
+    )
+    j = ca.join(sa, ca["c_nationkey"] == sa["s_nationkey"], "full_outer").select(
+        F.coalesce(ca["c_nationkey"], sa["s_nationkey"]).alias("nationkey"),
+        F.coalesce(F.col("cust_cents"), F.lit(0)).alias("cust_cents"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("supp_cents"), F.lit(0)).alias("supp_cents"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+    return j.join(F.broadcast(n), j["nationkey"] == n["n_nationkey"]).select(
+        "n_name", "cust_cents", "n_cust", "supp_cents", "n_supp"
+    )
+
+
+_NATION_BALANCE_SQL = """
+WITH ca AS (
+  SELECT c_nationkey AS k,
+         CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cust_cents,
+         CAST(count(*) AS BIGINT) AS n_cust
+  FROM customer GROUP BY c_nationkey
+),
+sa AS (
+  SELECT s_nationkey AS k,
+         CAST(sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS supp_cents,
+         CAST(count(*) AS BIGINT) AS n_supp
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT n_name,
+       COALESCE(cust_cents, 0) AS cust_cents,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(supp_cents, 0) AS supp_cents,
+       COALESCE(n_supp, 0) AS n_supp
+FROM ca FULL OUTER JOIN sa USING (k)
+JOIN nation ON COALESCE(ca.k, sa.k) = n_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4640,6 +4737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_registers": events_hll_registers,
         "docs_temperature_mix": docs_temperature_mix,
         "emb_hard_negatives": emb_hard_negatives,
+        "docs_curriculum": docs_curriculum,
+        "nation_account_balance": nation_account_balance,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4786,6 +4885,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_registers": _HLL_SQL,
         "docs_temperature_mix": _TEMP_MIX_SQL,
         "emb_hard_negatives": _hard_neg_oracle_sql(),
+        "docs_curriculum": _CURRICULUM_SQL,
+        "nation_account_balance": _NATION_BALANCE_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
