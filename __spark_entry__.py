@@ -4686,6 +4686,104 @@ JOIN nation ON COALESCE(ca.k, sa.k) = n_nationkey
 """
 
 
+def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of single-probe LSH search versus
+    exact brute-force, for 4 query vectors — the measurement that justifies
+    (or rejects) an index's scan-fraction/recall trade before it ships.
+    Output is integer (query_id, k_lsh, n_hits): k_lsh = LSH candidate
+    top-k size (bucket may hold < 10), n_hits = overlap with the exact
+    top-10. Both searches rank by (cosine DESC, vec_id ASC); both engines
+    fold the dot product in the same order so ranks agree exactly.
+    At scale the brute side runs on a SAMPLE of queries only — recall is a
+    statistic, the full corpus never needs the exact search."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = sim.lsh_hyperplane_buckets(emb, 64, 8)
+    qs = bucketed.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket").alias("qb"),
+        F.col("embedding").alias("qv"),
+    )
+    cands = bucketed.filter(F.col("vec_id") >= 4)
+    scored = cands.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "vec_id",
+        "bucket",
+        "qb",
+        sim.cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
+    brute_top = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    lsh_top = (
+        scored.filter(F.col("bucket") == F.col("qb"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    k_lsh = lsh_top.groupBy("qid").agg(F.count("*").alias("k_lsh"))
+    hits = (
+        brute_top.join(lsh_top, ["qid", "vec_id"], "inner")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.select("qid")
+        .join(k_lsh, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("k_lsh"), F.lit(0)).alias("k_lsh"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def _lsh_recall_oracle_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         {_lsh_bucket_expr_n(8)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, bucket AS qb, embedding AS qv, nrm AS qn
+      FROM b WHERE vec_id < 4),
+scored AS (
+  SELECT q.qid, b.vec_id, b.bucket, q.qb,
+         list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+           / (b.nrm * q.qn) AS c
+  FROM b CROSS JOIN q WHERE b.vec_id >= 4
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+lsht AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+    FROM scored WHERE bucket = qb) WHERE rn <= 10
+),
+k AS (SELECT qid, CAST(count(*) AS BIGINT) AS k_lsh FROM lsht GROUP BY qid),
+h AS (SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_hits
+      FROM brute JOIN lsht ON brute.qid = lsht.qid AND brute.vec_id = lsht.vec_id
+      GROUP BY brute.qid)
+SELECT q.qid AS query_id,
+       COALESCE(k.k_lsh, 0) AS k_lsh,
+       COALESCE(h.n_hits, 0) AS n_hits
+FROM q LEFT JOIN k ON q.qid = k.qid LEFT JOIN h ON q.qid = h.qid
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4739,6 +4837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": emb_hard_negatives,
         "docs_curriculum": docs_curriculum,
         "nation_account_balance": nation_account_balance,
+        "emb_lsh_recall": emb_lsh_recall,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4887,6 +4986,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_hard_negatives": _hard_neg_oracle_sql(),
         "docs_curriculum": _CURRICULUM_SQL,
         "nation_account_balance": _NATION_BALANCE_SQL,
+        "emb_lsh_recall": _lsh_recall_oracle_sql(),
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
