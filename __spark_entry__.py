@@ -4784,6 +4784,83 @@ FROM q LEFT JOIN k ON q.qid = k.qid LEFT JOIN h ON q.qid = h.qid
 """
 
 
+def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN read (the canonical billion-scale shape, Jégou
+    et al. 2011): coarse IVF cells prune the scan to the query's nprobe=2
+    nearest cells, then PQ asymmetric distance ranks ONLY those candidates
+    from their 4-byte codes — the scan never touches a raw vector outside
+    the probed cells, and inside them touches codes, not vectors. Composes
+    the two operators this repo already certifies separately
+    (emb_ivf_search, emb_pq_search); distances in basis points."""
+    from affinity_spark.operators.ivf import assign
+    from affinity_spark.operators.pq import adc_search, assign_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    query = seeds[0]  # vec_id 0's embedding, excluded from candidates
+    qd = sorted(
+        (sum((a - b) ** 2 for a, b in zip(query, c)), i) for i, c in enumerate(seeds)
+    )
+    probe_cells = [i for _, i in qd[:2]]
+
+    assigned = assign(emb.filter(F.col("vec_id") != 0), seeds)
+    cands = assigned.filter(F.col("cell").isin(probe_cells))
+    codes = assign_codes(cands, _pq_seed_books(emb))
+    top = adc_search(codes, _pq_seed_books(emb), query, 10)
+    return top.select(
+        "vec_id", F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_bp")
+    )
+
+
+def _ivfpq_search_sql() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))"
+        " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))"
+    )
+    qdist = dist.replace("e.embedding", "q.embedding")
+    table_ctes = ",\n".join(
+        f"""t{s} AS (
+  SELECT s.idx, {_pq_dist_sql(s)} AS d
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) e CROSS JOIN seeds s
+)"""
+        for s in range(_PQ_M)
+    )
+    code_joins = " ".join(f"JOIN t{s} ON t{s}.idx = c{s}.code_{s}" for s in range(_PQ_M))
+    cjoins = " ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))
+    adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH ivfseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+{_PQ_SEEDS_CTE},
+qcells AS (
+  SELECT cell FROM (
+    SELECT s.cell, row_number() OVER (ORDER BY {qdist} ASC, s.cell ASC) AS rn
+    FROM ivfseeds s CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ) WHERE rn <= 2
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN ivfseeds s WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+cand AS (SELECT vec_id FROM assigned WHERE cell IN (SELECT cell FROM qcells)),
+{_pq_code_ctes("JOIN cand ON cand.vec_id = e.vec_id")},
+{table_ctes}
+SELECT c0.vec_id, CAST(floor(({adc}) * 10000) AS BIGINT) AS adc_bp
+FROM c0 {cjoins} {code_joins}
+ORDER BY ({adc}) ASC, c0.vec_id ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4838,6 +4915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curriculum": docs_curriculum,
         "nation_account_balance": nation_account_balance,
         "emb_lsh_recall": emb_lsh_recall,
+        "emb_ivfpq_search": emb_ivfpq_search,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -4987,6 +5065,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_curriculum": _CURRICULUM_SQL,
         "nation_account_balance": _NATION_BALANCE_SQL,
         "emb_lsh_recall": _lsh_recall_oracle_sql(),
+        "emb_ivfpq_search": _ivfpq_search_sql(),
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
