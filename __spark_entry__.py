@@ -4861,6 +4861,35 @@ LIMIT 10
 """
 
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage near-dup tier: 24-char-prefix blocking then exact
+    Levenshtein verification in basis points of the longer doc — the
+    sequence-preserving near-identity notion the set-based tiers (minhash /
+    simhash / winnow) don't measure. Candidates are block-confined
+    (Σ|block|², never n²); levenshtein is built-in and character-identical
+    on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.edit_distance_pairs(docs, "doc_id", "text", 24, 2000)
+
+
+_EDIT_DIST_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents
+),
+b AS (SELECT doc_id, norm, substr(norm, 1, 24) AS blk FROM t),
+p AS (
+  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+         CAST(levenshtein(a.norm, b2.norm) AS BIGINT) AS lev,
+         CAST(greatest(len(a.norm), len(b2.norm)) AS BIGINT) AS mx
+  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b, lev, (lev * 10000) // mx AS lev_bp
+FROM p WHERE (lev * 10000) // mx <= 2000
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4916,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_account_balance": nation_account_balance,
         "emb_lsh_recall": emb_lsh_recall,
         "emb_ivfpq_search": emb_ivfpq_search,
+        "dedup_edit_distance": dedup_edit_distance,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -5066,6 +5096,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_account_balance": _NATION_BALANCE_SQL,
         "emb_lsh_recall": _lsh_recall_oracle_sql(),
         "emb_ivfpq_search": _ivfpq_search_sql(),
+        "dedup_edit_distance": _EDIT_DIST_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

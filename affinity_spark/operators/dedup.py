@@ -508,6 +508,58 @@ def simhash_near_pairs(
 # --- corpus-level line (boilerplate) dedup ----------------------------------
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_chars: int = 24,
+    max_lev_bp: int = 2000,
+) -> DataFrame:
+    """Record-linkage tier: prefix-blocked Levenshtein near-dup pairs.
+
+    Blocking key = first ``block_chars`` chars of the whitespace-normalized
+    text (the classic record-linkage move: candidates share a block, cost
+    is Σ|block|², never n²); verification = exact edit distance as basis
+    points of the longer doc, ``lev * 10000 div max(len)``. Complements
+    the set-based tiers (minhash/simhash/winnow measure shared content
+    regardless of order; edit distance measures sequence-preserving
+    near-identity — the right notion for template drift and small edits).
+
+    Levenshtein is built-in on both Spark and DuckDB with identical
+    character semantics, so pairs are engine-exact. O(len²) per pair is
+    the verifier-tier price — candidates only, never the corpus.
+    Returns ``(id_a, id_b, lev, lev_bp)`` with id_a < id_b.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_norm"),
+        F.substring(norm, 1, block_chars).alias("_blk"),
+    )
+    a = t.select(
+        F.col("_id").alias("id_a"), F.col("_norm").alias("_na"), F.col("_blk")
+    )
+    b = t.select(
+        F.col("_id").alias("id_b"), F.col("_norm").alias("_nb"), F.col("_blk")
+    )
+    # lev materialized ONCE before bp derivation — levenshtein is the
+    # expensive term and a second column reference would recompute it
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("_na"), F.col("_nb")).cast("long").alias("lev"),
+            F.greatest(F.length("_na"), F.length("_nb")).cast("long").alias("_mx"),
+        )
+        .select(
+            "id_a", "id_b", "lev", F.expr("(lev * 10000) div _mx").alias("lev_bp")
+        )
+        .filter(F.col("lev_bp") <= max_lev_bp)
+    )
+
+
 def line_dedup(
     df: DataFrame, id_col: str, text_col: str, max_doc_freq: int
 ) -> DataFrame:

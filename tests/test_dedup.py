@@ -103,3 +103,24 @@ def test_lsh_bands_mapside_agrees_with_groupby_path(spark):
     arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
     new = {tuple(r) for r in dd.lsh_bands_mapside(arrs, "doc_id").collect()}
     assert ref == new and ref
+
+
+def test_edit_distance_pairs_blocked_and_exact(spark):
+    from affinity_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "hazy")),        # same 24-char prefix, lev 1
+        (3, base.replace("quick", "slow")),       # prefix differs -> other block
+        (4, "completely different text that shares nothing at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.lev, r.lev_bp) for r in
+           edit_distance_pairs(df, "doc_id", "text", 24, 2000).collect()}
+    assert (1, 2) in got and got[(1, 2)][0] == 1
+    # bp = 1 * 10000 // len(base)
+    assert got[(1, 2)][1] == 10000 // len(base)
+    # doc 3 fell in a different block: never compared despite similarity
+    assert all(3 not in pair for pair in got)
+    assert all(4 not in pair for pair in got)
