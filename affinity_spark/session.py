@@ -60,6 +60,13 @@ def get_spark(
     if not os.environ.get("SPARK_MASTER_URL"):
         builder = builder.master(master)
     merged = dict(_DEFAULTS)
+    # parallelism-invariance runs override the partition count from the
+    # environment (results must not depend on partitioning — integer math
+    # and deterministic orders everywhere make this testable).
+    if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ:
+        merged["spark.sql.shuffle.partitions"] = os.environ[
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS"
+        ]
     if conf:
         merged.update(conf)
     for k, v in merged.items():
