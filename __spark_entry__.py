@@ -4890,6 +4890,37 @@ FROM p WHERE (lev * 10000) // mx <= 2000
 """
 
 
+def events_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: distinct-user register tables PER EVENT TYPE — the
+    "distinct per tenant/day/type" readout at sketch cost: the shuffle is
+    groups × 256 rows at any event volume, and per-type estimates are a
+    driver post-step over each type's registers. Register state is
+    engine-exact (shiftright rank field, length(bin)−1)."""
+    from affinity_spark.operators.sketches import hll_registers_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_registers_by_group(
+        ev, "event_type", F.col("user_id").cast("string"), p=8
+    )
+
+
+_HLL_GROUP_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+split AS (
+  SELECT event_type, hv % 256 AS bucket, hv // 256 AS w FROM h
+)
+SELECT event_type, bucket,
+       CAST(max(CASE WHEN w > 0 THEN 52 - (length(bin(w)) - 1)
+                     ELSE 53 END) AS BIGINT) AS register
+FROM split GROUP BY event_type, bucket
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4946,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_recall": emb_lsh_recall,
         "emb_ivfpq_search": emb_ivfpq_search,
         "dedup_edit_distance": dedup_edit_distance,
+        "events_hll_by_type": events_hll_by_type,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -5097,6 +5129,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_recall": _lsh_recall_oracle_sql(),
         "emb_ivfpq_search": _ivfpq_search_sql(),
         "dedup_edit_distance": _EDIT_DIST_SQL,
+        "events_hll_by_type": _HLL_GROUP_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

@@ -107,6 +107,34 @@ def hll_registers(df: DataFrame, key: Column, p: int = 8) -> DataFrame:
     )
 
 
+def hll_registers_by_group(
+    df: DataFrame, group_col: str, key: Column, p: int = 8
+) -> DataFrame:
+    """Per-group HLL register tables: ``(group, bucket, register)``.
+
+    The grouped approx-distinct shape ("distinct users per event type /
+    per day / per tenant") — shuffle is ``groups × 2^p`` rows however big
+    the input; per-group estimates come from :func:`hll_estimate` over
+    each group's registers, and cross-engine the register table is exact.
+    """
+    field_bits = HLL_HASH_BITS - p
+    h = _h(key, 0, hex_chars=15)
+    proj = df.select(
+        F.col(group_col),
+        (h % (1 << p)).alias("bucket"),
+        F.shiftright(h, p).alias("_w"),
+    )
+    rank = F.when(
+        F.col("_w") > 0,
+        F.lit(field_bits) - (F.length(F.bin(F.col("_w"))) - 1),
+    ).otherwise(F.lit(field_bits + 1)).cast("long")
+    return (
+        proj.select(group_col, "bucket", rank.alias("rank"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
 def hll_estimate(register_rows: list, p: int = 8) -> float:
     """Standard HLL estimate from collected registers (driver-side float —
     the cross-engine contract is the register table, not this number)."""

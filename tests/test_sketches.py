@@ -64,3 +64,21 @@ def test_hll_duplicates_do_not_move_registers(spark):
     once = hll_registers(_events(spark, ["a", "b", "c"]), F.col("k")).collect()
     many = hll_registers(_events(spark, ["a", "b", "c"] * 50), F.col("k")).collect()
     assert sorted(map(tuple, once)) == sorted(map(tuple, many))
+
+
+def test_grouped_hll_matches_per_group_single_hll(spark):
+    from pyspark.sql import functions as F
+    from affinity_spark.operators.sketches import hll_registers, hll_registers_by_group
+
+    rows = [("t1", f"u{i}") for i in range(80)] + [("t2", f"u{i}") for i in range(40, 60)]
+    df = spark.createDataFrame(rows, "t string, k string")
+    grouped = {
+        (r.t, r.bucket): r.register
+        for r in hll_registers_by_group(df, "t", F.col("k")).collect()
+    }
+    for t in ("t1", "t2"):
+        solo = {
+            r.bucket: r.register
+            for r in hll_registers(df.filter(F.col("t") == t), F.col("k")).collect()
+        }
+        assert solo == {b: v for (g, b), v in grouped.items() if g == t}
