@@ -38,6 +38,72 @@ from pyspark.sql.types import (
 )
 
 
+def debounce_stream(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_interval_ms: int,
+) -> DataFrame:
+    """Per-key event-time debounce: emit a key's record only when at least
+    ``min_interval_ms`` has elapsed since the key's LAST EMITTED record —
+    the rate-limit / change-notification-squelch every per-key push surface
+    grows once subscribers exist (the reference's per-key WebSocket push,
+    T7, with a client-protecting emission floor).
+
+    Semantics (deterministic, order-defined): rows within a batch are
+    processed in (ts, all-columns) order; the first row ever seen for a key
+    emits; a later row emits iff ``ts >= last_emitted_ts + interval``.
+    Suppressed rows are DROPPED, not queued — debounce, not throttle-delay.
+    State is one long per key, checkpoint-backed like every state op here.
+    """
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("suppressed_before", LongType()),
+        ]
+    )
+    # state: (last emitted ts, suppressed count since that emission) — the
+    # pending count rides on the NEXT emission even across batches, so no
+    # drop is ever silent.
+    state_schema = StructType(
+        [StructField("last_ms", LongType()), StructField("pending", LongType())]
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last, pending = (state.get if state.exists else (None, 0))
+        if last == -1:
+            last = None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(ts_col, kind="mergesort")
+        out_ts, out_sup = [], []
+        for t in rows[ts_col]:
+            t_ms = int(t.value // 1_000_000) if hasattr(t, "value") else int(t)
+            if last is None or t_ms >= last + min_interval_ms:
+                out_ts.append(t_ms)
+                out_sup.append(pending)
+                last, pending = t_ms, 0
+            else:
+                pending += 1
+        state.update((last if last is not None else -1, pending))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(out_ts),
+                    "ts_ms": out_ts,
+                    "suppressed_before": out_sup,
+                }
+            )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_count_stream(stream: DataFrame, key_col: str = "word") -> DataFrame:
     """A2 continuous counting: per-key running count, one output row per
     (key, micro-batch) with the updated total — the reference's word count
