@@ -4921,6 +4921,64 @@ FROM split GROUP BY event_type, bucket
 """
 
 
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over orders: not-null / set-membership
+    / range rules compiled to ONE conditional-sum aggregate, key-uniqueness
+    as one grouped pass, lineitem→orders referential integrity as one
+    anti-join — the single-pass pre-publish report (deequ/Delta-constraints
+    capability). Output is one constant-sized row at any table size; a
+    nonzero column is a blocked publish (assert_clean)."""
+    from affinity_spark.operators import constraints as C
+
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rules = [
+        C.not_null("o_custkey"),
+        C.in_set("o_orderstatus", ["O", "F", "P"]),
+        C.in_range("o_totalprice", 0.0, 1_000_000.0),
+        C.matches("o_orderpriority", r"^[1-5]-"),
+    ]
+    counts = C.violation_counts(o, rules)
+    dups = C.duplicate_key_count(o, ["o_orderkey"])
+    orphans = C.orphan_count(
+        l.select("l_orderkey"), o.select("o_orderkey"), [("l_orderkey", "o_orderkey")]
+    )
+    row = counts.crossJoin(dups).crossJoin(orphans)
+    return row.select(
+        F.col("not_null(o_custkey)").alias("null_custkey"),
+        F.col("in_set(o_orderstatus)").alias("bad_status"),
+        F.col("in_range(o_totalprice)").alias("bad_price"),
+        F.col("matches(o_orderpriority)").alias("bad_priority"),
+        "duplicate_rows",
+        "orphan_rows",
+    )
+
+
+_QUALITY_SQL = """
+WITH counts AS (
+  SELECT
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+    CAST(sum(CASE WHEN o_totalprice NOT BETWEEN 0.0 AND 1000000.0
+                   OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+    CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                   OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority
+  FROM orders
+),
+dups AS (
+  SELECT CAST(sum(n - 1) AS BIGINT) AS duplicate_rows
+  FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+),
+orphans AS (
+  SELECT CAST(count(*) AS BIGINT) AS orphan_rows
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+)
+SELECT null_custkey, bad_status, bad_price, bad_priority, duplicate_rows, orphan_rows
+FROM counts, dups, orphans
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -4978,6 +5036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_search": emb_ivfpq_search,
         "dedup_edit_distance": dedup_edit_distance,
         "events_hll_by_type": events_hll_by_type,
+        "orders_quality_report": orders_quality_report,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -5130,6 +5189,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivfpq_search": _ivfpq_search_sql(),
         "dedup_edit_distance": _EDIT_DIST_SQL,
         "events_hll_by_type": _HLL_GROUP_SQL,
+        "orders_quality_report": _QUALITY_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
