@@ -4979,6 +4979,61 @@ FROM counts, dups, orphans
 """
 
 
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier flags per event type with EXACT integer math: the
+    test |v−μ| > 3σ is evaluated as (n·v − S1)² > 9·(n·S2 − S1²) over
+    integer cents (both sides × n²), in decimal(38) so no float enters the
+    comparison — any engine flags the identical rows. Plan: one grouped
+    pass for (n, S1, S2), tiny stats broadcast back, map-side flag, count.
+    The anomaly-detection readout a metrics pipeline runs per window."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    t = ev.select("event_type", cents.alias("c"))
+    stats = t.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("c")).cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+    )
+    j = t.join(F.broadcast(stats), "event_type")
+    lhs = (F.col("n") * F.col("c").cast("decimal(38,0)") - F.col("s1"))
+    flagged = j.select(
+        "event_type",
+        F.when(
+            (lhs * lhs) > F.lit(9).cast("decimal(38,0)")
+            * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_out"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("is_out").cast("long").alias("n_outliers"),
+    )
+
+
+_OUTLIER_SQL = """
+WITH t AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS HUGEINT) AS c
+  FROM events
+),
+stats AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(c) AS HUGEINT) AS s1,
+         CAST(sum(c * c) AS HUGEINT) AS s2
+  FROM t GROUP BY event_type
+)
+SELECT t.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN (n * c - s1) * (n * c - s1) > 9 * (n * s2 - s1 * s1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM t JOIN stats USING (event_type)
+GROUP BY t.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5037,6 +5092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_edit_distance": dedup_edit_distance,
         "events_hll_by_type": events_hll_by_type,
         "orders_quality_report": orders_quality_report,
+        "events_value_outliers": events_value_outliers,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -5190,6 +5246,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_edit_distance": _EDIT_DIST_SQL,
         "events_hll_by_type": _HLL_GROUP_SQL,
         "orders_quality_report": _QUALITY_SQL,
+        "events_value_outliers": _OUTLIER_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
