@@ -5034,6 +5034,34 @@ GROUP BY t.event_type
 """
 
 
+def docs_bloom_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership bitmap over document content fingerprints, exported
+    as (word_idx, bits) rows — the "have we trained on this doc" artifact a
+    DOWNSTREAM pipeline probes without rescanning this corpus. bit_or per
+    63-bit word is associative/mergeable, so the shuffle is bitmap-sized at
+    any corpus size and bitmaps from different runs OR together."""
+    from affinity_spark.operators.sketches import bloom_bitmap
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_bitmap(docs, doc_fingerprint(F.col("text")), 4096, 3)
+
+
+_BLOOM_SQL = """
+WITH k AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+pos AS (
+  SELECT CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 8))
+              AS BIGINT) % 4096 AS p
+  FROM k, unnest(range(0, 3)) AS r(i)
+)
+SELECT p // 63 AS word_idx,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS BIGINT) AS bits
+FROM pos GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5093,6 +5121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_by_type": events_hll_by_type,
         "orders_quality_report": orders_quality_report,
         "events_value_outliers": events_value_outliers,
+        "docs_bloom_export": docs_bloom_export,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -5247,6 +5276,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_by_type": _HLL_GROUP_SQL,
         "orders_quality_report": _QUALITY_SQL,
         "events_value_outliers": _OUTLIER_SQL,
+        "docs_bloom_export": _BLOOM_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not

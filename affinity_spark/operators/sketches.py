@@ -135,6 +135,71 @@ def hll_registers_by_group(
     )
 
 
+def bloom_bitmap(
+    df: DataFrame,
+    key: Column,
+    m_bits: int = 4096,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom filter as DATA: the membership bitmap for ``key``'s values,
+    as ``(word_idx, bits)`` rows of 64-bit words — an exportable artifact
+    another pipeline (or engine) probes without rescanning this corpus,
+    e.g. "have we already trained on this document fingerprint".
+
+    md5-derived bit positions (engine-exact, like every hash here); the
+    aggregate is ``bit_or`` per word — associative and mergeable, so the
+    shuffle is bitmap-sized (≤ m/63 rows) at any input size. Words hold
+    63 bits (0..62): a bit-63 shift overflows DuckDB's checked BIGINT
+    arithmetic, and 63-bit words keep every word value positive in any
+    engine. Probe with :func:`bloom_might_contain`.
+
+    Each position hashes ONCE: positions are a transform over the salt
+    array (one md5 per salt), and the word/bit split reads the position
+    as a lambda VARIABLE — a real binding, not a re-evaluated outer
+    expression (the repo-wide HOF lesson).
+    """
+    salts = F.array(*[F.lit(i) for i in range(k_hashes)])
+    positions = F.transform(
+        salts,
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), key)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % m_bits,
+    )
+    # shiftleft takes only a literal count in PySpark — a 63-entry
+    # power-of-two lookup array does the variable shift exactly
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+    cells = F.transform(
+        positions,
+        lambda pos: F.struct(
+            F.floor(pos / 63).cast("long").alias("word_idx"),
+            F.get(pow2, (pos % 63).cast("int")).alias("bit"),
+        ),
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.word_idx").alias("word_idx"))
+        .agg(F.bit_or(F.col("c.bit")).alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    bitmap_rows: list, value: str, m_bits: int = 4096, k_hashes: int = 3
+) -> bool:
+    """Probe a collected bitmap: True = maybe present, False = definitely
+    not (the bloom contract)."""
+    import hashlib
+
+    words = {r["word_idx"]: r["bits"] for r in bitmap_rows}
+    for i in range(k_hashes):
+        pos = int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m_bits
+        if not (words.get(pos // 63, 0) >> (pos % 63)) & 1:
+            return False
+    return True
+
+
 def hll_estimate(register_rows: list, p: int = 8) -> float:
     """Standard HLL estimate from collected registers (driver-side float —
     the cross-engine contract is the register table, not this number)."""

@@ -82,3 +82,25 @@ def test_grouped_hll_matches_per_group_single_hll(spark):
             for r in hll_registers(df.filter(F.col("t") == t), F.col("k")).collect()
         }
         assert solo == {b: v for (g, b), v in grouped.items() if g == t}
+
+
+def test_bloom_bitmap_membership_and_merge(spark):
+    from affinity_spark.operators.sketches import bloom_bitmap, bloom_might_contain
+
+    present = [f"doc-{i}" for i in range(50)]
+    df = _events(spark, present)
+    rows = [r.asDict() for r in bloom_bitmap(df, F.col("k")).collect()]
+    # no false negatives, ever
+    assert all(bloom_might_contain(rows, v) for v in present)
+    # false-positive rate at 50 keys / 4096 bits / k=3 is ~tiny: most absent
+    # keys must read definitely-not
+    absent_hits = sum(bloom_might_contain(rows, f"absent-{i}") for i in range(200))
+    assert absent_hits <= 4
+
+    # merge = bit_or of word rows: union bitmap equals bitmap of union
+    a, b = present[:25], present[25:]
+    ra = {r.word_idx: r.bits for r in bloom_bitmap(_events(spark, a), F.col("k")).collect()}
+    rb = {r.word_idx: r.bits for r in bloom_bitmap(_events(spark, b), F.col("k")).collect()}
+    merged = {w: ra.get(w, 0) | rb.get(w, 0) for w in set(ra) | set(rb)}
+    assert merged == {r.word_idx: r.bits for r in
+                      bloom_bitmap(df, F.col("k")).collect()}
