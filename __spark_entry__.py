@@ -5062,6 +5062,85 @@ FROM pos GROUP BY 1
 """
 
 
+def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health report per language: doc count, token mass,
+    mean tokens (x100 integer), and exact-duplicate doc count (docs beyond
+    the first per content fingerprint) — the summary a corpus owner reads
+    before any training run. Token stats fold into one aggregate; the dup
+    count is one fingerprint-grouped pass joined back at language grain."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        token_count(F.col("text")).cast("long").alias("nt"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    stats = base.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+    )
+    dups = (
+        base.groupBy("lang", "fp")
+        .agg(F.count("*").alias("_n"))
+        .groupBy("lang")
+        .agg(F.sum(F.col("_n") - 1).cast("long").alias("dup_docs"))
+    )
+    return (
+        stats.join(dups, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.expr("(total_tokens * 100) div n_docs").alias("mean_tokens_x100"),
+            "dup_docs",
+        )
+    )
+
+
+_CORPUS_REPORT_SQL = """
+WITH base AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS total_tokens
+  FROM base GROUP BY lang
+),
+dups AS (
+  SELECT lang, CAST(sum(n - 1) AS BIGINT) AS dup_docs
+  FROM (SELECT lang, fp, count(*) AS n FROM base GROUP BY lang, fp)
+  GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       (total_tokens * 100) // n_docs AS mean_tokens_x100,
+       dup_docs
+FROM stats JOIN dups USING (lang)
+"""
+
+
+def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users: exact per-day distinct user counts — the DAU
+    readout (the HLL variant `events_hll_by_type` is the sketch form for
+    when exact per-key state stops fitting). Dates emitted as strings per
+    the repo's timestamp-hash rule."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("dau"))
+    )
+
+
+_DAU_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+FROM events GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5122,6 +5201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_quality_report": orders_quality_report,
         "events_value_outliers": events_value_outliers,
         "docs_bloom_export": docs_bloom_export,
+        "docs_corpus_report": docs_corpus_report,
+        "events_daily_active": events_daily_active,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -5277,6 +5358,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_quality_report": _QUALITY_SQL,
         "events_value_outliers": _OUTLIER_SQL,
         "docs_bloom_export": _BLOOM_SQL,
+        "docs_corpus_report": _CORPUS_REPORT_SQL,
+        "events_daily_active": _DAU_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
