@@ -5141,6 +5141,39 @@ FROM events GROUP BY 1
 """
 
 
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL surface (rollup/cube's general form,
+    and the demonstration that every registered table is queryable with
+    plain ANSI SQL via tables.register_views): status-level, priority-
+    level, and grand-total aggregates in ONE pass — the single-scan
+    multi-grain aggregation that would otherwise be three scans unioned."""
+    from affinity_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -5203,6 +5236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bloom_export": docs_bloom_export,
         "docs_corpus_report": docs_corpus_report,
         "events_daily_active": events_daily_active,
+        "orders_grouping_sets": orders_grouping_sets,
         "events_window_stats": events_window_stats,
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
@@ -5360,6 +5394,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_bloom_export": _BLOOM_SQL,
         "docs_corpus_report": _CORPUS_REPORT_SQL,
         "events_daily_active": _DAU_SQL,
+        "orders_grouping_sets": _GROUPING_SETS_SQL,
         "events_timelog": _TIMELOG_SQL,
         "events_partition_routing": _routing_oracle_sql(),
         # events_partition_routing: deliberately no oracle (murmur2 not
