@@ -4954,7 +4954,7 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SQL = """
+_ORDERS_QUALITY_SQL = """
 WITH counts AS (
   SELECT
     CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
@@ -5389,7 +5389,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_ivfpq_search": _ivfpq_search_sql(),
         "dedup_edit_distance": _EDIT_DIST_SQL,
         "events_hll_by_type": _HLL_GROUP_SQL,
-        "orders_quality_report": _QUALITY_SQL,
+        "orders_quality_report": _ORDERS_QUALITY_SQL,
         "events_value_outliers": _OUTLIER_SQL,
         "docs_bloom_export": _BLOOM_SQL,
         "docs_corpus_report": _CORPUS_REPORT_SQL,

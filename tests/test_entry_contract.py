@@ -77,3 +77,23 @@ def test_every_oracle_parses_in_duckdb():
         except Exception as e:  # noqa: BLE001
             bad[name] = str(e).splitlines()[0]
     assert not bad, bad
+
+
+def test_no_two_oracles_share_the_same_sql():
+    """A module-level SQL variable shadowed by a later definition silently
+    rebinds BOTH queries to one oracle (the r3 _QUALITY_SQL collision);
+    identical oracle strings for different queries are that bug's
+    signature, never legitimate (column names must differ)."""
+    # Two Spark implementations of the SAME semantics legitimately share an
+    # oracle — those pairs are declared here; anything else is the bug.
+    EQUIVALENT = {
+        ("mktsegment_revenue", "mktsegment_revenue_salted"),   # salting is plan-only
+        ("events_compact_latest", "events_changelog_apply"),   # apply ≡ compaction
+    }
+    o = entrymod.oracle_sql()
+    by_sql = {}
+    for name, sql in o.items():
+        by_sql.setdefault(sql, []).append(name)
+    dupes = {tuple(sorted(v)) for v in by_sql.values() if len(v) > 1}
+    dupes -= {tuple(sorted(p)) for p in EQUIVALENT}
+    assert not dupes, f"queries sharing one oracle string: {dupes}"
