@@ -64,6 +64,21 @@ EXTENDED = [
 ]
 
 
+# Round-3 operator families (LM scoring, chunking, sketches, iterative
+# graph, ANN composition, record linkage), timed as a third set so the
+# headline and extended totals stay anchor-comparable.
+R3_SET = [
+    "docs_lm_bits",
+    "docs_dsir_weights",
+    "docs_chunk_overlap",
+    "docs_phrase_search",
+    "graph_pagerank",
+    "events_cms_counts",
+    "emb_ivfpq_search",
+    "dedup_edit_distance",
+]
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -191,6 +206,16 @@ def _run(sf_dir: str) -> dict:
             best = min(best, time.perf_counter() - t0)
         extended[name] = round(best, 3)
 
+    r3: dict[str, float] = {}
+    for name in R3_SET:
+        fn = queries[name]
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        r3[name] = round(best, 3)
+
     total = round(sum(timings.values()), 3)
     return {
         "metric": "headline_queries_total",
@@ -200,6 +225,8 @@ def _run(sf_dir: str) -> dict:
         "sf": sf_of(sf_dir),
         "extended_total": round(sum(extended.values()), 3),
         "extended": extended,
+        "r3_total": round(sum(r3.values()), 3),
+        "r3": r3,
     }
 
 
