@@ -4188,20 +4188,11 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bigrams use ANSI-safe F.get (null on out-of-bounds), never element_at."""
     from affinity_spark.operators.index import build_positional_index, phrase_lookup
 
+    from affinity_spark.functions.text import bigram_array
+
     docs = _t(spark, sf_dir, "documents")
     toks_expr = tokenize(F.col("text"))
-
-    def bigrams_of(t):
-        n = F.size(t)
-        return F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.get(t, i - 1), F.get(t, i)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    bg = docs.select(F.explode(let_bound(toks_expr, bigrams_of)).alias("bg"))
+    bg = docs.select(F.explode(let_bound(toks_expr, bigram_array)).alias("bg"))
     top = (
         bg.groupBy("bg")
         .agg(F.count("*").alias("c"))
@@ -4796,9 +4787,13 @@ def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from affinity_spark.operators.pq import adc_search, assign_codes
 
     emb = _t(spark, sf_dir, "embeddings")
+    # ONE driver collect: the PQ codebooks are subspace slices of the same
+    # 8 lowest-id vectors the IVF seeds are, so the seeds reconstruct by
+    # concatenating each row's slices (review finding: three identical
+    # 8-row collects = two wasted Spark jobs per run).
+    books = _pq_seed_books(emb)
     seeds = [
-        [float(x) for x in r.embedding]
-        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+        [x for s in range(_PQ_M) for x in books[s][r]] for r in range(_PQ_K)
     ]
     query = seeds[0]  # vec_id 0's embedding, excluded from candidates
     qd = sorted(
@@ -4808,8 +4803,8 @@ def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = assign(emb.filter(F.col("vec_id") != 0), seeds)
     cands = assigned.filter(F.col("cell").isin(probe_cells))
-    codes = assign_codes(cands, _pq_seed_books(emb))
-    top = adc_search(codes, _pq_seed_books(emb), query, 10)
+    codes = assign_codes(cands, books)
+    top = adc_search(codes, books, query, 10)
     return top.select(
         "vec_id", F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_bp")
     )
@@ -4878,7 +4873,7 @@ WITH t AS (
          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
   FROM documents
 ),
-b AS (SELECT doc_id, norm, substr(norm, 1, 24) AS blk FROM t),
+b AS (SELECT doc_id, norm, substr(norm, 1, 24) AS blk FROM t WHERE len(norm) > 0),
 p AS (
   SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
          CAST(levenshtein(a.norm, b2.norm) AS BIGINT) AS lev,
@@ -4989,10 +4984,13 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     t = ev.select("event_type", cents.alias("c"))
+    # accumulate IN decimal — a long sum of c*c overflows ANSI-fatally near
+    # 1e5 rows of 1e7-cent values while the oracle's HUGEINT does not
+    c_dec = F.col("c").cast("decimal(38,0)")
     stats = t.groupBy("event_type").agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
-        F.sum(F.col("c")).cast("decimal(38,0)").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+        F.sum(c_dec).cast("decimal(38,0)").alias("s1"),
+        F.sum(c_dec * F.col("c")).cast("decimal(38,0)").alias("s2"),
     )
     j = t.join(F.broadcast(stats), "event_type")
     lhs = (F.col("n") * F.col("c").cast("decimal(38,0)") - F.col("s1"))

@@ -242,6 +242,22 @@ def gopher_rule_struct(text: Column) -> Column:
     return let_bound(toks_expr, struct_of)
 
 
+def bigram_array(toks: Column) -> Column:
+    """Adjacent-token bigram strings ("w1 w2") from a token array — the one
+    shared builder for every bigram consumer (gopher repetition rules,
+    phrase search, LM scoring's struct variant mirrors it). ANSI-safe:
+    ``F.get`` nulls on out-of-bounds instead of throwing, and the sequence
+    only covers valid starts."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.get(toks, i - 1), F.get(toks, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def gopher_rep_struct(text: Column) -> Column:
     """Gopher duplicate-n-gram rules (Rae et al. 2021 §A.1.1, public) at
     n=2, as ONE struct of integer fields: ``n_bigrams``,
@@ -255,16 +271,6 @@ def gopher_rep_struct(text: Column) -> Column:
     bigrams — zero shuffle, no explode.
     """
     toks_expr = tokenize(text)
-
-    def bigrams_of(t: Column) -> Column:
-        n = F.size(t)
-        return F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.get(t, i - 1), F.get(t, i)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
 
     def struct_of(bg: Column) -> Column:
         # distinct set let-bound too: d and top both need it, and a HOF
@@ -287,4 +293,4 @@ def gopher_rep_struct(text: Column) -> Column:
 
         return let_bound(F.array_distinct(bg), with_distinct)
 
-    return let_bound(let_bound(toks_expr, bigrams_of), struct_of)
+    return let_bound(let_bound(toks_expr, bigram_array), struct_of)

@@ -531,11 +531,15 @@ def edit_distance_pairs(
     Returns ``(id_a, id_b, lev, lev_bp)`` with id_a < id_b.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # empty-normalized docs are excluded: they all share block '' and have
+    # max(len)=0, so the bp division would be x/0 (ANSI: job-killing) and
+    # "near-duplicate of nothing" is meaningless anyway. The oracle filters
+    # identically so both engines agree on the row set.
     t = df.select(
         F.col(id_col).alias("_id"),
         norm.alias("_norm"),
         F.substring(norm, 1, block_chars).alias("_blk"),
-    )
+    ).where(F.length("_norm") > 0)
     a = t.select(
         F.col("_id").alias("id_a"), F.col("_norm").alias("_na"), F.col("_blk")
     )

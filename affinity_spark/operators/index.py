@@ -113,6 +113,8 @@ def phrase_lookup(
     if isinstance(phrase_terms, DataFrame):
         w = F.broadcast(phrase_terms)
         k = len(phrase_terms.columns)
+        if k == 0:
+            raise ValueError("phrase must have at least one term column")
         aligned = None
         for i in range(k):
             hits = pos_index.join(
@@ -122,6 +124,8 @@ def phrase_lookup(
                 hits, [*key_cols, pos_col], "inner"
             )
     else:
+        if not phrase_terms:
+            raise ValueError("phrase must have at least one term")
         aligned = None
         for i, term in enumerate(phrase_terms):
             hits = pos_index.filter(F.col(index_col) == F.lit(term)).select(

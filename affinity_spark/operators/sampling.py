@@ -202,13 +202,17 @@ def temperature_budget_sample(
     )
     weights = totals.select(group_col, isqrt(F.col("_t")).alias("_w"))
     wsum = weights.agg(F.sum("_w").cast("long").alias("_wsum"))
+    # zero-mass guard: when every group's token mass is 0, _wsum is 0 and
+    # an unguarded div is ANSI-fatal; budget 0 selects nothing, matching
+    # the oracle's NULL-division row drop.
     budgets = (
         weights.crossJoin(F.broadcast(wsum))
         .select(
             group_col,
-            F.expr(f"(CAST({total_budget} AS BIGINT) * _w) div _wsum").alias(
-                "grp_budget"
-            ),
+            F.expr(
+                f"CASE WHEN _wsum > 0 THEN (CAST({total_budget} AS BIGINT) * _w)"
+                " div _wsum ELSE 0 END"
+            ).alias("grp_budget"),
         )
     )
     w = (

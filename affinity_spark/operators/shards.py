@@ -56,7 +56,13 @@ def write_webdataset_shards(
         with tarfile.open(fileobj=buf, mode="w") as tar:
             for _id, text in zip(pdf["_id"], pdf["_text"]):
                 payload = ("" if text is None else str(text)).encode("utf-8")
-                info = tarfile.TarInfo(name=f"{int(_id):012d}.{ext}")
+                # integer ids zero-pad (loader-friendly lexicographic order);
+                # any other id type keys by its string form
+                try:
+                    key = f"{int(_id):012d}"
+                except (TypeError, ValueError):
+                    key = str(_id)
+                info = tarfile.TarInfo(name=f"{key}.{ext}")
                 info.size = len(payload)
                 info.mtime = 0  # zeroed metadata → byte-reproducible shards
                 info.uid = info.gid = 0

@@ -60,15 +60,17 @@ def get_spark(
     if not os.environ.get("SPARK_MASTER_URL"):
         builder = builder.master(master)
     merged = dict(_DEFAULTS)
+    if conf:
+        merged.update(conf)
     # parallelism-invariance runs override the partition count from the
     # environment (results must not depend on partitioning — integer math
-    # and deterministic orders everywhere make this testable).
+    # and deterministic orders everywhere make this testable). Applied
+    # AFTER the caller's conf so the sweep cannot be silently shadowed by
+    # a hardcoded conf value (e.g. the test fixture's).
     if "SPARK_GRAFT_SHUFFLE_PARTITIONS" in os.environ:
         merged["spark.sql.shuffle.partitions"] = os.environ[
             "SPARK_GRAFT_SHUFFLE_PARTITIONS"
         ]
-    if conf:
-        merged.update(conf)
     for k, v in merged.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

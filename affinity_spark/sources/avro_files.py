@@ -130,6 +130,11 @@ def read_avro_files(
         for pdf in batches:
             rows = []
             for fpath, content in zip(pdf["path"], pdf["content"]):
+                # a file is all-or-nothing: its rows are staged locally and
+                # land only if the WHOLE file decodes — otherwise one bad
+                # record mid-file would emit partial rows AND a dead-letter
+                # row for the same file (double counting on repair/retry)
+                file_rows = []
                 try:
                     info, recs = parse_ocf(bytes(content))
                     if reader is not None:
@@ -139,11 +144,12 @@ def read_avro_files(
                     for r in recs:
                         row = {k: r.get(k) for k in field_names[:-1]}
                         row["_corrupt_file"] = None
-                        rows.append(row)
+                        file_rows.append(row)
                 except Exception:
                     row = {k: None for k in field_names[:-1]}
                     row["_corrupt_file"] = fpath
-                    rows.append(row)
+                    file_rows = [row]
+                rows.extend(file_rows)
             yield pd.DataFrame(rows, columns=field_names)
 
     return files.mapInPandas(decode, out_schema)

@@ -274,10 +274,29 @@ class KeyedTable:
         """
         old = self.read_version(old_version)
         new = self.read_version(new_version)
+        # columns may drift between snapshots (evolution is exactly when CDF
+        # matters): the value struct is the UNION of both sides' non-key
+        # columns, with a side's missing columns read as typed nulls.
         val_cols = [c for c in new.columns if c not in self.key_cols]
-        o = old.select(*self.key_cols, F.struct(*val_cols).alias("old_values"))
-        n = new.select(*self.key_cols, F.struct(*val_cols).alias("new_values"))
-        j = o.join(n, self.key_cols, "full_outer")
+        val_cols += [
+            c for c in old.columns if c not in self.key_cols and c not in val_cols
+        ]
+        types = {f.name: f.dataType for f in [*old.schema.fields, *new.schema.fields]}
+
+        def side(df: DataFrame, alias: str) -> DataFrame:
+            fields = [
+                (F.col(c) if c in df.columns else F.lit(None).cast(types[c])).alias(c)
+                for c in val_cols
+            ]
+            # key-only table: presence itself is the value (struct() with
+            # zero fields is invalid)
+            if not fields:
+                fields = [F.lit(True).alias("_present")]
+            return df.select(*self.key_cols, F.struct(*fields).alias(alias))
+
+        j = side(old, "old_values").join(
+            side(new, "new_values"), self.key_cols, "full_outer"
+        )
         change = (
             F.when(F.col("old_values").isNull(), F.lit("insert"))
             .when(F.col("new_values").isNull(), F.lit("delete"))

@@ -124,3 +124,17 @@ def test_edit_distance_pairs_blocked_and_exact(spark):
     # doc 3 fell in a different block: never compared despite similarity
     assert all(3 not in pair for pair in got)
     assert all(4 not in pair for pair in got)
+
+
+def test_edit_distance_pairs_survives_empty_documents(spark):
+    """Two empty/whitespace docs share block '' with max-len 0 — the ANSI
+    division guard (review finding): they are excluded, not job-killing."""
+    from affinity_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text here okay"), (4, "real text here okay!")],
+        "doc_id long, text string",
+    )
+    got = {(r.id_a, r.id_b) for r in
+           edit_distance_pairs(df, "doc_id", "text", 10, 5000).collect()}
+    assert got == {(3, 4)}

@@ -146,3 +146,22 @@ def test_changes_between_empty_for_identical_snapshots(spark, tmp_path):
     t.upsert(_df(spark, [(1, 100, "a")]))  # no-op merge, new snapshot
     v_old, v_new = t.versions()[-2], t.versions()[-1]
     assert t.changes_between(v_old, v_new).count() == 0
+
+
+def test_changes_between_tolerates_added_column(spark, tmp_path):
+    """Schema drift between snapshots (the evolution scenario CDF exists
+    for): the missing column reads as null on the old side."""
+    import pyspark.sql.functions as F
+
+    t = _table(spark, tmp_path, retain_versions=4)
+    t.upsert(_df(spark, [(1, 100, "a")]))
+    # drift lands via overwrite (a widening backfill); upsert itself
+    # correctly refuses mismatched schemas
+    wider = spark.createDataFrame([(1, 200, "a2", "extra")],
+                                  "k int, ts long, v string, note string")
+    t.overwrite(wider, expected_base=t._current_version_dir())
+    v_old, v_new = t.versions()[-2], t.versions()[-1]
+    rows = {r.k: r for r in t.changes_between(v_old, v_new).collect()}
+    assert rows[1].change == "update"
+    assert rows[1].old_values.note is None
+    assert rows[1].new_values.note == "extra"

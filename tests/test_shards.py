@@ -47,3 +47,12 @@ def test_shard_assignment_is_md5_stable(spark, tmp_path):
             doc_id = int(name.split(".")[0])
             want = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 4
             assert want == r.shard
+
+
+def test_string_doc_ids_supported(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("doc-a", "alpha"), ("doc-b", "beta")], "doc_id string, text string"
+    )
+    manifest = write_webdataset_shards(df, str(tmp_path / "s"), 2).collect()
+    names = {n for r in manifest for n, _ in read_webdataset_shard(r.path)}
+    assert names == {"doc-a.txt", "doc-b.txt"}
