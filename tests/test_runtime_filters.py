@@ -72,3 +72,40 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark, tmp_path):
         assert "PushedAggregation: [COUNT(*), MIN(id), MAX(id)]" in plan
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
+def test_cbo_statistics_drive_cardinality_estimates(spark):
+    """ANALYZE TABLE feeds the cost-based optimizer: with column stats the
+    join's estimated rowCount reflects key multiplicity × filter
+    selectivity — the input join reordering and strategy choice need at
+    warehouse scale (estimates, not guesses)."""
+    old = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        spark.sql("DROP TABLE IF EXISTS cbo_big")
+        spark.sql("DROP TABLE IF EXISTS cbo_small")
+        spark.range(0, 100_000).selectExpr("id", "id % 1000 as fk").write.saveAsTable("cbo_big")
+        spark.range(0, 500).selectExpr("id as fk", "id % 7 as tag").write.saveAsTable("cbo_small")
+        spark.sql("ANALYZE TABLE cbo_big COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql("ANALYZE TABLE cbo_small COMPUTE STATISTICS FOR ALL COLUMNS")
+
+        stats = [r for r in spark.sql("DESCRIBE TABLE EXTENDED cbo_big").collect()
+                 if r.col_name == "Statistics"]
+        assert stats and "100000 rows" in stats[0].data_type
+
+        q = spark.sql(
+            "SELECT count(*) FROM cbo_big JOIN cbo_small ON cbo_big.fk = cbo_small.fk "
+            "WHERE cbo_small.tag = 3"
+        )
+        sw = q._jdf.queryExecution().stringWithStats()
+        join_lines = [l for l in sw.splitlines() if "Join Inner" in l and "rowCount" in l]
+        assert join_lines, "optimized plan must carry Statistics(rowCount=...) on the join"
+        import re
+        m = re.search(r"rowCount=([0-9.E+]+)", join_lines[0])
+        est = float(m.group(1))
+        # truth: 100000 rows × (500/1000 key hit rate) × (1/7 tag filter) ≈ 7.1e3
+        assert 1e3 < est < 5e4, f"estimate {est} ignores stats"
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old)
+        spark.sql("DROP TABLE IF EXISTS cbo_big")
+        spark.sql("DROP TABLE IF EXISTS cbo_small")
