@@ -228,3 +228,59 @@ def test_native_session_window_streaming(spark, tmp_path):
         assert ("10:00", 2) in got and ("11:00", 1) in got
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an impression with NO click inside
+    the interval must eventually emit null-padded — but only once the
+    watermark proves no matching click can still arrive (the semantics
+    that make outer results correct rather than premature)."""
+    imp_src = str(tmp_path / "imp2")
+    clk_src = str(tmp_path / "clk2")
+    imp_schema = StructType([StructField("ad", LongType()), StructField("its", StringType())])
+    clk_schema = StructType([StructField("ad", LongType()), StructField("cts", StringType())])
+    _write_jsonl(imp_src, "b1.json", [
+        {"ad": 1, "its": "2024-01-01 10:00:00"},   # will get a click
+        {"ad": 2, "its": "2024-01-01 10:00:00"},   # never clicked
+    ])
+    _write_jsonl(clk_src, "b1.json", [
+        {"ad": 1, "cts": "2024-01-01 10:05:00"},
+    ])
+    imp = (
+        spark.readStream.schema(imp_schema).json(imp_src)
+        .withColumn("its", F.to_timestamp("its"))
+        .withWatermark("its", "5 minutes")
+    )
+    clk = (
+        spark.readStream.schema(clk_schema).json(clk_src)
+        .withColumn("cts", F.to_timestamp("cts"))
+        .withWatermark("cts", "5 minutes")
+    )
+    joined = imp.join(
+        clk,
+        (imp["ad"] == clk["ad"])
+        & (clk["cts"] >= imp["its"])
+        & (clk["cts"] <= imp["its"] + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(imp["ad"], clk["cts"].isNotNull().alias("clicked"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        matched = {(r.ad, r.clicked) for r in spark.sql("select * from ssj_outer").collect()}
+        assert (1, True) in matched            # inner match emits promptly
+        # advance both watermarks far past ad 2's join window
+        _write_jsonl(imp_src, "b2.json", [{"ad": 9, "its": "2024-01-01 12:00:00"}])
+        _write_jsonl(clk_src, "b2.json", [{"ad": 9, "cts": "2024-01-01 12:00:01"}])
+        q.processAllAvailable()
+        q.processAllAvailable()  # second cycle lets the outer row flush
+        got = {(r.ad, r.clicked) for r in spark.sql("select * from ssj_outer").collect()}
+        assert (2, False) in got               # null-padded AFTER watermark
+        assert (2, True) not in got
+    finally:
+        q.stop()
