@@ -141,7 +141,13 @@ def pagerank_ppm(
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    ranks = ranks.localCheckpoint(eager=True)
+    # Materialize the final ranks as a CACHED DataFrame action (count), not
+    # an eager localCheckpoint: the checkpoint's RDD path bypasses AQE —
+    # no broadcast conversion, no exchange reuse, fixed tiny partitions —
+    # and measured 6x slower end-to-end (4.1 s vs 0.65 s at sf0.1). The
+    # cached result is vertex-sized; statics unpersist once it exists.
+    ranks = ranks.persist()
+    ranks.count()
     e_deg.unpersist()
     verts.unpersist()
     return ranks
