@@ -1973,9 +1973,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is float-free.
     """
     docs = _t(spark, sf_dir, "documents")
-    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
-    )
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist()
     cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
     return dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2)
 
@@ -2048,9 +2046,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from affinity_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3).localCheckpoint(
-        eager=False
-    )
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist()
     cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
     pairs = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
         "id_a", "id_b"
@@ -2402,7 +2398,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     band join (bucket-sized, never the all-pairs shingle self-join — that
     tier lives in dedup_ngram_jaccard as the small-scale verifier), and
     the verify step touches candidate pairs only. The shingle arrays are
-    materialized ONCE (localCheckpoint) and shared by the signature and
+    materialized ONCE (persist — the RDD checkpoint path loses AQE/codegen) and shared by the signature and
     verify branches.
     """
     from pyspark.sql import Window
@@ -2419,11 +2415,9 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    arrs = dd.doc_shingle_arrays(keepers, "doc_id", "text", 3).localCheckpoint(
-        eager=False
-    )
+    arrs = dd.doc_shingle_arrays(keepers, "doc_id", "text", 3).persist()
     cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
     near_dups = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
         F.col("id_b").alias("doc_id")

@@ -390,12 +390,14 @@ def shingles_shared(df: DataFrame, id_col: str, text_col: str, n: int = 3):
 
     The shingle pipeline (tokenize → n-grams → distinct) is the expensive
     map-side step and both the signature path (exploded) and the verify
-    path (arrays) need it; a lazy localCheckpoint materializes it once per
-    action and both branches read the checkpointed partitions. At cluster
-    scale swap localCheckpoint for a reliable checkpoint dir (executor loss
-    otherwise recomputes the branch).
+    path (arrays) need it; it is persist()ed so both branches share one
+    computation. persist, NOT localCheckpoint: the checkpoint's RDD
+    conversion drops out of AQE/codegen and measured 6x slower end-to-end
+    at sf0.1 (the same lesson as pagerank's finalization). The cache is
+    LRU-evictable; at cluster scale with executor churn swap for a
+    reliable checkpoint dir (eviction/loss recomputes the branch).
     """
-    arrs = doc_shingle_arrays(df, id_col, text_col, n).localCheckpoint(eager=False)
+    arrs = doc_shingle_arrays(df, id_col, text_col, n).persist()
     exploded = arrs.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).withColumn("h0", stable_token_hash(F.col("shingle")))
