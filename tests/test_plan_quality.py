@@ -20,6 +20,17 @@ from affinity_spark.plans.introspect import wholestage_codegen_ids
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Plan-shape assertions need deterministic plans: Spark's cache
+    manager substitutes InMemoryRelation for any semantically-equal plan
+    cached by an EARLIER test (the dedup family persist()s its shared
+    shingle frames), which silently changes exchange counts depending on
+    test order. Clear the session cache before each guard."""
+    spark.catalog.clearCache()
+    yield
+
+
 def test_q1_filter_pushed_to_scan(spark):
     df = e.q1_pricing_summary(spark, SF)
     pf = " ".join(pushed_filters(df))
