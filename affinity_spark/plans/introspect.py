@@ -43,9 +43,27 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 def n_exchanges(df: DataFrame) -> int:
     """Shuffle count (Exchange operators, minus broadcast exchanges and
-    AQE reuse)."""
+    AQE reuse).
+
+    Counted as DISTINCT plan ids, not raw text matches: a plan that
+    references a shared subtree from several parents (persisted frames,
+    reused exchanges) PRINTS that subtree once per reference, so a text
+    count inflates — pagerank's fused 3-iteration DAG printed 103
+    "exchanges" for a handful of real shuffles. Lines without a plan_id
+    (older formats) fall back to positional counting."""
     plan = executed_plan(df)
-    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    ids = set()
+    anon = 0
+    for m in re.finditer(
+        r"\bExchange (?:hashpartitioning|rangepartitioning|SinglePartition)[^\n]*",
+        plan,
+    ):
+        pid = re.search(r"\[plan_id=(\d+)\]", m.group(0))
+        if pid:
+            ids.add(pid.group(1))
+        else:
+            anon += 1
+    return len(ids) + anon
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
