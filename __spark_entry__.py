@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from affinity_spark import TimeRange
+from affinity_spark.cache import track as _track_cache
 from affinity_spark.tables import load as load_table
 from affinity_spark.functions.text import (
     EN_STOPWORDS,
@@ -1973,7 +1974,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is float-free.
     """
     docs = _t(spark, sf_dir, "documents")
-    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist()
+    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
     cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
     return dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2)
 
@@ -2046,7 +2047,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from affinity_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist()
+    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
     cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
     pairs = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
         "id_a", "id_b"
@@ -2417,7 +2418,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .persist()
     )
-    arrs = dd.doc_shingle_arrays(keepers, "doc_id", "text", 3).persist()
+    keepers = _track_cache(keepers)
+    arrs = _track_cache(dd.doc_shingle_arrays(keepers, "doc_id", "text", 3).persist())
     cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
     near_dups = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
         F.col("id_b").alias("doc_id")
@@ -4567,6 +4569,7 @@ cand AS (
                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
            / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
   FROM n a JOIN n b ON a.bucket = b.bucket AND a.label <> b.label
+  WHERE a.nrm > 0 AND b.nrm > 0  -- zero-norm vectors have no cosine; Spark side filters NULL cos_bp identically
 )
 SELECT vec_id, id_b AS hard_neg_id, cos_bp
 FROM cand

@@ -396,8 +396,15 @@ def shingles_shared(df: DataFrame, id_col: str, text_col: str, n: int = 3):
     at sf0.1 (the same lesson as pagerank's finalization). The cache is
     LRU-evictable; at cluster scale with executor churn swap for a
     reliable checkpoint dir (eviction/loss recomputes the branch).
+
+    The persisted frame is registered with ``affinity_spark.cache`` —
+    callers owning the action cadence call ``cache.release_shared()``
+    after consuming the result so long-lived sessions don't accumulate
+    cache entries (which Spark substitutes into later equal plans).
     """
-    arrs = doc_shingle_arrays(df, id_col, text_col, n).persist()
+    from affinity_spark.cache import track
+
+    arrs = track(doc_shingle_arrays(df, id_col, text_col, n).persist())
     exploded = arrs.select(
         F.col(id_col), F.explode("shingles").alias("shingle")
     ).withColumn("h0", stable_token_hash(F.col("shingle")))

@@ -107,9 +107,11 @@ def pagerank_ppm(
     fixed iteration counts the plan executes as a single job with zero
     intermediate materializations. Measured at sf0.1: 4.8 s with
     per-iteration eager checkpoints → 0.6 s with this shape (8×), ranks
-    bit-identical. The final ranks are checkpointed eagerly so the
-    returned frame is self-contained and the statics can be unpersisted —
-    no session-cache residue. Iterations shuffle edge-sized data only.
+    bit-identical. The final ranks are materialized as a cached frame so
+    the statics can be unpersisted immediately; the returned cache entry
+    is registered with ``affinity_spark.cache`` for the caller to
+    ``release_shared()`` after consuming it. Iterations shuffle
+    edge-sized data only.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     deg = e.groupBy("u").agg(F.count("*").cast("long").alias("outdeg"))
@@ -146,7 +148,9 @@ def pagerank_ppm(
     # no broadcast conversion, no exchange reuse, fixed tiny partitions —
     # and measured 6x slower end-to-end (4.1 s vs 0.65 s at sf0.1). The
     # cached result is vertex-sized; statics unpersist once it exists.
-    ranks = ranks.persist()
+    from affinity_spark.cache import track
+
+    ranks = track(ranks.persist())
     ranks.count()
     e_deg.unpersist()
     verts.unpersist()

@@ -128,6 +128,10 @@ def hard_negatives(
             .cast("long")
             .alias("cos_bp"),
         )
+        # a zero-norm vector has no cosine (NULL here, NULL/inf division in
+        # a SQL oracle): exclude it identically on both sides rather than
+        # ride on nulls-last window ordering
+        .filter(F.col("cos_bp").isNotNull())
     )
     w = Window.partitionBy("id_a").orderBy(
         F.col("cos_bp").desc(), F.col("id_b").asc()

@@ -110,10 +110,22 @@ class KeyedTable:
                     ) from None
                 time.sleep(0.05)
 
-    def _commit_version(self, version: str, expected_base: str | None) -> None:
+    def commit_meta(self) -> dict:
+        """Application metadata recorded with the current commit (e.g. the
+        last applied streaming batch id); ``{}`` before any commit."""
+        if not os.path.exists(self._pointer):
+            return {}
+        with open(self._pointer) as f:
+            return json.load(f).get("meta") or {}
+
+    def _commit_version(
+        self, version: str, expected_base: str | None, meta: dict | None = None
+    ) -> None:
         """Check-and-swap: commit only if the current version is still the
         one this write was computed from; otherwise a concurrent writer won
-        and committing would silently drop its changes."""
+        and committing would silently drop its changes. ``meta`` rides in
+        the pointer file atomically with the version swap, so "this batch
+        was applied" and "this snapshot is current" are one fact."""
         fd = self._acquire_lock()
         try:
             current = self._current_version_dir()
@@ -126,7 +138,14 @@ class KeyedTable:
                 )
             tmp = self._pointer + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"version": version, "committed_at": time.time()}, f)
+                json.dump(
+                    {
+                        "version": version,
+                        "committed_at": time.time(),
+                        "meta": meta or {},
+                    },
+                    f,
+                )
             os.replace(tmp, self._pointer)
         finally:
             os.close(fd)
@@ -175,24 +194,35 @@ class KeyedTable:
             )
         return self.spark.read.parquet(vdir)
 
-    def overwrite(self, df: DataFrame, expected_base: str | None = "UNSET") -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        expected_base: str | None = "UNSET",
+        meta: dict | None = None,
+    ) -> None:
         """Write a new snapshot version and CAS the pointer to it.
 
         ``expected_base`` is the version dir this write was computed from
         (``None`` for a first write); it defaults to the current version at
         call time — pass the captured value explicitly whenever ``df`` was
         derived from an earlier ``read()`` so a racing writer is detected.
+        ``meta`` (application metadata, e.g. a streaming batch id) is
+        committed atomically with the pointer swap; ``None`` carries the
+        previous commit's metadata forward so maintenance writes (compact,
+        vacuum) don't erase replay markers.
         """
         if self.external:
             raise PermissionError(f"table at {self.path} is external/read-only")
         if expected_base == "UNSET":
             expected_base = self._current_version_dir()
+        if meta is None:
+            meta = self.commit_meta()
         version = f"v{int(time.time() * 1000):016d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, version)
         # cluster by key so key-equality scans skip files via min/max stats
         df.repartition(self.num_buckets, *self.key_cols).write.mode("overwrite").parquet(out)
         try:
-            self._commit_version(version, expected_base)
+            self._commit_version(version, expected_base, meta)
         except ConcurrentWriteError:
             shutil.rmtree(out, ignore_errors=True)  # orphaned loser snapshot
             raise
@@ -284,8 +314,15 @@ class KeyedTable:
         types = {f.name: f.dataType for f in [*old.schema.fields, *new.schema.fields]}
 
         def side(df: DataFrame, alias: str) -> DataFrame:
+            # cast BOTH sides to the resolved (new-snapshot-first) type so a
+            # column whose type widened between snapshots diffs cleanly
+            # instead of failing struct-equality analysis
             fields = [
-                (F.col(c) if c in df.columns else F.lit(None).cast(types[c])).alias(c)
+                (
+                    F.col(c).cast(types[c])
+                    if c in df.columns
+                    else F.lit(None).cast(types[c])
+                ).alias(c)
                 for c in val_cols
             ]
             # key-only table: presence itself is the value (struct() with
@@ -426,7 +463,7 @@ class KeyedTable:
         out = os.path.join(self.path, version)
         df.repartition(n_target, *self.key_cols).write.mode("overwrite").parquet(out)
         try:
-            self._commit_version(version, base_version)
+            self._commit_version(version, base_version, self.commit_meta())
         except ConcurrentWriteError:
             shutil.rmtree(out, ignore_errors=True)
             raise

@@ -90,17 +90,29 @@ def incremental_agg_sink(
 ):
     """foreachBatch function maintaining the aggregate as a KeyedTable.
 
-    Each micro-batch commits a new snapshot via the table's CAS pointer —
-    crash-safe like ``foreach_batch_merge`` (readers never see a partial
-    batch; a replayed batch re-derives the same snapshot from the same
-    base under the streaming engine's single-writer guarantee)."""
+    Each micro-batch commits a new snapshot via the table's CAS pointer,
+    recording the batch id IN the commit (atomically with the pointer
+    swap). Unlike last-write-wins merge sinks, a ``+=`` delta is not
+    naturally idempotent — if the process crashes between the snapshot
+    commit and the streaming checkpoint advance, the engine replays the
+    batch against the already-updated base and would double-count. The
+    recorded batch id makes the replay a no-op: apply exactly once per
+    (table, batch_id), the foreachBatch idempotence convention from
+    ``sinks.py``."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         tbl = KeyedTable(spark, table_path, list(key_cols), "")
+        last = tbl.commit_meta().get("ivm_batch_id")
+        if last is not None and batch_id <= last:
+            return  # crash-replayed batch: its deltas are already committed
         base_version = tbl._current_version_dir()
         base = spark.read.parquet(base_version) if base_version is not None else None
         delta = batch_delta_agg(batch_df, key_cols, cents_col, op_col)
-        tbl.overwrite(apply_agg_delta(base, delta, key_cols), expected_base=base_version)
+        tbl.overwrite(
+            apply_agg_delta(base, delta, key_cols),
+            expected_base=base_version,
+            meta={"ivm_batch_id": batch_id},
+        )
 
     return apply

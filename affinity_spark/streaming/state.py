@@ -75,7 +75,10 @@ def debounce_stream(
         if last == -1:
             last = None
         rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(ts_col, kind="mergesort")
+        # sort by ts THEN the remaining columns so ts ties resolve
+        # deterministically (not by arrival order), as documented
+        order_cols = [ts_col] + [c for c in rows.columns if c != ts_col]
+        rows = rows.sort_values(order_cols, kind="mergesort")
         out_ts, out_sup = [], []
         for t in rows[ts_col]:
             t_ms = int(t.value // 1_000_000) if hasattr(t, "value") else int(t)

@@ -184,37 +184,29 @@ def _run(sf_dir: str) -> dict:
     # Best-of-N per query (default 2): the first run pays JVM JIT + codegen
     # compilation, later runs measure the steady-state plan (what a
     # long-running cluster actually sees). Raise BENCH_REPEATS on noisy
-    # hosts for a tighter minimum.
+    # hosts for a tighter minimum. Library-persisted shared frames are
+    # drained after each query's repeats so one query's cache entries
+    # can't substitute into a later query's plan.
+    from affinity_spark.cache import release_shared
+
     repeats = max(int(os.environ.get("BENCH_REPEATS", "2")), 1)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
 
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        extended[name] = round(best, 3)
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            best = float("inf")
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+            release_shared()
+        return out
 
-    r3: dict[str, float] = {}
-    for name in R3_SET:
-        fn = queries[name]
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        r3[name] = round(best, 3)
+    timings = time_set(HEADLINE)
+    extended = time_set(EXTENDED)
+    r3 = time_set(R3_SET)
 
     total = round(sum(timings.values()), 3)
     return {

@@ -97,6 +97,34 @@ def _write_jsonl(dirpath: str, name: str, rows: list[dict]) -> None:
     os.rename(tmp, os.path.join(dirpath, name))
 
 
+def test_sink_replay_of_applied_batch_is_noop(spark, tmp_path):
+    """Crash between snapshot commit and checkpoint advance replays the
+    batch; the recorded ivm_batch_id must make the second apply a no-op
+    instead of double-counting the deltas."""
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    table = str(tmp_path / "agg_table")
+    sink = incremental_agg_sink(table, ["k"], "cents")
+    b0 = _batch(spark, [("a", 100, 1), ("b", 7, 1)])
+    sink(b0, 0)
+    sink(b0, 0)  # simulated foreachBatch replay after a crash
+    got = {r.k: (r.n, r.cents) for r in read_keyed_table(spark, table).collect()}
+    assert got == {"a": (1, 100), "b": (1, 7)}
+
+    sink(_batch(spark, [("a", 50, 1)]), 1)
+    got = {r.k: (r.n, r.cents) for r in read_keyed_table(spark, table).collect()}
+    assert got == {"a": (2, 150), "b": (1, 7)}
+
+    # maintenance writes must not erase the replay marker
+    tbl = KeyedTable(spark, table, ["k"], "")
+    assert tbl.commit_meta() == {"ivm_batch_id": 1}
+    tbl.compact(target_file_bytes=1 << 30)
+    assert tbl.commit_meta() == {"ivm_batch_id": 1}
+    sink(_batch(spark, [("a", 50, 1)]), 1)  # replay after maintenance
+    got = {r.k: (r.n, r.cents) for r in read_keyed_table(spark, table).collect()}
+    assert got == {"a": (2, 150), "b": (1, 7)}
+
+
 def test_streaming_maintained_aggregate_with_retractions(spark, tmp_path):
     src = str(tmp_path / "in")
     table = str(tmp_path / "agg_table")

@@ -165,3 +165,23 @@ def test_changes_between_tolerates_added_column(spark, tmp_path):
     assert rows[1].change == "update"
     assert rows[1].old_values.note is None
     assert rows[1].new_values.note == "extra"
+
+
+def test_changes_between_tolerates_widened_column_type(spark, tmp_path):
+    """A value column whose type widened between snapshots (int → long)
+    must diff cleanly — both sides cast to the new snapshot's type —
+    instead of failing struct-equality analysis."""
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    t = KeyedTable(spark, str(tmp_path / "widen"), key_cols=["k"], ts_col="ts",
+                   retain_versions=4)
+    t.overwrite(spark.createDataFrame([(1, 1, 7), (2, 1, 8)],
+                                      "k int, ts long, amount int"))
+    t.overwrite(spark.createDataFrame([(1, 2, 7), (2, 2, 99)],
+                                      "k int, ts long, amount long"))
+    v_old, v_new = t.versions()[-2], t.versions()[-1]
+    rows = {r.k: r for r in t.changes_between(v_old, v_new).collect()}
+    # k=1: amount unchanged in value (7 == 7L) but ts moved -> update;
+    # k=2: real value change
+    assert rows[2].change == "update"
+    assert rows[2].old_values.amount == 8 and rows[2].new_values.amount == 99

@@ -21,6 +21,7 @@ import duckdb
 
 import __spark_entry__ as entrymod
 from affinity_spark import get_spark
+from affinity_spark.cache import release_shared
 from affinity_spark.tables import TABLES
 
 
@@ -88,6 +89,10 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # drain library-persisted shared frames so one query's cache
+            # entries can't substitute into a later query's plan
+            release_shared()
         spark_sec = time.time() - t0
         if name not in oracles:
             print(f"WEAK {name}: rows={len(srows)} (no oracle) [{spark_sec:.1f}s]")
