@@ -2139,24 +2139,49 @@ WHERE 2 * n_common >= (sa.n + sb.n - n_common)
 def docs_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer trained ON the corpus (operators/bpe.py: one
     word-count shuffle, vocab-sized driver merge loop, 24 merges), then
-    applied to every document. Output: doc_id, n_bpe_tokens, md5 digest of
-    the space-joined token stream — deterministic, retry-stable.
+    applied to every document — with the OUTPUT shaped so the driver can
+    cross-check it even though merge training is an argmax-iterated loop
+    no SQL oracle can replay.
 
-    NO SQL oracle by design: merge training is an argmax-iterated loop (a
-    genuinely non-SQL-expressible iterative algorithm, like the reference's
-    convergence loops); correctness is pinned by tests/test_bpe.py goldens
-    + the python-model agreement test, and the driver records the
-    rows-only check."""
-    from affinity_spark.operators.bpe import bpe_segment, train_bpe
+    The oracle-checkable invariants, all computed FROM the BPE token
+    stream on the Spark side and from the raw text in DuckDB:
+    - ``detok_md5``: md5 of the concatenated token stream. BPE symbols
+      concatenate back to ``word || '</w>'`` per word, so the digest
+      equals md5 of the normalized text with word boundaries marked —
+      any dropped/duplicated character or symbol anywhere in
+      segmentation breaks the hash (losslessness, the reversibility
+      property of ``AvroRecordPropSpec.scala:35-71`` in query form).
+    - ``n_words``: count of tokens carrying the end-of-word marker —
+      exactly one per word iff segmentation preserves word boundaries;
+      DuckDB counts words from the raw text.
+
+    Merge ORDER (the trained table itself) remains pinned by
+    tests/test_bpe.py goldens + the pure-python agreement model."""
+    from affinity_spark.operators.bpe import END, bpe_segment, train_bpe
 
     docs = _t(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", n_merges=24, min_count=2)
     seg = bpe_segment(docs, "doc_id", "text", merges)
     return seg.select(
         "doc_id",
-        "n_bpe_tokens",
-        F.md5(F.array_join(F.col("tokens"), " ")).alias("token_digest"),
+        F.size(F.filter(F.col("tokens"), lambda t: t.endswith(END))).alias("n_words"),
+        F.md5(F.array_join(F.col("tokens"), "")).alias("detok_md5"),
     )
+
+
+_BPE_SEGMENT_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       md5(array_to_string(list_transform(words, x -> x || '</w>'), ''))
+         AS detok_md5
+FROM w
+"""
 
 
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5353,6 +5378,7 @@ def oracle_sql() -> dict[str, str]:
         "events_uuid_codec": _UUID_SQL,
         "events_avro_decode": _AVRO_SQL,
         "docs_decontaminate": _DECONTAM_SQL,
+        "docs_bpe_segment": _BPE_SEGMENT_SQL,
         "docs_gopher_rules": _GOPHER_SQL,
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
         "emb_pq_codes": _pq_codes_sql(),
