@@ -5205,62 +5205,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered for the driver's time-budgeted CORRECTNESS pass (~50 rows):
-    # 1) flagship; 2-6) the five queries with no driver row in ANY round
-    # (r2 budget cut at 50 before reaching them); 7-38) the 32 queries
-    # whose only driver row predates the r2 testdata regeneration; then
-    # the r2-green queries, freshest evidence last.
+    # Ordered for the driver's time-budgeted CORRECTNESS pass (~50 rows),
+    # strictly by driver-evidence age so every query's newest driver row
+    # stays within two data regenerations: 1) flagship; 2-29) the 28
+    # queries whose latest driver row is r1; 30-78) the 49 whose latest is
+    # r2; then the r3-green queries, freshest evidence last.
     return {
         "q1_pricing_summary": q1_pricing_summary,
-        "events_sessionize": events_sessionize,
-        "events_running_totals": events_running_totals,
-        "events_sliding_stats": events_sliding_stats,
-        "events_session_window_agg": events_session_window_agg,
-        "events_partition_routing": events_partition_routing,
-        "events_avro_decode": events_avro_decode,
-        "docs_decontaminate": docs_decontaminate,
-        "docs_gopher_rules": docs_gopher_rules,
-        "docs_frame_sample": docs_frame_sample,
-        "docs_bpe_segment": docs_bpe_segment,
-        "emb_pq_codes": emb_pq_codes,
-        "emb_pq_search": emb_pq_search,
-        "docs_pii_scrub": docs_pii_scrub,
-        "docs_bm25_search": docs_bm25_search,
-        "dedup_cluster_canonical": dedup_cluster_canonical,
-        "docs_source_mix": docs_source_mix,
-        "docs_line_dedup": docs_line_dedup,
-        "events_value_quantiles": events_value_quantiles,
-        "events_interarrival": events_interarrival,
-        "docs_jpeg_decode": docs_jpeg_decode,
-        "events_funnel": events_funnel,
-        "events_cohort_retention": events_cohort_retention,
-        "events_zorder_key": events_zorder_key,
-        "docs_chunk_overlap": docs_chunk_overlap,
-        "docs_phrase_search": docs_phrase_search,
-        "docs_lm_bits": docs_lm_bits,
-        "docs_dsir_weights": docs_dsir_weights,
-        "docs_gopher_rep": docs_gopher_rep,
-        "graph_pagerank": graph_pagerank,
-        "events_cms_counts": events_cms_counts,
-        "events_hll_registers": events_hll_registers,
-        "docs_temperature_mix": docs_temperature_mix,
-        "emb_hard_negatives": emb_hard_negatives,
-        "docs_curriculum": docs_curriculum,
-        "nation_account_balance": nation_account_balance,
-        "emb_lsh_recall": emb_lsh_recall,
-        "emb_ivfpq_search": emb_ivfpq_search,
-        "dedup_edit_distance": dedup_edit_distance,
-        "events_hll_by_type": events_hll_by_type,
-        "orders_quality_report": orders_quality_report,
-        "events_value_outliers": events_value_outliers,
-        "docs_bloom_export": docs_bloom_export,
-        "docs_corpus_report": docs_corpus_report,
-        "events_daily_active": events_daily_active,
-        "orders_grouping_sets": orders_grouping_sets,
-        "events_window_stats": events_window_stats,
-        "events_topn_per_key": events_topn_per_key,
-        "events_num_keys": events_num_keys,
-        "orders_auto_increment": orders_auto_increment,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
         "orders_range_join": orders_range_join,
@@ -5338,6 +5289,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_prefix_timerange": events_prefix_timerange,
         "events_compact_latest": events_compact_latest,
         "events_ttl_scan": events_ttl_scan,
+        "events_sessionize": events_sessionize,
+        "events_running_totals": events_running_totals,
+        "events_sliding_stats": events_sliding_stats,
+        "events_session_window_agg": events_session_window_agg,
+        "events_partition_routing": events_partition_routing,
+        "events_avro_decode": events_avro_decode,
+        "docs_decontaminate": docs_decontaminate,
+        "docs_gopher_rules": docs_gopher_rules,
+        "docs_frame_sample": docs_frame_sample,
+        "docs_bpe_segment": docs_bpe_segment,
+        "emb_pq_codes": emb_pq_codes,
+        "emb_pq_search": emb_pq_search,
+        "docs_pii_scrub": docs_pii_scrub,
+        "docs_bm25_search": docs_bm25_search,
+        "dedup_cluster_canonical": dedup_cluster_canonical,
+        "docs_source_mix": docs_source_mix,
+        "docs_line_dedup": docs_line_dedup,
+        "events_value_quantiles": events_value_quantiles,
+        "events_interarrival": events_interarrival,
+        "docs_jpeg_decode": docs_jpeg_decode,
+        "events_funnel": events_funnel,
+        "events_cohort_retention": events_cohort_retention,
+        "events_zorder_key": events_zorder_key,
+        "docs_chunk_overlap": docs_chunk_overlap,
+        "docs_phrase_search": docs_phrase_search,
+        "docs_lm_bits": docs_lm_bits,
+        "docs_dsir_weights": docs_dsir_weights,
+        "docs_gopher_rep": docs_gopher_rep,
+        "graph_pagerank": graph_pagerank,
+        "events_cms_counts": events_cms_counts,
+        "events_hll_registers": events_hll_registers,
+        "docs_temperature_mix": docs_temperature_mix,
+        "emb_hard_negatives": emb_hard_negatives,
+        "docs_curriculum": docs_curriculum,
+        "nation_account_balance": nation_account_balance,
+        "emb_lsh_recall": emb_lsh_recall,
+        "emb_ivfpq_search": emb_ivfpq_search,
+        "dedup_edit_distance": dedup_edit_distance,
+        "events_hll_by_type": events_hll_by_type,
+        "orders_quality_report": orders_quality_report,
+        "events_value_outliers": events_value_outliers,
+        "docs_bloom_export": docs_bloom_export,
+        "docs_corpus_report": docs_corpus_report,
+        "events_daily_active": events_daily_active,
+        "orders_grouping_sets": orders_grouping_sets,
+        "events_window_stats": events_window_stats,
+        "events_topn_per_key": events_topn_per_key,
+        "events_num_keys": events_num_keys,
+        "orders_auto_increment": orders_auto_increment,
     }
 
 def oracle_sql() -> dict[str, str]:
