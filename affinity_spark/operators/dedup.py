@@ -137,17 +137,62 @@ def lsh_bands(signatures: DataFrame, id_col: str) -> DataFrame:
     ).select(id_col, "b.band_id", "b.band_hash")
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+def salt_hot_buckets(
+    df: DataFrame, bucket_keys: list[str], id_col: str, cap: int
+) -> DataFrame:
+    """Append a ``_salt`` column splitting buckets larger than ``cap``
+    members into ceil(n/cap) hash-assigned sub-buckets (salt 0 everywhere
+    else). A subsequent self-join on ``bucket_keys + ["_salt"]`` bounds
+    per-task pair work to ~cap² instead of |hot bucket|² — the defense
+    against a degenerate corpus (one band bucket holding 10% of all docs)
+    where AQE skew splitting fixes task PLACEMENT but not the quadratic
+    pair count itself.
+
+    The bucket-size aggregate is bucket-cardinality sized and joins back
+    on the same key the self-join shuffles on, so it adds no extra
+    corpus-sized shuffle. Trade-off (documented, opt-in): pairs whose
+    members hash to different sub-buckets are lost — acceptable for LSH
+    where other bands re-propose them, and moot for the all-identical-doc
+    hot bucket because the exact-dedup tier ahead of LSH in
+    ``pipeline_clean_corpus`` removes identical docs before banding."""
+    if cap < 1:
+        raise ValueError(f"bucket cap must be >= 1, got {cap}")
+    sizes = df.groupBy(*bucket_keys).agg(F.count(F.lit(1)).alias("_bn"))
+    return (
+        df.join(sizes, bucket_keys)
+        .withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.col(id_col)),
+                F.expr(f"cast(ceil(_bn / {int(cap)}) as long)"),
+            ),
+        )
+        .drop("_bn")
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Self-join each LSH bucket → distinct unordered candidate pairs.
 
     The join key (band_id, band_hash) is high-cardinality and near-uniform;
     buckets are tiny, so the self-join is linear-ish. A pathological hot
-    bucket (all-identical docs) is handled by AQE skew splitting.
-    """
-    a = bands.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    bucket (all-identical docs) has two defenses: AQE skew splitting
+    (session default, fixes task placement) and the opt-in ``bucket_cap``
+    salting tier (``salt_hot_buckets``), which bounds the pair COUNT by
+    splitting over-full buckets into sub-buckets at a documented marginal
+    recall cost. Capping only ever removes candidates — never invents
+    them — so the verify stage's output stays a subset of the uncapped
+    run's."""
+    keys = ["band_id", "band_hash"]
+    if bucket_cap is not None:
+        bands = salt_hot_buckets(bands, keys, id_col, bucket_cap)
+        keys = keys + ["_salt"]
+    a = bands.select(F.col(id_col).alias("id_a"), *keys)
+    b = bands.select(F.col(id_col).alias("id_b"), *keys)
     return (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -60,6 +60,7 @@ def cosine_join_within(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """All pairs within each bucket with cosine >= threshold (id_a < id_b).
 
@@ -67,15 +68,29 @@ def cosine_join_within(
     cells, so cost is sum over cells of |cell|^2 instead of n^2. At 100 TB
     the cell assignment comes from a centroid model (kmeans) computed once
     and broadcast.
-    """
+
+    An over-full cell (a degenerate clustering collapsing many vectors
+    into one bucket) turns that cell quadratic; the opt-in ``bucket_cap``
+    splits such cells into ceil(n/cap) hash sub-buckets
+    (``dedup.salt_hot_buckets``), bounding per-task pair work at the
+    documented cost of losing cross-sub-bucket pairs. Emitted pairs keep
+    EXACT cosine values — capping prunes candidates, never approximates
+    scores."""
+    if bucket_cap is not None:
+        from affinity_spark.operators.dedup import salt_hot_buckets
+
+        emb = salt_hot_buckets(emb, [bucket_col], id_col, bucket_cap)
+        keys = [bucket_col, "_salt"]
+    else:
+        keys = [bucket_col]
     a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(bucket_col)
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), *keys
     )
     b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(bucket_col)
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), *keys
     )
     return (
-        a.join(b, bucket_col)
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
