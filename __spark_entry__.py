@@ -1001,6 +1001,100 @@ WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC ROWS UNBOUNDED PRECEDING
 """
 
 
+def events_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W6 ``getAndUpdate``/``updateAndGet`` observable contract replayed
+    as a batch changelog (the driver-checkable twin of
+    ``streaming/state.py::get_and_update_stream``, whose batch-oracle the
+    streaming engine itself can never provide): per user, ordered by the
+    log offset (unique ts-monotone event_id), state is the running
+    value-cents total; every event emits its (old, new) state pair, old
+    NULL on first touch — the reference's ``Option[V]`` read-modify-write
+    pair (``core/.../state/KVStoreLocal.scala:413-464``).
+
+    Plan shape: both window expressions share one (user_id, event_id)
+    sort — a single exchange, state one running long per key, exactly the
+    streaming operator's cost model."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    stepped = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(_cents(F.col("value"))).over(w_run).alias("new_cents"),
+    )
+    return stepped.select(
+        "user_id",
+        "event_id",
+        F.lag("new_cents", 1).over(w_lag).alias("old_cents"),
+        "new_cents",
+    )
+
+
+_UPDATE_PAIRS_SQL = """
+SELECT user_id, event_id,
+       CAST(lag(new_cents) OVER (PARTITION BY user_id ORDER BY event_id)
+            AS BIGINT) AS old_cents,
+       CAST(new_cents AS BIGINT) AS new_cents
+FROM (
+  SELECT user_id, event_id,
+         sum(CAST(floor("value" * 100 + 0.5) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+           AS new_cents
+  FROM events
+)
+"""
+
+
+def events_latest_n_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 latest-N ring buffer FINAL state replayed in batch (the
+    driver-checkable twin of ``streaming/state.py::latest_n_stream``): per
+    user the last 3 event_ids in arrival order (newest last) as a joined
+    string, plus the buffer fill count — exactly the state the streaming
+    ring buffer holds once the changelog drains (the reference's
+    latest-news listener deque, ``ExampleESGateway.scala:63-69``).
+
+    Plan shape: the per-key top-3 rides WindowGroupLimit (rank pushdown),
+    so each group materializes 3 rows before the final tiny aggregate —
+    never a full per-key sort spill."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    last3 = ev.select("user_id", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).filter(F.col("rn") <= 3)
+    return last3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("event_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("latest_ids"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_LATEST_N_STATE_SQL = """
+WITH top3 AS (
+  SELECT user_id, event_id
+  FROM events
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) <= 3
+)
+SELECT user_id,
+       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS latest_ids,
+       count(*) AS n_items
+FROM top3
+GROUP BY user_id
+"""
+
+
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles (p50/p90/p99 of value, in cents) per
     event_type by RANK SELECTION: the value at 1-based sorted position
@@ -5212,6 +5306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2; then the r3-green queries, freshest evidence last.
     return {
         "q1_pricing_summary": q1_pricing_summary,
+        "events_update_pairs": events_update_pairs,
+        "events_latest_n_state": events_latest_n_state,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
         "orders_range_join": orders_range_join,
@@ -5379,6 +5475,8 @@ def oracle_sql() -> dict[str, str]:
         "events_avro_decode": _AVRO_SQL,
         "docs_decontaminate": _DECONTAM_SQL,
         "docs_bpe_segment": _BPE_SEGMENT_SQL,
+        "events_update_pairs": _UPDATE_PAIRS_SQL,
+        "events_latest_n_state": _LATEST_N_STATE_SQL,
         "docs_gopher_rules": _GOPHER_SQL,
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
         "emb_pq_codes": _pq_codes_sql(),
