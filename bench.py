@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 import __spark_entry__ as entrymod
 from affinity_spark import get_spark
 
@@ -207,6 +209,7 @@ def _run(sf_dir: str) -> dict:
     timings = time_set(HEADLINE)
     extended = time_set(EXTENDED)
     r3 = time_set(R3_SET)
+    write_path = _write_path_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     return {
@@ -219,7 +222,92 @@ def _run(sf_dir: str) -> dict:
         "extended": extended,
         "r3_total": round(sum(r3.values()), 3),
         "r3": r3,
+        "write_path": write_path,
     }
+
+
+def _write_path_bench(spark, sf_dir: str) -> dict:
+    """Write-path throughput against BASELINE.md's reference floors
+    (>=500 state writes/s/partition, ConfluentEcoSystemSpec.scala:94-110):
+    KeyedTable snapshot build + merge-upsert throughput, and streaming
+    micro-batch latency through the foreachBatch merge sink."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from affinity_spark.sources.keyed_table import KeyedTable
+    from affinity_spark.streaming.sinks import foreach_batch_merge
+    from affinity_spark.tables import load as load_table
+
+    base_dir = tempfile.mkdtemp(prefix="bench-write-")
+    out: dict = {}
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (F.unix_millis(F.col("ts"))).alias("ts_ms"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        n = ev.count()
+        tbl = KeyedTable(spark, os.path.join(base_dir, "t"), ["event_id"], "ts_ms")
+        t0 = time.perf_counter()
+        tbl.overwrite(ev)
+        t_build = time.perf_counter() - t0
+        updates = ev.filter(F.col("event_id") % 10 == 0).withColumn(
+            "cents", F.col("cents") + 1
+        )
+        n_up = updates.count()
+        t0 = time.perf_counter()
+        tbl.upsert(updates)
+        t_upsert = time.perf_counter() - t0
+        out["table_rows"] = n
+        out["snapshot_build_rows_per_sec"] = round(n / t_build)
+        out["upsert_updates"] = n_up
+        # merge cost is the full last-write-wins rewrite; both rates recorded
+        out["upsert_updates_per_sec"] = round(n_up / t_upsert)
+        out["upsert_merged_rows_per_sec"] = round(n / t_upsert)
+
+        # streaming micro-batch latency: 5 single-file batches through the
+        # foreachBatch merge sink (the S4 ingest spine)
+        src = os.path.join(base_dir, "in")
+        os.makedirs(src)
+        rows = ev.limit(10_000).collect()
+        per_batch = max(1, len(rows) // 5)
+        for i in range(5):
+            chunk = rows[i * per_batch : (i + 1) * per_batch]
+            tmp = os.path.join(src, f".b{i}.tmp")
+            with open(tmp, "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps(r.asDict()) + "\n")
+            os.rename(tmp, os.path.join(src, f"b{i}.json"))
+            os.utime(os.path.join(src, f"b{i}.json"), (1_700_000_000 + i,) * 2)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_merge(os.path.join(base_dir, "st"), ["event_id"], "ts_ms")
+            )
+            .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = [p for p in q.recentProgress if p.numInputRows > 0]
+        finally:
+            q.stop()
+        execs = [p.durationMs["triggerExecution"] for p in progress]
+        batch_rows = sum(int(p.numInputRows) for p in progress)
+        if execs:
+            out["stream_batches"] = len(execs)
+            out["stream_batch_ms_avg"] = round(sum(execs) / len(execs))
+            out["stream_rows_per_sec"] = round(batch_rows / (sum(execs) / 1000.0))
+    finally:
+        shutil.rmtree(base_dir, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
