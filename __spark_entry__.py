@@ -5293,6 +5293,117 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 # --------------------------------------------------------------------------
 
 
+
+
+def docs_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022, public): strided
+    40-char windows of the normalized text, hashed; windows recurring in
+    >= 2 distinct docs are verbatim cross-doc runs (boilerplate, licenses,
+    templated spans) that doc-level MinHash misses when surrounding text
+    differs. Catches any repeated run of length >= win+stride-1.
+
+    Scale shape (``operators/dedup.py::repeated_windows``): O(1)
+    char-array slices over the let-bound split (never substring's O(n2)
+    byte-scan), map-side md5, ONE hash aggregate on the 16-byte window
+    hash with map-side combine. No joins, no candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.repeated_windows(docs, "doc_id", "text", win=40, stride=20)
+
+
+_REPEATED_WINDOWS_SQL = r"""
+WITH nn AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+w AS (
+  SELECT doc_id, md5(substr(norm, CAST(i AS INT), 40)) AS win_md5
+  FROM nn, LATERAL unnest(range(1, greatest(length(norm) - 39, 1) + 1, 20)) AS t(i)
+)
+SELECT win_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+FROM w GROUP BY win_md5 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def docs_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most similar document PAIRS by sparse TF-IDF dot product —
+    doc-to-doc similarity through the inverted postings index
+    (``operators/ranking.py::tfidf_pairs``), the retrieval-side complement
+    of BM25's query-to-doc scoring.
+
+    Integer weighting w = tf * floor_log2(N div df) is engine-exact; terms
+    with df > 100 are dropped (posting-list cap bounding the self-join at
+    max_df * total_postings) and corpus-majority terms get idf 0 — the
+    integer idf IS the stopword cut. TakeOrderedAndProject finishes."""
+    from affinity_spark.operators.ranking import tfidf_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_pairs(docs, "doc_id", "text", max_df=100, k=50)
+
+
+_TFIDF_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, u.x AS term
+  FROM documents, LATERAL unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), y -> y <> '')) AS u(x)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, term, CAST(tf * (length(bin(n // df)) - 1) AS BIGINT) AS w
+  FROM tf JOIN dfq USING (term), nn
+  WHERE df <= 100 AND (length(bin(n // df)) - 1) > 0
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot FROM dots ORDER BY dot DESC, id_a, id_b LIMIT 50
+"""
+
+
+def events_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-linear quantile sketch (DDSketch family, Masson et
+    al. 2019) completing the sketch set: CMS = frequency, HLL = distinct,
+    bloom = membership, DD = quantiles. Octave floor_log2 buckets with 8
+    linear sub-buckets (relative error <= 12.5%), counts mergeable by
+    addition; estimates are first-bucket-at-rank lower bounds — all
+    integer arithmetic, so the oracle reproduces them bit-for-bit.
+
+    Scale shape: one hash aggregate on (event_type, bucket) — the shuffle
+    carries at most keys x 512 rows regardless of input size — then a
+    window over the sketch itself (sketch-sized, not data-sized)."""
+    from affinity_spark.operators.sketches import dd_quantiles, dd_sketch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return dd_quantiles(dd_sketch(ev, ["event_type"], "cents"), ["event_type"])
+
+
+_DD_QUANTILES_SQL = r"""
+WITH v AS (SELECT event_type, greatest(CAST(floor("value" * 100 + 0.5) AS BIGINT), 1) AS v FROM events),
+b AS (
+  SELECT event_type,
+         (length(bin(v)) - 1) * 8
+         + ((v - (1::BIGINT << (length(bin(v)) - 1))) * 8) // (1::BIGINT << (length(bin(v)) - 1)) AS bucket
+  FROM v
+),
+s AS (SELECT event_type, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bucket, n,
+         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+         (1::BIGINT << CAST(bucket // 8 AS INT)) AS pw
+  FROM s
+),
+l AS (SELECT *, pw + ((bucket % 8) * pw) // 8 AS lo FROM c)
+SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= (tot - 1) * 50 // 100 + 1 THEN lo END) AS BIGINT) AS p50_est,
+       CAST(min(CASE WHEN cum >= (tot - 1) * 90 // 100 + 1 THEN lo END) AS BIGINT) AS p90_est,
+       CAST(min(CASE WHEN cum >= (tot - 1) * 99 // 100 + 1 THEN lo END) AS BIGINT) AS p99_est
+FROM l GROUP BY event_type
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5308,6 +5419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "events_update_pairs": events_update_pairs,
         "events_latest_n_state": events_latest_n_state,
+        "docs_repeated_windows": docs_repeated_windows,
+        "docs_tfidf_pairs": docs_tfidf_pairs,
+        "events_dd_quantiles": events_dd_quantiles,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
         "orders_range_join": orders_range_join,
@@ -5477,6 +5591,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_bpe_segment": _BPE_SEGMENT_SQL,
         "events_update_pairs": _UPDATE_PAIRS_SQL,
         "events_latest_n_state": _LATEST_N_STATE_SQL,
+        "docs_repeated_windows": _REPEATED_WINDOWS_SQL,
+        "docs_tfidf_pairs": _TFIDF_PAIRS_SQL,
+        "events_dd_quantiles": _DD_QUANTILES_SQL,
         "docs_gopher_rules": _GOPHER_SQL,
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
         "emb_pq_codes": _pq_codes_sql(),

@@ -657,3 +657,58 @@ def line_dedup(
             F.array_join(F.transform(ordered, lambda s: s["line"]), "\n")
         ).alias("clean_md5"),
     )
+
+
+# --- exact-substring (repeated-window) tier ---------------------------------
+
+
+def repeated_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    win: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """Cross-document repeated character windows — the exact-substring
+    dedup signal (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", public): verbatim runs that recur across
+    documents (boilerplate, licenses, templated spans) which doc-level
+    MinHash misses when the surrounding text differs.
+
+    A full distributed suffix array is the exhaustive form; the production
+    approximation used here is strided fixed-width windows — every ``win``-
+    char span at ``stride`` offsets, hashed — which catches any repeated
+    run of length >= win + stride - 1 (some window then falls fully inside
+    the run on both sides). Returns ``(win_md5, n_docs, n_occ)`` for
+    windows seen in >= 2 distinct docs.
+
+    Scale shape: windows come from O(1) char-array slices over the
+    let-bound split (the substring-byte-scan trap is O(n²) per doc,
+    CLAUDE.md), map-side md5, then ONE hash aggregate on the 16-byte
+    window hash — shuffle volume is windows/stride, with map-side combine
+    collapsing within-partition repeats. No joins, no pairs.
+    """
+    from affinity_spark.functions.text import let_bound
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+    def wins_of(cs):
+        idx = F.sequence(
+            F.lit(1),
+            F.greatest(F.size(cs) - (win - 1), F.lit(1)),
+            F.lit(stride),
+        )
+        return F.transform(idx, lambda i: F.md5(F.array_join(F.slice(cs, i, win), "")))
+
+    w = df.select(
+        F.col(id_col),
+        F.explode(let_bound(F.split(norm, ""), wins_of)).alias("win_md5"),
+    )
+    return (
+        w.groupBy("win_md5")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -95,3 +95,58 @@ def bm25_topk(
         .orderBy(F.col("score_x1e6").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def tfidf_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = 100,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k most similar DOCUMENT PAIRS by sparse TF-IDF dot product —
+    doc-to-doc similarity via the inverted index (the retrieval-side
+    complement of ``bm25_topk``'s query-to-doc scoring).
+
+    Engine-exact integer weighting: w(t,d) = tf(t,d) * floor_log2(N div
+    df(t)) — the repo's floor-log2 fixed point, so any engine reproduces
+    the scores bit-for-bit (float idf logs diverge in the last ulp).
+    Terms with df > max_df are dropped (posting-list cap), and terms in
+    more than half the corpus get idf 0 and vanish — the integer idf IS
+    the stopword cut.
+
+    Scale shape: candidates come from the postings self-join on term, so
+    pair work is Σ df(t)² over KEPT terms ≤ max_df · Σ df(t) — the cap
+    bounds the join quadratic the way LSH banding bounds minhash. One
+    TakeOrderedAndProject finishes (per-partition heap, never a global
+    sort). The corpus size N is a 1-row broadcast.
+    """
+    from affinity_spark.functions.text import tokenize
+
+    tf = (
+        docs.select(F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= F.lit(max_df))
+        .select(
+            "_id",
+            "term",
+            (F.col("tf") * (F.length(F.bin(F.expr("n div df"))) - 1).cast("long")).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    a = w.select(F.col("_id").alias("id_a"), "term", F.col("w").alias("w_a"))
+    b = w.select(F.col("_id").alias("id_b"), "term", F.col("w").alias("w_b"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    return dots.orderBy(F.col("dot").desc(), "id_a", "id_b").limit(k)

@@ -208,3 +208,85 @@ def hll_estimate(register_rows: list, p: int = 8) -> float:
     z = sum(2.0 ** -regs.get(b, 0) for b in range(m))
     alpha = 0.7213 / (1 + 1.079 / m)
     return alpha * m * m / z
+
+
+# --- log-linear quantile sketch (DDSketch-style) ----------------------------
+
+
+def dd_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    m: int = 8,
+) -> DataFrame:
+    """Mergeable log-linear quantile sketch (the DDSketch family, Masson
+    et al. VLDB 2019, public): per key, counts over octave buckets — octave
+    e = floor_log2(v) via the repo's ``length(bin(v)) - 1`` fixed point,
+    subdivided into ``m`` linear sub-buckets so relative error <= 1/m.
+
+        bucket(v) = e*m + ((v - 2^e) * m) div 2^e        (v clamped to >= 1)
+
+    Pure integer arithmetic: any engine computes identical buckets, so the
+    sketch is engine-portable like the CMS/HLL register tables above.
+    State is (key, bucket, n) — counts merge by addition, the mergeability
+    contract every distributed sketch needs (partial aggregates combine
+    map-side; two sketches union+sum). Completes the sketch family:
+    CMS = frequency, HLL = distinct, bloom = membership, DD = quantiles.
+
+    Scale shape: one hash aggregate on (key, bucket); the shuffle carries
+    at most keys x (64*m) rows regardless of input size.
+    """
+    base = (
+        df.select(
+            *key_cols,
+            F.greatest(F.col(value_col).cast("long"), F.lit(1).cast("long")).alias("_v"),
+        )
+        .withColumn("_e", (F.length(F.bin(F.col("_v"))) - 1).cast("int"))
+        .withColumn("_pw", F.expr("shiftleft(1L, _e)"))
+        .withColumn(
+            "bucket",
+            F.col("_e").cast("long") * m + F.expr(f"((_v - _pw) * {m}) div _pw"),
+        )
+    )
+    return base.groupBy(*key_cols, "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    key_cols: list[str],
+    qs: tuple[int, ...] = (50, 90, 99),
+    m: int = 8,
+) -> DataFrame:
+    """Quantile estimates from a ``dd_sketch``: per key, the LOWER BOUND of
+    the first bucket whose cumulative count reaches rank
+    ``(n-1)*q div 100 + 1`` (the same 1-based rank-selection convention as
+    ``events_value_quantiles``), where a bucket's lower bound is
+
+        lo(bucket) = 2^e + (sub * 2^e) div m,  e = bucket div m, sub = bucket % m
+
+    — integer-exact, so estimates reproduce across engines. The guarantee
+    is relative: lo <= true quantile < lo * (1 + 1/m)."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*key_cols)
+    c = (
+        sketch.withColumn("_cum", F.sum("n").over(w_cum))
+        .withColumn("_tot", F.sum("n").over(w_tot))
+        .withColumn("_e", F.expr(f"cast(bucket div {m} as int)"))
+        .withColumn("_pw", F.expr("shiftleft(1L, _e)"))
+        .withColumn("_lo", F.expr(f"_pw + ((bucket % {m}) * _pw) div {m}"))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.expr(f"(_tot - 1) * {q} div 100 + 1"), F.col("_lo")
+            )
+        ).alias(f"p{q}_est")
+        for q in qs
+    ]
+    return c.groupBy(*key_cols).agg(F.max("_tot").alias("n"), *aggs)

@@ -49,7 +49,7 @@ def test_compact_loses_cleanly_to_a_concurrent_upsert(spark, tmp_path, monkeypat
 
     real_commit = t._commit_version
 
-    def racing_commit(version, expected_base):
+    def racing_commit(version, expected_base, meta=None):
         other = _table(spark, tmp_path)
         other.upsert(_df(spark, [(1, 999, "new")]))
         return real_commit(version, expected_base)

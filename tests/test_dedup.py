@@ -138,3 +138,54 @@ def test_edit_distance_pairs_survives_empty_documents(spark):
     got = {(r.id_a, r.id_b) for r in
            edit_distance_pairs(df, "doc_id", "text", 10, 5000).collect()}
     assert got == {(3, 4)}
+
+
+def test_repeated_windows_finds_cross_doc_runs_only(spark):
+    """A verbatim run shared by two docs must surface; within-doc repeats
+    alone (n_docs=1) must not; runs shorter than win+stride-1 may be
+    missed (documented detection bound) but the shared full-window run is
+    guaranteed."""
+    from affinity_spark.operators.dedup import repeated_windows
+
+    boiler = "x" * 70  # >= win+stride-1 = 59 -> some window falls inside it
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + boiler + " omega"),
+            (2, "totally different prefix " + boiler + " and suffix"),
+            (3, "self repeat self repeat " + "y" * 90 + " " + "y" * 90),
+            (4, "unique content nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = repeated_windows(docs, "doc_id", "text", win=40, stride=20)
+    rows = got.collect()
+    assert all(r.n_docs >= 2 for r in rows)
+    assert len(rows) >= 1  # the shared boilerplate window surfaced
+
+    # doc 3's within-doc repetition must not appear (its windows never
+    # recur across documents)
+    solo = repeated_windows(docs.filter("doc_id = 3"), "doc_id", "text", 40, 20)
+    assert solo.count() == 0
+
+
+def test_tfidf_pairs_deterministic_and_stopword_cut(spark):
+    """Integer idf drops corpus-majority terms; ranking is a total order
+    (dot desc, id_a, id_b) so the top-k set is run-stable."""
+    from affinity_spark.operators.ranking import tfidf_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 rare2"),
+            (2, "common rare1 rare2"),
+            (3, "common other words"),
+            (4, "common entirely disjoint"),
+        ],
+        "doc_id long, text string",
+    )
+    got = tfidf_pairs(docs, "doc_id", "text", max_df=10, k=5).collect()
+    # 'common' is in all 4 docs: n div df = 1 -> idf bits 0 -> no weight,
+    # so (3,4) share nothing weighted and must NOT appear
+    assert all((r.id_a, r.id_b) != (3, 4) for r in got)
+    assert (got[0].id_a, got[0].id_b) == (1, 2)  # rare1+rare2 overlap wins
+    again = tfidf_pairs(docs, "doc_id", "text", max_df=10, k=5).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]

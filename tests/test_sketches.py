@@ -104,3 +104,44 @@ def test_bloom_bitmap_membership_and_merge(spark):
     merged = {w: ra.get(w, 0) | rb.get(w, 0) for w in set(ra) | set(rb)}
     assert merged == {r.word_idx: r.bits for r in
                       bloom_bitmap(df, F.col("k")).collect()}
+
+
+def test_dd_sketch_quantiles_within_relative_bound(spark):
+    """DD estimates must bracket the exact quantile: lo <= q < lo*(1+1/m),
+    and the sketch must be MERGEABLE — two halves' sketches summed give
+    the whole corpus's sketch exactly."""
+    import pyspark.sql.functions as F
+
+    from affinity_spark.operators.sketches import dd_quantiles, dd_sketch
+
+    rows = [("a", (i * 37) % 5000 + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    sk = dd_sketch(df, ["k"], "v")
+    est = {r.k: r for r in dd_quantiles(sk, ["k"]).collect()}["a"]
+
+    vals = sorted(v for _, v in rows)
+    for q in (50, 90, 99):
+        exact = vals[(len(vals) - 1) * q // 100]
+        lo = est[f"p{q}_est"]
+        assert lo <= exact < lo * (1 + 1 / 8) + 1, (q, lo, exact)
+
+    # mergeability: sum of half-sketches == whole sketch
+    h1 = dd_sketch(df.filter(F.col("v") % 2 == 0), ["k"], "v")
+    h2 = dd_sketch(df.filter(F.col("v") % 2 == 1), ["k"], "v")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("k", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = {(r.k, r.bucket): r.n for r in sk.collect()}
+    got = {(r.k, r.bucket): r.n for r in merged.collect()}
+    assert got == whole
+
+
+def test_dd_sketch_clamps_nonpositive_values(spark):
+    from affinity_spark.operators.sketches import dd_sketch
+
+    df = spark.createDataFrame([("a", 0), ("a", -5), ("a", 1)], "k string, v long")
+    sk = dd_sketch(df, ["k"], "v")
+    rows = sk.collect()
+    assert len(rows) == 1 and rows[0].bucket == 0 and rows[0].n == 3
