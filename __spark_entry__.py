@@ -5404,6 +5404,36 @@ FROM l GROUP BY event_type
 """
 
 
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (keys with count > N/(k+1), k=10) via two-pass
+    Misra-Gries (``operators/sketches.py::heavy_hitters``): per-partition
+    k-counter summaries (bounded memory regardless of partition size),
+    provably-superset candidate union, broadcast-semi-join exact recount.
+    The point is the PLAN: at 100 TB with billions of distinct keys,
+    groupBy-count shuffles the whole key space to answer a question about
+    <= k keys — here the shuffle carries only candidates. The oracle
+    computes the same answer the naive way, certifying the two-pass
+    plan's exactness guarantee (no false negatives, recount removes
+    false positives)."""
+    from affinity_spark.operators.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", k=10).withColumnRenamed(
+        "event_type", "key"
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+WITH nn AS (SELECT count(*) AS n FROM events)
+SELECT event_type AS key, count(*) AS n_occ
+FROM events, nn
+GROUP BY event_type, n
+HAVING count(*) * 11 > n
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5422,6 +5452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_repeated_windows": docs_repeated_windows,
         "docs_tfidf_pairs": docs_tfidf_pairs,
         "events_dd_quantiles": events_dd_quantiles,
+        "events_heavy_hitters": events_heavy_hitters,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
         "orders_range_join": orders_range_join,
@@ -5594,6 +5625,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_repeated_windows": _REPEATED_WINDOWS_SQL,
         "docs_tfidf_pairs": _TFIDF_PAIRS_SQL,
         "events_dd_quantiles": _DD_QUANTILES_SQL,
+        "events_heavy_hitters": _HEAVY_HITTERS_SQL,
         "docs_gopher_rules": _GOPHER_SQL,
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
         "emb_pq_codes": _pq_codes_sql(),

@@ -290,3 +290,73 @@ def dd_quantiles(
         for q in qs
     ]
     return c.groupBy(*key_cols).agg(F.max("_tot").alias("n"), *aggs)
+
+
+# --- bounded-memory heavy hitters (two-pass Misra-Gries) --------------------
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """EXACT keys with count > N/(k+1), found without ever shuffling the
+    full key space — the bounded-memory heavy-hitters plan (Misra-Gries
+    1982 summaries + exact recount, the standard two-pass distributed
+    form).
+
+    Pass 1 runs a k-counter Misra-Gries summary per PARTITION
+    (Arrow-batched; memory is k counters regardless of partition size).
+    The union of partition candidates provably contains every global
+    heavy hitter: if c(x) > N/(k+1) globally, then by averaging some
+    partition has c_p(x) > N_p/(k+1), and MG with k counters never evicts
+    such an item to zero at partition end. Pass 2 broadcast-semi-joins the
+    candidate set (<= partitions * k keys) and recounts exactly; the
+    filter ``n_occ * (k+1) > N`` then yields EXACTLY the true heavy
+    hitters — candidates are a superset, the recount removes false
+    positives, and no false negative can exist.
+
+    Why not plain groupBy(key).count(): at 100 TB with billions of
+    distinct keys that shuffles the whole key space to answer a question
+    about <= k keys. Here the shuffle carries candidates only; the recount
+    join is a broadcast of a tiny set. Output: (key, n_occ), exact.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    key_field = df.schema[key_col]
+    cand_schema = StructType([StructField(key_col, key_field.dataType)])
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeroed counters
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    candidates = (
+        df.select(key_col).mapInPandas(mg_partition, cand_schema).distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        df.join(F.broadcast(candidates), key_col, "left_semi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occ") * (k + 1) > F.col("_n"))
+        .select(key_col, "n_occ")
+    )

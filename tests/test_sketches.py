@@ -145,3 +145,39 @@ def test_dd_sketch_clamps_nonpositive_values(spark):
     sk = dd_sketch(df, ["k"], "v")
     rows = sk.collect()
     assert len(rows) == 1 and rows[0].bucket == 0 and rows[0].n == 3
+
+
+def test_heavy_hitters_exact_vs_naive_on_skewed_data(spark):
+    """Two-pass Misra-Gries must return EXACTLY the naive answer: the
+    candidate union is a provable superset and the recount filter removes
+    every false positive."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from affinity_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(13)
+    rows = (
+        [("hot",)] * 3000
+        + [("warm",)] * 1500
+        + [(f"cold{rng.randrange(800)}",) for _ in range(5500)]
+    )
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "w string").repartition(7)
+    for k in (3, 5, 20):
+        got = {(r.w, r.n_occ) for r in heavy_hitters(df, "w", k=k).collect()}
+        want = {
+            (r.w, r.__getattr__("count"))
+            for r in df.groupBy("w").count()
+            .filter(F.col("count") * (k + 1) > len(rows))
+            .collect()
+        }
+        assert got == want, k
+
+
+def test_heavy_hitters_empty_when_nothing_heavy(spark):
+    from affinity_spark.operators.sketches import heavy_hitters
+
+    df = spark.createDataFrame([(f"u{i}",) for i in range(200)], "w string")
+    assert heavy_hitters(df, "w", k=5).count() == 0
