@@ -5330,17 +5330,26 @@ def docs_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer weighting w = tf * floor_log2(N div df) is engine-exact; terms
     with df > 100 are dropped (posting-list cap bounding the self-join at
     max_df * total_postings) and corpus-majority terms get idf 0 — the
-    integer idf IS the stopword cut. TakeOrderedAndProject finishes."""
+    integer idf IS the stopword cut. TakeOrderedAndProject finishes.
+
+    Terms are word TRIGRAMS: the synthetic corpus's ~31-word unigram
+    vocabulary saturates at scale (every word in most docs -> idf 0
+    corpus-wide, an empty result at sf0.1), while trigram df shrinks
+    geometrically and stays discriminative at every sf."""
     from affinity_spark.operators.ranking import tfidf_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return tfidf_pairs(docs, "doc_id", "text", max_df=100, k=50)
+    return tfidf_pairs(docs, "doc_id", "text", max_df=100, k=50, n=3)
 
 
 _TFIDF_PAIRS_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, u.x AS term
-  FROM documents, LATERAL unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), y -> y <> '')) AS u(x)
+WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), y -> y <> '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2] AS term
+  FROM words, LATERAL unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS u(i)
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),

@@ -103,6 +103,7 @@ def tfidf_pairs(
     text_col: str,
     max_df: int = 100,
     k: int = 50,
+    n: int = 1,
 ) -> DataFrame:
     """Top-k most similar DOCUMENT PAIRS by sparse TF-IDF dot product —
     doc-to-doc similarity via the inverted index (the retrieval-side
@@ -120,11 +121,29 @@ def tfidf_pairs(
     bounds the join quadratic the way LSH banding bounds minhash. One
     TakeOrderedAndProject finishes (per-partition heap, never a global
     sort). The corpus size N is a 1-row broadcast.
-    """
-    from affinity_spark.functions.text import tokenize
 
+    ``n`` sets the term granularity: 1 = unigrams; higher = word n-grams
+    (non-distinct, so tf is a real count). Corpora whose unigram
+    vocabulary saturates (every word in most docs -> idf 0 across the
+    board) keep discriminative terms at n-gram granularity — n-gram df
+    shrinks geometrically while the df cap still bounds the join.
+    """
+    from affinity_spark.functions.text import let_bound, tokenize
+
+    if n == 1:
+        terms = F.explode(tokenize(F.col(text_col)))
+    else:
+        def grams_of(tk):
+            cnt = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+            grams = F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            )
+            return F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+
+        terms = F.explode(let_bound(tokenize(F.col(text_col)), grams_of))
     tf = (
-        docs.select(F.col(id_col).alias("_id"), F.explode(tokenize(F.col(text_col))).alias("term"))
+        docs.select(F.col(id_col).alias("_id"), terms.alias("term"))
         .groupBy("_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
