@@ -271,3 +271,60 @@ def test_cms_matches_python_model(spark, keys):
             b = int(hashlib.md5(f"{i}:{k}".encode()).hexdigest()[:8], 16) % 16
             want[(i, b)] = want.get((i, b), 0) + 1
     assert got == want
+
+
+# --- round-4 operators vs python models ------------------------------------
+
+
+def model_dd_bucket(v: int, m: int = 8) -> int:
+    v = max(v, 1)
+    e = v.bit_length() - 1
+    return e * m + ((v - (1 << e)) * m) // (1 << e)
+
+
+@given(st.lists(st.integers(min_value=-10, max_value=10_000_000), min_size=1, max_size=40))
+@SLOW
+def test_dd_sketch_matches_python_model(spark, values):
+    from affinity_spark.operators.sketches import dd_sketch
+
+    df = spark.createDataFrame([("k", v) for v in values], "k string, v long")
+    got = {r.bucket: r.n for r in dd_sketch(df, ["k"], "v").collect()}
+    want: dict[int, int] = {}
+    for v in values:
+        b = model_dd_bucket(v)
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=120), min_size=1, max_size=8
+    )
+)
+@SLOW
+def test_repeated_windows_matches_python_model(spark, texts):
+    import hashlib
+    import re
+
+    from affinity_spark.operators.dedup import repeated_windows
+
+    win, stride = 10, 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.win_md5: (r.n_docs, r.n_occ)
+        for r in repeated_windows(df, "doc_id", "text", win, stride).collect()
+    }
+    seen: dict[str, list[int]] = {}
+    for i, t in rows:
+        norm = re.sub(r"\s+", " ", t.lower().strip())
+        stops = max(len(norm) - win + 1, 1)
+        for start in range(0, stops, stride):
+            h = hashlib.md5(norm[start : start + win].encode()).hexdigest()
+            seen.setdefault(h, []).append(i)
+    want = {
+        h: (len(set(ids)), len(ids))
+        for h, ids in seen.items()
+        if len(set(ids)) >= 2
+    }
+    assert got == want
