@@ -259,3 +259,69 @@ def token_budget_sample(
         df.withColumn("cum_before", cum)
         .filter(F.col("cum_before") < budget)
     )
+
+
+def token_budget_sample_scalable(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    budget: int,
+    n_coarse: int = 4096,
+) -> DataFrame:
+    """``token_budget_sample`` with the full-group window removed — the
+    100 TB form of the take-while. Selects EXACTLY the same rows with the
+    same ``cum_before`` values (same (hash, id) total order, same
+    exclusive-running-sum stop rule), but no window ever spans more than
+    one COARSE BUCKET (~group_tokens / n_coarse rows):
+
+    1. coarse bucket = top bits of the same hash the fine order sorts by,
+       so coarse is a prefix of the selection order;
+    2. per-(group, coarse) token sums + a cumulative over that tiny frame
+       (groups x n_coarse rows) classify buckets: fully taken
+       (cum + sum < budget), skipped (cum >= budget), boundary (the one
+       bucket the budget line crosses);
+    3. skipped buckets never rejoin the data; taken/boundary rows get
+       their exact cum_before as bucket_offset + within-bucket running
+       sum, a window PARTITIONED BY (group, bucket) — bucket-sized state,
+       partition-aligned, no group-wide sort anywhere;
+    4. the boundary bucket additionally applies the strict
+       ``cum_before < budget`` filter, preserving the zero-weight-row
+       edge exactly (a bucket landing exactly ON the budget is classified
+       boundary, not fully-taken).
+    """
+    step = (1 << 31) // n_coarse
+    base = df.withColumn("_h", hash_bucket(F.col(id_col), 1 << 31)).withColumn(
+        "_coarse", F.expr(f"_h div {step}")
+    )
+    sums = base.groupBy(group_col, "_coarse").agg(
+        F.sum(F.col(weight_col)).cast("long").alias("_w")
+    )
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy("_coarse")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = sums.withColumn(
+        "_cb", F.coalesce(F.sum("_w").over(wc), F.lit(0)).cast("long")
+    )
+    kept = marked.filter(F.col("_cb") < budget).select(group_col, "_coarse", "_cb")
+
+    wb = (
+        Window.partitionBy(group_col, "_coarse")
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out_cols = df.columns
+    return (
+        base.join(F.broadcast(kept), [group_col, "_coarse"])
+        .withColumn(
+            "cum_before",
+            (
+                F.col("_cb")
+                + F.coalesce(F.sum(F.col(weight_col)).over(wb), F.lit(0)).cast("long")
+            ),
+        )
+        .filter(F.col("cum_before") < budget)
+        .select(*out_cols, "cum_before")
+    )

@@ -161,3 +161,44 @@ def test_temperature_budgets_scale_with_sqrt_of_mass(spark):
     assert len(by_src["A"]) == 10
     assert len(by_src["B"]) == 4
     # raw-proportional would have given A 100x B's budget; sqrt gives 10x
+
+
+def test_token_budget_scalable_matches_window_form_exactly(spark):
+    """The two-phase bucket form must select EXACTLY the window form's
+    rows with identical cum_before — including zero-weight rows at the
+    budget line — while never windowing more than one coarse bucket."""
+    import random
+
+    from affinity_spark.operators.sampling import (
+        token_budget_sample,
+        token_budget_sample_scalable,
+    )
+
+    rng = random.Random(5)
+    rows = [(i, f"s{i % 3}", rng.randrange(0, 40)) for i in range(400)]
+    rows += [(1000 + i, "s0", 0) for i in range(5)]  # zero-weight boundary edge
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    for budget in (1, 37, 500, 10**6):
+        a = {
+            (r.doc_id, r.cum_before)
+            for r in token_budget_sample(df, "doc_id", "source", "n_tokens", budget).collect()
+        }
+        b = {
+            (r.doc_id, r.cum_before)
+            for r in token_budget_sample_scalable(
+                df, "doc_id", "source", "n_tokens", budget, n_coarse=16
+            ).collect()
+        }
+        assert a == b, budget
+
+    # plan pin: every window partitions by (group, bucket) — bucket-sized
+    # state, never a group-wide sort
+    plan = token_budget_sample_scalable(
+        df, "doc_id", "source", "n_tokens", 500, n_coarse=16
+    )._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = spec.split(",")
+        if "n_tokens" in spec:  # the data-side running sum
+            assert "_coarse" in spec, plan
