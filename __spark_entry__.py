@@ -5443,6 +5443,138 @@ HAVING count(*) * 11 > n
 """
 
 
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured RECALL of the MinHash-LSH candidate generator against
+    exact ground truth — the quality-evaluation discipline every
+    approximate dedup deployment needs (the banding config promises ~90%
+    candidate probability at J=0.5; this MEASURES it on the corpus, the
+    same move as emb_lsh_recall for ANN).
+
+    Truth = all pairs with exact n-gram Jaccard >= 1/2 (inverted-index
+    verifier tier); candidates = the zero-shuffle banded LSH tier. One
+    row: pair counts + recall in basis points (integer division; empty
+    truth reads 10000 by convention)."""
+    docs = _t(spark, sf_dir, "documents")
+    arrs, sh = dd.shingles_shared(docs, "doc_id", "text", 3)
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    exact_pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = dd.jaccard_verify_arrays(exact_pairs, arrs, "doc_id", 1, 2).select(
+        "id_a", "id_b"
+    )
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
+    hit = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    h = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        t.crossJoin(h)
+        .crossJoin(c)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.when(F.col("n_truth") == 0, F.lit(10000).cast("long"))
+            .otherwise(F.expr("(n_hit * 10000) div n_truth"))
+            .alias("recall_bp"),
+        )
+    )
+
+
+def _lsh_recall_oracle_sql() -> str:
+    return f"""
+WITH {_duck_shingles_cte(3)},
+{_duck_lsh_cand_cte()},
+exact_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM exact_cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+truth AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+),
+counts AS (
+  SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+         CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         CAST((SELECT count(*) FROM truth t
+               WHERE EXISTS (SELECT 1 FROM cand c
+                             WHERE c.id_a = t.id_a AND c.id_b = t.id_b))
+              AS BIGINT) AS n_hit
+)
+SELECT n_truth, n_cand, n_hit,
+       CASE WHEN n_truth = 0 THEN 10000
+            ELSE (n_hit * 10000) // n_truth END AS recall_bp
+FROM counts
+"""
+
+
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar int8 quantization
+    (``similarity.scalar_quantize_int8``) — the 4x compressor vector
+    deployments apply before or instead of PQ — digested per vector:
+    md5 of the dim-ordered code string, code sum, and total integer
+    reconstruction error. Fixed-point micros + non-negative integer
+    division everywhere, so the oracle reproduces codes bit-for-bit.
+
+    Scale shape: one posexplode, a 64-row range broadcast, map-side
+    codes, one groupBy(vec) digest aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.scalar_quantize_int8(emb)
+    ordered = F.array_sort(F.collect_list(F.struct("dim", "code")))
+    return q.groupBy("vec_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(ordered, lambda s: s["code"].cast("string")), ","
+            )
+        ).alias("codes_md5"),
+        F.sum("code").alias("code_sum"),
+        F.sum("abs_err").alias("sum_abs_err"),
+    )
+
+
+_INT8_QUANT_SQL = """
+WITH vals AS (
+  SELECT vec_id, i AS dim,
+         CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+  FROM embeddings, LATERAL unnest(range(0, 64)) AS u(i)
+),
+ranges AS (SELECT dim, min(vi) AS mn, max(vi) AS mx FROM vals GROUP BY dim),
+q AS (
+  SELECT vec_id, v.dim, vi,
+         CASE WHEN mx > mn THEN ((vi - mn) * 255) // (mx - mn) ELSE 0 END AS code,
+         mn, mx
+  FROM vals v JOIN ranges r ON v.dim = r.dim
+),
+e AS (
+  SELECT vec_id, dim, code,
+         abs(vi - (mn + (code * (mx - mn)) // 255)) AS abs_err
+  FROM q
+)
+SELECT vec_id,
+       md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS codes_md5,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(abs_err) AS BIGINT) AS sum_abs_err
+FROM e GROUP BY vec_id
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5462,6 +5594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_pairs": docs_tfidf_pairs,
         "events_dd_quantiles": events_dd_quantiles,
         "events_heavy_hitters": events_heavy_hitters,
+        "dedup_lsh_recall": dedup_lsh_recall,
+        "emb_int8_quantize": emb_int8_quantize,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
         "orders_range_join": orders_range_join,
@@ -5635,6 +5769,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_tfidf_pairs": _TFIDF_PAIRS_SQL,
         "events_dd_quantiles": _DD_QUANTILES_SQL,
         "events_heavy_hitters": _HEAVY_HITTERS_SQL,
+        "dedup_lsh_recall": _lsh_recall_oracle_sql(),
+        "emb_int8_quantize": _INT8_QUANT_SQL,
         "docs_gopher_rules": _GOPHER_SQL,
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
         "emb_pq_codes": _pq_codes_sql(),
