@@ -5488,7 +5488,7 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_recall_oracle_sql() -> str:
+def _dedup_lsh_recall_oracle_sql() -> str:
     return f"""
 WITH {_duck_shingles_cte(3)},
 {_duck_lsh_cand_cte()},
@@ -5769,7 +5769,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_tfidf_pairs": _TFIDF_PAIRS_SQL,
         "events_dd_quantiles": _DD_QUANTILES_SQL,
         "events_heavy_hitters": _HEAVY_HITTERS_SQL,
-        "dedup_lsh_recall": _lsh_recall_oracle_sql(),
+        "dedup_lsh_recall": _dedup_lsh_recall_oracle_sql(),
         "emb_int8_quantize": _INT8_QUANT_SQL,
         "docs_gopher_rules": _GOPHER_SQL,
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
