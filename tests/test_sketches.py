@@ -181,3 +181,70 @@ def test_heavy_hitters_empty_when_nothing_heavy(spark):
 
     df = spark.createDataFrame([(f"u{i}",) for i in range(200)], "w string")
     assert heavy_hitters(df, "w", k=5).count() == 0
+
+
+def test_dd_sketch_maintained_incrementally_equals_batch(spark, tmp_path):
+    """The mergeability contract in streaming form: a DD sketch maintained
+    from micro-batches via add-only delta merges must equal the batch
+    sketch over the full stream — the property that lets a 100 TB
+    quantile monitor never recompute from scratch."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from affinity_spark.operators.sketches import dd_sketch
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    all_rows = [{"k": "a", "v": (i * 97) % 3000 + 1} for i in range(300)]
+    for b in range(3):
+        tmp = os.path.join(src, f".b{b}.tmp")
+        with open(tmp, "w") as f:
+            for r in all_rows[b * 100 : (b + 1) * 100]:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, os.path.join(src, f"b{b}.json"))
+
+    table = str(tmp_path / "sketch_table")
+
+    def merge_sketch(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        tbl = KeyedTable(sp, table, ["k", "bucket"], "")
+        last = tbl.commit_meta().get("dd_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        base_version = tbl._current_version_dir()
+        delta = dd_sketch(batch_df, ["k"], "v")
+        if base_version is None:
+            merged = delta
+        else:
+            merged = (
+                sp.read.parquet(base_version)
+                .unionByName(delta)
+                .groupBy("k", "bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+        tbl.overwrite(merged, expected_base=base_version,
+                      meta={"dd_batch_id": batch_id})
+
+    schema = StructType([StructField("k", StringType()), StructField("v", LongType())])
+    q = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        .writeStream.foreachBatch(merge_sketch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    maintained = {
+        (r.k, r.bucket): r.n
+        for r in KeyedTable(spark, table, ["k", "bucket"], "").read().collect()
+    }
+    batch_df = spark.createDataFrame([(r["k"], r["v"]) for r in all_rows], "k string, v long")
+    whole = {(r.k, r.bucket): r.n for r in dd_sketch(batch_df, ["k"], "v").collect()}
+    assert maintained == whole
