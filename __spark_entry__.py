@@ -5575,6 +5575,39 @@ FROM e GROUP BY vec_id
 """
 
 
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment pairs (|A∩B|/|A| per direction, in
+    basis points, threshold 20%) — catches a doc EMBEDDED in a larger one
+    where symmetric Jaccard stays low because the union is dominated by
+    the big doc (Broder containment; the quote/concatenation case every
+    corpus dedup eventually needs). Candidates via the inverted shingle
+    index (verifier tier; the scale path feeds LSH candidates instead).
+    Integer basis points on both sides of the comparison."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, "doc_id", "text", 3, 2000)
+
+
+def _containment_oracle_sql() -> str:
+    return f"""
+WITH {_duck_shingles_cte(3)},
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM h a JOIN h b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       (n_common * 10000) // sa.n AS cont_a_bp,
+       (n_common * 10000) // sb.n AS cont_b_bp
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE (n_common * 10000) // sa.n >= 2000 OR (n_common * 10000) // sb.n >= 2000
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5596,6 +5629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": events_heavy_hitters,
         "dedup_lsh_recall": dedup_lsh_recall,
         "emb_int8_quantize": emb_int8_quantize,
+        "dedup_containment": dedup_containment,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
         "orders_range_join": orders_range_join,
@@ -5771,6 +5805,7 @@ def oracle_sql() -> dict[str, str]:
         "events_heavy_hitters": _HEAVY_HITTERS_SQL,
         "dedup_lsh_recall": _dedup_lsh_recall_oracle_sql(),
         "emb_int8_quantize": _INT8_QUANT_SQL,
+        "dedup_containment": _containment_oracle_sql(),
         "docs_gopher_rules": _GOPHER_SQL,
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
         "emb_pq_codes": _pq_codes_sql(),

@@ -712,3 +712,52 @@ def repeated_windows(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_bp: int = 2000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle containment
+    ``|A ∩ B| / |A|`` per direction, in basis points — the measure that
+    catches a document EMBEDDED in a larger one (quotes, concatenations,
+    page-of-posts), where symmetric Jaccard stays low because the union is
+    dominated by the larger doc (Broder's containment, public).
+
+    Candidates come from the inverted shingle index (the verifier tier —
+    at 100 TB feed LSH candidates in instead); output keeps both
+    directions' containment so the caller can tell "A inside B" from
+    mutual overlap. Pure integer arithmetic: any engine reproduces the
+    basis points exactly. Pairs emit when EITHER direction reaches
+    ``threshold_bp``.
+    """
+    sh = shingle_table(df, id_col, text_col, n).select(id_col, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.expr("(n_common * 10000) div n_a").alias("cont_a_bp"),
+            F.expr("(n_common * 10000) div n_b").alias("cont_b_bp"),
+        )
+        .filter(
+            (F.col("cont_a_bp") >= threshold_bp)
+            | (F.col("cont_b_bp") >= threshold_bp)
+        )
+    )

@@ -189,3 +189,25 @@ def test_tfidf_pairs_deterministic_and_stopword_cut(spark):
     assert (got[0].id_a, got[0].id_b) == (1, 2)  # rare1+rare2 overlap wins
     again = tfidf_pairs(docs, "doc_id", "text", max_df=10, k=5).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in again]
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully quoted inside a much larger one: containment of
+    the small side reads 10000 bp while symmetric Jaccard stays below a
+    typical 0.5 threshold — the asymmetric case the operator exists for."""
+    from affinity_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, filler + " " + small + " " + filler)],
+        "doc_id long, text string",
+    )
+    got = containment_pairs(docs, "doc_id", "text", 3, 8000).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.id_a, row.id_b) == (1, 2)
+    assert row.cont_a_bp == 10000  # every shingle of the small doc is in the big one
+    assert row.cont_b_bp < 2000
+    # symmetric Jaccard misses it at the standard threshold
+    assert ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).count() == 0
