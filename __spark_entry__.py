@@ -5608,6 +5608,83 @@ WHERE (n_common * 10000) // sa.n >= 2000 OR (n_common * 10000) // sb.n >= 2000
 """
 
 
+
+
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection step that consumes
+    ``docs_dsir_weights`` (Xie et al. 2023): per source, take docs in
+    descending weight order until a 600-token budget fills (exclusive
+    running sum, the ``token_budget_sample`` stop rule), i.e. "the most
+    target-like data from each source, budgeted in tokens".
+
+    Deterministic: (weight_bits DESC, doc_id) is a total order and the
+    budget test is integer. Scale shape: the window partitions by source
+    (the 100 TB partition column); for a GLOBAL budget use the
+    ``token_budget_sample_scalable`` two-phase bucket cutoff instead."""
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.lm import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    wts = dsir_weights(docs, F.col("lang") == "en")
+    j = wts.join(docs.select("doc_id", "source"), "doc_id")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("weight_bits").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        j.withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("cum_before") < 600)
+        .select("doc_id", "source", "weight_bits", "n_tokens", "cum_before")
+    )
+
+
+_DSIR_SAMPLE_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+),
+counts AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS cs,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM toks GROUP BY b
+),
+wts AS (
+  SELECT toks.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum((length(bin(ct + 1)) - 1) - (length(bin(cs + 1)) - 1)) AS BIGINT)
+           AS weight_bits
+  FROM toks JOIN counts ON toks.b = counts.b
+  GROUP BY toks.doc_id
+),
+j AS (
+  SELECT w.doc_id, d.source, w.weight_bits, w.n_tokens
+  FROM wts w JOIN documents d USING (doc_id)
+),
+c AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY weight_bits DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM j
+)
+SELECT doc_id, source, weight_bits, n_tokens, cum_before
+FROM c WHERE cum_before < 600
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -5630,6 +5707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": dedup_lsh_recall,
         "emb_int8_quantize": emb_int8_quantize,
         "dedup_containment": dedup_containment,
+        "docs_dsir_sample": docs_dsir_sample,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
         "orders_range_join": orders_range_join,
@@ -5806,6 +5884,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_recall": _dedup_lsh_recall_oracle_sql(),
         "emb_int8_quantize": _INT8_QUANT_SQL,
         "dedup_containment": _containment_oracle_sql(),
+        "docs_dsir_sample": _DSIR_SAMPLE_SQL,
         "docs_gopher_rules": _GOPHER_SQL,
         "docs_frame_sample": _FRAME_SAMPLE_SQL,
         "emb_pq_codes": _pq_codes_sql(),
