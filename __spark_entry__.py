@@ -5296,28 +5296,41 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 
 def docs_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring dedup signal (Lee et al. 2022, public): strided
-    40-char windows of the normalized text, hashed; windows recurring in
-    >= 2 distinct docs are verbatim cross-doc runs (boilerplate, licenses,
-    templated spans) that doc-level MinHash misses when surrounding text
-    differs. Catches any repeated run of length >= win+stride-1.
+    """Exact-substring dedup signal (Lee et al. 2022, public) with
+    winnowing-anchored windows (``dedup.repeated_windows``): every 40-char
+    gram hashed, each 20-gram window keeps its min (MOSS selection), so
+    any cross-doc verbatim run >= 59 chars yields a shared fingerprint
+    REGARDLESS of the run's byte offset in either doc — the phase
+    misalignment a strided position sample silently misses.
 
-    Scale shape (``operators/dedup.py::repeated_windows``): O(1)
-    char-array slices over the let-bound split (never substring's O(n2)
-    byte-scan), map-side md5, ONE hash aggregate on the 16-byte window
-    hash with map-side combine. No joins, no candidate pairs."""
+    Scale shape: single-expression map-side gram hashing + winnow select
+    over the let-bound char split, then ONE hash aggregate on the 8-byte
+    fingerprint (~2/21 of gram count). No joins, no candidate pairs."""
     docs = _t(spark, sf_dir, "documents")
     return dd.repeated_windows(docs, "doc_id", "text", win=40, stride=20)
 
 
 _REPEATED_WINDOWS_SQL = r"""
-WITH nn AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
-w AS (
-  SELECT doc_id, md5(substr(norm, CAST(i AS INT), 40)) AS win_md5
-  FROM nn, LATERAL unnest(range(1, greatest(length(norm) - 39, 1) + 1, 20)) AS t(i)
-)
-SELECT win_md5, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
-FROM w GROUP BY win_md5 HAVING count(DISTINCT doc_id) >= 2
+WITH nn AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 40
+              THEN list_transform(range(1, len(t) - 38),
+                   i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 40)), 1, 8)) AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM nn
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 20 AND len(t) >= 59
+              THEN list_distinct(list_transform(range(1, len(hs) - 18),
+                   j -> list_min(hs[CAST(j AS INT):CAST(j AS INT)+19])))
+              ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM h JOIN nn USING (doc_id)
+), f AS (SELECT doc_id, unnest(fps) AS win_hash FROM w)
+SELECT win_hash, count(DISTINCT doc_id) AS n_docs
+FROM f GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
 """
 
 

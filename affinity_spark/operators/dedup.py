@@ -675,41 +675,33 @@ def repeated_windows(
     documents (boilerplate, licenses, templated spans) which doc-level
     MinHash misses when the surrounding text differs.
 
-    A full distributed suffix array is the exhaustive form; the production
-    approximation used here is strided fixed-width windows — every ``win``-
-    char span at ``stride`` offsets, hashed — which catches any repeated
-    run of length >= win + stride - 1 (some window then falls fully inside
-    the run on both sides). Returns ``(win_md5, n_docs, n_occ)`` for
-    windows seen in >= 2 distinct docs.
+    Window POSITIONS are content-anchored by winnowing (Schleimer et al.
+    2003, via ``text.winnow_fingerprints`` with k=win, w=stride): every
+    ``win``-char gram is hashed, each ``stride``-window keeps its minimum.
+    That gives the MOSS guarantee — any cross-doc verbatim run of length
+    >= win + stride - 1 yields a SHARED selected fingerprint regardless of
+    where the run sits in each document. (A strided position sample, the
+    obvious first cut, silently misses runs whose offsets differ mod
+    stride — ~(stride-1)/stride of real placements; caught in round-4
+    review and pinned by the phase-misalignment test.)
 
-    Scale shape: windows come from O(1) char-array slices over the
-    let-bound split (the substring-byte-scan trap is O(n²) per doc,
-    CLAUDE.md), map-side md5, then ONE hash aggregate on the 16-byte
-    window hash — shuffle volume is windows/stride, with map-side combine
-    collapsing within-partition repeats. No joins, no pairs.
+    Returns ``(win_hash, n_docs)`` for fingerprints selected by >= 2
+    distinct docs. Scale shape: gram hashing and winnow selection are
+    single-expression map-side work over the let-bound char split (O(1)
+    slices, never substring's O(n²) byte-scan); the only shuffle is ONE
+    hash aggregate on the 8-byte fingerprint, ~2/(stride+1) of gram count.
     """
-    from affinity_spark.functions.text import let_bound
+    from affinity_spark.functions.text import winnow_fingerprints
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-
-    def wins_of(cs):
-        idx = F.sequence(
-            F.lit(1),
-            F.greatest(F.size(cs) - (win - 1), F.lit(1)),
-            F.lit(stride),
-        )
-        return F.transform(idx, lambda i: F.md5(F.array_join(F.slice(cs, i, win), "")))
-
-    w = df.select(
+    fps = df.select(
         F.col(id_col),
-        F.explode(let_bound(F.split(norm, ""), wins_of)).alias("win_md5"),
+        F.explode(
+            winnow_fingerprints(F.col(text_col), k=win, w=stride)
+        ).alias("win_hash"),
     )
     return (
-        w.groupBy("win_md5")
-        .agg(
-            F.countDistinct(id_col).alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
-        )
+        fps.groupBy("win_hash")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
 

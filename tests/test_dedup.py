@@ -142,12 +142,10 @@ def test_edit_distance_pairs_survives_empty_documents(spark):
 
 def test_repeated_windows_finds_cross_doc_runs_only(spark):
     """A verbatim run shared by two docs must surface; within-doc repeats
-    alone (n_docs=1) must not; runs shorter than win+stride-1 may be
-    missed (documented detection bound) but the shared full-window run is
-    guaranteed."""
+    alone (n_docs=1) must not."""
     from affinity_spark.operators.dedup import repeated_windows
 
-    boiler = "x" * 70  # >= win+stride-1 = 59 -> some window falls inside it
+    boiler = "x" * 70  # >= win+stride-1 = 59
     docs = spark.createDataFrame(
         [
             (1, "alpha " + boiler + " omega"),
@@ -160,12 +158,36 @@ def test_repeated_windows_finds_cross_doc_runs_only(spark):
     got = repeated_windows(docs, "doc_id", "text", win=40, stride=20)
     rows = got.collect()
     assert all(r.n_docs >= 2 for r in rows)
-    assert len(rows) >= 1  # the shared boilerplate window surfaced
+    assert len(rows) >= 1  # the shared boilerplate fingerprint surfaced
 
-    # doc 3's within-doc repetition must not appear (its windows never
+    # doc 3's within-doc repetition must not appear (its fingerprints never
     # recur across documents)
     solo = repeated_windows(docs.filter("doc_id = 3"), "doc_id", "text", 40, 20)
     assert solo.count() == 0
+
+
+def test_repeated_windows_detects_phase_misaligned_runs(spark):
+    """The round-4 review finding: a shared 95-char run at offsets NOT
+    congruent mod stride must still surface — winnowing anchors window
+    positions to content, so the MOSS guarantee (shared run >= win +
+    stride - 1 -> shared fingerprint) holds regardless of alignment. A
+    strided position sample fails this exact case."""
+    import random
+
+    from affinity_spark.operators.dedup import repeated_windows
+
+    rng = random.Random(3)
+    run = "".join(rng.choice("abcdefgh") for _ in range(95))
+    for off_a, off_b in ((2, 16), (0, 7), (5, 31)):
+        docs = spark.createDataFrame(
+            [
+                (1, "z" * off_a + run + " tail one"),
+                (2, "p" * off_b + run + " other tail"),
+            ],
+            "doc_id long, text string",
+        )
+        got = repeated_windows(docs, "doc_id", "text", win=40, stride=20)
+        assert got.count() >= 1, (off_a, off_b)
 
 
 def test_tfidf_pairs_deterministic_and_stopword_cut(spark):

@@ -312,19 +312,23 @@ def test_repeated_windows_matches_python_model(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
-        r.win_md5: (r.n_docs, r.n_occ)
+        r.win_hash: r.n_docs
         for r in repeated_windows(df, "doc_id", "text", win, stride).collect()
     }
-    seen: dict[str, list[int]] = {}
-    for i, t in rows:
+
+    def winnow(t: str) -> set[int]:
         norm = re.sub(r"\s+", " ", t.lower().strip())
-        stops = max(len(norm) - win + 1, 1)
-        for start in range(0, stops, stride):
-            h = hashlib.md5(norm[start : start + win].encode()).hexdigest()
-            seen.setdefault(h, []).append(i)
-    want = {
-        h: (len(set(ids)), len(ids))
-        for h, ids in seen.items()
-        if len(set(ids)) >= 2
-    }
+        if len(norm) < win + stride - 1:
+            return set()
+        hs = [
+            int(hashlib.md5(norm[i : i + win].encode()).hexdigest()[:8], 16)
+            for i in range(len(norm) - win + 1)
+        ]
+        return {min(hs[j : j + stride]) for j in range(len(hs) - stride + 1)}
+
+    seen: dict[int, int] = {}
+    for _, t in rows:
+        for fp in winnow(t):
+            seen[fp] = seen.get(fp, 0) + 1
+    want = {fp: n for fp, n in seen.items() if n >= 2}
     assert got == want
