@@ -5566,7 +5566,7 @@ _INT8_QUANT_SQL = """
 WITH vals AS (
   SELECT vec_id, i AS dim,
          CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS vi
-  FROM embeddings, LATERAL unnest(range(0, 64)) AS u(i)
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS u(i)
 ),
 ranges AS (SELECT dim, min(vi) AS mn, max(vi) AS mx FROM vals GROUP BY dim),
 q AS (

@@ -148,10 +148,11 @@ def tfidf_pairs(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    # the 1-row corpus count; named to never shadow the n-gram size param
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n"))
     w = (
         tf.join(df_t, "term")
-        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n_docs_df))
         .filter(F.col("df") <= F.lit(max_df))
         .select(
             "_id",

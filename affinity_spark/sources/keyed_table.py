@@ -96,10 +96,16 @@ class KeyedTable:
             try:
                 return os.open(self._lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
-                # break locks from dead writers (no heartbeat; mtime-aged)
+                # break locks from dead writers (no heartbeat; mtime-aged).
+                # Steal by atomic RENAME, not unlink: two waiters racing the
+                # same stale lock resolve to exactly one winner; an unlink
+                # could delete a FRESH lock created between stat and unlink,
+                # letting two writers commit concurrently.
                 try:
                     if time.time() - os.path.getmtime(self._lock) > 60:
-                        os.unlink(self._lock)
+                        stolen = f"{self._lock}.stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(self._lock, stolen)
+                        os.unlink(stolen)
                         continue
                 except OSError:
                     continue

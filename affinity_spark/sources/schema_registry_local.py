@@ -57,6 +57,8 @@ class LocalSchemaRegistry:
     # -- locking (reference hypersynchronized) -----------------------------
 
     def _acquire_lock(self) -> None:
+        import uuid
+
         lock = os.path.join(self.data_path, ".lock")
         deadline = time.time() + self.lock_timeout_s
         while True:
@@ -66,9 +68,17 @@ class LocalSchemaRegistry:
                 return
             except FileExistsError:
                 try:
-                    # break locks abandoned by dead writers (mtime-aged)
+                    # break locks abandoned by dead writers (mtime-aged).
+                    # The steal is an atomic RENAME, not unlink: two waiters
+                    # that both saw the stale mtime race the rename, exactly
+                    # one wins, and the loser's rename raises — an unlink
+                    # here could delete a FRESH lock another waiter just
+                    # created between our stat and our unlink, letting two
+                    # writers into the critical section.
                     if time.time() - os.path.getmtime(lock) > 60:
-                        os.unlink(lock)
+                        stolen = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
+                        os.rename(lock, stolen)
+                        os.unlink(stolen)
                         continue
                 except OSError:
                     continue

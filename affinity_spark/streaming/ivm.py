@@ -87,24 +87,37 @@ def incremental_agg_sink(
     key_cols: Sequence[str],
     cents_col: str,
     op_col: str = OP_COL,
+    run_id: str = "default",
 ):
     """foreachBatch function maintaining the aggregate as a KeyedTable.
 
     Each micro-batch commits a new snapshot via the table's CAS pointer,
-    recording the batch id IN the commit (atomically with the pointer
-    swap). Unlike last-write-wins merge sinks, a ``+=`` delta is not
-    naturally idempotent — if the process crashes between the snapshot
-    commit and the streaming checkpoint advance, the engine replays the
-    batch against the already-updated base and would double-count. The
-    recorded batch id makes the replay a no-op: apply exactly once per
-    (table, batch_id), the foreachBatch idempotence convention from
-    ``sinks.py``."""
+    recording (run_id, batch_id) IN the commit (atomically with the
+    pointer swap). Unlike last-write-wins merge sinks, a ``+=`` delta is
+    not naturally idempotent — if the process crashes between the
+    snapshot commit and the streaming checkpoint advance, the engine
+    replays the batch against the already-updated base and would
+    double-count. The recorded pair makes the replay a no-op: apply
+    exactly once per (table, run, batch), the (query_id, batch_id)
+    idempotence convention from ``txn_sink.py``.
+
+    ``run_id`` identifies the streaming LINEAGE — pass the checkpoint
+    location or query name. Batch ids restart at 0 whenever a query
+    starts from a fresh checkpoint, so the guard applies only within one
+    lineage: a different run_id resets the marker and applies (the
+    alternative — guarding on batch id alone — silently DISCARDS every
+    new batch after a checkpoint reset, an under-count worse than the
+    double-count it prevents)."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         tbl = KeyedTable(spark, table_path, list(key_cols), "")
-        last = tbl.commit_meta().get("ivm_batch_id")
-        if last is not None and batch_id <= last:
+        meta = tbl.commit_meta()
+        if (
+            meta.get("ivm_run") == run_id
+            and meta.get("ivm_batch_id") is not None
+            and batch_id <= meta["ivm_batch_id"]
+        ):
             return  # crash-replayed batch: its deltas are already committed
         base_version = tbl._current_version_dir()
         base = spark.read.parquet(base_version) if base_version is not None else None
@@ -112,7 +125,7 @@ def incremental_agg_sink(
         tbl.overwrite(
             apply_agg_delta(base, delta, key_cols),
             expected_base=base_version,
-            meta={"ivm_batch_id": batch_id},
+            meta={"ivm_run": run_id, "ivm_batch_id": batch_id},
         )
 
     return apply

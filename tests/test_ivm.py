@@ -117,12 +117,23 @@ def test_sink_replay_of_applied_batch_is_noop(spark, tmp_path):
 
     # maintenance writes must not erase the replay marker
     tbl = KeyedTable(spark, table, ["k"], "")
-    assert tbl.commit_meta() == {"ivm_batch_id": 1}
+    assert tbl.commit_meta() == {"ivm_run": "default", "ivm_batch_id": 1}
     tbl.compact(target_file_bytes=1 << 30)
-    assert tbl.commit_meta() == {"ivm_batch_id": 1}
+    assert tbl.commit_meta() == {"ivm_run": "default", "ivm_batch_id": 1}
     sink(_batch(spark, [("a", 50, 1)]), 1)  # replay after maintenance
     got = {r.k: (r.n, r.cents) for r in read_keyed_table(spark, table).collect()}
     assert got == {"a": (2, 150), "b": (1, 7)}
+
+    # a NEW lineage (fresh checkpoint -> batch ids restart at 0) must NOT
+    # be silently discarded: its batch 0 applies and resets the marker
+    sink2 = incremental_agg_sink(table, ["k"], "cents", run_id="ckpt-2")
+    sink2(_batch(spark, [("c", 9, 1)]), 0)
+    got = {r.k: (r.n, r.cents) for r in read_keyed_table(spark, table).collect()}
+    assert got == {"a": (2, 150), "b": (1, 7), "c": (1, 9)}
+    assert tbl.commit_meta() == {"ivm_run": "ckpt-2", "ivm_batch_id": 0}
+    sink2(_batch(spark, [("c", 9, 1)]), 0)  # replay within the new lineage
+    got = {r.k: (r.n, r.cents) for r in read_keyed_table(spark, table).collect()}
+    assert got == {"a": (2, 150), "b": (1, 7), "c": (1, 9)}
 
 
 def test_streaming_maintained_aggregate_with_retractions(spark, tmp_path):

@@ -128,13 +128,27 @@ def test_latest_n_stream_final_state_matches_batch_twin(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
-        # final state = each key's LAST emission
+        # collect() row order across batches is NOT a contract — compare
+        # the SET of per-batch ring-state emissions instead, which also
+        # pins every intermediate state, not just the last one
         rows = spark.sql("select * from twin_ring").collect()
-        final = {r.k: list(r.items) for r in rows}  # update mode: latest wins per key
+        emitted = {(r.k, tuple(r.items)) for r in rows}
     finally:
         q.stop()
 
-    # batch twin: last 3 values per key in seq order (newest last)
+    # python model: ring state after each event (one event per batch)
+    rings: dict[int, list[str]] = {}
+    expected = set()
+    for ev in EVENTS:
+        buf = rings.setdefault(ev["k"], [])
+        buf.append(str(ev["v"]))
+        if len(buf) > 3:
+            buf.pop(0)
+        expected.add((ev["k"], tuple(buf)))
+    assert emitted == expected
+    assert (1, ("7", "-3", "2")) in emitted  # final ring dropped key 1's first write
+
+    # and the batch twin reproduces each key's FINAL state
     w = Window.partitionBy("k").orderBy(F.col("seq").desc())
     last3 = (
         _changelog_df(spark)
@@ -142,11 +156,9 @@ def test_latest_n_stream_final_state_matches_batch_twin(spark, tmp_path):
         .filter(F.col("rn") <= 3)
     )
     batch = {
-        r.k: [s.v for s in sorted(rs, key=lambda x: x.seq)]
+        r.k: tuple(str(s.v) for s in sorted(r.rs, key=lambda x: x.seq))
         for r in last3.groupBy("k").agg(
             F.collect_list(F.struct("seq", "v")).alias("rs")
         ).collect()
-        for rs in [r.rs]
     }
-    assert final == {k: [str(v) for v in vs] for k, vs in batch.items()}
-    assert final[1] == ["7", "-3", "2"]  # ring dropped the first write
+    assert batch == {k: tuple(buf) for k, buf in rings.items()}

@@ -102,11 +102,14 @@ def build_scaled(spark, k: int) -> str:
         emb.select("*", copies)
         .select(
             (F.col("vec_id") + F.col("_copy").cast("long") * F.lit(10_000_000)).alias("vec_id"),
+            # cast the nudge back to float: float + double literal widens the
+            # element type to double, silently DOUBLING embedding bytes and
+            # biasing the ANN family's measured scaling exponent
             F.transform(
                 F.col("embedding"),
                 lambda x, i: F.when(
                     i == (F.col("_copy") % F.size(F.col("embedding"))),
-                    x + F.col("_copy").cast("float") * F.lit(0.003),
+                    (x + F.col("_copy").cast("float") * F.lit(0.003)).cast("float"),
                 ).otherwise(x),
             ).alias("embedding"),
             *other,
