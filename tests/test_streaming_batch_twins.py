@@ -117,7 +117,11 @@ def test_latest_n_stream_final_state_matches_batch_twin(spark, tmp_path):
             StructField("v", LongType()),
         ]
     )
-    stream = spark.readStream.schema(schema).json(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one event per batch, so the
+        .json(src)                        # model's per-event states apply
+    )
     q = (
         latest_n_stream(stream, "k", "v", "seq", n=3)
         .writeStream.format("memory")
