@@ -158,12 +158,15 @@ def salt_hot_buckets(
     if cap < 1:
         raise ValueError(f"bucket cap must be >= 1, got {cap}")
     sizes = df.groupBy(*bucket_keys).agg(F.count(F.lit(1)).alias("_bn"))
+    # md5-derived salt (stable_token_hash), not xxhash64: the repo's
+    # cross-engine hashing convention, so a capped variant stays
+    # oracle-replicable in DuckDB
     return (
         df.join(sizes, bucket_keys)
         .withColumn(
             "_salt",
             F.pmod(
-                F.xxhash64(F.col(id_col)),
+                stable_token_hash(F.col(id_col).cast("string")),
                 F.expr(f"cast(ceil(_bn / {int(cap)}) as long)"),
             ),
         )
