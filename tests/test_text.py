@@ -166,3 +166,22 @@ def test_gram_ops_handle_large_documents(spark):
     assert 0 < n_fps < 200
     assert n_sh == 5  # distinct trigrams of a 5-word cycle
     assert elapsed < 60, f"gram ops took {elapsed:.1f}s on one 200KB doc"
+
+
+def test_repeated_windows_handles_large_documents(spark):
+    """The winnowing-anchored repeated-window tier (win=40, stride=20) must
+    stay O(n*stride) on a 200KB doc — every gram is hashed once (let-bound
+    array), window minima are O(stride) slices, never substring byte-scans."""
+    import time
+
+    from affinity_spark.operators.dedup import repeated_windows
+
+    big = ("lorem ipsum dolor sit amet " * 8000).strip()  # ~216KB
+    docs = spark.createDataFrame(
+        [(1, big), (2, big[: len(big) // 2] + " tail")], "doc_id long, text string"
+    )
+    t0 = time.perf_counter()
+    n = repeated_windows(docs, "doc_id", "text", 40, 20).count()
+    elapsed = time.perf_counter() - t0
+    assert n >= 1  # the shared periodic run surfaces
+    assert elapsed < 60, f"repeated_windows took {elapsed:.1f}s on 200KB docs"
