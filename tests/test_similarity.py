@@ -87,3 +87,30 @@ def test_hard_negatives_picks_best_cross_label_in_bucket(spark):
     assert got[3][0] in (1, 2)
     # ties impossible here; cos_bp integer and monotone with similarity
     assert got[1][1] > got[4][1]
+
+
+def test_scalar_quantize_int8_error_bound_and_range(spark):
+    """Codes stay in [0,255]; reconstruction error is bounded by one
+    quantization step ceil((mx-mn)/255) per dimension; a constant
+    dimension (mx == mn) codes to 0 with zero error."""
+    import pyspark.sql.functions as F
+
+    from affinity_spark.operators.similarity import scalar_quantize_int8
+
+    rows = [(i, [float(i) * 0.37 - 3.0, 5.0, float((i * 7) % 13)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = scalar_quantize_int8(emb)
+    assert q.filter((F.col("code") < 0) | (F.col("code") > 255)).count() == 0
+    # dim 1 is constant -> code 0, err 0
+    d1 = q.filter(F.col("dim") == 1)
+    assert d1.filter((F.col("code") != 0) | (F.col("abs_err") != 0)).count() == 0
+    # per-dim error bound: step = ceil((mx-mn)/255) in integer micros
+    vals = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.floor(F.col("v").cast("double") * 1_000_000).cast("long").alias("vi")
+    )
+    stats = {r.dim: (r.mn, r.mx) for r in vals.groupBy("dim").agg(
+        F.min("vi").alias("mn"), F.max("vi").alias("mx")).collect()}
+    for r in q.collect():
+        mn, mx = stats[r.dim]
+        step = -(-(mx - mn) // 255) if mx > mn else 0
+        assert r.abs_err <= step, (r.dim, r.abs_err, step)
