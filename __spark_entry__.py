@@ -5705,10 +5705,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's time-budgeted CORRECTNESS pass (~50 rows),
-    # strictly by driver-evidence age so every query's newest driver row
-    # stays within two data regenerations: 1) flagship; 2-29) the 28
-    # queries whose latest driver row is r1; 30-78) the 49 whose latest is
-    # r2; then the r3-green queries, freshest evidence last.
+    # strictly by driver-evidence age: 1) flagship; 2-11) round-4
+    # additions (never driver-checked); 12-13) docs_bpe_segment and
+    # emb_hard_negatives, whose ORACLES changed this round (the BPE row
+    # was never green — err no_oracle in r1-r3); then the r1-latest and
+    # r2-latest blocks; r3-green queries freshest-last.
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "events_update_pairs": events_update_pairs,
@@ -5721,6 +5722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_int8_quantize": emb_int8_quantize,
         "dedup_containment": dedup_containment,
         "docs_dsir_sample": docs_dsir_sample,
+        "docs_bpe_segment": docs_bpe_segment,
+        "emb_hard_negatives": emb_hard_negatives,
         "asof_last_order_before_event": asof_last_order_before_event,
         "orders_rollup": orders_rollup,
         "orders_range_join": orders_range_join,
@@ -5807,7 +5810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": docs_decontaminate,
         "docs_gopher_rules": docs_gopher_rules,
         "docs_frame_sample": docs_frame_sample,
-        "docs_bpe_segment": docs_bpe_segment,
         "emb_pq_codes": emb_pq_codes,
         "emb_pq_search": emb_pq_search,
         "docs_pii_scrub": docs_pii_scrub,
@@ -5830,7 +5832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_counts": events_cms_counts,
         "events_hll_registers": events_hll_registers,
         "docs_temperature_mix": docs_temperature_mix,
-        "emb_hard_negatives": emb_hard_negatives,
         "docs_curriculum": docs_curriculum,
         "nation_account_balance": nation_account_balance,
         "emb_lsh_recall": emb_lsh_recall,
