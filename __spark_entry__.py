@@ -4411,8 +4411,7 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, F.col("lang") == "en")
 
 
-_DSIR_SQL = """
-WITH toks AS (
+_DUCK_DSIR_WTS_CTE = """WITH toks AS (
   SELECT doc_id, lang = 'en' AS is_target,
          CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
   FROM (
@@ -4427,13 +4426,21 @@ counts AS (
          CAST(count(*) AS BIGINT) AS cs,
          CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
   FROM toks GROUP BY b
-)
-SELECT toks.doc_id,
-       CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(sum((length(bin(ct + 1)) - 1) - (length(bin(cs + 1)) - 1)) AS BIGINT)
-         AS weight_bits
-FROM toks JOIN counts ON toks.b = counts.b
-GROUP BY toks.doc_id
+),
+wts AS (
+  SELECT toks.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum((length(bin(ct + 1)) - 1) - (length(bin(cs + 1)) - 1)) AS BIGINT)
+           AS weight_bits
+  FROM toks JOIN counts ON toks.b = counts.b
+  GROUP BY toks.doc_id
+)"""
+# one weight-model definition shared by BOTH dsir oracles so a model fix
+# cannot silently diverge them (the _duck_shingles_cte convention)
+
+
+_DSIR_SQL = _DUCK_DSIR_WTS_CTE + """
+SELECT doc_id, n_tokens, weight_bits FROM wts
 """
 
 
@@ -5634,53 +5641,19 @@ def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget test is integer. Scale shape: the window partitions by source
     (the 100 TB partition column); for a GLOBAL budget use the
     ``token_budget_sample_scalable`` two-phase bucket cutoff instead."""
-    from pyspark.sql import Window
-
     from affinity_spark.operators.lm import dsir_weights
+    from affinity_spark.operators.sampling import token_budget_sample
 
     docs = _t(spark, sf_dir, "documents")
     wts = dsir_weights(docs, F.col("lang") == "en")
     j = wts.join(docs.select("doc_id", "source"), "doc_id")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.col("weight_bits").desc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        j.withColumn(
-            "cum_before",
-            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
-        )
-        .filter(F.col("cum_before") < 600)
-        .select("doc_id", "source", "weight_bits", "n_tokens", "cum_before")
-    )
+    return token_budget_sample(
+        j, "doc_id", "source", "n_tokens", 600,
+        order_by=[F.col("weight_bits").desc(), F.col("doc_id").asc()],
+    ).select("doc_id", "source", "weight_bits", "n_tokens", "cum_before")
 
 
-_DSIR_SAMPLE_SQL = """
-WITH toks AS (
-  SELECT doc_id, lang = 'en' AS is_target,
-         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
-  FROM (
-    SELECT doc_id, lang,
-           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                              x -> x <> '')) AS tok
-    FROM documents
-  )
-),
-counts AS (
-  SELECT b,
-         CAST(count(*) AS BIGINT) AS cs,
-         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
-  FROM toks GROUP BY b
-),
-wts AS (
-  SELECT toks.doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(sum((length(bin(ct + 1)) - 1) - (length(bin(cs + 1)) - 1)) AS BIGINT)
-           AS weight_bits
-  FROM toks JOIN counts ON toks.b = counts.b
-  GROUP BY toks.doc_id
-),
+_DSIR_SAMPLE_SQL = _DUCK_DSIR_WTS_CTE + """,
 j AS (
   SELECT w.doc_id, d.source, w.weight_bits, w.n_tokens
   FROM wts w JOIN documents d USING (doc_id)

@@ -234,24 +234,30 @@ def token_budget_sample(
     group_col: str,
     weight_col: str,
     budget: int,
+    order_by: list | None = None,
 ) -> DataFrame:
-    """Fill a per-group token budget: docs are taken in stable hash order
-    until each group's cumulative weight reaches ``budget`` (the last doc
-    may overshoot — take-while on the EXCLUSIVE running sum).
+    """Fill a per-group token budget: docs are taken in a deterministic
+    total order until each group's cumulative weight reaches ``budget``
+    (the last doc may overshoot — take-while on the EXCLUSIVE running
+    sum). ``order_by`` defaults to stable hash order (selection a pure
+    function of ids — run/retry/engine stable); pass explicit sort
+    columns for priority-ordered selection (e.g. DSIR importance weights
+    descending). Callers must make the order TOTAL (include the id) or
+    ties are engine-dependent.
 
     This is the corpus-mixing primitive behind "x billion tokens per
     source": unlike a percentage sample, the stop condition is the token
-    count itself, so skewed sources contribute equal token mass. Hash
-    order makes the selection a pure function of ids — stable across
-    runs, retries and engines.
+    count itself, so skewed sources contribute equal token mass.
 
     One shuffle (the per-group window); at 100 TB the group is the
     partition column, so the exchange is partition-aligned and the
     running sum never sees more than one group per task.
     """
+    if order_by is None:
+        order_by = [hash_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc()]
     w = (
         Window.partitionBy(group_col)
-        .orderBy(hash_bucket(F.col(id_col), 1 << 31).asc(), F.col(id_col).asc())
+        .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum(F.col(weight_col)).over(w), F.lit(0)).cast("long")

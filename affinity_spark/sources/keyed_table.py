@@ -105,7 +105,18 @@ class KeyedTable:
                     if time.time() - os.path.getmtime(self._lock) > 60:
                         stolen = f"{self._lock}.stale-{uuid.uuid4().hex[:8]}"
                         os.rename(self._lock, stolen)
-                        os.unlink(stolen)
+                        # re-check AFTER the rename: another waiter may have
+                        # stolen the stale lock and recreated a FRESH one in
+                        # the window between our stat and our rename — if the
+                        # file we captured is fresh it is a live writer's
+                        # lock, so put it back (best effort) and keep waiting
+                        if time.time() - os.path.getmtime(stolen) > 60:
+                            os.unlink(stolen)
+                        else:
+                            try:
+                                os.rename(stolen, self._lock)
+                            except OSError:
+                                os.unlink(stolen)
                         continue
                 except OSError:
                     continue

@@ -78,7 +78,18 @@ class LocalSchemaRegistry:
                     if time.time() - os.path.getmtime(lock) > 60:
                         stolen = f"{lock}.stale-{uuid.uuid4().hex[:8]}"
                         os.rename(lock, stolen)
-                        os.unlink(stolen)
+                        # re-check AFTER the rename: another waiter may have
+                        # stolen the stale lock and recreated a FRESH one in
+                        # the window between our stat and our rename — if the
+                        # file we captured is fresh it is a live writer's
+                        # lock, so put it back (best effort) and keep waiting
+                        if time.time() - os.path.getmtime(stolen) > 60:
+                            os.unlink(stolen)
+                        else:
+                            try:
+                                os.rename(stolen, lock)
+                            except OSError:
+                                os.unlink(stolen)
                         continue
                 except OSError:
                     continue

@@ -86,8 +86,8 @@ def incremental_agg_sink(
     table_path: str,
     key_cols: Sequence[str],
     cents_col: str,
+    run_id: str,
     op_col: str = OP_COL,
-    run_id: str = "default",
 ):
     """foreachBatch function maintaining the aggregate as a KeyedTable.
 
@@ -102,19 +102,22 @@ def incremental_agg_sink(
     idempotence convention from ``txn_sink.py``.
 
     ``run_id`` identifies the streaming LINEAGE — pass the checkpoint
-    location or query name. Batch ids restart at 0 whenever a query
-    starts from a fresh checkpoint, so the guard applies only within one
-    lineage: a different run_id resets the marker and applies (the
-    alternative — guarding on batch id alone — silently DISCARDS every
-    new batch after a checkpoint reset, an under-count worse than the
-    double-count it prevents)."""
+    location or query name; it is REQUIRED so a checkpoint reset can't
+    silently collide with a stale marker. Batch ids restart at 0
+    whenever a query starts from a fresh checkpoint, so the guard
+    applies only within one lineage: a different run_id resets the
+    marker and applies (the alternative — guarding on batch id alone —
+    silently DISCARDS every new batch after a checkpoint reset, an
+    under-count worse than the double-count it prevents). A marker
+    written before run scoping existed (no ``ivm_run`` key) is treated
+    as THIS lineage, protecting the upgrade-time crash replay."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         tbl = KeyedTable(spark, table_path, list(key_cols), "")
         meta = tbl.commit_meta()
         if (
-            meta.get("ivm_run") == run_id
+            meta.get("ivm_run", run_id) == run_id
             and meta.get("ivm_batch_id") is not None
             and batch_id <= meta["ivm_batch_id"]
         ):

@@ -104,7 +104,7 @@ def test_sink_replay_of_applied_batch_is_noop(spark, tmp_path):
     from affinity_spark.sources.keyed_table import KeyedTable
 
     table = str(tmp_path / "agg_table")
-    sink = incremental_agg_sink(table, ["k"], "cents")
+    sink = incremental_agg_sink(table, ["k"], "cents", run_id="ckpt-1")
     b0 = _batch(spark, [("a", 100, 1), ("b", 7, 1)])
     sink(b0, 0)
     sink(b0, 0)  # simulated foreachBatch replay after a crash
@@ -117,9 +117,9 @@ def test_sink_replay_of_applied_batch_is_noop(spark, tmp_path):
 
     # maintenance writes must not erase the replay marker
     tbl = KeyedTable(spark, table, ["k"], "")
-    assert tbl.commit_meta() == {"ivm_run": "default", "ivm_batch_id": 1}
+    assert tbl.commit_meta() == {"ivm_run": "ckpt-1", "ivm_batch_id": 1}
     tbl.compact(target_file_bytes=1 << 30)
-    assert tbl.commit_meta() == {"ivm_run": "default", "ivm_batch_id": 1}
+    assert tbl.commit_meta() == {"ivm_run": "ckpt-1", "ivm_batch_id": 1}
     sink(_batch(spark, [("a", 50, 1)]), 1)  # replay after maintenance
     got = {r.k: (r.n, r.cents) for r in read_keyed_table(spark, table).collect()}
     assert got == {"a": (2, 150), "b": (1, 7)}
@@ -146,7 +146,9 @@ def test_streaming_maintained_aggregate_with_retractions(spark, tmp_path):
     )
     stream = spark.readStream.schema(CH_SCHEMA).json(src)
     q = (
-        stream.writeStream.foreachBatch(incremental_agg_sink(table, ["k"], "cents"))
+        stream.writeStream.foreachBatch(
+            incremental_agg_sink(table, ["k"], "cents", run_id=str(tmp_path / "ckpt"))
+        )
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .start()
     )
