@@ -52,6 +52,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _postings(spark: SparkSession, sf_dir: str):
+    """Materialized postings index over the documents corpus — built ONCE
+    per process and shared by the whole retrieval family (bm25 / tfidf /
+    phrase), the maintained-index architecture of the reference's X1/X2
+    (``KVStoreLocal.scala:195-248``, incremental maintenance pinned by
+    tests/test_incremental_index.py).  Unigram positional + trigram tf
+    tables cover every current consumer."""
+    from affinity_spark.operators.postings import shared_postings
+
+    return shared_postings(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        corpus_key=os.path.abspath(sf_dir),
+        grams=(1, 3),
+    )
+
+
 # --------------------------------------------------------------------------
 # TPC-H-shaped analytical queries (headline bench workload)
 # --------------------------------------------------------------------------
@@ -2443,12 +2460,16 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (§2.13 extension of the inverted-index family, X1/X2). Integer
     fixed-point scoring so the oracle matches bit-for-bit; per-term tf is
     a map-side array filter (no explode), corpus stats reduce to ONE
-    broadcast row, top-k is TakeOrderedAndProject — the only exchange in
-    the plan is the 1-row stats agg (see ``operators/ranking.py``)."""
-    from affinity_spark.operators.ranking import bm25_topk
+    broadcast row, top-k is TakeOrderedAndProject (see
+    ``operators/ranking.py``).
 
-    docs = _t(spark, sf_dir, "documents")
-    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=20)
+    Served from the MATERIALIZED postings index (shared with
+    tfidf/phrase): the term filter prunes the postings scan, df/N/L derive
+    from the index alone, zero document scans at query time — the
+    reference's maintained-index lookup shape (``KVStoreIndex.scala:20-66``)."""
+    from affinity_spark.operators.ranking import bm25_topk_postings
+
+    return bm25_topk_postings(_postings(spark, sf_dir), _BM25_TERMS, k=20)
 
 
 def _bm25_oracle_sql() -> str:
@@ -4300,28 +4321,21 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, pos - term_offset). At scale the positional index is persisted
     partitioned by term, so each phrase term is a partition-pruned scan and
     the alignment join is bounded by posting-list sizes, never corpus size.
-    Bigrams use ANSI-safe F.get (null on out-of-bounds), never element_at."""
-    from affinity_spark.operators.index import build_positional_index, phrase_lookup
 
-    from affinity_spark.functions.text import bigram_array
+    Answered ENTIRELY from the materialized positional postings index
+    (shared with bm25/tfidf): the top bigram derives from a (doc, pos+1)
+    postings self-join and the phrase match from posting-list alignment —
+    zero document scans at query time."""
+    from affinity_spark.operators.index import phrase_lookup
 
-    docs = _t(spark, sf_dir, "documents")
-    toks_expr = tokenize(F.col("text"))
-    bg = docs.select(F.explode(let_bound(toks_expr, bigram_array)).alias("bg"))
-    top = (
-        bg.groupBy("bg")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), F.asc("bg"))
-        .limit(1)
-    )
+    idx = _postings(spark, sf_dir)
+    top = idx.top_bigram()
     terms = top.select(
-        F.split(F.col("bg"), " ").getItem(0).alias("term_0"),
-        F.split(F.col("bg"), " ").getItem(1).alias("term_1"),
+        F.split(F.col("phrase"), " ").getItem(0).alias("term_0"),
+        F.split(F.col("phrase"), " ").getItem(1).alias("term_1"),
     )
-    pidx = build_positional_index(docs, ["doc_id"], tokenize(F.col("text")))
-    matches = phrase_lookup(pidx, terms, ["doc_id"])
-    phrase = top.select(F.col("bg").alias("phrase"))
-    return matches.crossJoin(F.broadcast(phrase)).select(
+    matches = phrase_lookup(idx.positional(), terms, ["doc_id"])
+    return matches.crossJoin(F.broadcast(top)).select(
         "doc_id", "phrase", "n_matches"
     )
 
@@ -5355,11 +5369,17 @@ def docs_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Terms are word TRIGRAMS: the synthetic corpus's ~31-word unigram
     vocabulary saturates at scale (every word in most docs -> idf 0
     corpus-wide, an empty result at sf0.1), while trigram df shrinks
-    geometrically and stays discriminative at every sf."""
-    from affinity_spark.operators.ranking import tfidf_pairs
+    geometrically and stays discriminative at every sf.
 
-    docs = _t(spark, sf_dir, "documents")
-    return tfidf_pairs(docs, "doc_id", "text", max_df=100, k=50, n=3)
+    Reads the MATERIALIZED postings index (built once per process, shared
+    with bm25/phrase): zero corpus re-tokenization at query time - the
+    maintained-index shape of the reference's X1/X2
+    (``KVStoreLocal.scala:195-248``)."""
+    from affinity_spark.operators.ranking import tfidf_pairs_postings
+
+    return tfidf_pairs_postings(
+        _postings(spark, sf_dir), n=3, max_df=100, k=50
+    )
 
 
 _TFIDF_PAIRS_SQL = r"""

@@ -1,0 +1,263 @@
+"""Materialized inverted (postings) index shared by the retrieval family.
+
+The reference's secondary index is a MAINTAINED table: `KVStoreLocal`
+listens to the primary state's change stream and keeps the index current
+(``core/src/main/scala/io/amient/affinity/core/state/KVStoreLocal.scala:195-248``),
+and every lookup is a read of that table, never a rescan of the primary
+(``KVStoreIndex.scala:20-66``). Before this module, each retrieval query
+(`ranking.tfidf_pairs`, `ranking.bm25_topk`, `index.phrase_lookup`)
+re-tokenized and re-aggregated the documents corpus per query — tfidf's
+plan read the docs ~3x across 9 shuffles. At 100 TB the term-frequency
+frame IS the inverted index a deployment materializes once.
+
+Spark-first shape:
+
+- ONE pass over the corpus builds three KeyedTable-backed tables
+  (the tokenized frame is persisted for the duration of the build so the
+  parquet scan happens once):
+    * ``doclen``            (doc_id, dl)          - per-doc token count
+    * ``post1``             (term, doc_id, pos)   - positional unigrams
+    * ``post{n}`` per n > 1 (term, doc_id, tf)    - word-n-gram term freqs
+- tables are clustered by (term, ...) on write (KeyedTable repartitions by
+  key), so a per-term lookup skips files via parquet min/max stats; at
+  cluster scale the same tables are partitioned by a term hash-bucket
+  column and a phrase/bm25 term lookup is a partition-pruned scan.
+- every corpus statistic the queries need derives from the index alone:
+  df(term) = per-term row count of the tf view, (N, L) = one-row agg of
+  ``doclen`` - zero scans of the documents table at query time.
+- incremental maintenance is the same MERGE shape the primary tables use
+  from ``foreachBatch``: tokenize ONLY the changed docs, anti-join the
+  touched doc ids out of the current snapshot, union the fresh postings,
+  and commit with CAS (``KeyedTable.overwrite(expected_base=...)``) so a
+  racing maintainer loses loudly, never silently. Delta cost is
+  O(changed docs) tokenization + an index-sized rewrite (partition-pruned
+  to the touched doc-id buckets once the table is bucket-partitioned).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from affinity_spark.sources.keyed_table import KeyedTable
+
+
+def _grams(tokens: F.Column, n: int) -> F.Column:
+    """Non-distinct word n-grams of a token array (tf stays a real count)."""
+    cnt = F.greatest(F.size(tokens) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.when(cnt > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+class PostingsIndex:
+    """A directory of KeyedTables forming one logical inverted index."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        grams: Sequence[int] = (1,),
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_buckets: int = 8,
+    ) -> None:
+        if 1 not in grams:
+            grams = (1, *grams)  # doclen/positional always derive from unigrams
+        self.spark = spark
+        self.path = path
+        self.grams = tuple(sorted(set(grams)))
+        self.id_col = id_col
+        self.text_col = text_col
+        self._doclen = KeyedTable(
+            spark, os.path.join(path, "doclen"), [id_col], ts_col="dl",
+            num_buckets=num_buckets,
+        )
+        # postings tables use KeyedTable for snapshots/CAS/clustering only
+        # (never upsert/get - a term is not a per-row primary key): keying
+        # by ``term`` alone makes overwrite() cluster each term's posting
+        # list into one bucket, so a term-equality lookup skips files via
+        # parquet min/max stats - the reference's index-partition locality.
+        self._tables: dict[int, KeyedTable] = {}
+        for n in self.grams:
+            self._tables[n] = KeyedTable(
+                spark, os.path.join(path, f"post{n}"), ["term"],
+                ts_col="pos" if n == 1 else "tf", num_buckets=num_buckets,
+            )
+
+    # --- build / maintain ------------------------------------------------
+
+    def _tokenized(self, docs: DataFrame) -> DataFrame:
+        from affinity_spark.functions.text import tokenize
+
+        return docs.select(
+            F.col(self.id_col), tokenize(F.col(self.text_col)).alias("_toks")
+        )
+
+    def _doclen_delta(self, toks: DataFrame) -> DataFrame:
+        return toks.select(
+            self.id_col, F.size("_toks").cast("long").alias("dl")
+        )
+
+    def _postings_delta(self, toks: DataFrame, n: int) -> DataFrame:
+        if n == 1:
+            return toks.select(
+                self.id_col, F.posexplode("_toks").alias("pos", "term")
+            ).select("term", self.id_col, F.col("pos").cast("long").alias("pos"))
+        return (
+            toks.select(self.id_col, F.explode(_grams(F.col("_toks"), n)).alias("term"))
+            .groupBy("term", self.id_col)
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    def build(self, docs: DataFrame) -> None:
+        """Full (re)build: one scan of ``docs`` feeds every table.
+
+        The tokenized frame is persisted across the per-table writes and
+        released immediately after - without it each KeyedTable write
+        would re-scan and re-tokenize the corpus.
+        """
+        toks = self._tokenized(docs).persist()
+        try:
+            self._doclen.overwrite(self._doclen_delta(toks))
+            for n in self.grams:
+                self._tables[n].overwrite(self._postings_delta(toks, n))
+        finally:
+            toks.unpersist()
+
+    def refresh(
+        self, changed_docs: DataFrame, deleted_ids: Iterable[object] = ()
+    ) -> None:
+        """Incremental MERGE: re-index only ``changed_docs`` (updated OR
+        newly added), drop ``deleted_ids``.  Matches a full rebuild on the
+        post-change corpus exactly (pinned by tests/test_incremental_index.py).
+        """
+        toks = self._tokenized(changed_docs).persist()
+        try:
+            touched = toks.select(self.id_col).distinct()
+            if deleted_ids:
+                gone = self.spark.createDataFrame(
+                    [(d,) for d in deleted_ids], [self.id_col]
+                )
+                touched = touched.unionByName(gone).distinct()
+            touched = F.broadcast(touched)
+
+            def merge(table: KeyedTable, delta: DataFrame) -> None:
+                base_version = table._current_version_dir()
+                cur = table.read()
+                # the anti-join would reorder columns (join key first) -
+                # re-select the snapshot's own order so schema is stable
+                kept = cur.join(touched, self.id_col, "left_anti").select(
+                    *cur.columns
+                )
+                table.overwrite(
+                    kept.unionByName(delta.select(*cur.columns)),
+                    expected_base=base_version,
+                )
+
+            merge(self._doclen, self._doclen_delta(toks))
+            for n in self.grams:
+                merge(self._tables[n], self._postings_delta(toks, n))
+        finally:
+            toks.unpersist()
+
+    def exists(self) -> bool:
+        return self._doclen.exists() and all(
+            t.exists() for t in self._tables.values()
+        )
+
+    # --- reads -------------------------------------------------------------
+
+    def doclens(self) -> DataFrame:
+        return self._doclen.read()
+
+    def positional(self) -> DataFrame:
+        """(term, doc_id, pos) unigram postings - phrase/proximity queries."""
+        return self._tables[1].read()
+
+    def tf_postings(self, n: int = 1) -> DataFrame:
+        """(term, doc_id, tf) for gram size ``n``; unigram tf is derived
+        from the positional table (no second copy on disk)."""
+        if n == 1:
+            return (
+                self.positional()
+                .groupBy("term", self.id_col)
+                .agg(F.count(F.lit(1)).alias("tf"))
+            )
+        return self._tables[n].read()
+
+    def corpus_stats(self) -> DataFrame:
+        """One row (n_docs, total_len) - broadcast into scoring plans."""
+        return self.doclens().agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+        )
+
+    def term_stats(self, n: int = 1) -> DataFrame:
+        """(term, df) document frequencies from the index alone."""
+        return (
+            self.tf_postings(n)
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+
+    def top_bigram(self) -> DataFrame:
+        """1-row (phrase,) - the corpus's most frequent adjacent-token
+        bigram, computed from the POSITIONAL INDEX (a (doc, pos+1)
+        self-join on postings), never by re-tokenizing the corpus.  Cost is
+        postings-sized; at scale both join sides carry the same clustering.
+        Ties break on bigram text (matches the corpus-scan derivation)."""
+        p = self.positional()
+        a = p.select(self.id_col, "pos", F.col("term").alias("_w1"))
+        b = p.select(
+            self.id_col, (F.col("pos") - 1).alias("pos"), F.col("term").alias("_w2")
+        )
+        return (
+            a.join(b, [self.id_col, "pos"])
+            .select(F.concat_ws(" ", "_w1", "_w2").alias("bg"))
+            .groupBy("bg")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), F.asc("bg"))
+            .limit(1)
+            .select(F.col("bg").alias("phrase"))
+        )
+
+
+# --------------------------------------------------------------------------
+# Process-local shared instances (one build per corpus per session, shared
+# by every retrieval query in the process - the query-path analogue of the
+# maintained index; a deployment would point at the maintained KeyedTables).
+# --------------------------------------------------------------------------
+
+_SHARED: dict[tuple[str, str], PostingsIndex] = {}
+
+
+def shared_postings(
+    spark: SparkSession,
+    docs: DataFrame,
+    corpus_key: str,
+    grams: Sequence[int] = (1, 3),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> PostingsIndex:
+    """Build-once-per-process postings over ``docs``, keyed by
+    (application id, corpus_key).  The first retrieval query pays the ONE
+    corpus scan; every later query reads the materialized tables."""
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, corpus_key)
+    idx = _SHARED.get(key)
+    want = tuple(sorted({1, *grams}))
+    if idx is not None and idx.exists() and set(want) <= set(idx.grams):
+        return idx
+    root = tempfile.mkdtemp(prefix="affinity_postings_")
+    idx = PostingsIndex(
+        spark, root, grams=want, id_col=id_col, text_col=text_col
+    )
+    idx.build(docs)
+    _SHARED[key] = idx
+    return idx

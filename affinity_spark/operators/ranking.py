@@ -97,6 +97,102 @@ def bm25_topk(
     )
 
 
+def bm25_topk_postings(
+    index,
+    terms: Sequence[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`bm25_topk` answered from a materialized
+    :class:`~affinity_spark.operators.postings.PostingsIndex` - ZERO scans
+    of the documents table; bit-identical scores.
+
+    Plan shape: the query-term filter prunes the postings scan to the
+    terms' file clusters; per-term df and the 1-row (N, L) stats broadcast
+    back; the hits frame (docs containing >= 1 query term - the only rows
+    that can score > 0, exactly the rows `bm25_topk` keeps) broadcasts
+    into the doclen join; top-k stays TakeOrderedAndProject.
+    """
+    term_list = list(terms)
+    hits = index.tf_postings(1).filter(F.col("term").isin(term_list))
+    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        F.broadcast(hits.join(F.broadcast(dfs), "term"))
+        .join(index.doclens().withColumnRenamed("dl", "_dl"), id_col)
+        .crossJoin(
+            F.broadcast(
+                index.corpus_stats().select(
+                    F.col("n_docs").alias("_n"), F.col("total_len").alias("_l")
+                )
+            )
+        )
+        .select(
+            id_col,
+            (
+                F.expr("((_n - _df) * 1000) div _n")
+                * F.expr(
+                    "(tf * 2200 * _l * 1000) div "
+                    "(tf * 1000 * _l + 300 * _l + 900 * _dl * _n)"
+                )
+            ).alias("_c"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_c").cast("long").alias("score_x1e6"))
+    )
+    return (
+        scored.filter(F.col("score_x1e6") > 0)
+        .orderBy(F.col("score_x1e6").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def tfidf_pairs_postings(
+    index,
+    n: int,
+    max_df: int = 100,
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`tfidf_pairs` answered from a materialized postings index -
+    the tf frame IS the index, so the corpus is never re-tokenized: zero
+    document scans and the df/self-join aggregations reuse one exchange of
+    the postings clustered on term (vs 9 shuffles / ~3 corpus scans for
+    the from-scratch plan).  Scores bit-identical (same integer
+    floor-log2 idf, same df cap).
+
+    The tf frame is read ONCE: df derives from the same scan (its
+    groupBy(term) exchange is the one shuffle the tf side reuses for the
+    term join), and the weighted-postings frame `w` keeps term
+    partitioning through the self-join, so only the final pair aggregation
+    adds an exchange."""
+    tf = index.tf_postings(n)
+    df_t = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= F.lit(max_df))
+    )
+    n_docs = index.corpus_stats().select(F.col("n_docs").alias("n"))
+    w = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col).alias("_id"),
+            "term",
+            (F.col("tf") * (F.length(F.bin(F.expr("n div df"))) - 1).cast("long")).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    a = w.select(F.col("_id").alias("id_a"), "term", F.col("w").alias("w_a"))
+    b = w.select(F.col("_id").alias("id_b"), "term", F.col("w").alias("w_b"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+    )
+    return dots.orderBy(F.col("dot").desc(), "id_a", "id_b").limit(k)
+
+
 def tfidf_pairs(
     docs: DataFrame,
     id_col: str,

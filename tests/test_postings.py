@@ -1,0 +1,152 @@
+"""Materialized postings index (operators/postings.py): build-once reads,
+incremental maintenance == full rebuild, and exact equality between the
+index-served retrieval queries and their from-scratch corpus-scan twins —
+the reference's maintained-index contract (KVStoreLocal.scala:195-248:
+update re-indexes, tombstone deindexes; KVStoreIndex.scala:20-66: lookups
+never rescan the primary)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from affinity_spark.operators.postings import PostingsIndex
+from affinity_spark.operators.ranking import (
+    bm25_topk,
+    bm25_topk_postings,
+    tfidf_pairs,
+    tfidf_pairs_postings,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "stream merge vector stream stream"),
+    (3, "vector index lookup with merge semantics"),
+    (4, "the lazy dog sleeps"),
+    (5, "quick brown foxes merge quickly"),
+    (6, "a b a b a b a"),
+]
+
+
+def _docs(spark, rows=DOCS):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    ix = PostingsIndex(spark, str(tmp_path / "pidx"), grams=(1, 2), num_buckets=2)
+    ix.build(_docs(spark))
+    return ix
+
+
+def test_build_derivations_match_model(spark, idx):
+    # positional postings replay the tokenization exactly
+    model = []
+    for did, text in DOCS:
+        for pos, term in enumerate(text.lower().split()):
+            model.append((term, did, pos))
+    assert _rows(idx.positional()) == sorted(model)
+
+    # doclens / corpus stats
+    assert _rows(idx.doclens()) == sorted((d, len(t.split())) for d, t in DOCS)
+    n, l = idx.corpus_stats().collect()[0]
+    assert n == len(DOCS) and l == sum(len(t.split()) for _, t in DOCS)
+
+    # unigram tf derives from positions; df from tf
+    from collections import Counter
+
+    tf_model = Counter()
+    for did, text in DOCS:
+        for term in text.lower().split():
+            tf_model[(term, did)] += 1
+    assert _rows(idx.tf_postings(1)) == sorted(
+        (t, d, c) for (t, d), c in tf_model.items()
+    )
+    df_model = Counter(t for (t, _d) in tf_model)
+    assert _rows(idx.term_stats(1)) == sorted(df_model.items())
+
+    # bigram tf counts are non-distinct real counts
+    bg = Counter()
+    for did, text in DOCS:
+        w = text.lower().split()
+        for i in range(len(w) - 1):
+            bg[(f"{w[i]} {w[i+1]}", did)] += 1
+    assert _rows(idx.tf_postings(2)) == sorted(
+        (t, d, c) for (t, d), c in bg.items()
+    )
+
+
+def test_refresh_matches_full_rebuild(spark, tmp_path, idx):
+    # update doc 2 (terms removed AND added), delete doc 4, add doc 7
+    changed = [(2, "vector stream only now"), (7, "brand new document about streams")]
+    after = [r for r in DOCS if r[0] not in (2, 4)] + changed
+    idx.refresh(_docs(spark, changed), deleted_ids=[4])
+
+    fresh = PostingsIndex(
+        spark, str(tmp_path / "rebuilt"), grams=(1, 2), num_buckets=2
+    )
+    fresh.build(_docs(spark, after))
+
+    assert _rows(idx.positional()) == _rows(fresh.positional())
+    assert _rows(idx.tf_postings(2)) == _rows(fresh.tf_postings(2))
+    assert _rows(idx.doclens()) == _rows(fresh.doclens())
+    # removed terms of an updated doc are really gone (deindex-on-update)
+    assert idx.positional().filter(
+        (F.col("doc_id") == 2) & (F.col("term") == "merge")
+    ).count() == 0
+    assert idx.positional().filter(F.col("doc_id") == 4).count() == 0
+
+
+def test_refresh_delete_only(spark, idx):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx.refresh(empty, deleted_ids=[6])
+    assert idx.positional().filter(F.col("doc_id") == 6).count() == 0
+    assert idx.corpus_stats().collect()[0][0] == len(DOCS) - 1
+
+
+def test_bm25_from_postings_matches_corpus_scan(spark, idx):
+    docs = _docs(spark)
+    terms = ("stream", "merge", "vector")
+    want = _rows(bm25_topk(docs, "doc_id", "text", terms, k=10))
+    got = _rows(bm25_topk_postings(idx, terms, k=10))
+    assert got == want and len(got) > 0
+
+
+def test_tfidf_from_postings_matches_corpus_scan(spark, idx):
+    docs = _docs(spark)
+    want = _rows(tfidf_pairs(docs, "doc_id", "text", max_df=4, k=20, n=2))
+    got = _rows(tfidf_pairs_postings(idx, n=2, max_df=4, k=20))
+    assert got == want and len(got) > 0
+
+
+def test_top_bigram_matches_corpus_scan(spark, idx):
+    from affinity_spark.functions.text import bigram_array, let_bound, tokenize
+
+    docs = _docs(spark)
+    scan = (
+        docs.select(
+            F.explode(let_bound(tokenize(F.col("text")), bigram_array)).alias("bg")
+        )
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("bg"))
+        .limit(1)
+        .collect()[0][0]
+    )
+    assert idx.top_bigram().collect()[0][0] == scan
+
+
+def test_query_plans_never_scan_documents(spark, idx):
+    from affinity_spark.plans.introspect import formatted_plan, pushed_filters
+
+    q = bm25_topk_postings(idx, ("stream", "merge"), k=5)
+    q.collect()
+    plan = formatted_plan(q)
+    # only postings/doclen tables appear; the term filter reaches the scan
+    assert "post1" in plan and "doclen" in plan
+    assert any("term" in p for p in pushed_filters(q))
