@@ -3348,27 +3348,25 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints. Common fingerprints carry no signal in a template-heavy
     corpus (this one's median fp appears in 16 docs), so fps seen in > 3
     docs are dropped first — the df-cutoff MOSS applies, and the guard that
-    keeps the fp-keyed candidate join bounded at corpus scale (join cost is
-    sum over kept fps of df², df <= 3). Two shuffles: the df count and the
-    pair aggregate; the self-join broadcasts nothing hot because hot keys
-    are gone before it."""
+    keeps the fp-keyed candidate work bounded at corpus scale (per-fp pair
+    work <= df²/2, df <= 3).
+
+    Pairs are enumerated MAP-SIDE from per-fp posting lists
+    (``dedup.rare_key_pairs``): collect_list runs only on kept df<=3
+    groups so memory is cap-bounded, and there is no postings self-join.
+    The fingerprint frame is PERSISTED (shared-frame registry) because the
+    df count and the join both consume it — without the persist the gram
+    hashing, the dominant cost (r5 profile: ~7.5 s of the 16.7 s 10x
+    rehearsal, vs ~1 s for all shuffles), runs twice."""
     from affinity_spark.functions.text import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    fps = docs.select(
-        "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
+    fps = _track_cache(
+        docs.select(
+            "doc_id", F.explode(winnow_fingerprints(F.col("text"))).alias("fp")
+        ).persist()
     )
-    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(F.col("df") <= 3)
-    er = fps.join(rare.select("fp"), "fp")
-    a = er.select(F.col("doc_id").alias("id_a"), "fp")
-    b = er.select(F.col("doc_id").alias("id_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
+    return dd.rare_key_pairs(fps, "fp", "doc_id", max_df=3, min_shared=2)
 
 
 _WINNOW_PAIRS_SQL = """

@@ -756,3 +756,61 @@ def containment_pairs(
             | (F.col("cont_b_bp") >= threshold_bp)
         )
     )
+
+
+def rare_key_pairs(
+    keyed: DataFrame,
+    key_col: str,
+    id_col: str,
+    max_df: int,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Candidate pairs of ids sharing >= ``min_shared`` RARE keys
+    (fingerprints, shingles, band hashes): keys held by more than
+    ``max_df`` ids are dropped first — MOSS's df-cutoff, the guard that
+    bounds the pair quadratic at corpus scale.
+
+    Plan shape (the reason this exists instead of the naive
+    df-filter + self-join): pairs are enumerated from per-key posting
+    lists built by a collect_list that is CO-PARTITIONED with the df
+    join (no extra exchange) and runs only on kept groups, so its memory
+    is bounded by ``max_df`` and the per-key pair work by ~max_df²/2.
+    Full-size shuffles: the postings-by-key exchange and the final pair
+    aggregate — the df-count exchange is combiner-shrunk to ~distinct
+    keys by partial aggregation. The self-join shape shuffled the full
+    postings frame two MORE times (each renamed side) and its reducer
+    saw df² rows for any still-hot key.
+
+    ``keyed`` must be unique per (id, key) — dedupe upstream if a key can
+    repeat within one id (winnow fingerprints and distinct shingles
+    already are). Output: (id_a, id_b, n_shared), id_a < id_b.
+    """
+    dfc = keyed.groupBy(key_col).agg(F.count(F.lit(1)).alias("_df"))
+    kept = keyed.join(
+        dfc.filter(F.col("_df") <= max_df).select(key_col), key_col
+    )
+    ids = kept.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.col(id_col))).alias("_ids")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_ids") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("_ids")),
+                lambda j: F.struct(
+                    F.get(F.col("_ids"), i - 1).alias("id_a"),
+                    F.get(F.col("_ids"), j - 1).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        ids.filter(F.size("_ids") >= 2)
+        .select(F.explode(combos).alias("_p"))
+        .select(F.col("_p.id_a").alias("id_a"), F.col("_p.id_b").alias("id_b"))
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_shared))
+    )

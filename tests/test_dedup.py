@@ -233,3 +233,83 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     assert row.cont_b_bp < 2000
     # symmetric Jaccard misses it at the standard threshold
     assert ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).count() == 0
+
+
+def test_rare_key_pairs_matches_self_join(spark):
+    """Map-side pair enumeration == the naive df-filter + self-join, on a
+    boilerplate-heavy corpus (one key shared by MOST docs must be cut by
+    the df cap, several rare keys shared by 2-3 docs must pair)."""
+    from affinity_spark.operators.dedup import rare_key_pairs
+
+    rows = []
+    for d in range(12):
+        rows.append((d, "hot"))           # boilerplate key: df=12, cut
+        rows.append((d, f"solo_{d}"))     # df=1, no pair
+    for d in (1, 2, 3):
+        rows.append((d, "rare_a"))        # df=3, pairs
+    for d in (4, 5):
+        rows.append((d, "rare_b"))        # df=2, pair
+        rows.append((d, "rare_c"))        # second shared key -> n_shared=2
+    keyed = spark.createDataFrame(rows, ["doc_id", "k"])
+
+    got = sorted(
+        tuple(r)
+        for r in rare_key_pairs(keyed, "k", "doc_id", max_df=3).collect()
+    )
+
+    from pyspark.sql import functions as F
+
+    dfc = keyed.groupBy("k").agg(F.count("*").alias("df"))
+    er = keyed.join(dfc.filter(F.col("df") <= 3).select("k"), "k")
+    a = er.select(F.col("doc_id").alias("id_a"), "k")
+    b = er.select(F.col("doc_id").alias("id_b"), "k")
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .collect()
+    )
+    assert got == want
+    assert (1, 2, 1) in got and (4, 5, 2) in got
+    assert not any(p[2] > 3 for p in got)  # hot key never contributes
+
+    # min_shared filter
+    strict = sorted(
+        tuple(r)
+        for r in rare_key_pairs(
+            keyed, "k", "doc_id", max_df=3, min_shared=2
+        ).collect()
+    )
+    assert strict == [p for p in want if p[2] >= 2]
+
+
+def test_rare_key_pairs_plan_shape(spark):
+    """No self-join anywhere; the collect_list pair enumeration is
+    co-partitioned with the df join (no exchange between them); the final
+    plan carries exactly 3 shuffle exchanges (postings-by-key, the
+    combiner-shrunk df count, the pair aggregate)."""
+    import re
+
+    from affinity_spark.operators.dedup import rare_key_pairs
+    from affinity_spark.plans.introspect import executed_plan
+
+    keyed = spark.createDataFrame(
+        [(d, f"k{d % 4}") for d in range(16)], ["doc_id", "k"]
+    )
+    out = rare_key_pairs(keyed, "k", "doc_id", max_df=5)
+    out.collect()
+    final = executed_plan(out).split("== Initial Plan ==")[0]
+    ids = set(
+        re.findall(r"Exchange (?:hash|range|Single)[^\n]*plan_id=(\d+)", final)
+    )
+    assert len(ids) <= 3, final
+    # exactly one join (postings x kept-keys df filter) - never a
+    # postings self-join
+    assert len(re.findall(r"(?:SortMerge|BroadcastHash|ShuffledHash)Join", final)) == 1
+    # the pair lists aggregate co-partitioned with that join: no exchange
+    # between the join and collect_list
+    before_join = final.split("Join", 1)[0]
+    assert "collect_list" in before_join
+    assert "Exchange" not in before_join.split("collect_list", 1)[1]
