@@ -79,12 +79,18 @@ def assign(
 ) -> DataFrame:
     """Map-side nearest-centroid cell per vector (no shuffle): the codebook
     becomes a literal array-of-arrays; argmin over squared distance."""
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    from affinity_spark.functions.text import let_bound
+
+    # ONE nested-array literal: k*dim individual Literal nodes make plan
+    # analysis/codegen, not execution, the dominant cost (r5 profile)
+    cents = F.lit([[float(x) for x in c] for c in centroids])
     v = F.col(vec_col).cast("array<double>")
     dists = F.transform(cents, lambda c: _sq_dist(v, c))
-    cell = F.array_position(dists, F.array_min(dists)) - 1
+    # let-bind the k-centroid distance array: argmin references it twice
+    # (array_position + array_min) and HOFs re-evaluate outer expressions
+    # per reference - unbound this computed k*dim distances TWICE per row
+    # (measured 2x on the sf0.1 assignment scan)
+    cell = let_bound(dists, lambda d: F.array_position(d, F.array_min(d)) - 1)
     return emb.withColumn("cell", cell.cast("int"))
 
 

@@ -26,18 +26,6 @@ from pyspark.sql import functions as F
 from affinity_spark.operators.ivf import train_centroids
 
 
-def _sq_dist_slice(vec, centroid: list[float], start: int):
-    """Squared distance between vec[start:start+len(centroid)] (1-based
-    slice) and a literal centroid."""
-    sub = F.slice(vec, start + 1, len(centroid))
-    cent = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(sub, cent, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def train_pq(
     emb: DataFrame,
     m: int,
@@ -73,12 +61,29 @@ def assign_codes(
     """Map-side PQ encoding: per subspace, the argmin centroid id over the
     literal codebook (first index wins ties — both engines' list-position
     semantics). Output: id + ``code_0..code_{m-1}`` int columns."""
+    from affinity_spark.functions.text import let_bound
+    from affinity_spark.operators.ivf import _sq_dist
+
     vec = F.col(vec_col).cast("array<double>")
     cols = [F.col(id_col)]
     d_sub = len(codebooks[0][0])
     for s, book in enumerate(codebooks):
-        dists = F.array(*[_sq_dist_slice(vec, c, s * d_sub) for c in book])
-        cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"code_{s}"))
+        # ONE nested-array literal per codebook (k*d_sub literal nodes
+        # would otherwise dominate the plan: analysis/codegen of the
+        # thousands-of-Literal tree cost more than executing it - r5
+        # profile: the probed-cell encode was ~1.6 ms/ROW at 501 rows)
+        book_lit = F.lit([[float(x) for x in c] for c in book])
+        sub = F.slice(vec, s * d_sub + 1, d_sub)
+        # let-bound subvector and distance array: HOFs re-evaluate outer
+        # expressions per reference (the repo's HOF re-evaluation trap)
+        code = let_bound(
+            sub,
+            lambda sv: let_bound(
+                F.transform(book_lit, lambda c: _sq_dist(sv, c)),
+                lambda d: F.array_position(d, F.array_min(d)) - 1,
+            ),
+        )
+        cols.append(code.cast("int").alias(f"code_{s}"))
     return emb.select(*cols)
 
 
@@ -97,11 +102,10 @@ def adc_search(
     for s, book in enumerate(codebooks):
         qsub = query[s * d_sub : (s + 1) * d_sub]
         table = [
-            sum((x - y) ** 2 for x, y in zip(qsub, c)) for c in book
+            float(sum((x - y) ** 2 for x, y in zip(qsub, c))) for c in book
         ]
-        lookup = F.element_at(
-            F.array(*[F.lit(float(v)) for v in table]), F.col(f"code_{s}") + 1
-        )
+        # one array literal per subspace table (not k Literal nodes)
+        lookup = F.element_at(F.lit(table), F.col(f"code_{s}") + 1)
         total = lookup if total is None else total + lookup
     return (
         emb_codes.select(F.col(id_col), total.alias("adc_dist"))
