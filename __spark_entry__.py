@@ -1112,6 +1112,116 @@ GROUP BY user_id
 """
 
 
+_DEBOUNCE_INTERVAL_MS = 6 * 3600 * 1000
+
+
+def events_debounce_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 per-key push debounce replayed in batch (the driver-checkable
+    twin of ``streaming/state.py::debounce_stream``, completing the
+    batch-twin set for the stateful operators): per user, emit a row only
+    when >= 6 h passed since the user's LAST EMITTED row, carrying the
+    count of rows suppressed since that emission. The fold depends on the
+    last EMITTED ts (not the previous row), so it is no window function —
+    it runs as ONE engine-side ``aggregate`` over the per-key sorted ts
+    array (``debounce_replay``): one shuffle, integer ms arithmetic, the
+    same (last, pending) state per key the streaming operator checkpoints.
+    Streaming/batch equivalence on a shared changelog is pinned by
+    tests/test_streaming_batch_twins.py."""
+    from affinity_spark.streaming.state import debounce_replay
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis(F.col("ts")).alias("ts_ms")
+    )
+    return debounce_replay(ev, "user_id", "ts_ms", _DEBOUNCE_INTERVAL_MS)
+
+
+def _debounce_state_sql() -> str:
+    # greedy emission sequence via recursive CTE (per-user chain of
+    # "next ts >= last_emitted + interval"); the suppressed count for an
+    # emission is the rows in [prev_emit, this_emit) minus the emitted
+    # prev row itself.  (A list_reduce fold would mirror the Spark
+    # aggregate directly, but DuckDB 1.0's list_reduce corrupts
+    # list-valued struct fields in the accumulator - probed in r5.)
+    i = _DEBOUNCE_INTERVAL_MS
+    nxt = (
+        "(SELECT min(e.ts_ms) FROM e "
+        f"WHERE e.user_id = em.user_id AND e.ts_ms >= em.ts_ms + {i})"
+    )
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
+),
+em(user_id, ts_ms) AS (
+  SELECT user_id, min(ts_ms) FROM e GROUP BY user_id
+  UNION ALL
+  SELECT em.user_id, {nxt} FROM em WHERE {nxt} IS NOT NULL
+),
+w AS (
+  SELECT user_id, ts_ms,
+         lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) AS prev
+  FROM em
+)
+SELECT w.user_id, w.ts_ms,
+       CASE WHEN w.prev IS NULL THEN CAST(0 AS BIGINT)
+            ELSE (SELECT CAST(count(*) AS BIGINT) - 1 FROM e
+                  WHERE e.user_id = w.user_id
+                    AND e.ts_ms >= w.prev AND e.ts_ms < w.ts_ms)
+       END AS suppressed_before
+FROM w
+"""
+
+
+def docs_online_lsh_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup bucket state replayed in batch (the
+    driver-checkable twin of
+    ``streaming/dedup_stream.py::streaming_near_dup_candidates``): the
+    corpus arrives in doc-id order, each LSH band bucket stores its first
+    1024 members, and an arriving doc emits one row PER SHARED BAND BUCKET
+    for every stored earlier member whose exact Jaccard >= 1/2 — exactly
+    the streaming operator's per-band emission cadence before the caller's
+    sink-side collapse. Jaccard is emitted as integer basis points (the
+    no-float-hash rule). Streaming/batch equivalence on a shared changelog
+    is pinned by tests/test_streaming_batch_twins.py."""
+    from affinity_spark.streaming.dedup_stream import online_lsh_replay
+
+    docs = _t(spark, sf_dir, "documents")
+    return online_lsh_replay(docs, "doc_id", "text", 3)
+
+
+def _online_lsh_state_sql() -> str:
+    return f"""
+WITH {_duck_shingles_cte(3)},
+{_duck_lsh_bands_cte()},
+ranked AS (
+  SELECT doc_id, band_id, band_hash,
+         row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) AS rk
+  FROM bands
+),
+bp AS (
+  SELECT a.doc_id AS dup_of, b.doc_id AS doc_id
+  FROM ranked a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  WHERE a.rk <= 1024
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM h GROUP BY doc_id),
+common AS (
+  SELECT p.dup_of, p.doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM (SELECT DISTINCT dup_of, doc_id FROM bp) p
+  JOIN h x ON x.doc_id = p.dup_of
+  JOIN h y ON y.doc_id = p.doc_id AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT bp.doc_id, bp.dup_of,
+       (c.n_common * 10000) // (sa.nsh + sb.nsh - c.n_common) AS jacc_bp
+FROM bp
+JOIN common c ON c.dup_of = bp.dup_of AND c.doc_id = bp.doc_id
+JOIN sizes sa ON sa.doc_id = bp.dup_of
+JOIN sizes sb ON sb.doc_id = bp.doc_id
+WHERE 2 * c.n_common >= (sa.nsh + sb.nsh - c.n_common)
+"""
+
+
 def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact discrete quantiles (p50/p90/p99 of value, in cents) per
     event_type by RANK SELECTION: the value at 1-based sorted position
@@ -2090,12 +2200,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2)
 
 
-def _duck_lsh_cand_cte() -> str:
-    """DuckDB CTEs reproducing the LSH candidate pipeline over a prior
-    ``h(doc_id, shingle, h0)`` CTE: sig → bands → cand(id_a, id_b).
+def _duck_lsh_bands_cte() -> str:
+    """DuckDB CTEs reproducing the LSH banding over a prior
+    ``h(doc_id, shingle, h0)`` CTE: sig → bands(doc_id, band_id, band_hash).
 
     Same md5-derived h0, LCG permutation constants and band hashing as the
-    Spark side, so candidate sets are bit-identical across engines.
+    Spark side, so band buckets are bit-identical across engines.
     """
     sig_cols = ",\n       ".join(
         f"min(({a} * h0 + {b}) % {dd.MINHASH_P}) AS sig_{i}"
@@ -2113,7 +2223,13 @@ def _duck_lsh_cand_cte() -> str:
     )
     return f"""
 sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
-bands AS ({band_selects}),
+bands AS ({band_selects})"""
+
+
+def _duck_lsh_cand_cte() -> str:
+    """:func:`_duck_lsh_bands_cte` + the distinct candidate-pair join:
+    cand(id_a, id_b)."""
+    return f"""{_duck_lsh_bands_cte()},
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b
@@ -5703,6 +5819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2-latest blocks; r3-green queries freshest-last.
     return {
         "q1_pricing_summary": q1_pricing_summary,
+        # round-5 additions (never driver-checked) directly after flagship
+        "events_debounce_state": events_debounce_state,
+        "docs_online_lsh_state": docs_online_lsh_state,
         "events_update_pairs": events_update_pairs,
         "events_latest_n_state": events_latest_n_state,
         "docs_repeated_windows": docs_repeated_windows,
@@ -5844,6 +5963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": _Q1_SQL,
+        "events_debounce_state": _debounce_state_sql(),
+        "docs_online_lsh_state": _online_lsh_state_sql(),
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,

@@ -121,3 +121,67 @@ def streaming_near_dup_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def online_lsh_replay(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    max_bucket_members: int = 1024,
+) -> DataFrame:
+    """Batch replay of :func:`streaming_near_dup_candidates`'s band-state
+    contract — the driver-checkable twin: given the whole corpus arriving
+    in id order, emit the same (doc_id, dup_of) candidate rows the
+    streaming bucket state would emit, one row PER SHARED BAND BUCKET
+    (the streaming operator checks each of a doc's bands independently;
+    the caller collapses duplicates behind the sink boundary).
+
+    Contract points replicated exactly:
+    - arrival order = id order, so ``dup_of < doc_id``;
+    - a bucket stores only its first ``max_bucket_members`` arrivals
+      (row_number per bucket over id order) — later arrivals still emit
+      their own matches but are never anyone's ``dup_of``;
+    - exact Jaccard >= t_num/t_den over distinct shingle sets.
+
+    Jaccard is emitted as integer basis points (``jacc_bp`` = floor of
+    n_common*10000/n_union) — the cross-engine-exact projection of the
+    stream's double (the repo's no-float-hash rule).
+    """
+    from pyspark.sql import Window
+
+    arrs = doc_shingle_arrays(docs, id_col, text_col, n)
+    bands = lsh_bands_mapside(arrs, id_col, keep_cols=("shingles", "n_shingles"))
+    keys = ["band_id", "band_hash"]
+    rk = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
+    )
+    ranked = bands.withColumn("_rk", rk)
+    stored = ranked.filter(F.col("_rk") <= max_bucket_members).select(
+        *keys,
+        F.col(id_col).alias("dup_of"),
+        F.col("shingles").alias("_sh_a"),
+        F.col("n_shingles").alias("_n_a"),
+    )
+    arriving = ranked.select(
+        *keys,
+        F.col(id_col).alias("doc_id"),
+        F.col("shingles").alias("_sh_b"),
+        F.col("n_shingles").alias("_n_b"),
+    )
+    joined = (
+        stored.join(arriving, keys)
+        .filter(F.col("dup_of") < F.col("doc_id"))
+        .withColumn("_common", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long"))
+        .withColumn("_union", F.col("_n_a") + F.col("_n_b") - F.col("_common"))
+    )
+    return (
+        joined.filter(F.lit(t_den) * F.col("_common") >= F.lit(t_num) * F.col("_union"))
+        .select(
+            "doc_id",
+            "dup_of",
+            F.expr("(_common * 10000) div _union").alias("jacc_bp"),
+        )
+    )

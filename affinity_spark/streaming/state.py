@@ -240,3 +240,77 @@ def get_and_update_stream(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+def debounce_replay(
+    df: DataFrame,
+    key_col: str,
+    ts_ms_col: str,
+    min_interval_ms: int,
+) -> DataFrame:
+    """Batch replay of :func:`debounce_stream`'s emission contract — the
+    driver-checkable twin (same pattern as the W5/W6 and X6 twins): given
+    the full changelog at once, emit exactly the rows the streaming
+    operator would have emitted, with the same suppressed-run accounting.
+
+    The per-key emission fold (emit iff ``ts >= last_emitted + interval``,
+    suppressed count riding on the next emission) is NOT a window
+    function — each decision depends on the last EMITTED ts, not the
+    previous row — so it runs as one engine-side ``aggregate`` over the
+    per-key sorted ts array: one shuffle (the per-key collect), integer
+    arithmetic only, state the same one (last, pending) pair per key the
+    streaming operator keeps. Per-key array size = key's event count, the
+    exact payload the streaming state would have replayed through it.
+
+    Output: (key, ts_ms, suppressed_before) — identical column contract to
+    the stream. Ties on ts collapse identically (the first of an equal-ts
+    run emits; which physical row "is" the emitted one is unobservable in
+    this projection).
+    """
+    from pyspark.sql import functions as F
+
+    out_t = "array<struct<ts_ms:bigint,suppressed_before:bigint>>"
+    init = F.struct(
+        F.lit(-1).cast("long").alias("last"),
+        F.lit(0).cast("long").alias("pending"),
+        F.lit(None).cast(out_t).alias("out"),
+    )
+
+    def step(acc, t):
+        emitted = F.struct(
+            t.alias("last"),
+            F.lit(0).cast("long").alias("pending"),
+            F.concat(
+                F.coalesce(acc["out"], F.array().cast(out_t)),
+                F.array(
+                    F.struct(
+                        t.alias("ts_ms"),
+                        acc["pending"].alias("suppressed_before"),
+                    )
+                ),
+            ).alias("out"),
+        )
+        suppressed = F.struct(
+            acc["last"].alias("last"),
+            (acc["pending"] + 1).alias("pending"),
+            acc["out"].alias("out"),
+        )
+        return F.when(
+            (acc["last"] == -1) | (t >= acc["last"] + F.lit(min_interval_ms)),
+            emitted,
+        ).otherwise(suppressed)
+
+    folded = (
+        df.select(F.col(key_col), F.col(ts_ms_col).cast("long").alias("_ts"))
+        .groupBy(key_col)
+        .agg(F.array_sort(F.collect_list("_ts")).alias("_a"))
+        .select(
+            key_col,
+            F.aggregate("_a", init, step, lambda acc: acc["out"]).alias("_out"),
+        )
+    )
+    return folded.select(key_col, F.explode("_out").alias("_e")).select(
+        key_col,
+        F.col("_e.ts_ms").alias("ts_ms"),
+        F.col("_e.suppressed_before").alias("suppressed_before"),
+    )

@@ -166,3 +166,125 @@ def test_latest_n_stream_final_state_matches_batch_twin(spark, tmp_path):
         ).collect()
     }
     assert batch == {k: tuple(buf) for k, buf in rings.items()}
+
+
+def test_debounce_stream_matches_batch_replay(spark, tmp_path):
+    """The T7 debounce twin: the same per-key ts changelog fed one event
+    per micro-batch through debounce_stream and replayed through
+    debounce_replay must emit identical (key, ts_ms, suppressed_before)
+    rows — including the suppressed-run count riding on the NEXT emission
+    across batch boundaries."""
+    from affinity_spark.streaming.state import debounce_replay, debounce_stream
+
+    interval = 100
+    # key a: emit@1000, suppress 1050/1090, emit@1100 (sup=2), emit@1300
+    # key b: single row; key c: all within one window after the first
+    ticks = [
+        ("a", 1000), ("a", 1050), ("a", 1090), ("a", 1100), ("a", 1300),
+        ("b", 500),
+        ("c", 2000), ("c", 2010), ("c", 2020),
+    ]
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+    for i, (k, t) in enumerate(ticks):
+        tmp = os.path.join(src, f".d{i}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"k": k, "ts": t}) + "\n")
+        dest = os.path.join(src, f"d{i}.json")
+        os.rename(tmp, dest)
+        os.utime(dest, (base + i, base + i))
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("ts", LongType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        debounce_stream(stream, "k", "ts", interval)
+        .writeStream.format("memory")
+        .queryName("twin_debounce")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            (r.k, r.ts_ms, r.suppressed_before)
+            for r in spark.sql("select * from twin_debounce").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(ticks, "k string, ts long")
+    batch = {
+        tuple(r) for r in debounce_replay(batch_df, "k", "ts", interval).collect()
+    }
+    assert streamed == batch
+    assert ("a", 1100, 2) in batch      # suppressed run rode the next emission
+    assert ("a", 1300, 0) in batch
+    assert ("b", 500, 0) in batch       # first row per key always emits
+    assert ("c", 2000, 0) in batch and len([r for r in batch if r[0] == "c"]) == 1
+
+
+def test_online_lsh_stream_matches_batch_replay(spark, tmp_path):
+    """The streaming near-dup bucket state twin: docs arriving one per
+    micro-batch in id order emit the same per-band candidate rows as the
+    batch replay over the whole corpus (jaccard compared in floored basis
+    points to keep the comparison float-free)."""
+    from affinity_spark.streaming.dedup_stream import (
+        online_lsh_replay,
+        streaming_near_dup_candidates,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "one two three four five six seven eight"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (5, "totally different words everywhere here now then"),
+    ]
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+    for i, (did, text) in enumerate(docs):
+        tmp = os.path.join(src, f".l{i}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+        dest = os.path.join(src, f"l{i}.json")
+        os.rename(tmp, dest)
+        os.utime(dest, (base + i, base + i))
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        streaming_near_dup_candidates(stream, "doc_id", "text", n=3, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("twin_lsh")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = sorted(
+            (r.doc_id, r.dup_of, int(r.jaccard * 10000 + 1e-9))
+            for r in spark.sql("select * from twin_lsh").collect()
+        )
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = sorted(
+        tuple(r)
+        for r in online_lsh_replay(batch_df, "doc_id", "text", 3).collect()
+    )
+    assert streamed == batch
+    assert (4, 1, 10000) in batch  # the exact dup matches in every band
+    assert any(d == 2 and o == 1 for d, o, _ in batch)  # near-dup found
