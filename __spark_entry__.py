@@ -5812,65 +5812,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's time-budgeted CORRECTNESS pass (~50 rows),
-    # strictly by driver-evidence age: 1) flagship; 2-11) round-4
-    # additions (never driver-checked); 12-13) docs_bpe_segment and
-    # emb_hard_negatives, whose ORACLES changed this round (the BPE row
-    # was never green — err no_oracle in r1-r3); then the r1-latest and
-    # r2-latest blocks; r3-green queries freshest-last.
+    # strictly by driver-evidence age: 1) flagship; 2-3) round-5
+    # additions (never driver-checked); then the 87 queries with no
+    # r4-data driver row (oldest evidence first, prior relative order
+    # kept); the 49 CORRECTNESS_r04-green queries freshest-last.
     return {
         "q1_pricing_summary": q1_pricing_summary,
-        # round-5 additions (never driver-checked) directly after flagship
         "events_debounce_state": events_debounce_state,
         "docs_online_lsh_state": docs_online_lsh_state,
-        "events_update_pairs": events_update_pairs,
-        "events_latest_n_state": events_latest_n_state,
-        "docs_repeated_windows": docs_repeated_windows,
-        "docs_tfidf_pairs": docs_tfidf_pairs,
-        "events_dd_quantiles": events_dd_quantiles,
-        "events_heavy_hitters": events_heavy_hitters,
-        "dedup_lsh_recall": dedup_lsh_recall,
-        "emb_int8_quantize": emb_int8_quantize,
-        "dedup_containment": dedup_containment,
-        "docs_dsir_sample": docs_dsir_sample,
-        "docs_bpe_segment": docs_bpe_segment,
-        "emb_hard_negatives": emb_hard_negatives,
-        "asof_last_order_before_event": asof_last_order_before_event,
-        "orders_rollup": orders_rollup,
-        "orders_range_join": orders_range_join,
-        "events_changelog_apply": events_changelog_apply,
-        "docs_blob_metadata": docs_blob_metadata,
-        "docs_feature_stub": docs_feature_stub,
-        "events_json_extract": events_json_extract,
-        "events_xml_decode": events_xml_decode,
-        "events_uuid_codec": events_uuid_codec,
-        "events_timelog": events_timelog,
-        "join_enrich_events": join_enrich_events,
-        "mktsegment_revenue": mktsegment_revenue,
-        "set_ops_customers": set_ops_customers,
-        "scatter_gather_totals": scatter_gather_totals,
-        "distinct_event_types": distinct_event_types,
-        "index_word_lookup": index_word_lookup,
-        "word_count": word_count,
-        "text_token_count": text_token_count,
-        "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
-        "dedup_exact_groups": dedup_exact_groups,
-        "pipeline_clean_corpus": pipeline_clean_corpus,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_simhash": dedup_simhash,
-        "emb_knn_brute": emb_knn_brute,
-        "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
-        "emb_lsh_buckets": emb_lsh_buckets,
-        "emb_ivf_assign": emb_ivf_assign,
-        "mktsegment_revenue_salted": mktsegment_revenue_salted,
-        "graph_components": graph_components,
-        "custom_gather_agg": custom_gather_agg,
-        "orders_cube": orders_cube,
-        "docs_media_decode": docs_media_decode,
-        "emb_ivf_search": emb_ivf_search,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
         "docs_train_split": docs_train_split,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_pack_sequences": docs_pack_sequences,
@@ -5958,6 +5907,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topn_per_key": events_topn_per_key,
         "events_num_keys": events_num_keys,
         "orders_auto_increment": orders_auto_increment,
+        "events_update_pairs": events_update_pairs,
+        "events_latest_n_state": events_latest_n_state,
+        "docs_repeated_windows": docs_repeated_windows,
+        "docs_tfidf_pairs": docs_tfidf_pairs,
+        "events_dd_quantiles": events_dd_quantiles,
+        "events_heavy_hitters": events_heavy_hitters,
+        "dedup_lsh_recall": dedup_lsh_recall,
+        "emb_int8_quantize": emb_int8_quantize,
+        "dedup_containment": dedup_containment,
+        "docs_dsir_sample": docs_dsir_sample,
+        "docs_bpe_segment": docs_bpe_segment,
+        "emb_hard_negatives": emb_hard_negatives,
+        "asof_last_order_before_event": asof_last_order_before_event,
+        "orders_rollup": orders_rollup,
+        "orders_range_join": orders_range_join,
+        "events_changelog_apply": events_changelog_apply,
+        "docs_blob_metadata": docs_blob_metadata,
+        "docs_feature_stub": docs_feature_stub,
+        "events_json_extract": events_json_extract,
+        "events_xml_decode": events_xml_decode,
+        "events_uuid_codec": events_uuid_codec,
+        "events_timelog": events_timelog,
+        "join_enrich_events": join_enrich_events,
+        "mktsegment_revenue": mktsegment_revenue,
+        "set_ops_customers": set_ops_customers,
+        "scatter_gather_totals": scatter_gather_totals,
+        "distinct_event_types": distinct_event_types,
+        "index_word_lookup": index_word_lookup,
+        "word_count": word_count,
+        "text_token_count": text_token_count,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact_groups": dedup_exact_groups,
+        "pipeline_clean_corpus": pipeline_clean_corpus,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_simhash": dedup_simhash,
+        "emb_knn_brute": emb_knn_brute,
+        "emb_cosine_pairs_bucketed": emb_cosine_pairs_bucketed,
+        "emb_lsh_buckets": emb_lsh_buckets,
+        "emb_ivf_assign": emb_ivf_assign,
+        "mktsegment_revenue_salted": mktsegment_revenue_salted,
+        "graph_components": graph_components,
+        "custom_gather_agg": custom_gather_agg,
+        "orders_cube": orders_cube,
+        "docs_media_decode": docs_media_decode,
+        "emb_ivf_search": emb_ivf_search,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
     }
 
 def oracle_sql() -> dict[str, str]:
