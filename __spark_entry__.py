@@ -1171,6 +1171,43 @@ FROM w
 """
 
 
+def docs_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 index-build evidence, checked DIRECTLY (not through a consumer
+    query): the 20 highest-df unigram terms with document frequency and
+    total term frequency, computed ENTIRELY from the materialized postings
+    index (``operators/postings.py``) — df and tf derive from the
+    positional table, the documents corpus is never rescanned. The oracle
+    recomputes the same statistics from raw text, so a drifted or stale
+    index build fails loudly here before it skews bm25/tfidf/phrase."""
+    idx = _postings(spark, sf_dir)
+    return (
+        idx.tf_postings(1)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_POSTINGS_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM g
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 20
+"""
+
+
 def docs_online_lsh_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup bucket state replayed in batch (the
     driver-checkable twin of
@@ -5820,6 +5857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "events_debounce_state": events_debounce_state,
         "docs_online_lsh_state": docs_online_lsh_state,
+        "docs_postings_stats": docs_postings_stats,
         "docs_train_split": docs_train_split,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_pack_sequences": docs_pack_sequences,
@@ -5963,6 +6001,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": _Q1_SQL,
         "events_debounce_state": _debounce_state_sql(),
         "docs_online_lsh_state": _online_lsh_state_sql(),
+        "docs_postings_stats": _POSTINGS_STATS_SQL,
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,

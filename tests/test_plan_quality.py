@@ -265,3 +265,43 @@ def test_winnow_pair_join_capped(spark):
     assert n_exchanges(df) <= 3
     plan = executed_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_retrieval_family_reads_postings_not_documents(spark):
+    """The r5 maintained-index contract: bm25 / tfidf / phrase plans must
+    contain ZERO scans of the documents table (all corpus statistics come
+    from the materialized postings KeyedTables), tfidf within 5
+    postings-sized FINAL-plan shuffles (was 9 with ~3 corpus scans), and
+    the bm25 query-term filter pushed into the postings scan.
+
+    Shuffles are counted on the final AQE plan section only: the
+    plan-string's Initial Plan section carries superseded exchange ids
+    whose count varies with session partitioning."""
+    import re
+
+    from affinity_spark.plans.introspect import executed_plan, formatted_plan
+
+    def final_exchanges(df) -> int:
+        final = executed_plan(df).split("== Initial Plan ==")[0]
+        return len(
+            set(
+                re.findall(
+                    r"Exchange (?:hash|range|Single)[^\n]*plan_id=(\d+)", final
+                )
+            )
+        )
+
+    for q, budget in (
+        ("docs_tfidf_pairs", 5),
+        ("docs_bm25_search", 5),
+        ("docs_phrase_search", 5),
+    ):
+        df = getattr(e, q)(spark, SF)
+        df.collect()
+        plan = formatted_plan(df)
+        assert "documents.parquet" not in plan, q
+        assert final_exchanges(df) <= budget, (q, final_exchanges(df))
+
+    bm25 = e.docs_bm25_search(spark, SF)
+    bm25.collect()
+    assert any("term" in p for p in pushed_filters(bm25))

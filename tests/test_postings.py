@@ -150,3 +150,63 @@ def test_query_plans_never_scan_documents(spark, idx):
     # only postings/doclen tables appear; the term filter reaches the scan
     assert "post1" in plan and "doclen" in plan
     assert any("term" in p for p in pushed_filters(q))
+
+
+def test_streaming_foreachbatch_maintenance_matches_rebuild(spark, tmp_path):
+    """X1 change-listener maintenance: a docs changelog STREAM drives
+    PostingsIndex.refresh from foreachBatch (update re-indexes, text=NULL
+    tombstone deindexes — KVStoreLocal.scala:195-248), and the maintained
+    index equals a fresh rebuild on the post-change corpus."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ix = PostingsIndex(spark, str(tmp_path / "m"), grams=(1,), num_buckets=2)
+    ix.build(_docs(spark))
+
+    changes = [
+        {"doc_id": 2, "text": "rewritten stream document"},   # update
+        {"doc_id": 9, "text": "a brand new late arrival"},    # insert
+        {"doc_id": 4, "text": None},                          # tombstone
+    ]
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    for i, ch in enumerate(changes):
+        tmp = os.path.join(src, f".c{i}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(ch) + "\n")
+        dest = os.path.join(src, f"c{i}.json")
+        os.rename(tmp, dest)
+        os.utime(dest, (1_700_000_000 + i,) * 2)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def maintain(batch_df, batch_id):
+        dels = [r.doc_id for r in batch_df.filter("text IS NULL").collect()]
+        ups = batch_df.filter("text IS NOT NULL")
+        ix.refresh(ups, deleted_ids=dels)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    after = [r for r in DOCS if r[0] not in (2, 4)] + [
+        (2, "rewritten stream document"),
+        (9, "a brand new late arrival"),
+    ]
+    fresh = PostingsIndex(spark, str(tmp_path / "rb"), grams=(1,), num_buckets=2)
+    fresh.build(_docs(spark, after))
+    assert _rows(ix.positional()) == _rows(fresh.positional())
+    assert _rows(ix.doclens()) == _rows(fresh.doclens())
