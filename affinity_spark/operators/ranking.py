@@ -112,6 +112,12 @@ def bm25_topk_postings(
     back; the hits frame (docs containing >= 1 query term - the only rows
     that can score > 0, exactly the rows `bm25_topk` keeps) broadcasts
     into the doclen join; top-k stays TakeOrderedAndProject.
+
+    The broadcast hint assumes query terms with bounded posting lists
+    (retrieval queries are selective by construction - a corpus-majority
+    term scores ~0 under idf anyway). If a caller must score a stopword
+    term over a 100 TB corpus, drop the hint and let AQE pick the
+    doc_id-shuffled join; results are identical.
     """
     term_list = list(terms)
     hits = index.tf_postings(1).filter(F.col("term").isin(term_list))

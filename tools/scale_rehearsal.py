@@ -62,6 +62,10 @@ DEFAULT_QUERIES = [
     "docs_lm_bits",
     "docs_chunk_overlap",
     "word_count",
+    # index-served retrieval (r5: materialized postings; first call per
+    # corpus pays the one-scan index build, best-of-2 keeps the query path)
+    "docs_tfidf_pairs",
+    "docs_bm25_search",
     # iterative graph + sketches over events
     "graph_components",
     "events_cms_counts",
