@@ -2361,6 +2361,96 @@ FROM comp JOIN csize USING (cluster_id)
 """
 
 
+def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split — the leakage-free form of
+    ``docs_train_split``: hash-splitting raw doc ids puts near-duplicate
+    pairs on both sides of the train/eval boundary (the classic
+    contamination bug benchmark papers keep re-finding), so the split key
+    here is the near-dup CLUSTER id (LSH candidates → exact-Jaccard
+    verify → connected components; singletons are their own cluster).
+    Every member of a cluster lands in the same split BY CONSTRUCTION
+    (split is a pure function of cluster_id), and the assignment stays
+    stable as the corpus grows — same md5 bucket bounds as train_split.
+
+    Scale shape: identical to dedup_cluster_canonical (zero-shuffle
+    signatures, candidate-sized verify, lineage-cut CC) plus one
+    broadcast-sized left join of the cluster map back onto doc ids."""
+    from affinity_spark.operators.graph import connected_components
+    from affinity_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
+    pairs = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "vertex", "doc_id"
+    )
+    lab = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+        )
+    )
+    b = hash_bucket(F.col("cluster_id"))
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 900, F.lit("train"))
+        .when(b < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _leakage_free_split_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_shingles_cte(3)},
+{_duck_lsh_cand_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+walk AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT w.v, e.b AS r FROM walk w JOIN edges e ON e.a = w.r
+),
+comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY v),
+lab AS (
+  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000 AS bucket
+  FROM lab
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= 1/2 via the inverted shingle index."""
     docs = _t(spark, sf_dir, "documents")
@@ -5858,6 +5948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_debounce_state": events_debounce_state,
         "docs_online_lsh_state": docs_online_lsh_state,
         "docs_postings_stats": docs_postings_stats,
+        "docs_leakage_free_split": docs_leakage_free_split,
         "docs_train_split": docs_train_split,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_pack_sequences": docs_pack_sequences,
@@ -6002,6 +6093,7 @@ def oracle_sql() -> dict[str, str]:
         "events_debounce_state": _debounce_state_sql(),
         "docs_online_lsh_state": _online_lsh_state_sql(),
         "docs_postings_stats": _POSTINGS_STATS_SQL,
+        "docs_leakage_free_split": _leakage_free_split_sql(),
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,

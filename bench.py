@@ -208,6 +208,14 @@ def _run(sf_dir: str) -> dict:
 
     timings = time_set(HEADLINE)
     extended = time_set(EXTENDED)
+    # r5: the retrieval family (docs_phrase_search here; bm25/tfidf in the
+    # registry) reads the materialized postings index. Build it ONCE and
+    # report the build as its own metric — a deployment maintains the
+    # index incrementally; folding a full build into one query's time
+    # would misstate both the build and the query.
+    t0 = time.perf_counter()
+    entrymod._postings(spark, sf_dir)
+    index_build_sec = round(time.perf_counter() - t0, 3)
     r3 = time_set(R3_SET)
     write_path = _write_path_bench(spark, sf_dir)
 
@@ -222,6 +230,7 @@ def _run(sf_dir: str) -> dict:
         "extended": extended,
         "r3_total": round(sum(r3.values()), 3),
         "r3": r3,
+        "postings_index_build_sec": index_build_sec,
         "write_path": write_path,
     }
 

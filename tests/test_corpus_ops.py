@@ -81,3 +81,42 @@ def test_hash_bucket_matches_duckdb_formula(spark):
         for i in ids
     }
     assert got == want
+
+
+def test_leakage_free_split_invariant(spark):
+    """No near-dup cluster may straddle a split boundary, and singleton
+    docs get exactly the split raw train_split would give them."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    lab = e.docs_leakage_free_split(spark, "/root/testdata/sf0.001")
+    lab = lab.persist()
+    try:
+        spans = (
+            lab.groupBy("cluster_id")
+            .agg(F.count_distinct("split").alias("n_splits"))
+            .filter(F.col("n_splits") > 1)
+            .count()
+        )
+        assert spans == 0
+        # at least one real multi-doc cluster exists, else the test is vacuous
+        assert (
+            lab.groupBy("cluster_id").count().filter(F.col("count") > 1).count() > 0
+        )
+        # singletons: cluster_id == doc_id -> same bucket rule as train_split
+        from affinity_spark.operators.sampling import train_split
+
+        singles = (
+            lab.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.first("doc_id").alias("doc_id"))
+            .filter((F.col("n") == 1) & (F.col("cluster_id") == F.col("doc_id")))
+            .select("doc_id")
+        )
+        raw = train_split(
+            e._t(spark, "/root/testdata/sf0.001", "documents").select("doc_id"),
+            "doc_id",
+        ).select("doc_id", F.col("split").alias("raw_split"))
+        joined = lab.join(singles, "doc_id").join(raw, "doc_id")
+        assert joined.filter(F.col("split") != F.col("raw_split")).count() == 0
+    finally:
+        lab.unpersist()
