@@ -3138,6 +3138,87 @@ LIMIT 10
 """
 
 
+def emb_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF ANN read — many queries in one pass (the online-serving
+    and hard-negative-mining shape; ``emb_ivf_search`` is the single-query
+    probe). The 4 lowest-id vectors each probe their nprobe=2 nearest of
+    the 8 seed cells; the exploded (query, cell) probe set broadcasts into
+    ONE join against the assigned corpus (only probed cells scanned —
+    partition-pruned at scale), and per-query top-5 rides a rank window
+    (WindowGroupLimit, never a global sort). Similarity in floored basis
+    points, rank long — float-free hash."""
+    from affinity_spark.operators.ivf import assign, batch_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    assigned = assign(emb, seeds)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = batch_search(assigned, seeds, qs, k=5, nprobe=2)
+    return out.select(
+        "qid",
+        "vec_id",
+        F.floor(F.col("cosine") * 10000).cast("long").alias("cos_bp"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+_BATCH_SEARCH_SQL = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, s.cell,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(range(1, len(s.cv) + 1),
+               i -> (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                  * (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) ASC,
+             s.cell ASC) AS rn
+    FROM qs q CROSS JOIN seeds s
+  ) WHERE rn <= 2
+),
+assigned AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, s.cell, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE)))) ASC,
+             s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM assigned a
+  JOIN probes p ON a.cell = p.cell
+  JOIN qs q ON q.qid = p.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id,
+       CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup PAIRS (hamming <= 3) via pigeonhole bucketing:
     the 32-bit fingerprint splits into 4 chunks, any pair within radius 3
@@ -5949,6 +6030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_online_lsh_state": docs_online_lsh_state,
         "docs_postings_stats": docs_postings_stats,
         "docs_leakage_free_split": docs_leakage_free_split,
+        "emb_batch_search": emb_batch_search,
         "docs_train_split": docs_train_split,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_pack_sequences": docs_pack_sequences,
@@ -6094,6 +6176,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_online_lsh_state": _online_lsh_state_sql(),
         "docs_postings_stats": _POSTINGS_STATS_SQL,
         "docs_leakage_free_split": _leakage_free_split_sql(),
+        "emb_batch_search": _BATCH_SEARCH_SQL,
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,

@@ -124,3 +124,74 @@ def search(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def batch_search(
+    emb_assigned: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched ANN read: MANY query vectors at once — the online-serving /
+    retrieval-training shape (:func:`search` is the single-query probe).
+
+    Spark-first plan, one pass over the probed cells regardless of query
+    count:
+    - each query's ``nprobe`` nearest cells are computed MAP-SIDE on the
+      (small) queries frame against the literal codebook — ties break on
+      cell id, the argsort is a let-bound struct array_sort;
+    - the exploded (query, cell) probe set BROADCASTS into a join with the
+      assigned corpus on ``cell`` — only probed cells are scanned (cell is
+      the partition column at scale, so unprobed partitions are pruned),
+      and each corpus row is scored once per query that probes its cell;
+    - per-query top-k rides a rank window (WindowGroupLimit: per-partition
+      heads, never a global sort).
+
+    Returns (qid, id, cosine, rnk), rnk 1..k per query, NULL-norm
+    candidates dropped (ANSI-safe cosine yields NULL there).
+    """
+    from affinity_spark.functions.text import let_bound
+    from pyspark.sql import Window
+
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+    qv = F.col(qvec_col).cast("array<double>")
+    dists = F.transform(cents, lambda c: _sq_dist(qv, c))
+    ranked_cells = let_bound(
+        dists,
+        lambda d: F.slice(
+            F.array_sort(
+                F.zip_with(
+                    d,
+                    F.sequence(F.lit(0), F.size(d) - 1),
+                    lambda dd, i: F.struct(dd.alias("d"), i.alias("c")),
+                )
+            ),
+            1,
+            nprobe,
+        ),
+    )
+    probes = queries.select(
+        F.col(qid_col),
+        qv.alias("_qv"),
+        F.explode(F.transform(ranked_cells, lambda s: s["c"])).alias("cell"),
+    )
+    scored = (
+        emb_assigned.join(F.broadcast(probes), "cell")
+        .select(
+            F.col(qid_col),
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), F.col("_qv")).alias("cosine"),
+        )
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

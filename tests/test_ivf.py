@@ -97,3 +97,47 @@ def test_training_survives_wide_dims(spark):
     assert len(cents) == 4 and all(len(c) == dim for c in cents)
     assigned = assign(emb, cents)
     assert assigned.count() == n
+
+
+def test_batch_search_matches_per_query_search(spark):
+    """batch_search over N queries == N single-query search() calls (same
+    probes, same candidates, same order), and the plan is one broadcast
+    join + a rank window — no per-query scans, no global sort."""
+    from pyspark.sql import functions as F
+
+    from affinity_spark.operators.ivf import assign, batch_search, search
+    from affinity_spark.plans.introspect import executed_plan
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(64)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = [v for _, v in rows[:4]]
+    assigned = assign(emb, seeds)
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r.qid, r.rnk): (r.vec_id, round(r.cosine, 9))
+        for r in batch_search(assigned, seeds, qs, k=5, nprobe=2).collect()
+    }
+
+    want = {}
+    for qid, qvec in [(r.vec_id, list(r.embedding)) for r in qs
+                      .select(F.col("qid").alias("vec_id"), F.col("qvec").alias("embedding"))
+                      .collect()]:
+        res = search(assigned, seeds, qvec, 5, nprobe=2).collect()
+        for rnk, r in enumerate(res, start=1):
+            want[(qid, rnk)] = (r.vec_id, round(r.cosine, 9))
+    assert got == want and len(got) == 15
+
+    out = batch_search(assigned, seeds, qs, k=5, nprobe=2)
+    out.collect()
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
