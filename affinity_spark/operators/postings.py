@@ -95,9 +95,13 @@ class PostingsIndex:
     def _tokenized(self, docs: DataFrame) -> DataFrame:
         from affinity_spark.functions.text import tokenize
 
-        return docs.select(
-            F.col(self.id_col), tokenize(F.col(self.text_col)).alias("_toks")
+        # NULL text tokenizes to NULL, which would poison doclen (size of
+        # NULL is NULL) and silently drop the doc from postings while
+        # keeping it in doclen - normalize to the empty document instead
+        toks = F.coalesce(
+            tokenize(F.col(self.text_col)), F.array().cast("array<string>")
         )
+        return docs.select(F.col(self.id_col), toks.alias("_toks"))
 
     def _doclen_delta(self, toks: DataFrame) -> DataFrame:
         return toks.select(
@@ -135,7 +139,13 @@ class PostingsIndex:
     ) -> None:
         """Incremental MERGE: re-index only ``changed_docs`` (updated OR
         newly added), drop ``deleted_ids``.  Matches a full rebuild on the
-        post-change corpus exactly (pinned by tests/test_incremental_index.py).
+        post-change corpus exactly (pinned by tests/test_postings.py).
+
+        ``changed_docs`` must carry ONE row per doc id — a changelog batch
+        with several versions of a doc must be compacted to the latest
+        first (``operators.kv.compact_latest``), exactly as the primary
+        table's foreachBatch MERGE does; two rows for one id would index
+        both versions' postings side by side.
         """
         toks = self._tokenized(changed_docs).persist()
         try:

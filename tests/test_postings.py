@@ -210,3 +210,17 @@ def test_streaming_foreachbatch_maintenance_matches_rebuild(spark, tmp_path):
     fresh.build(_docs(spark, after))
     assert _rows(ix.positional()) == _rows(fresh.positional())
     assert _rows(ix.doclens()) == _rows(fresh.doclens())
+
+
+def test_null_text_doc_is_empty_not_poisoned(spark, tmp_path):
+    """A NULL-text doc must behave as the empty document: present in
+    doclen with dl=0, absent from postings — not a NULL dl that poisons
+    corpus stats."""
+    rows = [(1, "one two"), (2, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ix = PostingsIndex(spark, str(tmp_path / "n"), grams=(1,), num_buckets=2)
+    ix.build(docs)
+    assert _rows(ix.doclens()) == [(1, 2), (2, 0)]
+    assert ix.positional().filter(F.col("doc_id") == 2).count() == 0
+    n, l = ix.corpus_stats().collect()[0]
+    assert (n, l) == (2, 2)
