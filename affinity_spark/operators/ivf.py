@@ -113,7 +113,7 @@ def search(
 
     order = sorted(range(len(centroids)), key=lambda i: sqd(centroids[i], query))
     probes = order[:nprobe]
-    qcol = F.array(*[F.lit(float(x)) for x in query])
+    qcol = F.lit([float(x) for x in query])  # one literal node
     return (
         emb_assigned.filter(F.col("cell").isin(probes))
         .select(

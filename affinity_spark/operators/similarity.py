@@ -46,7 +46,7 @@ def knn_to_query(
         qcol: Column = F.col("_qvec")
     else:
         joined = emb
-        qcol = F.array(*[F.lit(float(x)) for x in query])
+        qcol = F.lit([float(x) for x in query])  # one literal node
     scored = joined.select(
         F.col(id_col),
         cosine_similarity(F.col(vec_col), qcol).alias("cosine_raw"),
@@ -192,7 +192,9 @@ def lsh_hyperplane_buckets(
     planes = _hyperplanes(dim, nbits)
     bucket = F.lit(0)
     for j, plane in enumerate(planes):
-        pcol = F.array(*[F.lit(float(x)) for x in plane])
+        # one array literal per plane, not dim Literal nodes (plan-compile
+        # cost dominates execution for big literal trees - r5 profile)
+        pcol = F.lit([float(x) for x in plane])
         bucket = bucket + F.when(dot(F.col(vec_col), pcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return emb.select(
         F.col(id_col), F.col(vec_col), *[F.col(c) for c in keep_cols],
