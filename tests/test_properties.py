@@ -332,3 +332,88 @@ def test_repeated_windows_matches_python_model(spark, texts):
             seen[fp] = seen.get(fp, 0) + 1
     want = {fp: n for fp, n in seen.items() if n >= 2}
     assert got == want
+
+
+# --- r5: debounce_replay vs the python emission fold -------------------------
+
+debounce_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # key — collisions
+        st.integers(min_value=0, max_value=40),   # ts — small domain, ties
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(rows=debounce_rows, interval=st.integers(min_value=1, max_value=12))
+@SLOW
+def test_debounce_replay_matches_python_fold(spark, rows, interval):
+    from affinity_spark.streaming.state import debounce_replay
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, ts long")
+    got = sorted(
+        tuple(r) for r in debounce_replay(df, "k", "ts", interval).collect()
+    )
+
+    model = []
+    bykey: dict[int, list[int]] = {}
+    for k, t in rows:
+        bykey.setdefault(k, []).append(t)
+    for k, ts in bykey.items():
+        last, pending = None, 0
+        for t in sorted(ts):
+            if last is None or t >= last + interval:
+                model.append((k, t, pending))
+                last, pending = t, 0
+            else:
+                pending += 1
+    assert got == sorted(model)
+
+
+# --- r5: rare_key_pairs vs the python pair model ------------------------------
+
+keyed_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),   # id
+        st.integers(min_value=0, max_value=5),   # key — hot keys likely
+    ),
+    min_size=0,
+    max_size=24,
+).map(lambda rows: sorted(set(rows)))  # unique per (id, key) — the contract
+
+
+@given(rows=keyed_rows, cap=st.integers(min_value=1, max_value=6),
+       min_shared=st.integers(min_value=1, max_value=3))
+@SLOW
+def test_rare_key_pairs_matches_python_model(spark, rows, cap, min_shared):
+    from collections import Counter
+
+    from affinity_spark.operators.dedup import rare_key_pairs
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, k string" if False else "doc_id long, k long")
+    got = sorted(
+        tuple(r)
+        for r in rare_key_pairs(df, "k", "doc_id", max_df=cap, min_shared=min_shared).collect()
+    )
+
+    dfc = Counter(k for _, k in rows)
+    pairs = Counter()
+    bykey: dict[int, list[int]] = {}
+    for i, k in rows:
+        bykey.setdefault(k, []).append(i)
+    for k, ids in bykey.items():
+        if dfc[k] > cap:
+            continue
+        ids = sorted(ids)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                pairs[(ids[x], ids[y])] += 1
+    model = sorted(
+        (a, b, n) for (a, b), n in pairs.items() if n >= min_shared
+    )
+    assert got == model
