@@ -141,3 +141,39 @@ def test_batch_search_matches_per_query_search(spark):
     assert "BroadcastHashJoin" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cell_partitioned_layout_prunes_unprobed_cells(spark, tmp_path):
+    """The scale claim behind every IVF read ("cell is a partition column,
+    unprobed cells are never scanned") pinned physically: assigned vectors
+    written partitionBy(cell), a probe filter must reach the scan as a
+    PartitionFilter and the scan must list only the probed cells' files."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from affinity_spark.operators.ivf import assign
+    from affinity_spark.plans.introspect import formatted_plan
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(256)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = [v for _, v in rows[:8]]
+    out = str(tmp_path / "cells")
+    assign(emb, seeds).write.partitionBy("cell").parquet(out)
+
+    probed = spark.read.parquet(out).filter(F.col("cell").isin([0, 3]))
+    probed.collect()
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # the file listing really excluded unprobed cells
+    n_probed = probed.count()
+    per_cell = {
+        r.cell: r.n
+        for r in spark.read.parquet(out).groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert n_probed == per_cell.get(0, 0) + per_cell.get(3, 0)
+    assert 0 < n_probed < sum(per_cell.values())
