@@ -2466,6 +2466,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_verify_arrays(pairs, arrs, "doc_id", 1, 2)
 
 
+def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs Jaccard >= 1/2 via PREFIX FILTERING (PPJoin family,
+    Xiao et al. 2008): only each doc's |x| - ceil(|x|/2) + 1 globally
+    rarest shingles are indexed, plus the length-band filter — the
+    candidate join touches a fraction of the postings while the result
+    stays bit-identical to the exhaustive inverted-shingle join. The
+    oracle IS that exhaustive join, so a prefix bug that drops a true
+    pair hash-fails (false-negative detection, not just shape). Same
+    output contract as ``dedup_ngram_jaccard``."""
+    docs = _t(spark, sf_dir, "documents")
+    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
+    return dd.ppjoin_pairs(arrs, "doc_id", 1, 2)
+
+
 def _ngram_jaccard_oracle_sql() -> str:
     return f"""
 WITH {_duck_shingles_cte(3)},
@@ -6031,6 +6045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_postings_stats": docs_postings_stats,
         "docs_leakage_free_split": docs_leakage_free_split,
         "emb_batch_search": emb_batch_search,
+        "dedup_ppjoin_pairs": dedup_ppjoin_pairs,
         "docs_train_split": docs_train_split,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_pack_sequences": docs_pack_sequences,
@@ -6177,6 +6192,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_postings_stats": _POSTINGS_STATS_SQL,
         "docs_leakage_free_split": _leakage_free_split_sql(),
         "emb_batch_search": _BATCH_SEARCH_SQL,
+        "dedup_ppjoin_pairs": _ngram_jaccard_oracle_sql(),
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,

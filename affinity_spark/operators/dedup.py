@@ -814,3 +814,74 @@ def rare_key_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(min_shared))
     )
+
+
+def ppjoin_pairs(
+    docs_arr: DataFrame,
+    id_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= t_num/t_den via prefix filtering (the
+    PPJoin family, Xiao et al. 2008, public) — same output as the full
+    inverted-shingle join (``ngram_jaccard`` shape), a fraction of the
+    candidate work.
+
+    The pruning theorems (both exactness-preserving):
+    - LENGTH filter: J(x,y) >= t implies t·max(|x|,|y|) <= min(|x|,|y|);
+      pairs outside the band never reach the verify.
+    - PREFIX filter: order every doc's shingles by ONE global total order
+      (document frequency ascending, then shingle text — rarest first
+      maximizes pruning); if J(x,y) >= t, the first
+      |x| - ceil(t·|x|) + 1 shingles of x and of y must intersect. Only
+      those prefixes are indexed, so the candidate join touches
+      ~(1 - t)·postings instead of all of them, and rare-first ordering
+      makes the indexed shingles the most selective ones.
+
+    Candidates then pay the exact verify (``jaccard_verify_arrays``), so
+    the result is bit-identical to the exhaustive join — the DuckDB
+    oracle for this operator IS the exhaustive join, which hash-fails on
+    any dropped true pair (false-negative detection, not just shape).
+
+    ``docs_arr`` is the (id, shingles, n_shingles) frame from
+    :func:`doc_shingle_arrays`. Integer threshold arithmetic throughout.
+    """
+    from pyspark.sql import Window
+
+    sh = docs_arr.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    ranked = (
+        sh.join(dfc, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    sized = ranked.join(
+        docs_arr.select(F.col(id_col), F.col("n_shingles").alias("_n")), id_col
+    )
+    # prefix length = n - ceil(t*n) + 1, integer ceil = (a + b - 1) div b
+    prefix = sized.filter(
+        F.col("_rn")
+        <= F.col("_n")
+        - F.expr(f"({t_num} * _n + {t_den} - 1) div {t_den}")
+        + F.lit(1)
+    )
+    a = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("_n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("_n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: t * max <= min, else J < t with no verify needed
+        .filter(
+            F.lit(t_den) * F.least("n_a", "n_b")
+            >= F.lit(t_num) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_verify_arrays(cand, docs_arr, id_col, t_num, t_den)

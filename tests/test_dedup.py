@@ -313,3 +313,61 @@ def test_rare_key_pairs_plan_shape(spark):
     before_join = final.split("Join", 1)[0]
     assert "collect_list" in before_join
     assert "Exchange" not in before_join.split("collect_list", 1)[1]
+
+
+def test_ppjoin_exact_with_fewer_candidates(spark):
+    """PPJoin == the exhaustive inverted-shingle join (bit-identical
+    pairs), while the prefix index holds strictly fewer postings and the
+    candidate join emits strictly fewer pairs — the point of the
+    algorithm. Corpus built so near-dups, a contained doc, and unrelated
+    docs all appear."""
+    from pyspark.sql import functions as F
+
+    from affinity_spark.operators.dedup import (
+        doc_shingle_arrays,
+        jaccard_verify_arrays,
+        ppjoin_pairs,
+        shingle_table,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tonight"),                      # near-dup of 1
+            (3, "completely different words in this document here now"),
+            (4, base.replace("quick", "rapid")),          # near-dup of 1
+            (5, "one two three four five six seven eight nine ten"),
+            (6, "one two three four five six seven eight nine eleven"),
+        ],
+        ["doc_id", "text"],
+    )
+    arrs = doc_shingle_arrays(docs, "doc_id", "text", 3)
+
+    got = sorted(tuple(r) for r in ppjoin_pairs(arrs, "doc_id", 1, 2).collect())
+
+    sh = shingle_table(docs, "doc_id", "text", 3).select("doc_id", "shingle")
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    full_cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    want = sorted(
+        tuple(r)
+        for r in jaccard_verify_arrays(full_cand, arrs, "doc_id", 1, 2).collect()
+    )
+    assert got == want and len(got) >= 2
+
+    # the prune is real: prefix postings < full postings
+    n_full = sh.count()
+    total = arrs.agg(
+        F.sum(
+            F.col("n_shingles")
+            - F.expr("(n_shingles + 1) div 2")
+            + F.lit(1)
+        )
+    ).collect()[0][0]
+    assert total < n_full
