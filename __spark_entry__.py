@@ -1171,6 +1171,53 @@ FROM w
 """
 
 
+def docs_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/k proximity search from the materialized positional index
+    (the slop relaxation of phrase search): docs where the corpus's top
+    bigram's two words co-occur within 5 positions in either order, with
+    the pair count. Data-derived terms keep the query regeneration-proof;
+    the whole query reads only the postings index — per-term
+    partition-pruned scans and a posting-list-sized position join."""
+    from affinity_spark.operators.index import proximity_lookup
+
+    idx = _postings(spark, sf_dir)
+    top = idx.top_bigram()
+    w1 = top.select(F.split(F.col("phrase"), " ").getItem(0))
+    w2 = top.select(F.split(F.col("phrase"), " ").getItem(1))
+    near = proximity_lookup(idx.positional(), w1, w2, 5, ["doc_id"])
+    return near.crossJoin(F.broadcast(top)).select("doc_id", "phrase", "n_near")
+
+
+_PROXIMITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS bg
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+),
+top AS (
+  SELECT bg AS phrase,
+         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM bg GROUP BY bg ORDER BY count(*) DESC, bg LIMIT 1
+),
+pos AS (
+  SELECT doc_id, i AS p, toks[i] AS term
+  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+m AS (
+  SELECT a.doc_id, top.phrase, CAST(count(*) AS BIGINT) AS n_near
+  FROM top, pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.term = top.w1 AND b.term = top.w2
+    AND abs(a.p - b.p) <= 5 AND a.p <> b.p
+  GROUP BY a.doc_id, top.phrase
+)
+SELECT doc_id, phrase, n_near FROM m
+"""
+
+
 def docs_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 index-build evidence, checked DIRECTLY (not through a consumer
     query): the 20 highest-df unigram terms with document frequency and
@@ -6046,6 +6093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_leakage_free_split": docs_leakage_free_split,
         "emb_batch_search": emb_batch_search,
         "dedup_ppjoin_pairs": dedup_ppjoin_pairs,
+        "docs_proximity_search": docs_proximity_search,
         "docs_train_split": docs_train_split,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_pack_sequences": docs_pack_sequences,
@@ -6193,6 +6241,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_leakage_free_split": _leakage_free_split_sql(),
         "emb_batch_search": _BATCH_SEARCH_SQL,
         "dedup_ppjoin_pairs": _ngram_jaccard_oracle_sql(),
+        "docs_proximity_search": _PROXIMITY_SQL,
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,

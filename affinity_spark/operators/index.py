@@ -154,3 +154,41 @@ def delete_by_index(
         .distinct()
     )
     return primary_df.join(keys, on=list(key_cols), how="left_anti")
+
+
+def proximity_lookup(
+    pos_index: DataFrame,
+    term_a: object,
+    term_b: object,
+    max_gap: int,
+    key_cols: Sequence[str],
+    index_col: str = "term",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Proximity (slop) match from the positional index: keys where
+    ``term_a`` and ``term_b`` co-occur within ``max_gap`` positions (either
+    order), with the number of such position pairs — the relaxation of
+    :func:`phrase_lookup` every search surface grows next (NEAR/k).
+
+    ``term_a``/``term_b`` are literals or 1-row single-column DataFrames
+    (data-derived terms stay engine-side). Each term's postings are
+    filtered from the index (partition-pruned when stored by term); the
+    alignment is a per-key position join bounded by posting-list sizes —
+    a range predicate on integers, never a corpus scan.
+    """
+
+    def hits(term, alias):
+        if isinstance(term, DataFrame):
+            w = F.broadcast(term.toDF("_t"))
+            got = pos_index.join(w, pos_index[index_col] == w["_t"], "inner")
+        else:
+            got = pos_index.filter(F.col(index_col) == F.lit(term))
+        return got.select(*key_cols, F.col(pos_col).alias(alias))
+
+    a = hits(term_a, "_pa")
+    b = hits(term_b, "_pb")
+    pairs = a.join(b, list(key_cols)).filter(
+        (F.abs(F.col("_pa") - F.col("_pb")) <= F.lit(max_gap))
+        & (F.col("_pa") != F.col("_pb"))
+    )
+    return pairs.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_near"))

@@ -50,3 +50,29 @@ def test_phrase_lookup_dataframe_terms_is_broadcast(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert {(r.doc_id, r.n_matches) for r in res.collect()} == {(1, 1), (2, 1)}
+
+
+def test_proximity_lookup_counts_and_order_invariance(spark):
+    """NEAR/k matching from the positional index: pairs within the gap in
+    EITHER order count; same-position self-pairs never do; out-of-gap
+    co-occurrence is excluded."""
+    from pyspark.sql import functions as F
+
+    from affinity_spark.operators.index import build_positional_index, proximity_lookup
+    from affinity_spark.functions.text import tokenize
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x beta"),              # gap 2 -> match
+            (2, "beta x x x x x alpha"),      # gap 6, reversed -> no match at 5
+            (3, "alpha beta alpha"),          # two pairs within gap
+            (4, "alpha only here"),           # single term -> no pair
+        ],
+        ["doc_id", "text"],
+    )
+    pidx = build_positional_index(docs, ["doc_id"], tokenize(F.col("text")))
+    got = {
+        r.doc_id: r.n_near
+        for r in proximity_lookup(pidx, "alpha", "beta", 5, ["doc_id"]).collect()
+    }
+    assert got == {1: 1, 3: 2}
