@@ -1218,6 +1218,57 @@ SELECT doc_id, phrase, n_near FROM m
 """
 
 
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word collocations by integer PMI from the positional postings index
+    (Church & Hanks 1990): ordered pairs within a 2-token window, support
+    >= 5, scored floor_log2(16·n_ab·U²/(n_a·n_b·P)) — independence reads 4,
+    each doubling of association +1 — the repo's floor-log2
+    fixed point, bit-exact in any engine. Pair generation is an offset
+    equi-join on (doc, pos+d), postings-LINEAR, never per-doc quadratic;
+    the corpus is never re-tokenized. Tokenizer/embedding diagnostics —
+    which adjacent words glue together — straight off the index."""
+    from affinity_spark.operators.ranking import pmi_collocations
+
+    return pmi_collocations(_postings(spark, sf_dir), window=2, min_count=5, k=30)
+
+
+_PMI_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS p, toks[i] AS term
+  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY term),
+pr AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n_ab
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS u FROM uni),
+tp AS (SELECT CAST(sum(n_ab) AS BIGINT) AS np FROM pr),
+scored AS (
+  SELECT w1, w2, n_ab,
+         CAST(length(bin((16 * n_ab * u * u) // (na.n * nb.n * np))) - 1 AS BIGINT)
+           AS pmi_log2_x16
+  FROM pr
+  JOIN uni na ON na.term = pr.w1
+  JOIN uni nb ON nb.term = pr.w2
+  CROSS JOIN tot CROSS JOIN tp
+  WHERE n_ab >= 5
+)
+SELECT w1, w2, n_ab, pmi_log2_x16
+FROM scored
+WHERE pmi_log2_x16 > 0
+ORDER BY pmi_log2_x16 DESC, n_ab DESC, w1, w2
+LIMIT 30
+"""
+
+
 def docs_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 index-build evidence, checked DIRECTLY (not through a consumer
     query): the 20 highest-df unigram terms with document frequency and
@@ -6094,6 +6145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_batch_search": emb_batch_search,
         "dedup_ppjoin_pairs": dedup_ppjoin_pairs,
         "docs_proximity_search": docs_proximity_search,
+        "docs_pmi_collocations": docs_pmi_collocations,
         "docs_train_split": docs_train_split,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_pack_sequences": docs_pack_sequences,
@@ -6242,6 +6294,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_batch_search": _BATCH_SEARCH_SQL,
         "dedup_ppjoin_pairs": _ngram_jaccard_oracle_sql(),
         "docs_proximity_search": _PROXIMITY_SQL,
+        "docs_pmi_collocations": _PMI_SQL,
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,

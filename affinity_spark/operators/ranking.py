@@ -272,3 +272,79 @@ def tfidf_pairs(
         .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
     )
     return dots.orderBy(F.col("dot").desc(), "id_a", "id_b").limit(k)
+
+
+def pmi_collocations(
+    index,
+    window: int = 5,
+    min_count: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k word collocations by pointwise mutual information, computed
+    ENTIRELY from the positional postings index — the corpus-analysis
+    companion of the retrieval family (collocation mining for tokenizer /
+    embedding diagnostics; Church & Hanks 1990, public).
+
+    Pair counts come from an equi-join of the positional table against
+    itself shifted by d=1..window (explode the offsets, join on
+    (doc, pos+d)): postings-LINEAR work (|postings| * window output),
+    never per-doc quadratic. Ordered pairs (a before b), distance <=
+    window.
+
+    PMI is the repo's integer floor-log2 fixed point so any engine
+    reproduces it bit-for-bit:
+
+        pmi_log2_x16 = floor_log2( (16 * n_ab * U * U) div (n_a * n_b * P) )
+
+    (the x16 fixed-point shift keeps moderately-associated pairs above
+    the integer floor: a pair at ratio 1/16 scores 0, independence
+    scores 4, each doubling of association adds 1)
+
+    with U = total unigram postings, P = total pair observations; pairs
+    whose shifted ratio floors to zero drop out (the integer PMI is the
+    association cut). Ties: (pmi desc, n_ab desc, w1, w2). ``min_count``
+    is the standard support floor against one-off pairs.
+    """
+    pos = index.positional()
+    uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    a = pos.select(
+        F.col(id_col), F.col("pos"), F.col("term").alias("w1")
+    ).crossJoin(F.broadcast(
+        pos.sparkSession.range(1, window + 1).select(F.col("id").alias("_d"))
+    )).select(id_col, (F.col("pos") + F.col("_d")).alias("pos"), "w1")
+    b = pos.select(F.col(id_col), "pos", F.col("term").alias("w2"))
+    from affinity_spark import cache
+
+    # pair counts persist (vocab²-bounded aggregate output): both the
+    # normalizer P (which must be the PRE-filter total, or every PMI
+    # shifts by the same bias) and the supported-pair frame consume it
+    pairs_all = cache.track(
+        a.join(b, [id_col, "pos"])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .persist()
+    )
+    pairs = pairs_all.filter(F.col("n_ab") >= F.lit(min_count))
+    totals = uni.agg(F.sum("n").alias("_u"))
+    n_pairs = pairs_all.agg(F.sum("n_ab").alias("_p"))
+    na = uni.select(F.col("term").alias("w1"), F.col("n").alias("n_a"))
+    nb = uni.select(F.col("term").alias("w2"), F.col("n").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "w1")
+        .join(F.broadcast(nb), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_pairs))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                F.length(F.bin(F.expr("(16 * n_ab * _u * _u) div (n_a * n_b * _p)"))) - 1
+            ).cast("long").alias("pmi_log2_x16"),
+        )
+        .filter(F.col("pmi_log2_x16") > 0)
+    )
+    return scored.orderBy(
+        F.desc("pmi_log2_x16"), F.desc("n_ab"), F.asc("w1"), F.asc("w2")
+    ).limit(k)
