@@ -1218,6 +1218,73 @@ SELECT doc_id, phrase, n_near FROM m
 """
 
 
+def docs_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition drift monitor: the 20 terms whose usage RATE
+    diverges most between two sources ('src0' vs 'src1' — the
+    lexicographically-first pair, regeneration-stable), with both rates in
+    integer parts-per-billion and a support floor of 20 total occurrences.
+    The between-crawl drift check a corpus pipeline runs before mixing a
+    new snapshot into training data. Term counts come from the postings
+    index joined to the doc→source map; rates are integer ppb
+    (c·10⁹ div N, overflow-safe at any corpus size), so the ranking is
+    engine-exact."""
+    idx = _postings(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    tf = idx.tf_postings(1).join(
+        F.broadcast(docs.filter(F.col("source").isin("src0", "src1"))), "doc_id"
+    )
+    per = tf.groupBy("term", "source").agg(F.sum("tf").alias("c"))
+    tot = per.groupBy("source").agg(F.sum("c").alias("n"))
+    wide = per.groupBy("term").agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("c")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", F.col("c")).otherwise(0)).alias("c1"),
+    )
+    totals = tot.groupBy().pivot("source", ["src0", "src1"]).sum("n")
+    wide = (
+        wide.crossJoin(F.broadcast(totals.select(F.col("src0").alias("n0"), F.col("src1").alias("n1"))))
+        .filter(F.col("c0") + F.col("c1") >= 20)
+        .select(
+            "term",
+            "c0",
+            "c1",
+            F.expr("(c0 * 1000000000) div n0").alias("rate0_ppb"),
+            F.expr("(c1 * 1000000000) div n1").alias("rate1_ppb"),
+            F.abs(
+                F.expr("(c0 * 1000000000) div n0") - F.expr("(c1 * 1000000000) div n1")
+            ).alias("drift_ppb"),
+        )
+    )
+    return wide.orderBy(F.desc("drift_ppb"), F.asc("term")).limit(20)
+
+
+_SOURCE_DRIFT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+e AS (SELECT source, unnest(toks) AS term FROM t),
+per AS (SELECT term, source, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY source),
+wide AS (
+  SELECT term,
+         CAST(coalesce(sum(CASE WHEN source = 'src0' THEN c END), 0) AS BIGINT) AS c0,
+         CAST(coalesce(sum(CASE WHEN source = 'src1' THEN c END), 0) AS BIGINT) AS c1
+  FROM per GROUP BY term
+),
+n0 AS (SELECT n FROM tot WHERE source = 'src0'),
+n1 AS (SELECT n FROM tot WHERE source = 'src1')
+SELECT term, c0, c1,
+       (c0 * 1000000000) // n0.n AS rate0_ppb,
+       (c1 * 1000000000) // n1.n AS rate1_ppb,
+       abs((c0 * 1000000000) // n0.n - (c1 * 1000000000) // n1.n) AS drift_ppb
+FROM wide CROSS JOIN n0 CROSS JOIN n1
+WHERE c0 + c1 >= 20
+ORDER BY drift_ppb DESC, term
+LIMIT 20
+"""
+
+
 def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word collocations by integer PMI from the positional postings index
     (Church & Hanks 1990): ordered pairs within a 2-token window, support
@@ -6146,6 +6213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ppjoin_pairs": dedup_ppjoin_pairs,
         "docs_proximity_search": docs_proximity_search,
         "docs_pmi_collocations": docs_pmi_collocations,
+        "docs_source_drift": docs_source_drift,
         "docs_train_split": docs_train_split,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_pack_sequences": docs_pack_sequences,
@@ -6295,6 +6363,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ppjoin_pairs": _ngram_jaccard_oracle_sql(),
         "docs_proximity_search": _PROXIMITY_SQL,
         "docs_pmi_collocations": _PMI_SQL,
+        "docs_source_drift": _SOURCE_DRIFT_SQL,
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,
