@@ -89,6 +89,9 @@ def test_no_two_oracles_share_the_same_sql():
     EQUIVALENT = {
         ("mktsegment_revenue", "mktsegment_revenue_salted"),   # salting is plan-only
         ("events_compact_latest", "events_changelog_apply"),   # apply ≡ compaction
+        # PPJoin's exactness CLAIM is that prefix filtering returns the
+        # exhaustive join's result — sharing that oracle IS the gate
+        ("dedup_ngram_jaccard", "dedup_ppjoin_pairs"),
     }
     o = entrymod.oracle_sql()
     by_sql = {}
