@@ -81,6 +81,25 @@ R3_SET = [
 ]
 
 
+# Round-5 surface (maintained postings index + new dedup/ANN/corpus ops),
+# timed as a fourth set so earlier totals stay anchor-comparable. The
+# shared index is built before this set runs (postings_index_build_sec).
+R5_SET = [
+    "docs_bm25_search",
+    "docs_tfidf_pairs",
+    "docs_postings_stats",
+    "docs_proximity_search",
+    "docs_pmi_collocations",
+    "docs_source_drift",
+    "dedup_ppjoin_pairs",
+    "dedup_winnow_pairs",
+    "emb_batch_search",
+    "events_debounce_state",
+    "docs_online_lsh_state",
+    "docs_leakage_free_split",
+]
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -217,6 +236,7 @@ def _run(sf_dir: str) -> dict:
     entrymod._postings(spark, sf_dir)
     index_build_sec = round(time.perf_counter() - t0, 3)
     r3 = time_set(R3_SET)
+    r5 = time_set(R5_SET)
     write_path = _write_path_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -230,6 +250,8 @@ def _run(sf_dir: str) -> dict:
         "extended": extended,
         "r3_total": round(sum(r3.values()), 3),
         "r3": r3,
+        "r5_total": round(sum(r5.values()), 3),
+        "r5": r5,
         "postings_index_build_sec": index_build_sec,
         "write_path": write_path,
     }

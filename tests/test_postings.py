@@ -224,3 +224,31 @@ def test_null_text_doc_is_empty_not_poisoned(spark, tmp_path):
     assert ix.positional().filter(F.col("doc_id") == 2).count() == 0
     n, l = ix.corpus_stats().collect()[0]
     assert (n, l) == (2, 2)
+
+
+def test_refresh_cas_detects_racing_writer(spark, tmp_path):
+    """refresh() captures its base version and CAS-commits: a writer that
+    lands between the capture and the commit must make refresh raise
+    ConcurrentWriteError (loud loser), never silently drop the race."""
+    import pytest as _pytest
+
+    from affinity_spark.sources.keyed_table import ConcurrentWriteError
+
+    ix = PostingsIndex(spark, str(tmp_path / "cas"), grams=(1,), num_buckets=2)
+    ix.build(_docs(spark))
+
+    # simulate the racer: bump the doclen table AFTER refresh captured its
+    # base, by monkeypatching the merge read path to sneak a commit in
+    real_read = ix._doclen.read
+
+    def read_then_race():
+        df = real_read()
+        # racer commits a new version of the SAME table before our commit
+        ix._doclen.overwrite(real_read())
+        ix._doclen.read = real_read  # only race once
+        return df
+
+    ix._doclen.read = read_then_race
+    changed = _docs(spark, [(2, "changed text")])
+    with _pytest.raises(ConcurrentWriteError):
+        ix.refresh(changed)
