@@ -1218,6 +1218,60 @@ SELECT doc_id, phrase, n_near FROM m
 """
 
 
+def docs_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's trigram shingles that
+    appear in NO other document (integer basis points) — the duplication
+    profile corpus reports publish (high novelty = unique prose, low =
+    boilerplate/template; the doc-level complement of the dedup tiers).
+    One shingle-df aggregate + one per-doc aggregate, both postings-sized;
+    df==1 shingles are by construction unique to their doc, so the join
+    back is exact, not approximate."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingle_table(docs, "doc_id", "text", 3).select("doc_id", "shingle")
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per = (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.expr("(n_unique * 10000) div n_shingles").alias("novelty_bp"),
+    )
+
+
+_NOVELTY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+dfc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+per AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM sh JOIN dfc USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_unique,
+       (n_unique * 10000) // n_shingles AS novelty_bp
+FROM per
+"""
+
+
 def docs_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-composition drift monitor: the 20 terms whose usage RATE
     diverges most between two sources ('src0' vs 'src1' — the
@@ -6214,6 +6268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_proximity_search": docs_proximity_search,
         "docs_pmi_collocations": docs_pmi_collocations,
         "docs_source_drift": docs_source_drift,
+        "docs_novelty_score": docs_novelty_score,
         "docs_train_split": docs_train_split,
         "docs_stratified_sample": docs_stratified_sample,
         "docs_pack_sequences": docs_pack_sequences,
@@ -6364,6 +6419,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_proximity_search": _PROXIMITY_SQL,
         "docs_pmi_collocations": _PMI_SQL,
         "docs_source_drift": _SOURCE_DRIFT_SQL,
+        "docs_novelty_score": _NOVELTY_SQL,
         "q3_top_unshipped": _Q3_SQL,
         "q5_nation_revenue": _Q5_SQL,
         "q6_forecast_revenue": _Q6_SQL,
