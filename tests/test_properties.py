@@ -417,3 +417,59 @@ def test_rare_key_pairs_matches_python_model(spark, rows, cap, min_shared):
         (a, b, n) for (a, b), n in pairs.items() if n >= min_shared
     )
     assert got == model
+
+
+# --- r5: ppjoin prefix filtering vs the exhaustive join, any threshold -------
+
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=0,
+        max_size=10,
+    ).map(" ".join),
+    min_size=2,
+    max_size=8,
+)
+
+thresholds = st.sampled_from([(1, 3), (1, 2), (2, 3), (3, 4), (1, 1)])
+
+
+@given(texts=doc_texts, t=thresholds)
+@SLOW
+def test_ppjoin_matches_exhaustive_at_any_threshold(spark, texts, t):
+    """The prefix-length formula |x| - ceil(t|x|) + 1 and the length-band
+    filter must be exact for EVERY threshold, not just the oracle's 1/2 —
+    tiny vocab + short docs force heavy shingle sharing, boundary sizes
+    and J == t ties."""
+    from pyspark.sql import functions as F
+
+    from affinity_spark.operators.dedup import (
+        doc_shingle_arrays,
+        jaccard_verify_arrays,
+        ppjoin_pairs,
+        shingle_table,
+    )
+
+    t_num, t_den = t
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], ["doc_id", "text"]
+    )
+    arrs = doc_shingle_arrays(docs, "doc_id", "text", 2)
+    got = sorted(
+        tuple(r) for r in ppjoin_pairs(arrs, "doc_id", t_num, t_den).collect()
+    )
+
+    sh = shingle_table(docs, "doc_id", "text", 2).select("doc_id", "shingle")
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    want = sorted(
+        tuple(r)
+        for r in jaccard_verify_arrays(cand, arrs, "doc_id", t_num, t_den).collect()
+    )
+    assert got == want
