@@ -827,7 +827,7 @@ def ppjoin_pairs(
     inverted-shingle join (``ngram_jaccard`` shape), a fraction of the
     candidate work.
 
-    The pruning theorems (both exactness-preserving):
+    The pruning theorems (all exactness-preserving):
     - LENGTH filter: J(x,y) >= t implies t·max(|x|,|y|) <= min(|x|,|y|);
       pairs outside the band never reach the verify.
     - PREFIX filter: order every doc's shingles by ONE global total order
@@ -837,6 +837,15 @@ def ppjoin_pairs(
       those prefixes are indexed, so the candidate join touches
       ~(1 - t)·postings instead of all of them, and rare-first ordering
       makes the indexed shingles the most selective ones.
+    - POSITIONAL filter (the "pp"): per candidate, let w be the
+      globally-largest prefix-prefix match, with ranks i=rank_x(w),
+      j=rank_y(w), and n_pp the exact count of prefix-prefix matches.
+      Any shared token outside both prefixes is globally > w (if it were
+      < w it would rank below the prefix cut in BOTH docs and be a
+      prefix match itself), so true overlap <= n_pp + min(|x|-i, |y|-j).
+      Candidates whose bound can't reach ceil(t(|x|+|y|)/(1+t)) are
+      dropped before the array-intersect verify — the dedup groupBy that
+      replaced ``distinct`` computes the bound in the SAME shuffle.
 
     Candidates then pay the exact verify (``jaccard_verify_arrays``), so
     the result is bit-identical to the exhaustive join — the DuckDB
@@ -847,10 +856,13 @@ def ppjoin_pairs(
     :func:`doc_shingle_arrays`. Integer threshold arithmetic throughout.
 
     Measured at sf0.1 (BASELINE.md): 3.6x fewer candidates than the
-    exhaustive join, identical pairs. The global-df rank adds one
-    postings groupBy + a per-doc window, which is postings-LINEAR - at
-    tiny corpora it costs about what the pruned verify saves, so prefer
-    the exhaustive join under ~10^4 docs and PPJoin above.
+    exhaustive join from the prefix filter, then a further 2.6x from the
+    positional filter (309,803 -> 119,907 pairs reaching the verify;
+    warm query time ~7.1 s -> ~3.2 s), identical pairs. The global-df
+    rank adds one postings groupBy + a per-doc window, which is
+    postings-LINEAR - at tiny corpora it costs about what the pruned
+    verify saves, so prefer the exhaustive join under ~10^4 docs and
+    PPJoin above.
     """
     from pyspark.sql import Window
 
@@ -874,10 +886,12 @@ def ppjoin_pairs(
         + F.lit(1)
     )
     a = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("_n").alias("n_a")
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("_n").alias("n_a"), F.col("_rn").alias("rn_a"),
     )
     b = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("_n").alias("n_b")
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("_n").alias("n_b"), F.col("_rn").alias("rn_b"),
     )
     cand = (
         a.join(b, "shingle")
@@ -887,7 +901,31 @@ def ppjoin_pairs(
             F.lit(t_den) * F.least("n_a", "n_b")
             >= F.lit(t_num) * F.greatest("n_a", "n_b")
         )
+        # POSITIONAL filter (the "pp" in PPJoin), replacing the plain
+        # distinct with the same-shuffle aggregate: ranks are monotone in
+        # the global token order, so every shared token <= the largest
+        # prefix-prefix match w sits inside BOTH prefixes (counted exactly
+        # by n_pp) and every shared token > w has rank > i/j in each doc,
+        # bounded by min(|x|-i_max, |y|-j_max). Candidates whose bound
+        # can't reach the required overlap ceil(t(|x|+|y|)/(1+t)) never
+        # pay the array-intersect verify. Exactness: bound >= true
+        # overlap, so no true pair is dropped.
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("_npp"),
+            F.max("rn_a").alias("_ia"),
+            F.max("rn_b").alias("_jb"),
+            F.first("n_a").alias("_na"),
+            F.first("n_b").alias("_nb"),
+        )
+        .filter(
+            F.col("_npp")
+            + F.least(F.col("_na") - F.col("_ia"), F.col("_nb") - F.col("_jb"))
+            >= F.expr(
+                f"({t_num} * (_na + _nb) + {t_num} + {t_den} - 1) "
+                f"div ({t_num} + {t_den})"
+            )
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     return jaccard_verify_arrays(cand, docs_arr, id_col, t_num, t_den)
