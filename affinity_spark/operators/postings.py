@@ -28,10 +28,14 @@ Spark-first shape:
 - incremental maintenance is the same MERGE shape the primary tables use
   from ``foreachBatch``: tokenize ONLY the changed docs, anti-join the
   touched doc ids out of the current snapshot, union the fresh postings,
-  and commit with CAS (``KeyedTable.overwrite(expected_base=...)``) so a
-  racing maintainer loses loudly, never silently. Delta cost is
-  O(changed docs) tokenization + an index-sized rewrite (partition-pruned
-  to the touched doc-id buckets once the table is bucket-partitioned).
+  and commit with CAS so a racing maintainer loses loudly, never
+  silently. Every table additionally carries a ``_bucket`` hive
+  partition column (pmod(hash(doc_id), doc_buckets)): the merge scans
+  ONLY the touched buckets (PartitionFilters pruning) and commits via
+  ``KeyedTable.overwrite_partitions``, which hardlinks every untouched
+  bucket's files from the base snapshot — delta cost is O(changed docs)
+  tokenization + O(touched buckets) rewrite, with zero IO for the rest
+  of the index.
 """
 
 from __future__ import annotations
@@ -66,6 +70,7 @@ class PostingsIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         num_buckets: int = 8,
+        doc_buckets: int = 8,
     ) -> None:
         if 1 not in grams:
             grams = (1, *grams)  # doclen/positional always derive from unigrams
@@ -74,21 +79,38 @@ class PostingsIndex:
         self.grams = tuple(sorted(set(grams)))
         self.id_col = id_col
         self.text_col = text_col
+        # every table carries a hive partition column _bucket =
+        # pmod(hash(doc_id), doc_buckets) so refresh() rewrites ONLY the
+        # buckets holding changed docs and hardlinks the rest (IO scales
+        # with min(changed_docs, doc_buckets)/doc_buckets of the index, not
+        # the index). doc_buckets scales with the corpus at cluster size,
+        # keeping per-bucket rewrite cost a constant.
+        self.doc_buckets = doc_buckets
         self._doclen = KeyedTable(
             spark, os.path.join(path, "doclen"), [id_col], ts_col="dl",
-            num_buckets=num_buckets,
+            num_buckets=num_buckets, partition_col="_bucket",
         )
         # postings tables use KeyedTable for snapshots/CAS/clustering only
         # (never upsert/get - a term is not a per-row primary key): keying
         # by ``term`` alone makes overwrite() cluster each term's posting
-        # list into one bucket, so a term-equality lookup skips files via
-        # parquet min/max stats - the reference's index-partition locality.
+        # list into one file set per write task, so a term-equality lookup
+        # skips files via parquet min/max stats - the reference's
+        # index-partition locality. The _bucket partition dirs don't break
+        # that: within each bucket dir every file still spans one task's
+        # term range, so term lookups skip by footer stats exactly as
+        # before (term pruning is file-level, bucket pruning dir-level).
         self._tables: dict[int, KeyedTable] = {}
         for n in self.grams:
             self._tables[n] = KeyedTable(
                 spark, os.path.join(path, f"post{n}"), ["term"],
                 ts_col="pos" if n == 1 else "tf", num_buckets=num_buckets,
+                partition_col="_bucket",
             )
+
+    def _bucket(self) -> F.Column:
+        # murmur3 (F.hash) is seed-stable across sessions, so bucket
+        # assignment is reproducible between build and every later refresh
+        return F.pmod(F.hash(F.col(self.id_col)), F.lit(self.doc_buckets))
 
     # --- build / maintain ------------------------------------------------
 
@@ -105,18 +127,23 @@ class PostingsIndex:
 
     def _doclen_delta(self, toks: DataFrame) -> DataFrame:
         return toks.select(
-            self.id_col, F.size("_toks").cast("long").alias("dl")
+            self.id_col, F.size("_toks").cast("long").alias("dl"),
+            self._bucket().alias("_bucket"),
         )
 
     def _postings_delta(self, toks: DataFrame, n: int) -> DataFrame:
         if n == 1:
             return toks.select(
                 self.id_col, F.posexplode("_toks").alias("pos", "term")
-            ).select("term", self.id_col, F.col("pos").cast("long").alias("pos"))
+            ).select(
+                "term", self.id_col, F.col("pos").cast("long").alias("pos"),
+                self._bucket().alias("_bucket"),
+            )
         return (
             toks.select(self.id_col, F.explode(_grams(F.col("_toks"), n)).alias("term"))
             .groupBy("term", self.id_col)
             .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("_bucket", self._bucket())
         )
 
     def build(self, docs: DataFrame) -> None:
@@ -146,6 +173,13 @@ class PostingsIndex:
         first (``operators.kv.compact_latest``), exactly as the primary
         table's foreachBatch MERGE does; two rows for one id would index
         both versions' postings side by side.
+
+        IO is delta-proportional, not index-proportional: only the doc-id
+        buckets containing touched docs are read (PartitionFilters-pruned
+        scan) and rewritten; every untouched bucket is HARDLINKED from the
+        base snapshot into the new one (``overwrite_partitions``). A batch
+        of k changed docs touches min(k, doc_buckets) buckets, so with
+        doc_buckets ∝ corpus the merge cost is O(k · bucket_size).
         """
         toks = self._tokenized(changed_docs).persist()
         try:
@@ -155,24 +189,36 @@ class PostingsIndex:
                     [(d,) for d in deleted_ids], [self.id_col]
                 )
                 touched = touched.unionByName(gone).distinct()
-            touched = F.broadcast(touched)
+            touched_p = touched.persist()
+            # bucket list is driver-side but bounded by doc_buckets
+            buckets = [
+                r[0]
+                for r in touched_p.select(
+                    self._bucket().alias("_bucket")
+                ).distinct().collect()
+            ]
+            touched = F.broadcast(touched_p)
 
             def merge(table: KeyedTable, delta: DataFrame) -> None:
                 base_version = table._current_version_dir()
                 cur = table.read()
+                # ONLY the touched buckets are scanned (partition pruning);
                 # the anti-join would reorder columns (join key first) -
                 # re-select the snapshot's own order so schema is stable
-                kept = cur.join(touched, self.id_col, "left_anti").select(
+                pruned = cur.filter(F.col("_bucket").isin(buckets))
+                kept = pruned.join(touched, self.id_col, "left_anti").select(
                     *cur.columns
                 )
-                table.overwrite(
+                table.overwrite_partitions(
                     kept.unionByName(delta.select(*cur.columns)),
+                    buckets,
                     expected_base=base_version,
                 )
 
             merge(self._doclen, self._doclen_delta(toks))
             for n in self.grams:
                 merge(self._tables[n], self._postings_delta(toks, n))
+            touched_p.unpersist()
         finally:
             toks.unpersist()
 
@@ -184,11 +230,11 @@ class PostingsIndex:
     # --- reads -------------------------------------------------------------
 
     def doclens(self) -> DataFrame:
-        return self._doclen.read()
+        return self._doclen.read().drop("_bucket")
 
     def positional(self) -> DataFrame:
         """(term, doc_id, pos) unigram postings - phrase/proximity queries."""
-        return self._tables[1].read()
+        return self._tables[1].read().drop("_bucket")
 
     def tf_postings(self, n: int = 1) -> DataFrame:
         """(term, doc_id, tf) for gram size ``n``; unigram tf is derived
@@ -199,7 +245,7 @@ class PostingsIndex:
                 .groupBy("term", self.id_col)
                 .agg(F.count(F.lit(1)).alias("tf"))
             )
-        return self._tables[n].read()
+        return self._tables[n].read().drop("_bucket")
 
     def corpus_stats(self) -> DataFrame:
         """One row (n_docs, total_len) - broadcast into scoring plans."""

@@ -58,6 +58,7 @@ class KeyedTable:
         external: bool = False,
         retain_versions: int = 2,
         lock_timeout_s: float = 10.0,
+        partition_col: str | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -66,6 +67,14 @@ class KeyedTable:
         self.tiebreak_cols = list(tiebreak_cols)
         self.tombstone_col = tombstone_col
         self.num_buckets = num_buckets
+        # optional hive-style partition column: snapshots are laid out as
+        # <version>/<partition_col>=<value>/part-*.parquet so (a) a reader
+        # filtering on it gets PartitionFilters pruning and (b)
+        # ``overwrite_partitions`` can rewrite ONLY touched partitions,
+        # hardlinking the untouched ones into the new snapshot — the
+        # delta-proportional-IO merge the lakehouse formats do with file
+        # manifests, built from plain directories + the same CAS pointer.
+        self.partition_col = partition_col
         self.retain_versions = max(1, retain_versions)
         self.lock_timeout_s = lock_timeout_s
         # external = populated by another system; reads only (the
@@ -236,12 +245,74 @@ class KeyedTable:
             meta = self.commit_meta()
         version = f"v{int(time.time() * 1000):016d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, version)
-        # cluster by key so key-equality scans skip files via min/max stats
-        df.repartition(self.num_buckets, *self.key_cols).write.mode("overwrite").parquet(out)
+        self._write_snapshot(df, out)
         try:
             self._commit_version(version, expected_base, meta)
         except ConcurrentWriteError:
             shutil.rmtree(out, ignore_errors=True)  # orphaned loser snapshot
+            raise
+        self._reclaim_versions()
+
+    def _write_snapshot(self, df: DataFrame, out: str) -> None:
+        # cluster by key so key-equality scans skip files via min/max stats;
+        # with a partition column the key clustering holds WITHIN each
+        # partition dir (each write task emits one file per partition it
+        # holds, and each file spans one task's key range)
+        w = df.repartition(self.num_buckets, *self.key_cols).write.mode("overwrite")
+        if self.partition_col:
+            w = w.partitionBy(self.partition_col)
+        w.parquet(out)
+
+    def overwrite_partitions(
+        self,
+        delta: DataFrame,
+        touched: Sequence[object],
+        expected_base: str | None = "UNSET",
+        meta: dict | None = None,
+    ) -> None:
+        """Partition-pruned snapshot commit: ``delta`` is the COMPLETE new
+        content of the ``touched`` partition values (and must contain rows
+        of those partitions only); every other partition is carried into
+        the new snapshot by HARDLINKING its files from the base version —
+        zero data IO for untouched partitions, so merge cost scales with
+        the delta, not the table. Same CAS pointer commit as ``overwrite``
+        (a racing writer loses loudly); version reclamation only unlinks
+        names, so inodes shared across retained snapshots survive it.
+        """
+        if self.external:
+            raise PermissionError(f"table at {self.path} is external/read-only")
+        if not self.partition_col:
+            raise ValueError("overwrite_partitions requires partition_col")
+        if expected_base == "UNSET":
+            expected_base = self._current_version_dir()
+        if expected_base is None:
+            # nothing to carry over - identical to a first full write
+            self.overwrite(delta, expected_base=None, meta=meta)
+            return
+        if meta is None:
+            meta = self.commit_meta()
+        version = f"v{int(time.time() * 1000):016d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.path, version)
+        self._write_snapshot(delta, out)
+        # hive dir names use the string form of the value (Spark's own
+        # encoding for int/string partition values)
+        touched_dirs = {f"{self.partition_col}={v}" for v in touched}
+        prefix = f"{self.partition_col}="
+        for entry in os.listdir(expected_base):
+            src = os.path.join(expected_base, entry)
+            if not (entry.startswith(prefix) and os.path.isdir(src)):
+                continue
+            if entry in touched_dirs:
+                continue  # the delta write is this partition's new truth
+            dst = os.path.join(out, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                if fname.endswith(".parquet"):
+                    os.link(os.path.join(src, fname), os.path.join(dst, fname))
+        try:
+            self._commit_version(version, expected_base, meta)
+        except ConcurrentWriteError:
+            shutil.rmtree(out, ignore_errors=True)
             raise
         self._reclaim_versions()
 
@@ -441,8 +512,9 @@ class KeyedTable:
         if vdir is None:
             raise FileNotFoundError(f"table at {self.path} has no committed version")
         sizes = [
-            os.path.getsize(os.path.join(vdir, f))
-            for f in os.listdir(vdir)
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(vdir)
+            for f in files
             if f.endswith(".parquet")
         ]
         return {
@@ -478,7 +550,10 @@ class KeyedTable:
         df = self.spark.read.parquet(base_version)
         version = f"v{int(time.time() * 1000):016d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, version)
-        df.repartition(n_target, *self.key_cols).write.mode("overwrite").parquet(out)
+        w = df.repartition(n_target, *self.key_cols).write.mode("overwrite")
+        if self.partition_col:
+            w = w.partitionBy(self.partition_col)
+        w.parquet(out)
         try:
             self._commit_version(version, base_version, self.commit_meta())
         except ConcurrentWriteError:

@@ -226,6 +226,71 @@ def test_null_text_doc_is_empty_not_poisoned(spark, tmp_path):
     assert (n, l) == (2, 2)
 
 
+def test_refresh_rewrites_only_touched_buckets(spark, tmp_path):
+    """The delta-proportional-IO contract: refresh must (a) HARDLINK every
+    untouched doc-id bucket's files from the base snapshot (same inode, so
+    zero data IO for them) and (b) physically rewrite only the buckets
+    holding touched docs. With doc_buckets ∝ corpus this is what makes
+    index maintenance O(delta) instead of O(index) at 100 TB."""
+    import os
+
+    ix = PostingsIndex(
+        spark, str(tmp_path / "hb"), grams=(1,), num_buckets=2, doc_buckets=4
+    )
+    ix.build(_docs(spark))
+    base = ix._tables[1]._current_version_dir()
+
+    changed_id = 2
+    touched_bucket = (
+        _docs(spark)
+        .filter(F.col("doc_id") == changed_id)
+        .select(F.pmod(F.hash("doc_id"), F.lit(4)).alias("b"))
+        .collect()[0][0]
+    )
+    ix.refresh(_docs(spark, [(changed_id, "completely new words")]))
+    new = ix._tables[1]._current_version_dir()
+    assert new != base
+
+    def inodes(vdir, bucket):
+        d = os.path.join(vdir, f"_bucket={bucket}")
+        if not os.path.isdir(d):
+            return set()
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    base_buckets = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(base)
+        if e.startswith("_bucket=")
+    }
+    untouched = base_buckets - {touched_bucket}
+    assert untouched, "fixture must spread docs over several buckets"
+    for b in untouched:
+        assert inodes(new, b) == inodes(base, b)  # hardlinked, not copied
+    # the touched bucket is a fresh rewrite - no shared inodes
+    assert inodes(new, touched_bucket).isdisjoint(inodes(base, touched_bucket))
+
+
+def test_refresh_merge_scan_is_partition_pruned(spark, tmp_path):
+    """The merge's read of the current snapshot must prune to the touched
+    buckets at the SCAN (PartitionFilters), not filter after reading."""
+    from affinity_spark.plans.introspect import formatted_plan
+
+    ix = PostingsIndex(
+        spark, str(tmp_path / "pp"), grams=(1,), num_buckets=2, doc_buckets=4
+    )
+    ix.build(_docs(spark))
+    pruned = ix._tables[1].read().filter(F.col("_bucket").isin([1, 3]))
+    plan = formatted_plan(pruned)
+    import re
+
+    m = re.search(r"PartitionFilters: \[(?P<f>[^\]]*)\]", plan)
+    assert m and "_bucket" in m.group("f"), plan
+
+
 def test_refresh_cas_detects_racing_writer(spark, tmp_path):
     """refresh() captures its base version and CAS-commits: a writer that
     lands between the capture and the commit must make refresh raise
