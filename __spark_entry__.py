@@ -2354,6 +2354,73 @@ FROM documents
 """
 
 
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, lang): subword-per-word
+    ratio (BPE-ish token estimate over whitespace words) and bytes per
+    subword, in integer ppm — the per-language tokenizer-efficiency
+    numbers a training pipeline watches when choosing vocab size and
+    per-language sampling (a language with 2x fertility pays 2x context
+    per word; compression-ratio drift per source flags boilerplate or
+    encoding damage). One map-side projection (two codegen'd regexes +
+    octet_length, no UDF) and one partial-aggregated groupBy on a tiny
+    key space — corpus-linear, shuffle carries |sources x langs| rows."""
+    from affinity_spark.functions.text import bpe_token_estimate, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("_w"),
+        bpe_token_estimate(F.col("text")).alias("_t"),
+        F.octet_length("text").cast("long").alias("_b"),
+    )
+    g = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("words"),
+        F.sum("_t").alias("bpe_tokens"),
+        F.sum("_b").alias("bytes"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "words",
+        "bpe_tokens",
+        "bytes",
+        F.expr("(bpe_tokens * 1000000) div greatest(words, 1)").alias(
+            "fertility_ppm"
+        ),
+        F.expr("(bytes * 1000000) div greatest(bpe_tokens, 1)").alias(
+            "bytes_per_token_ppm"
+        ),
+    )
+
+
+_TOKENIZER_FERTILITY_SQL = """
+WITH per AS (
+  SELECT source, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(text),
+              $re$'[a-z]+| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\\s']+|\\s+$re$)) AS BIGINT) AS t,
+         CAST(strlen(text) AS BIGINT) AS b
+  FROM documents
+),
+g AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS words,
+         CAST(sum(t) AS BIGINT) AS bpe_tokens,
+         CAST(sum(b) AS BIGINT) AS bytes
+  FROM per GROUP BY source, lang
+)
+SELECT source, lang, n_docs, words, bpe_tokens, bytes,
+       (bpe_tokens * 1000000) // greatest(words, 1) AS fertility_ppm,
+       (bytes * 1000000) // greatest(bpe_tokens, 1) AS bytes_per_token_ppm
+FROM g
+"""
+
+
 def text_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (MOSS, Schleimer et al. 2003) per doc:
     k=7 char grams, window w=4, md5-derived hashes — the guaranteed-recall
@@ -2720,6 +2787,111 @@ FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+"""
+
+
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: a NEW batch (doc_id % 10 == 0, ~10% of
+    the corpus — a day's crawl increment) is deduped AGAINST the existing
+    corpus (the other 90%) by probing the existing docs' LSH band buckets
+    with the batch's bands — candidates are (new x existing) only, never
+    all-pairs and never existing x existing. The batch's bands are
+    broadcast, so the corpus-side band table is NEVER shuffled: at 100 TB
+    the existing bands are a maintained table (the batch analogue of
+    ``streaming/dedup_stream.py``'s online band state) and each
+    increment costs O(batch + matched buckets), independent of corpus
+    size. Exact integer Jaccard >= 1/2 verify on candidates
+    (``dedup.incremental_lsh_pairs``)."""
+    docs = _t(spark, sf_dir, "documents")
+    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
+    existing = arrs.filter(F.col("doc_id") % 10 != 0)
+    new_batch = arrs.filter(F.col("doc_id") % 10 == 0)
+    return dd.incremental_lsh_pairs(existing, new_batch, "doc_id", 1, 2)
+
+
+def _dedup_incremental_oracle_sql() -> str:
+    # banding is per-doc, so banding the FULL corpus and restricting the
+    # join sides is identical to banding each subset separately
+    return f"""
+WITH {_duck_shingles_cte(3)},
+{_duck_lsh_bands_cte()},
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS dup_of
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.new_id, c.dup_of, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.new_id
+  JOIN h y ON y.doc_id = c.dup_of AND y.shingle = x.shingle
+  GROUP BY c.new_id, c.dup_of
+)
+SELECT new_id, dup_of, n_common,
+       (sa.n + sb.n - n_common) AS n_union
+FROM common
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = dup_of
+WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+"""
+
+
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — which sources copy from which:
+    LSH-candidate, exact-Jaccard-verified near-dup pairs (J >= 1/2, the
+    ``dedup_minhash_lsh`` result) joined to each side's ``source`` and
+    counted per unordered source pair. The corpus-forensics view a crawl
+    pipeline uses to find mirror sites and syndication before CHOOSING
+    which source to keep (``docs_source_mix`` gives composition; this
+    gives overlap). Verified-pair-count sized aggregation on top of the
+    banded join — no new corpus-sized work."""
+    docs = _t(spark, sf_dir, "documents")
+    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
+    pairs = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _dedup_cross_source_oracle_sql() -> str:
+    return f"""
+WITH {_duck_shingles_cte(3)},
+{_duck_lsh_cand_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+GROUP BY 1, 2
 """
 
 
@@ -6010,6 +6182,123 @@ FROM l GROUP BY event_type
 
 
 
+def events_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (theta) sketch SET ALGEBRA over per-event-type distinct users:
+    for every unordered pair of event types, the estimated distinct-user
+    count of each side, of their UNION (merged from the two k=64 sketches
+    alone — mergeability, no raw re-read), and of their INTERSECTION
+    (inclusion-exclusion) — the set-operation questions HLL registers
+    cannot answer (`events_hll_by_type` gives per-group cardinality only;
+    audience-overlap needs intersections). Exact union/intersection
+    columns ride along, so the sketch error is VISIBLE in the result
+    (the accuracy-discipline pattern of ``dedup_lsh_recall``).
+
+    Plan: sketches are built with a WindowGroupLimit bounded top-k (no
+    group's hash set is buffered), the pair frame is sketch-count sized
+    (|types|² rows of k-length arrays — a broadcast nested loop over a
+    tiny frame), and the exact columns cost one (type,user) distinct +
+    a user-keyed self-join, dropped in a deployment once the estimates
+    are trusted. All arithmetic integer; md5-derived hashes make the
+    sketch state bit-identical in DuckDB."""
+    from affinity_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+        kmv_union,
+    )
+
+    k = 64
+    ev = _t(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], F.col("user_id").cast("string"), k)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("_ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("_kb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est = pairs.select(
+        "type_a",
+        "type_b",
+        kmv_estimate(F.col("_ka"), k).alias("est_a"),
+        kmv_estimate(F.col("_kb"), k).alias("est_b"),
+        kmv_estimate(kmv_union(F.col("_ka"), F.col("_kb"), k), k).alias(
+            "est_union"
+        ),
+    ).withColumn(
+        "est_intersect",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("est_a") + F.col("est_b") - F.col("est_union"),
+        ),
+    )
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    ia = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    ib = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        ia.join(ib, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("_xi"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("_n").alias("_nb"))
+    return (
+        est.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_intersect",
+            (F.col("_na") + F.col("_nb") - F.coalesce("_xi", F.lit(0)))
+            .cast("long")
+            .alias("exact_union"),
+            F.coalesce("_xi", F.lit(0)).cast("long").alias("exact_intersect"),
+        )
+    )
+
+
+_KMV_THETA_SQL = """
+WITH tu AS (SELECT DISTINCT event_type AS g, user_id AS u FROM events),
+dh AS (
+  SELECT DISTINCT g,
+         CAST(('0x' || substr(md5('0:' || CAST(u AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+  FROM tu
+),
+rk AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM dh),
+sk AS (SELECT g, list_sort(list(h)) AS kmv FROM rk WHERE rn <= 64 GROUP BY g),
+pr AS (
+  SELECT a.g AS type_a, b.g AS type_b, a.kmv AS ka, b.kmv AS kb,
+         (list_sort(list_distinct(a.kmv || b.kmv)))[1:64] AS km
+  FROM sk a JOIN sk b ON a.g < b.g
+),
+est AS (
+  SELECT type_a, type_b,
+    CAST(CASE WHEN len(ka) < 64 THEN len(ka)
+              ELSE (63 * 4294967296) // greatest(ka[64], 1) END AS BIGINT) AS est_a,
+    CAST(CASE WHEN len(kb) < 64 THEN len(kb)
+              ELSE (63 * 4294967296) // greatest(kb[64], 1) END AS BIGINT) AS est_b,
+    CAST(CASE WHEN len(km) < 64 THEN len(km)
+              ELSE (63 * 4294967296) // greatest(km[64], 1) END AS BIGINT) AS est_union
+  FROM pr
+),
+sizes AS (SELECT g, count(*) AS n FROM tu GROUP BY g),
+inter AS (
+  SELECT a.g AS type_a, b.g AS type_b, count(*) AS xi
+  FROM tu a JOIN tu b ON a.u = b.u AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT e.type_a, e.type_b, est_a, est_b, est_union,
+       CAST(greatest(0, est_a + est_b - est_union) AS BIGINT) AS est_intersect,
+       CAST(sa.n + sb.n - coalesce(xi, 0) AS BIGINT) AS exact_union,
+       CAST(coalesce(xi, 0) AS BIGINT) AS exact_intersect
+FROM est e
+JOIN sizes sa ON sa.g = e.type_a
+JOIN sizes sb ON sb.g = e.type_b
+LEFT JOIN inter i ON i.type_a = e.type_a AND i.type_b = e.type_b
+"""
+
+
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters (keys with count > N/(k+1), k=10) via two-pass
     Misra-Gries (``operators/sketches.py::heavy_hitters``): per-partition
@@ -6259,6 +6548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # kept); the 49 CORRECTNESS_r04-green queries freshest-last.
     return {
         "q1_pricing_summary": q1_pricing_summary,
+        "dedup_incremental_batch": dedup_incremental_batch,
+        "dedup_cross_source_matrix": dedup_cross_source_matrix,
+        "events_kmv_theta": events_kmv_theta,
+        "docs_tokenizer_fertility": docs_tokenizer_fertility,
         "events_debounce_state": events_debounce_state,
         "docs_online_lsh_state": docs_online_lsh_state,
         "docs_postings_stats": docs_postings_stats,
@@ -6521,6 +6814,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_groups": _DEDUP_EXACT_SQL,
         "pipeline_clean_corpus": _pipeline_oracle_sql(),
         "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_incremental_batch": _dedup_incremental_oracle_sql(),
+        "dedup_cross_source_matrix": _dedup_cross_source_oracle_sql(),
+        "events_kmv_theta": _KMV_THETA_SQL,
+        "docs_tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "emb_knn_brute": _KNN_SQL,

@@ -929,3 +929,62 @@ def ppjoin_pairs(
         .select("id_a", "id_b")
     )
     return jaccard_verify_arrays(cand, docs_arr, id_col, t_num, t_den)
+
+
+def incremental_lsh_pairs(
+    existing_arr: DataFrame,
+    new_arr: DataFrame,
+    id_col: str,
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """Dedup an INCOMING BATCH against an existing corpus: LSH band
+    buckets of the new docs probe the existing docs' band buckets, so
+    candidates are (new x existing) matches only - never all-pairs and
+    never existing x existing (the corpus was already deduped when it
+    was admitted). This is the daily-increment shape of corpus dedup at
+    scale: the existing side's bands are a MAINTAINED table (the batch
+    analogue of ``streaming/dedup_stream.py``'s online band state, and
+    the same maintained-index architecture as ``operators/postings.py``),
+    and each increment's cost is O(batch bands + matched buckets),
+    independent of corpus size. The new batch's bands are broadcast -
+    a day's increment is tiny next to the accumulated corpus, so the
+    existing band table is never shuffled.
+
+    Returns (new_id, dup_of, n_common, n_union) for exact integer
+    Jaccard >= t_num/t_den - one row per (new doc, existing near-dup);
+    a clean new doc appears in no row. Band hashes are bit-identical to
+    ``lsh_bands_mapside`` on any subset (banding is per-doc), so the
+    DuckDB oracle bands the full corpus once and restricts the join
+    sides.
+    """
+    eb = lsh_bands_mapside(existing_arr, id_col).select(
+        F.col(id_col).alias("dup_of"), "band_id", "band_hash"
+    )
+    nb = lsh_bands_mapside(new_arr, id_col).select(
+        F.col(id_col).alias("new_id"), "band_id", "band_hash"
+    )
+    cand = (
+        F.broadcast(nb)
+        .join(eb, ["band_id", "band_hash"])
+        .select("new_id", "dup_of")
+        .distinct()
+    )
+    a = new_arr.select(
+        F.col(id_col).alias("new_id"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = existing_arr.select(
+        F.col(id_col).alias("dup_of"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    return (
+        cand.join(a, "new_id")
+        .join(b, "dup_of")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .filter(F.lit(t_den) * F.col("n_common") >= F.lit(t_num) * F.col("n_union"))
+        .select("new_id", "dup_of", "n_common", "n_union")
+    )

@@ -109,8 +109,15 @@ class PostingsIndex:
 
     def _bucket(self) -> F.Column:
         # murmur3 (F.hash) is seed-stable across sessions, so bucket
-        # assignment is reproducible between build and every later refresh
-        return F.pmod(F.hash(F.col(self.id_col)), F.lit(self.doc_buckets))
+        # assignment is reproducible between build and every later refresh.
+        # Hash the STRING form: murmur3 of int32 vs int64 differ for the
+        # same value, so an id arriving at a different numeric width (e.g.
+        # the deleted_ids frame inferring long against an int corpus)
+        # would bucket inconsistently and the merge would rewrite the
+        # wrong partition while hardlinking the stale one
+        return F.pmod(
+            F.hash(F.col(self.id_col).cast("string")), F.lit(self.doc_buckets)
+        )
 
     # --- build / maintain ------------------------------------------------
 

@@ -360,3 +360,57 @@ def heavy_hitters(
         .filter(F.col("n_occ") * (k + 1) > F.col("_n"))
         .select(key_col, "n_occ")
     )
+
+
+# --- K-minimum-values (theta) distinct sketch -------------------------------
+
+KMV_M = 1 << 32  # _h with 8 hex chars is uniform on [0, 2^32)
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], value: Column, k: int = 64
+) -> DataFrame:
+    """(group..., kmv array<long>): the k SMALLEST distinct md5-derived
+    hashes of ``value`` per group — the KMV / theta sketch (Bar-Yossef et
+    al. 2002; the Theta family of the DataSketches line). Unlike HLL it
+    supports SET ALGEBRA: the union of two sketches is the k smallest of
+    the merged arrays (:func:`kmv_union`), and intersections estimate by
+    inclusion-exclusion — the question HLL registers cannot answer.
+
+    Plan shape: distinct on (group, hash) → per-group ``row_number() <=
+    k`` — Spark rewrites that window into WindowGroupLimit, a bounded
+    per-partition top-k heap, so no group's full hash set is ever
+    buffered; the output is sketch-sized (<= k rows per group) and the
+    final collect_list is over <= k values. Deterministic md5 hashing =
+    bit-identical sketches in any engine (the repo's oracle convention).
+    """
+    from pyspark.sql import Window
+
+    d = df.select(*group_cols, _h(value, 0).alias("_h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_estimate(kmv: Column, k: int) -> Column:
+    """Integer distinct-count estimate of a KMV sketch: exact size when
+    the group had fewer than k distinct values (the sketch IS the set),
+    else (k-1)·M / kth_min using EXACT integer arithmetic — the dividend
+    (a - a mod b) is divisible by b, so the double division is exact and
+    the result matches DuckDB's ``//`` bit-for-bit."""
+    c = F.lit((k - 1) * KMV_M).cast("long")
+    kth = F.greatest(F.element_at(kmv, k), F.lit(1))
+    floor_div = ((c - F.pmod(c, kth)) / kth).cast("long")
+    return F.when(F.size(kmv) < k, F.size(kmv).cast("long")).otherwise(floor_div)
+
+
+def kmv_union(kmv_a: Column, kmv_b: Column, k: int) -> Column:
+    """Union sketch from two sketches alone (mergeability): the k
+    smallest of the concatenated distinct arrays — identical to a sketch
+    built over the unioned raw data, which is what makes KMV sketches
+    combinable across partitions, tables, or days without raw re-reads."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(kmv_a, kmv_b))), 1, k)

@@ -97,6 +97,10 @@ R5_SET = [
     "events_debounce_state",
     "docs_online_lsh_state",
     "docs_leakage_free_split",
+    "dedup_incremental_batch",
+    "dedup_cross_source_matrix",
+    "events_kmv_theta",
+    "docs_tokenizer_fertility",
 ]
 
 

@@ -371,3 +371,43 @@ def test_ppjoin_exact_with_fewer_candidates(spark):
         )
     ).collect()[0][0]
     assert total < n_full
+
+
+def test_incremental_lsh_pairs_matches_restricted_full_join(spark):
+    """Incremental (batch-vs-corpus) dedup must equal the FULL all-pairs
+    LSH+verify result restricted to (existing, new) pairs, reoriented as
+    (new_id, dup_of) — banding is per-doc, so probing the existing band
+    table with the batch's bands proposes exactly the cross-side subset
+    of the full self-join's candidates. Also: no existing x existing and
+    no new x new pair may ever appear."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (1, base),
+        (2, base + " today"),                    # near-dup of 1 (both existing)
+        (10, base + " tonight"),                 # new, near-dup of 1 and 2
+        (3, "completely different text about engines and shuffles here"),
+        (20, "completely different text about engines and shuffles here"),  # new, dup of 3
+        (30, "a brand new unique document with no duplicate anywhere"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
+    existing = arrs.filter(F.col("doc_id") < 10)
+    new_batch = arrs.filter(F.col("doc_id") >= 10)
+
+    got = sorted(
+        tuple(r)
+        for r in dd.incremental_lsh_pairs(
+            existing, new_batch, "doc_id", 1, 2
+        ).collect()
+    )
+
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
+    full = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).collect()
+    want = sorted(
+        (r.id_b, r.id_a, r.n_common, r.n_union) if r.id_b >= 10 else None
+        for r in full
+        if (r.id_a < 10) != (r.id_b < 10)
+    )
+    assert got == want and len(got) >= 2
+    ids = {(r[0], r[1]) for r in got}
+    assert all(n >= 10 and e < 10 for n, e in ids)

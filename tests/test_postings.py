@@ -244,7 +244,9 @@ def test_refresh_rewrites_only_touched_buckets(spark, tmp_path):
     touched_bucket = (
         _docs(spark)
         .filter(F.col("doc_id") == changed_id)
-        .select(F.pmod(F.hash("doc_id"), F.lit(4)).alias("b"))
+        .select(
+            F.pmod(F.hash(F.col("doc_id").cast("string")), F.lit(4)).alias("b")
+        )
         .collect()[0][0]
     )
     ix.refresh(_docs(spark, [(changed_id, "completely new words")]))
@@ -317,3 +319,20 @@ def test_refresh_cas_detects_racing_writer(spark, tmp_path):
     changed = _docs(spark, [(2, "changed text")])
     with _pytest.raises(ConcurrentWriteError):
         ix.refresh(changed)
+
+
+def test_refresh_delete_only_with_int_typed_ids(spark, tmp_path):
+    """Regression: murmur3 of int32 and int64 differ for the same value,
+    so a deleted_ids frame (python literals infer LONG) against an
+    INT-typed corpus id would compute the WRONG bucket, scan/rewrite the
+    wrong partition, and hardlink the stale one — silently keeping the
+    deleted doc. The bucket hash is string-canonicalized so the bucket
+    is a function of the VALUE, not the arrival width."""
+    rows = [(int(d), t) for d, t in DOCS]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    ix = PostingsIndex(spark, str(tmp_path / "it"), grams=(1,), num_buckets=2)
+    ix.build(docs)
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    ix.refresh(empty, deleted_ids=[6])
+    assert ix.positional().filter(F.col("doc_id") == 6).count() == 0
+    assert ix.corpus_stats().collect()[0][0] == len(DOCS) - 1

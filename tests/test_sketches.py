@@ -248,3 +248,56 @@ def test_dd_sketch_maintained_incrementally_equals_batch(spark, tmp_path):
     batch_df = spark.createDataFrame([(r["k"], r["v"]) for r in all_rows], "k string, v long")
     whole = {(r.k, r.bucket): r.n for r in dd_sketch(batch_df, ["k"], "v").collect()}
     assert maintained == whole
+
+
+def test_kmv_sketch_matches_model_and_merges(spark):
+    """KMV state equals the python model (k smallest distinct md5-derived
+    hashes per group), the union sketch built from two SKETCHES equals
+    the sketch of the unioned raw data (mergeability — the property that
+    lets day-sketches combine without raw re-reads), small groups
+    estimate EXACTLY, and the window top-k plans as WindowGroupLimit
+    (bounded memory, no group's hash set buffered)."""
+    import hashlib
+
+    from affinity_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+        kmv_union,
+    )
+    from affinity_spark.plans.introspect import executed_plan
+
+    k = 8
+    rows = [("a", i) for i in range(200)] + [("b", i) for i in range(100, 350)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, ["g"], F.col("v").cast("string"), k)
+    got = {r.g: list(r.kmv) for r in sk.collect()}
+
+    def model(vals):
+        hs = {int(hashlib.md5(f"0:{v}".encode()).hexdigest()[:8], 16) for v in vals}
+        return sorted(hs)[:k]
+
+    assert got["a"] == model(range(200))
+    assert got["b"] == model(range(100, 350))
+
+    # mergeability: union-from-sketches == sketch-of-unioned-raw-data
+    merged = (
+        sk.groupBy()
+        .agg(F.min_by("kmv", "g").alias("ka"), F.max_by("kmv", "g").alias("kb"))
+        .select(kmv_union(F.col("ka"), F.col("kb"), k).alias("km"))
+        .collect()[0]
+        .km
+    )
+    assert list(merged) == model(range(350))
+
+    # a group smaller than k estimates exactly (sketch IS the set)
+    tiny = spark.createDataFrame([("t", i) for i in range(5)], "g string, v long")
+    est = (
+        kmv_sketch(tiny, ["g"], F.col("v").cast("string"), k)
+        .select(kmv_estimate(F.col("kmv"), k).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est == 5
+
+    # bounded-memory plan: the rn<=k window runs as WindowGroupLimit
+    assert "WindowGroupLimit" in executed_plan(sk)
