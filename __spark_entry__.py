@@ -2647,6 +2647,93 @@ FROM comp JOIN csize USING (cluster_id)
 """
 
 
+def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-AWARE cluster survivor selection: within each near-dup
+    cluster (LSH → exact-Jaccard verify → connected components) keep the
+    LONGEST member (max n_chars, doc_id tie-break) instead of the min-id
+    convention — the policy a crawl pipeline actually wants, because
+    near-dup clusters routinely hold truncated or boilerplate-stripped
+    copies of one page and min-id keeps an arbitrary one. Emits only
+    real clusters (>= 2 members): cluster_id, the kept doc, its length,
+    and the member count. Same scale shape as dedup_cluster_canonical
+    plus one per-cluster WindowGroupLimit top-1 (bounded, no cluster's
+    members buffered)."""
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
+    pairs = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    members = cc.join(
+        docs.select("doc_id", "n_chars"),
+        cc["vertex"] == F.col("doc_id"),
+    ).select(F.col("component").alias("cluster_id"), "doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            "n_members",
+        )
+    )
+
+
+def _quality_canonical_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_shingles_cte(3)},
+{_duck_lsh_cand_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+walk AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT w.v, e.b AS r FROM walk w JOIN edges e ON e.a = w.r
+),
+comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY v),
+mem AS (
+  SELECT comp.cluster_id, comp.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY comp.cluster_id
+                            ORDER BY d.n_chars DESC, comp.doc_id ASC) AS rn
+  FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+),
+csize AS (SELECT cluster_id, count(*) AS n_members FROM mem GROUP BY cluster_id)
+SELECT m.cluster_id, m.doc_id AS keep_id, m.n_chars AS keep_chars,
+       CAST(c.n_members AS BIGINT) AS n_members
+FROM mem m JOIN csize c USING (cluster_id)
+WHERE m.rn = 1
+"""
+
+
 def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-AWARE train/val/test split — the leakage-free form of
     ``docs_train_split``: hash-splitting raw doc ids puts near-duplicate
@@ -2801,7 +2888,12 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming/dedup_stream.py``'s online band state) and each
     increment costs O(batch + matched buckets), independent of corpus
     size. Exact integer Jaccard >= 1/2 verify on candidates
-    (``dedup.incremental_lsh_pairs``)."""
+    (``dedup.incremental_lsh_pairs``). The maintained-table machinery
+    itself — band KeyedTable with partition-pruned ``admit()`` merges and
+    an index-served probe pinned equal to this derivation — is
+    ``operators/bandindex.py`` (tests/test_bandindex.py); the query keeps
+    the self-contained derivation so its bench time measures the
+    increment's full cost."""
     docs = _t(spark, sf_dir, "documents")
     arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
     existing = arrs.filter(F.col("doc_id") % 10 != 0)
@@ -6208,7 +6300,13 @@ def events_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 64
     ev = _t(spark, sf_dir, "events")
-    sk = kmv_sketch(ev, ["event_type"], F.col("user_id").cast("string"), k)
+    # ONE (type, user) distinct feeds all three consumers (sketch, sizes,
+    # intersection self-join) — persisted so the events scan + distinct
+    # shuffle run once, not per branch (the dual-consumer recompute trap)
+    tu = _track_cache(
+        ev.select("event_type", "user_id").distinct().persist()
+    )
+    sk = kmv_sketch(tu, ["event_type"], F.col("user_id").cast("string"), k)
     a = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("_ka"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("_kb"))
     pairs = a.join(b, F.col("type_a") < F.col("type_b"))
@@ -6227,7 +6325,6 @@ def events_kmv_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_a") + F.col("est_b") - F.col("est_union"),
         ),
     )
-    tu = ev.select("event_type", "user_id").distinct()
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
     ia = tu.select(F.col("event_type").alias("type_a"), "user_id")
     ib = tu.select(F.col("event_type").alias("type_b"), "user_id")
@@ -6552,6 +6649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_source_matrix": dedup_cross_source_matrix,
         "events_kmv_theta": events_kmv_theta,
         "docs_tokenizer_fertility": docs_tokenizer_fertility,
+        "dedup_quality_canonical": dedup_quality_canonical,
         "events_debounce_state": events_debounce_state,
         "docs_online_lsh_state": docs_online_lsh_state,
         "docs_postings_stats": docs_postings_stats,
@@ -6818,6 +6916,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cross_source_matrix": _dedup_cross_source_oracle_sql(),
         "events_kmv_theta": _KMV_THETA_SQL,
         "docs_tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
+        "dedup_quality_canonical": _quality_canonical_oracle_sql(),
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "emb_knn_brute": _KNN_SQL,

@@ -101,6 +101,7 @@ R5_SET = [
     "dedup_cross_source_matrix",
     "events_kmv_theta",
     "docs_tokenizer_fertility",
+    "dedup_quality_canonical",
 ]
 
 
