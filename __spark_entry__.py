@@ -3391,6 +3391,50 @@ LIMIT 10
 """
 
 
+def emb_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: cosine top-10 to the vec_id=0 query among
+    vectors satisfying a metadata predicate (label = 3) — the
+    filtered-ANN problem real retrieval systems hit the moment vectors
+    carry attributes (tenant, language, date). Strategy here is
+    PRE-FILTER: the predicate is applied before scoring, so it reaches
+    the parquet scan as a pushed filter and the distance work is
+    filtered-set sized; at selective predicates this beats post-filtering
+    a k'-oversized ANN result, and the same pre-filter composes with the
+    IVF path by pruning cells first (`emb_ivf_search`). Scores in
+    integer basis points (float-free hash)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    scored = sim.knn_to_query(
+        emb.filter((F.col("vec_id") != 0) & (F.col("label") == 3)),
+        query,
+        10,
+        "vec_id",
+        "embedding",
+    )
+    return scored.select(
+        "vec_id", F.floor(F.col("cosine_raw") * 10000).cast("long").alias("cos_bp")
+    )
+
+
+_FILTERED_KNN_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0 AND e.label = 3
+)
+SELECT vec_id, CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def emb_cosine_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell pairwise similarity: pairs within label cell, cos >= 0.35
     (threshold sits just inside the regenerated corpus's within-cell cosine
@@ -6650,6 +6694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_theta": events_kmv_theta,
         "docs_tokenizer_fertility": docs_tokenizer_fertility,
         "dedup_quality_canonical": dedup_quality_canonical,
+        "emb_filtered_knn": emb_filtered_knn,
         "events_debounce_state": events_debounce_state,
         "docs_online_lsh_state": docs_online_lsh_state,
         "docs_postings_stats": docs_postings_stats,
@@ -6917,6 +6962,7 @@ def oracle_sql() -> dict[str, str]:
         "events_kmv_theta": _KMV_THETA_SQL,
         "docs_tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
         "dedup_quality_canonical": _quality_canonical_oracle_sql(),
+        "emb_filtered_knn": _FILTERED_KNN_SQL,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "emb_knn_brute": _KNN_SQL,

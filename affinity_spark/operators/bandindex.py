@@ -110,10 +110,15 @@ class BandIndex:
             .join(F.broadcast(touched_p), self.id_col, "left_anti")
             .select(*cur.columns)
         )
+        # cast the delta to the SNAPSHOT's schema: a changelog arriving at
+        # a different numeric width (long ids against an int table) would
+        # otherwise write mixed physical parquet types into one table and
+        # poison every later read
+        delta = self._bands_delta(new_arr).select(
+            *[F.col(c).cast(cur.schema[c].dataType).alias(c) for c in cur.columns]
+        )
         self._table.overwrite_partitions(
-            kept.unionByName(self._bands_delta(new_arr).select(*cur.columns)),
-            buckets,
-            expected_base=base_version,
+            kept.unionByName(delta), buckets, expected_base=base_version
         )
         touched_p.unpersist()
 

@@ -216,8 +216,19 @@ class PostingsIndex:
                 kept = pruned.join(touched, self.id_col, "left_anti").select(
                     *cur.columns
                 )
+                # cast the delta to the SNAPSHOT's schema: a changelog at a
+                # different numeric width (long ids against an int table)
+                # would otherwise write mixed physical parquet types into
+                # one table and poison every later read
                 table.overwrite_partitions(
-                    kept.unionByName(delta.select(*cur.columns)),
+                    kept.unionByName(
+                        delta.select(
+                            *[
+                                F.col(c).cast(cur.schema[c].dataType).alias(c)
+                                for c in cur.columns
+                            ]
+                        )
+                    ),
                     buckets,
                     expected_base=base_version,
                 )

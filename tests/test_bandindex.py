@@ -115,3 +115,65 @@ def test_probe_plan_broadcasts_batch_not_index(spark, tmp_path):
     cand.collect()
     plan = executed_plan(cand)
     assert "BroadcastHashJoin" in plan
+
+
+def test_streaming_foreachbatch_maintenance_matches_rebuild(spark, tmp_path):
+    """X1 change-listener maintenance for the band index: a docs
+    changelog STREAM drives BandIndex.admit from foreachBatch (update
+    re-bands, text=NULL tombstone removes), and the maintained table
+    equals a fresh build over the post-change corpus."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    rows = [(int(d), t) for d, t in ROWS]
+    ix = BandIndex(spark, str(tmp_path / "m"), doc_buckets=4)
+    ix.build(_arrs(spark, rows))
+
+    changes = [
+        {"doc_id": 2, "text": "rewritten near duplicate text entirely new"},
+        {"doc_id": 30, "text": "a brand new late arrival document"},
+        {"doc_id": 4, "text": None},
+    ]
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    for i, ch in enumerate(changes):
+        tmp = os.path.join(src, f".c{i}.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps(ch) + "\n")
+        dest = os.path.join(src, f"c{i}.json")
+        os.rename(tmp, dest)
+        os.utime(dest, (1_700_000_000 + i,) * 2)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+
+    def maintain(batch_df, batch_id):
+        dels = [r.doc_id for r in batch_df.filter("text IS NULL").collect()]
+        ups = batch_df.filter("text IS NOT NULL")
+        ix.admit(
+            dd.doc_shingle_arrays(ups, "doc_id", "text", 3), deleted_ids=dels
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    after = [r for r in rows if r[0] not in (2, 4)] + [
+        (2, "rewritten near duplicate text entirely new"),
+        (30, "a brand new late arrival document"),
+    ]
+    fresh = BandIndex(spark, str(tmp_path / "rb"), doc_buckets=4)
+    fresh.build(_arrs(spark, after))
+    assert _rows(ix.bands()) == _rows(fresh.bands())
