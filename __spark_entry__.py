@@ -1531,6 +1531,56 @@ FROM r GROUP BY event_type
 """
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: for each (from, to)
+    pair, the count of consecutive same-user transitions and its share of
+    the from-type's outgoing transitions in integer ppm — the Markov-
+    chain view behavioral analytics builds funnels and anomaly baselines
+    from (a sudden ppm shift in a transition row is a product change or
+    a bot). Consecutive = event_id order per user (ts-monotone; see the
+    sessionize note on timestamp precision). One window shuffle on
+    user_id + one |types|²-bounded aggregate; corpus-linear."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc())
+    steps = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outs = counts.groupBy("from_type").agg(F.sum("n").alias("_out"))
+    return (
+        counts.join(F.broadcast(outs), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(n * 1000000) div _out").alias("share_ppm"),
+        )
+    )
+
+
+_TRANSITION_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+outs AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS o FROM counts GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n, (c.n * 1000000) // o.o AS share_ppm
+FROM counts c JOIN outs o USING (from_type)
+"""
+
+
 def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival gap statistics in integer milliseconds
     (lead/lag family): gaps from consecutive events in event_id order
@@ -2669,7 +2719,9 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     cc = connected_components(pairs, "id_a", "id_b")
-    members = cc.join(
+    # cluster membership is verified-pairs-sized << corpus: broadcast it
+    # so the docs side is a pushed-down semi-join read, never shuffled
+    members = F.broadcast(cc).join(
         docs.select("doc_id", "n_chars"),
         cc["vertex"] == F.col("doc_id"),
     ).select(F.col("component").alias("cluster_id"), "doc_id", "n_chars")
@@ -2682,7 +2734,7 @@ def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         members.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .join(sizes, "cluster_id")
+        .join(F.broadcast(sizes), "cluster_id")
         .select(
             "cluster_id",
             F.col("doc_id").alias("keep_id"),
@@ -6683,10 +6735,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered for the driver's time-budgeted CORRECTNESS pass (~50 rows),
-    # strictly by driver-evidence age: 1) flagship; 2-3) round-5
-    # additions (never driver-checked); then the 87 queries with no
-    # r4-data driver row (oldest evidence first, prior relative order
-    # kept); the 49 CORRECTNESS_r04-green queries freshest-last.
+    # strictly by driver-evidence age: 1) flagship; then every round-5
+    # addition (never driver-checked, newest first); then the queries
+    # with no r4-data driver row (oldest evidence first, prior relative
+    # order kept); the CORRECTNESS_r04-green queries freshest-last.
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "dedup_incremental_batch": dedup_incremental_batch,
@@ -6695,6 +6747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tokenizer_fertility": docs_tokenizer_fertility,
         "dedup_quality_canonical": dedup_quality_canonical,
         "emb_filtered_knn": emb_filtered_knn,
+        "events_transition_matrix": events_transition_matrix,
         "events_debounce_state": events_debounce_state,
         "docs_online_lsh_state": docs_online_lsh_state,
         "docs_postings_stats": docs_postings_stats,
@@ -6963,6 +7016,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_tokenizer_fertility": _TOKENIZER_FERTILITY_SQL,
         "dedup_quality_canonical": _quality_canonical_oracle_sql(),
         "emb_filtered_knn": _FILTERED_KNN_SQL,
+        "events_transition_matrix": _TRANSITION_SQL,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "emb_knn_brute": _KNN_SQL,
