@@ -6026,6 +6026,94 @@ FROM counts, dups, orphans
 """
 
 
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST outlier counts per event type: median / MAD (median
+    absolute deviation) instead of mean / sigma — the 3-sigma test
+    (`events_value_outliers`) is itself dragged by the outliers it hunts
+    (one 1e6 value inflates sigma enough to hide real anomalies), while
+    the median/MAD breakdown point is 50%. Flag: |x − med| > 3·1.4826·MAD
+    evaluated in PURE INTEGER cents (|c−med|·10000 > 44478·mad — the
+    Gaussian consistency constant as a fixed-point ratio), medians as
+    EXACT lower-median rank selection ((n+1) div 2 over (value,
+    event_id) order — a data value, never interpolated, so any engine
+    selects the identical row). Plan: two rank windows (WindowGroupLimit-
+    eligible) + tiny per-type median/MAD frames broadcast back; one
+    event-sized shuffle per window."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    t = ev.select("event_type", cents.alias("c"), "event_id")
+    counts = t.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w1 = Window.partitionBy("event_type").orderBy(F.asc("c"), F.asc("event_id"))
+    med = (
+        t.withColumn("_rn", F.row_number().over(w1))
+        .join(F.broadcast(counts), "event_type")
+        .filter(F.col("_rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("c").alias("med_cents"))
+    )
+    dev = t.join(F.broadcast(med), "event_type").withColumn(
+        "_ad", F.abs(F.col("c") - F.col("med_cents"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy(F.asc("_ad"), F.asc("event_id"))
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(w2))
+        .join(F.broadcast(counts), "event_type")
+        .filter(F.col("_rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("_ad").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.first("med_cents").alias("med_cents"),
+            F.first("mad_cents").alias("mad_cents"),
+            F.sum(
+                F.when(
+                    F.col("_ad") * 10000 > F.lit(44478) * F.col("mad_cents"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_MAD_OUTLIERS_SQL = """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c, event_id
+  FROM events
+),
+cn AS (SELECT event_type, count(*) AS n FROM t GROUP BY event_type),
+r1 AS (
+  SELECT t.event_type, c,
+         row_number() OVER (PARTITION BY t.event_type
+                            ORDER BY c ASC, event_id ASC) AS rn, n
+  FROM t JOIN cn USING (event_type)
+),
+med AS (SELECT event_type, c AS med_cents FROM r1 WHERE rn = (n + 1) // 2),
+dev AS (
+  SELECT t.event_type, t.c, t.event_id, m.med_cents,
+         abs(t.c - m.med_cents) AS ad
+  FROM t JOIN med m USING (event_type)
+),
+r2 AS (
+  SELECT dev.event_type, ad,
+         row_number() OVER (PARTITION BY dev.event_type
+                            ORDER BY ad ASC, event_id ASC) AS rn, n
+  FROM dev JOIN cn USING (event_type)
+),
+mad AS (SELECT event_type, ad AS mad_cents FROM r2 WHERE rn = (n + 1) // 2)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_values,
+       CAST(min(d.med_cents) AS BIGINT) AS med_cents,
+       CAST(min(m.mad_cents) AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN d.ad * 10000 > 44478 * m.mad_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
 def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-sigma outlier flags per event type with EXACT integer math: the
     test |v−μ| > 3σ is evaluated as (n·v − S1)² > 9·(n·S2 − S1²) over
@@ -6748,6 +6836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_quality_canonical": dedup_quality_canonical,
         "emb_filtered_knn": emb_filtered_knn,
         "events_transition_matrix": events_transition_matrix,
+        "events_mad_outliers": events_mad_outliers,
         "events_debounce_state": events_debounce_state,
         "docs_online_lsh_state": docs_online_lsh_state,
         "docs_postings_stats": docs_postings_stats,
@@ -7017,6 +7106,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_quality_canonical": _quality_canonical_oracle_sql(),
         "emb_filtered_knn": _FILTERED_KNN_SQL,
         "events_transition_matrix": _TRANSITION_SQL,
+        "events_mad_outliers": _MAD_OUTLIERS_SQL,
         "dedup_ngram_jaccard": _ngram_jaccard_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "emb_knn_brute": _KNN_SQL,
