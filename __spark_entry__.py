@@ -6034,45 +6034,73 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the median/MAD breakdown point is 50%. Flag: |x − med| > 3·1.4826·MAD
     evaluated in PURE INTEGER cents (|c−med|·10000 > 44478·mad — the
     Gaussian consistency constant as a fixed-point ratio), medians as
-    EXACT lower-median rank selection ((n+1) div 2 over (value,
-    event_id) order — a data value, never interpolated, so any engine
-    selects the identical row). Plan: two rank windows (WindowGroupLimit-
-    eligible) + tiny per-type median/MAD frames broadcast back; one
-    event-sized shuffle per window."""
+    EXACT lower-median selection (the smallest value whose cumulative
+    count reaches (n+1) div 2 — a data value, never interpolated, so
+    any engine selects the identical one).
+
+    Plan for LOW-CARDINALITY group keys (the 100 TB trap): a naive
+    row-rank window partitioned by event_type serializes ALL events of a
+    type through one task. Here the events collapse to a per-(type,
+    cents) HISTOGRAM first (map-side combine; the shuffle key is
+    type x cents — well distributed), and every window/median step runs
+    over histogram-sized data (distinct cents per type, bounded by the
+    value domain regardless of row count). The oracle derives the same
+    medians by row-level rank selection — two independent derivations
+    agreeing on the exact value."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
-    t = ev.select("event_type", cents.alias("c"), "event_id")
-    counts = t.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    w1 = Window.partitionBy("event_type").orderBy(F.asc("c"), F.asc("event_id"))
-    med = (
-        t.withColumn("_rn", F.row_number().over(w1))
-        .join(F.broadcast(counts), "event_type")
-        .filter(F.col("_rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("c").alias("med_cents"))
+    # the histogram feeds counts + median + deviation branches; persist so
+    # the event scan and histogram shuffle run once (dual-consumer trap)
+    h = _track_cache(
+        ev.select("event_type", cents.alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
     )
-    dev = t.join(F.broadcast(med), "event_type").withColumn(
-        "_ad", F.abs(F.col("c") - F.col("med_cents"))
+    counts = h.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+
+    def hist_median(hist: DataFrame, val_col: str) -> DataFrame:
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(F.asc(val_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            hist.withColumn("_cum", F.sum("cnt").over(w))
+            .join(F.broadcast(counts), "event_type")
+            .filter(F.col("_cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(val_col).alias(f"med_{val_col}"))
+        )
+
+    med = hist_median(h, "c").withColumnRenamed("med_c", "med_cents")
+    devh = _track_cache(
+        h.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("c") - F.col("med_cents")).alias("ad"),
+            "cnt",
+        )
+        .groupBy("event_type", "ad")
+        .agg(F.sum("cnt").alias("cnt"))
+        .persist()
     )
-    w2 = Window.partitionBy("event_type").orderBy(F.asc("_ad"), F.asc("event_id"))
-    mad = (
-        dev.withColumn("_rn", F.row_number().over(w2))
-        .join(F.broadcast(counts), "event_type")
-        .filter(F.col("_rn") == F.expr("(n + 1) div 2"))
-        .select("event_type", F.col("_ad").alias("mad_cents"))
-    )
+    mad = hist_median(devh, "ad").withColumnRenamed("med_ad", "mad_cents")
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        devh.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_values"),
+            F.sum("cnt").alias("n_values"),
             F.first("med_cents").alias("med_cents"),
             F.first("mad_cents").alias("mad_cents"),
             F.sum(
                 F.when(
-                    F.col("_ad") * 10000 > F.lit(44478) * F.col("mad_cents"), 1
-                ).otherwise(0)
+                    F.col("ad") * 10000 > F.lit(44478) * F.col("mad_cents"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
             ).alias("n_outliers"),
         )
     )
