@@ -102,6 +102,9 @@ R5_SET = [
     "events_kmv_theta",
     "docs_tokenizer_fertility",
     "dedup_quality_canonical",
+    "emb_filtered_knn",
+    "events_transition_matrix",
+    "events_mad_outliers",
 ]
 
 
