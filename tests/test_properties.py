@@ -473,3 +473,81 @@ def test_ppjoin_matches_exhaustive_at_any_threshold(spark, texts, t):
         for r in jaccard_verify_arrays(cand, arrs, "doc_id", t_num, t_den).collect()
     )
     assert got == want
+
+
+# --- incremental batch-vs-corpus dedup == restricted exhaustive result ------
+
+_doc_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "run", "the", "fox"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(st.lists(_doc_words, min_size=2, max_size=8))
+@SLOW
+def test_incremental_lsh_pairs_matches_restricted_full(spark, docs_words):
+    """For ANY corpus split into existing (even ids) and new batch (odd
+    ids), probing the existing bands with the batch's bands + verify must
+    equal the FULL all-pairs LSH+verify result restricted to cross-side
+    pairs (reoriented new-first) — banding is per-doc, so subsetting the
+    join sides can neither invent nor drop a pair. Tiny word vocabulary
+    forces shared shingles, band collisions, and exact duplicates."""
+    from affinity_spark.operators import dedup as dd
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
+    existing = arrs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = arrs.filter(F.col("doc_id") % 2 == 1)
+
+    got = sorted(
+        tuple(r)
+        for r in dd.incremental_lsh_pairs(
+            existing, new_batch, "doc_id", 1, 2
+        ).collect()
+    )
+
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
+    full = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).collect()
+    want = sorted(
+        ((r.id_a, r.id_b, r.n_common, r.n_union) if r.id_a % 2 == 1
+         else (r.id_b, r.id_a, r.n_common, r.n_union))
+        for r in full
+        if (r.id_a % 2) != (r.id_b % 2)
+    )
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=40),
+)
+@SLOW
+def test_kmv_union_matches_sketch_of_union(spark, xs, ys):
+    """KMV mergeability on ANY two value sets: the union sketch built
+    from the two k-sketches alone equals the sketch built over the
+    unioned raw data — the property that lets day-sketches combine
+    without raw re-reads. Small k forces truncation; overlapping small
+    value domain forces shared hashes."""
+    import hashlib
+
+    from affinity_spark.operators.sketches import kmv_sketch, kmv_union
+
+    k = 4
+    rows = [("a", x) for x in xs] + [("b", y) for y in ys]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(df, ["g"], F.col("v").cast("string"), k)
+    merged = (
+        sk.groupBy()
+        .agg(F.min_by("kmv", "g").alias("ka"), F.max_by("kmv", "g").alias("kb"))
+        .select(kmv_union(F.col("ka"), F.col("kb"), k).alias("km"))
+        .collect()[0]
+        .km
+    )
+
+    def model(vals):
+        hs = {int(hashlib.md5(f"0:{v}".encode()).hexdigest()[:8], 16) for v in vals}
+        return sorted(hs)[:k]
+
+    assert list(merged) == model(set(xs) | set(ys))
