@@ -1149,7 +1149,11 @@ def _debounce_state_sql() -> str:
     )
     return f"""
 WITH RECURSIVE e AS (
+  -- NULL ts pinned out explicitly: Spark's collect_list skips NULLs (a
+  -- key with only-NULL ts emits nothing), while min(ts_ms) over an
+  -- all-NULL group would emit a (user, NULL, 0) seed row here
   SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts_ms FROM events
+  WHERE ts IS NOT NULL
 ),
 em(user_id, ts_ms) AS (
   SELECT user_id, min(ts_ms) FROM e GROUP BY user_id
@@ -1342,9 +1346,11 @@ LIMIT 20
 def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word collocations by integer PMI from the positional postings index
     (Church & Hanks 1990): ordered pairs within a 2-token window, support
-    >= 5, scored floor_log2(16·n_ab·U²/(n_a·n_b·P)) — independence reads 4,
-    each doubling of association +1 — the repo's floor-log2
-    fixed point, bit-exact in any engine. Pair generation is an offset
+    >= 5, scored 4 + fl2(n_ab) + 2·fl2(U) − fl2(n_a) − fl2(n_b) − fl2(P)
+    (decomposed floor-log2 sum — int64-safe at any corpus size, where the
+    single-product form overflows at ~1e7 tokens; ±3-bit precision bound
+    documented in ranking.pmi_collocations) — independence reads ~4, each
+    doubling of association +1 — bit-exact in any engine. Pair generation is an offset
     equi-join on (doc, pos+d), postings-LINEAR, never per-doc quadratic;
     the corpus is never re-tokenized. Tokenizer/embedding diagnostics —
     which adjacent words glue together — straight off the index."""
@@ -1373,8 +1379,12 @@ pr AS (
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS u FROM uni),
 tp AS (SELECT CAST(sum(n_ab) AS BIGINT) AS np FROM pr),
 scored AS (
+  -- decomposed floor-log2 sum (never a single product: 16*n_ab*u*u
+  -- overflows int64 at ~1e7 tokens; the sum is int64-safe at any scale)
   SELECT w1, w2, n_ab,
-         CAST(length(bin((16 * n_ab * u * u) // (na.n * nb.n * np))) - 1 AS BIGINT)
+         CAST(4 + (length(bin(n_ab)) - 1) + 2 * (length(bin(u)) - 1)
+                - (length(bin(na.n)) - 1) - (length(bin(nb.n)) - 1)
+                - (length(bin(np)) - 1) AS BIGINT)
            AS pmi_log2_x16
   FROM pr
   JOIN uni na ON na.term = pr.w1

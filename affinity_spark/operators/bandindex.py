@@ -90,10 +90,13 @@ class BandIndex:
         carry-over), CAS-commit. Called after a batch's survivors are
         admitted to the corpus, so the next increment dedups against
         them."""
+        # materialize first: a generator is truthy even when empty and
+        # can't be consumed twice — branch on the list's length
+        deleted = list(deleted_ids)
         touched = new_arr.select(self.id_col).distinct()
-        if deleted_ids:
+        if len(deleted) > 0:
             gone = self.spark.createDataFrame(
-                [(d,) for d in deleted_ids], [self.id_col]
+                [(d,) for d in deleted], [self.id_col]
             )
             touched = touched.unionByName(gone).distinct()
         touched_p = touched.persist()

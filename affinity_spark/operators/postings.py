@@ -160,11 +160,18 @@ class PostingsIndex:
         released immediately after - without it each KeyedTable write
         would re-scan and re-tokenize the corpus.
         """
+        import uuid
+
+        # one lineage id across the per-table commits: the tables form ONE
+        # logical index, but commit independently — a crash mid-loop would
+        # otherwise leave doclen updated with stale postings and silently
+        # skew every bm25/tfidf score. exists() verifies the id agrees.
+        lineage = {"postings_lineage": uuid.uuid4().hex}
         toks = self._tokenized(docs).persist()
         try:
-            self._doclen.overwrite(self._doclen_delta(toks))
+            self._doclen.overwrite(self._doclen_delta(toks), meta=lineage)
             for n in self.grams:
-                self._tables[n].overwrite(self._postings_delta(toks, n))
+                self._tables[n].overwrite(self._postings_delta(toks, n), meta=lineage)
         finally:
             toks.unpersist()
 
@@ -188,12 +195,23 @@ class PostingsIndex:
         of k changed docs touches min(k, doc_buckets) buckets, so with
         doc_buckets ∝ corpus the merge cost is O(k · bucket_size).
         """
+        import uuid
+
+        # materialize first: a generator (or any non-list iterable) is
+        # truthy even when empty/exhausted, and the Iterable hint allows
+        # one-shot iterables that can't be consumed twice — branch on the
+        # materialized list's length, never on iterable truthiness
+        deleted = list(deleted_ids)
+        # shared lineage id across the three per-table CAS commits (see
+        # build()): a crash between merges must be DETECTABLE, not a
+        # silently skewed index
+        lineage = {"postings_lineage": uuid.uuid4().hex}
         toks = self._tokenized(changed_docs).persist()
         try:
             touched = toks.select(self.id_col).distinct()
-            if deleted_ids:
+            if len(deleted) > 0:
                 gone = self.spark.createDataFrame(
-                    [(d,) for d in deleted_ids], [self.id_col]
+                    [(d,) for d in deleted], [self.id_col]
                 )
                 touched = touched.unionByName(gone).distinct()
             touched_p = touched.persist()
@@ -231,6 +249,7 @@ class PostingsIndex:
                     ),
                     buckets,
                     expected_base=base_version,
+                    meta=lineage,
                 )
 
             merge(self._doclen, self._doclen_delta(toks))
@@ -241,9 +260,25 @@ class PostingsIndex:
             toks.unpersist()
 
     def exists(self) -> bool:
-        return self._doclen.exists() and all(
-            t.exists() for t in self._tables.values()
-        )
+        """True when every constituent table has a committed snapshot AND
+        they all belong to the same build/refresh (shared lineage id in
+        the commit meta). A partial build/refresh — crash or lost CAS race
+        between the per-table commits — fails LOUDLY here instead of
+        silently serving doclen from one generation and postings from
+        another (which would skew every bm25/tfidf score undetectably).
+        Legacy tables committed before lineage stamping (all missing the
+        key) still read as consistent."""
+        tables = [self._doclen, *self._tables.values()]
+        if not all(t.exists() for t in tables):
+            return False
+        ids = {t.commit_meta().get("postings_lineage") for t in tables}
+        if len(ids) > 1:
+            raise RuntimeError(
+                f"postings index at {self.path} is cross-table inconsistent: "
+                f"lineage ids {sorted(str(i) for i in ids)} — a build/refresh "
+                "was interrupted between table commits; rebuild or re-refresh"
+            )
+        return True
 
     # --- reads -------------------------------------------------------------
 
@@ -307,7 +342,33 @@ class PostingsIndex:
 # maintained index; a deployment would point at the maintained KeyedTables).
 # --------------------------------------------------------------------------
 
-_SHARED: dict[tuple[str, str], PostingsIndex] = {}
+_SHARED: dict[tuple[str, str, str], PostingsIndex] = {}
+
+
+def _corpus_fingerprint(docs: DataFrame) -> str:
+    """Identity of the PHYSICAL corpus behind a DataFrame: sorted input
+    file listing + (mtime_ns, size) per file, hashed.  Folding this into
+    the shared-index cache key means a corpus that is regenerated or
+    updated AT THE SAME PATH within one Spark application gets a fresh
+    index instead of silently serving the stale one.  Frames with no
+    input files (in-memory, views) fingerprint as '' — those callers fall
+    back to corpus_key identity alone, which is the caller's contract."""
+    import hashlib
+    from urllib.parse import urlparse
+
+    try:
+        files = sorted(docs.inputFiles())
+    except Exception:
+        return ""
+    parts = []
+    for uri in files:
+        path = urlparse(uri).path if "://" in uri or uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            parts.append(f"{path}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(path)
+    return hashlib.md5("|".join(parts).encode()).hexdigest() if parts else ""
 
 
 def shared_postings(
@@ -319,11 +380,17 @@ def shared_postings(
     text_col: str = "text",
 ) -> PostingsIndex:
     """Build-once-per-process postings over ``docs``, keyed by
-    (application id, corpus_key).  The first retrieval query pays the ONE
-    corpus scan; every later query reads the materialized tables."""
+    (application id, corpus_key, physical corpus fingerprint).  The first
+    retrieval query pays the ONE corpus scan; every later query reads the
+    materialized tables; a regenerated corpus at the same path re-keys
+    and rebuilds instead of serving stale postings."""
     import tempfile
 
-    key = (spark.sparkContext.applicationId, corpus_key)
+    key = (
+        spark.sparkContext.applicationId,
+        corpus_key,
+        _corpus_fingerprint(docs),
+    )
     idx = _SHARED.get(key)
     want = tuple(sorted({1, *grams}))
     if idx is not None and idx.exists() and set(want) <= set(idx.grams):

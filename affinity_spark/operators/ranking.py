@@ -293,19 +293,32 @@ def pmi_collocations(
     window.
 
     PMI is the repo's integer floor-log2 fixed point so any engine
-    reproduces it bit-for-bit:
+    reproduces it bit-for-bit — computed as a SUM of per-component
+    floor_log2 terms (never a single product):
 
-        pmi_log2_x16 = floor_log2( (16 * n_ab * U * U) div (n_a * n_b * P) )
+        pmi_log2_x16 = 4 + fl2(n_ab) + 2*fl2(U) - fl2(n_a) - fl2(n_b) - fl2(P)
 
-    (the x16 fixed-point shift keeps moderately-associated pairs above
-    the integer floor: a pair at ratio 1/16 scores 0, independence
-    scores 4, each doubling of association adds 1)
-
-    with U = total unigram postings, P = total pair observations; pairs
-    whose shifted ratio floors to zero drop out (the integer PMI is the
-    association cut). Ties: (pmi desc, n_ab desc, w1, w2). ``min_count``
-    is the standard support floor against one-off pairs.
+    with U = total unigram postings, P = total pair observations and
+    fl2(x) = floor(log2(x)).  The naive single-expression form
+    floor_log2(16*n_ab*U²/(n_a*n_b*P)) overflows int64 once U reaches
+    ~1e7 tokens (U² alone exceeds 2^63; ANSI mode aborts the job and the
+    DuckDB oracle errors the same way) — the decomposed sum keeps every
+    intermediate <= the largest single count, so it is safe at any corpus
+    size.  Precision bound: each fl2 drops a fractional bit in [0, 1), so
+    the sum is within (-3, +3) bits of the real-valued 16-shifted log2
+    ratio — the same granularity class as the old floor-of-quotient form
+    (within 1 bit), and identical on both engines, which is the contract
+    that matters.  Calibration is unchanged in expectation: independence
+    reads ~4, each doubling of association adds ~1, pairs flooring to
+    <= 0 drop out (the association cut). Ties: (pmi desc, n_ab desc, w1,
+    w2). ``min_count`` is the standard support floor against one-off
+    pairs.
     """
+
+    def _fl2(col):
+        # floor(log2(x)) for BIGINT x >= 1, bit-exact in Spark and DuckDB
+        return (F.length(F.bin(col)) - 1).cast("long")
+
     pos = index.positional()
     uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     a = pos.select(
@@ -340,8 +353,13 @@ def pmi_collocations(
             "w2",
             "n_ab",
             (
-                F.length(F.bin(F.expr("(16 * n_ab * _u * _u) div (n_a * n_b * _p)"))) - 1
-            ).cast("long").alias("pmi_log2_x16"),
+                F.lit(4).cast("long")
+                + _fl2(F.col("n_ab"))
+                + F.lit(2) * _fl2(F.col("_u"))
+                - _fl2(F.col("n_a"))
+                - _fl2(F.col("n_b"))
+                - _fl2(F.col("_p"))
+            ).alias("pmi_log2_x16"),
         )
         .filter(F.col("pmi_log2_x16") > 0)
     )

@@ -336,3 +336,69 @@ def test_refresh_delete_only_with_int_typed_ids(spark, tmp_path):
     ix.refresh(empty, deleted_ids=[6])
     assert ix.positional().filter(F.col("doc_id") == 6).count() == 0
     assert ix.corpus_stats().collect()[0][0] == len(DOCS) - 1
+
+
+def test_refresh_accepts_generator_and_empty_iterable_deleted_ids(spark, tmp_path):
+    """Regression (r6 advice): `if deleted_ids:` on a generator is always
+    truthy — an EMPTY generator used to reach createDataFrame([]) and die
+    on schema inference. deleted_ids is now materialized to a list and
+    branched on length, so generators (empty or not) behave like lists."""
+    ix = PostingsIndex(spark, str(tmp_path / "gen"), grams=(1,), num_buckets=2)
+    ix.build(_docs(spark))
+    empty = spark.createDataFrame([], "doc_id long, text string")
+
+    # empty generator: must be a no-op, not a schema-inference crash
+    ix.refresh(empty, deleted_ids=(d for d in []))
+    assert ix.corpus_stats().collect()[0][0] == len(DOCS)
+
+    # non-empty generator deletes exactly like a list would
+    ix.refresh(empty, deleted_ids=(d for d in [6]))
+    assert ix.positional().filter(F.col("doc_id") == 6).count() == 0
+    assert ix.corpus_stats().collect()[0][0] == len(DOCS) - 1
+
+
+def test_exists_detects_cross_table_lineage_mismatch(spark, tmp_path):
+    """Regression (r6 advice): the doclen/post{n} tables commit
+    independently — a crash between the per-table commits used to leave a
+    permanently inconsistent index that exists() blessed, silently
+    skewing bm25/tfidf. Every build/refresh now stamps ONE lineage id
+    into each table's commit meta and exists() fails LOUDLY on
+    disagreement."""
+    ix = PostingsIndex(spark, str(tmp_path / "lin"), grams=(1,), num_buckets=2)
+    ix.build(_docs(spark))
+    assert ix.exists()  # consistent build
+
+    # simulate the torn refresh: doclen re-committed under a new lineage,
+    # postings left at the old one
+    ix._doclen.overwrite(
+        ix._doclen.read(), meta={"postings_lineage": "torn-refresh"}
+    )
+    with pytest.raises(RuntimeError, match="cross-table inconsistent"):
+        ix.exists()
+
+
+def test_shared_postings_rebuilds_when_corpus_regenerated(spark, tmp_path):
+    """Regression (r6 advice): shared_postings cached by (applicationId,
+    corpus_key) alone — regenerating the corpus at the SAME path within
+    one Spark app silently served the stale index. The cache key now
+    folds in a physical fingerprint (file listing + mtime_ns + size)."""
+    import os
+
+    from affinity_spark.operators.postings import shared_postings
+
+    corpus = str(tmp_path / "corpus")
+    _docs(spark).coalesce(1).write.parquet(corpus)
+    key = f"test-regen-{tmp_path.name}"
+    ix1 = shared_postings(spark, spark.read.parquet(corpus), key, grams=(1,))
+    assert ix1 is shared_postings(spark, spark.read.parquet(corpus), key, grams=(1,))
+
+    # regenerate the corpus at the same path (content AND mtime change)
+    _docs(spark, [(7, "fresh corpus only")]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(corpus)
+    for root, _d, files in os.walk(corpus):
+        for f in files:
+            os.utime(os.path.join(root, f))
+    ix2 = shared_postings(spark, spark.read.parquet(corpus), key, grams=(1,))
+    assert ix2 is not ix1
+    assert [r[0] for r in ix2.positional().select("doc_id").distinct().collect()] == [7]
