@@ -1,0 +1,2048 @@
+"""Documents: text analysis, retrieval (postings index family), corpus management.
+
+Split from the single-file ``__spark_entry__.py`` registry (round 6):
+one module per query family, each with its OWN helper namespace, so a
+same-named oracle helper in another family can never silently clobber
+this one's (the r3 ``_QUALITY_SQL`` collision trap). The driver contract
+(``entry``/``queries``/``oracle_sql``) stays in ``__spark_entry__.py``
+and references these modules by qualified name.
+
+Cross-engine determinism rules (aliased aggregates, integer money/ratio
+arithmetic, formatted timestamps, md5-derived text hashes) are inherited
+from the original registry header — see ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Callable
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from affinity_spark import TimeRange
+from affinity_spark.cache import track as _track_cache
+from affinity_spark.tables import load as load_table
+from affinity_spark.functions.text import (
+    EN_STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    let_bound,
+    quality_columns,
+    token_count,
+    tokenize,
+)
+from affinity_spark.operators import dedup as dd
+from affinity_spark.operators.asof import asof_join
+from affinity_spark.operators.multimodal import blob_metadata, extract_features
+from affinity_spark.operators.upsert import merge_upsert
+from affinity_spark.operators import similarity as sim
+from affinity_spark.operators.graph import connected_components
+from affinity_spark.operators.index import build_inverted_index, index_lookup
+from affinity_spark.operators.kv import compact_latest, point_get, prefix_scan, ttl_filter
+from affinity_spark.operators.topk import global_top_n, top_n_per_group
+
+from affinity_spark.registry._shared import _cents, _duck_lsh_bands_cte, _duck_lsh_cand_cte, _duck_shingles_cte, _t
+
+
+def _postings(spark: SparkSession, sf_dir: str):
+    """Materialized postings index over the documents corpus — built ONCE
+    per process and shared by the whole retrieval family (bm25 / tfidf /
+    phrase), the maintained-index architecture of the reference's X1/X2
+    (``KVStoreLocal.scala:195-248``, incremental maintenance pinned by
+    tests/test_incremental_index.py).  Unigram positional + trigram tf
+    tables cover every current consumer."""
+    from affinity_spark.operators.postings import shared_postings
+
+    return shared_postings(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        corpus_key=os.path.abspath(sf_dir),
+        grams=(1, 3),
+    )
+
+
+def docs_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/k proximity search from the materialized positional index
+    (the slop relaxation of phrase search): docs where the corpus's top
+    bigram's two words co-occur within 5 positions in either order, with
+    the pair count. Data-derived terms keep the query regeneration-proof;
+    the whole query reads only the postings index — per-term
+    partition-pruned scans and a posting-list-sized position join."""
+    from affinity_spark.operators.index import proximity_lookup
+
+    idx = _postings(spark, sf_dir)
+    top = idx.top_bigram()
+    w1 = top.select(F.split(F.col("phrase"), " ").getItem(0))
+    w2 = top.select(F.split(F.col("phrase"), " ").getItem(1))
+    near = proximity_lookup(idx.positional(), w1, w2, 5, ["doc_id"])
+    return near.crossJoin(F.broadcast(top)).select("doc_id", "phrase", "n_near")
+
+
+_PROXIMITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS bg
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+),
+top AS (
+  SELECT bg AS phrase,
+         string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+  FROM bg GROUP BY bg ORDER BY count(*) DESC, bg LIMIT 1
+),
+pos AS (
+  SELECT doc_id, i AS p, toks[i] AS term
+  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+m AS (
+  SELECT a.doc_id, top.phrase, CAST(count(*) AS BIGINT) AS n_near
+  FROM top, pos a JOIN pos b ON a.doc_id = b.doc_id
+  WHERE a.term = top.w1 AND b.term = top.w2
+    AND abs(a.p - b.p) <= 5 AND a.p <> b.p
+  GROUP BY a.doc_id, top.phrase
+)
+SELECT doc_id, phrase, n_near FROM m
+"""
+
+
+def docs_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's trigram shingles that
+    appear in NO other document (integer basis points) — the duplication
+    profile corpus reports publish (high novelty = unique prose, low =
+    boilerplate/template; the doc-level complement of the dedup tiers).
+    One shingle-df aggregate + one per-doc aggregate, both postings-sized;
+    df==1 shingles are by construction unique to their doc, so the join
+    back is exact, not approximate."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingle_table(docs, "doc_id", "text", 3).select("doc_id", "shingle")
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per = (
+        sh.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_unique",
+        F.expr("(n_unique * 10000) div n_shingles").alias("novelty_bp"),
+    )
+
+
+_NOVELTY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+  FROM t WHERE len(toks) >= 3
+),
+dfc AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY shingle),
+per AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM sh JOIN dfc USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT doc_id, n_shingles, n_unique,
+       (n_unique * 10000) // n_shingles AS novelty_bp
+FROM per
+"""
+
+
+def docs_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition drift monitor: the 20 terms whose usage RATE
+    diverges most between two sources ('src0' vs 'src1' — the
+    lexicographically-first pair, regeneration-stable), with both rates in
+    integer parts-per-billion and a support floor of 20 total occurrences.
+    The between-crawl drift check a corpus pipeline runs before mixing a
+    new snapshot into training data. Term counts come from the postings
+    index joined to the doc→source map; rates are integer ppb
+    (c·10⁹ div N, overflow-safe at any corpus size), so the ranking is
+    engine-exact."""
+    idx = _postings(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    tf = idx.tf_postings(1).join(
+        F.broadcast(docs.filter(F.col("source").isin("src0", "src1"))), "doc_id"
+    )
+    per = tf.groupBy("term", "source").agg(F.sum("tf").alias("c"))
+    tot = per.groupBy("source").agg(F.sum("c").alias("n"))
+    wide = per.groupBy("term").agg(
+        F.sum(F.when(F.col("source") == "src0", F.col("c")).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", F.col("c")).otherwise(0)).alias("c1"),
+    )
+    totals = tot.groupBy().pivot("source", ["src0", "src1"]).sum("n")
+    wide = (
+        wide.crossJoin(F.broadcast(totals.select(F.col("src0").alias("n0"), F.col("src1").alias("n1"))))
+        .filter(F.col("c0") + F.col("c1") >= 20)
+        .select(
+            "term",
+            "c0",
+            "c1",
+            F.expr("(c0 * 1000000000) div n0").alias("rate0_ppb"),
+            F.expr("(c1 * 1000000000) div n1").alias("rate1_ppb"),
+            F.abs(
+                F.expr("(c0 * 1000000000) div n0") - F.expr("(c1 * 1000000000) div n1")
+            ).alias("drift_ppb"),
+        )
+    )
+    return wide.orderBy(F.desc("drift_ppb"), F.asc("term")).limit(20)
+
+
+_SOURCE_DRIFT_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+e AS (SELECT source, unnest(toks) AS term FROM t),
+per AS (SELECT term, source, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY source),
+wide AS (
+  SELECT term,
+         CAST(coalesce(sum(CASE WHEN source = 'src0' THEN c END), 0) AS BIGINT) AS c0,
+         CAST(coalesce(sum(CASE WHEN source = 'src1' THEN c END), 0) AS BIGINT) AS c1
+  FROM per GROUP BY term
+),
+n0 AS (SELECT n FROM tot WHERE source = 'src0'),
+n1 AS (SELECT n FROM tot WHERE source = 'src1')
+SELECT term, c0, c1,
+       (c0 * 1000000000) // n0.n AS rate0_ppb,
+       (c1 * 1000000000) // n1.n AS rate1_ppb,
+       abs((c0 * 1000000000) // n0.n - (c1 * 1000000000) // n1.n) AS drift_ppb
+FROM wide CROSS JOIN n0 CROSS JOIN n1
+WHERE c0 + c1 >= 20
+ORDER BY drift_ppb DESC, term
+LIMIT 20
+"""
+
+
+def docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word collocations by integer PMI from the positional postings index
+    (Church & Hanks 1990): ordered pairs within a 2-token window, support
+    >= 5, scored 4 + fl2(n_ab) + 2·fl2(U) − fl2(n_a) − fl2(n_b) − fl2(P)
+    (decomposed floor-log2 sum — int64-safe at any corpus size, where the
+    single-product form overflows at ~1e7 tokens; ±3-bit precision bound
+    documented in ranking.pmi_collocations) — independence reads ~4, each
+    doubling of association +1 — bit-exact in any engine. Pair generation is an offset
+    equi-join on (doc, pos+d), postings-LINEAR, never per-doc quadratic;
+    the corpus is never re-tokenized. Tokenizer/embedding diagnostics —
+    which adjacent words glue together — straight off the index."""
+    from affinity_spark.operators.ranking import pmi_collocations
+
+    return pmi_collocations(_postings(spark, sf_dir), window=2, min_count=5, k=30)
+
+
+_PMI_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i AS p, toks[i] AS term
+  FROM t, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM pos GROUP BY term),
+pr AS (
+  SELECT a.term AS w1, b.term AS w2, CAST(count(*) AS BIGINT) AS n_ab
+  FROM pos a JOIN pos b
+    ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2
+  GROUP BY 1, 2
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS u FROM uni),
+tp AS (SELECT CAST(sum(n_ab) AS BIGINT) AS np FROM pr),
+scored AS (
+  -- decomposed floor-log2 sum (never a single product: 16*n_ab*u*u
+  -- overflows int64 at ~1e7 tokens; the sum is int64-safe at any scale)
+  SELECT w1, w2, n_ab,
+         CAST(4 + (length(bin(n_ab)) - 1) + 2 * (length(bin(u)) - 1)
+                - (length(bin(na.n)) - 1) - (length(bin(nb.n)) - 1)
+                - (length(bin(np)) - 1) AS BIGINT)
+           AS pmi_log2_x16
+  FROM pr
+  JOIN uni na ON na.term = pr.w1
+  JOIN uni nb ON nb.term = pr.w2
+  CROSS JOIN tot CROSS JOIN tp
+  WHERE n_ab >= 5
+)
+SELECT w1, w2, n_ab, pmi_log2_x16
+FROM scored
+WHERE pmi_log2_x16 > 0
+ORDER BY pmi_log2_x16 DESC, n_ab DESC, w1, w2
+LIMIT 30
+"""
+
+
+def docs_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 index-build evidence, checked DIRECTLY (not through a consumer
+    query): the 20 highest-df unigram terms with document frequency and
+    total term frequency, computed ENTIRELY from the materialized postings
+    index (``operators/postings.py``) — df and tf derive from the
+    positional table, the documents corpus is never rescanned. The oracle
+    recomputes the same statistics from raw text, so a drifted or stale
+    index build fails loudly here before it skews bm25/tfidf/phrase."""
+    idx = _postings(spark, sf_dir)
+    return (
+        idx.tf_postings(1)
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_POSTINGS_STATS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+g AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM e GROUP BY 1, 2)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+FROM g
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 20
+"""
+
+
+def docs_online_lsh_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup bucket state replayed in batch (the
+    driver-checkable twin of
+    ``streaming/dedup_stream.py::streaming_near_dup_candidates``): the
+    corpus arrives in doc-id order, each LSH band bucket stores its first
+    1024 members, and an arriving doc emits one row PER SHARED BAND BUCKET
+    for every stored earlier member whose exact Jaccard >= 1/2 — exactly
+    the streaming operator's per-band emission cadence before the caller's
+    sink-side collapse. Jaccard is emitted as integer basis points (the
+    no-float-hash rule). Streaming/batch equivalence on a shared changelog
+    is pinned by tests/test_streaming_batch_twins.py."""
+    from affinity_spark.streaming.dedup_stream import online_lsh_replay
+
+    docs = _t(spark, sf_dir, "documents")
+    return online_lsh_replay(docs, "doc_id", "text", 3)
+
+
+def _online_lsh_state_sql() -> str:
+    return f"""
+WITH {_duck_shingles_cte(3)},
+{_duck_lsh_bands_cte()},
+ranked AS (
+  SELECT doc_id, band_id, band_hash,
+         row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) AS rk
+  FROM bands
+),
+bp AS (
+  SELECT a.doc_id AS dup_of, b.doc_id AS doc_id
+  FROM ranked a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  WHERE a.rk <= 1024
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM h GROUP BY doc_id),
+common AS (
+  SELECT p.dup_of, p.doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM (SELECT DISTINCT dup_of, doc_id FROM bp) p
+  JOIN h x ON x.doc_id = p.dup_of
+  JOIN h y ON y.doc_id = p.doc_id AND y.shingle = x.shingle
+  GROUP BY 1, 2
+)
+SELECT bp.doc_id, bp.dup_of,
+       (c.n_common * 10000) // (sa.nsh + sb.nsh - c.n_common) AS jacc_bp
+FROM bp
+JOIN common c ON c.dup_of = bp.dup_of AND c.doc_id = bp.doc_id
+JOIN sizes sa ON sa.doc_id = bp.dup_of
+JOIN sizes sb ON sb.doc_id = bp.doc_id
+WHERE 2 * c.n_common >= (sa.nsh + sb.nsh - c.n_common)
+"""
+
+
+def docs_blob_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (size/hash/magic/modality) — JVM-side only.
+    Text bytes stand in for media blobs; the schema/plumbing is the same."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "utf-8")
+    )
+    return blob_metadata(docs, "blob", ["doc_id"])
+
+
+_BLOB_META_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       upper(substr(hex(encode(text)), 1, 8)) AS magic,
+       CASE WHEN upper(substr(hex(encode(text)), 1, 8)) LIKE '89504E47%' THEN 'image/png'
+            WHEN upper(substr(hex(encode(text)), 1, 8)) LIKE 'FFD8FF%' THEN 'image/jpeg'
+            WHEN upper(substr(hex(encode(text)), 1, 8)) LIKE '52494646%' THEN 'audio/wav'
+            WHEN upper(substr(hex(encode(text)), 1, 8)) LIKE '1A45DFA3%' THEN 'video/mkv'
+            ELSE 'application/octet-stream' END AS modality
+FROM documents
+"""
+
+
+def docs_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction (stub decode): Arrow-batched Python
+    over binary blobs; features emitted as exact integer basis points."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "blob", F.encode(F.col("text"), "utf-8")
+    ).withColumn("doc_id", F.col("doc_id").cast("long"))
+    feats = extract_features(docs, "doc_id", "blob")
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        *[
+            F.floor(F.element_at("feature", i + 1) * 10000).cast("long").alias(f"f{i}_bp")
+            for i in range(4)
+        ],
+    )
+
+
+_FEATURE_STUB_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       CAST(floor(CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) / 255.0 * 10000) AS BIGINT) AS f0_bp,
+       CAST(floor(CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) / 255.0 * 10000) AS BIGINT) AS f1_bp,
+       CAST(floor(CAST(('0x' || substr(md5(text), 5, 2)) AS INTEGER) / 255.0 * 10000) AS BIGINT) AS f2_bp,
+       CAST(floor(CAST(('0x' || substr(md5(text), 7, 2)) AS INTEGER) / 255.0 * 10000) AS BIGINT) AS f3_bp
+FROM documents
+"""
+
+
+def docs_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode end to end: each doc row becomes a
+    genuine JPEG (SOI/DQT/SOF0/DHT/SOS, Annex-K huffman, forward DCT)
+    of a flat gray tile whose geometry and level derive from doc_id,
+    then is decoded back by the pure-python baseline decoder
+    (``functions/codecs.py``: marker walk, canonical huffman, dequant,
+    IDCT). With the all-8s quant table a flat tile round-trips EXACTLY
+    (DC = 8*(v-128) quantizes losslessly), so the oracle recomputes
+    width/height/mean/checksum in closed form — any huffman, zigzag,
+    dequant or IDCT defect breaks the value hash."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from affinity_spark.functions.codecs import decode_jpeg, encode_jpeg_baseline
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    schema = "doc_id long, width int, height int, mean_gray long, checksum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "mean_gray": [],
+                   "checksum": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, g = 8 + (did % 3) * 4, 8 + (did % 5) * 2, (did * 13) % 256
+                img = decode_jpeg(encode_jpeg_baseline(w, h, bytes([g] * (w * h))))
+                assert (img.width, img.height) == (w, h)
+                out["doc_id"].append(did)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["mean_gray"].append(sum(img.pixels) // len(img.pixels))
+                out["checksum"].append(sum(img.pixels))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
+_JPEG_DECODE_SQL = """
+SELECT doc_id,
+       CAST(8 + (doc_id % 3) * 4 AS INT) AS width,
+       CAST(8 + (doc_id % 5) * 2 AS INT) AS height,
+       CAST((doc_id * 13) % 256 AS BIGINT) AS mean_gray,
+       CAST((doc_id * 13) % 256
+            * (8 + (doc_id % 3) * 4) * (8 + (doc_id % 5) * 2) AS BIGINT)
+         AS checksum
+FROM documents
+"""
+
+
+def docs_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode through the multimodal path: each document row is
+    turned into a genuine PNG (even doc_id) or 16-bit PCM WAV (odd) whose
+    geometry/content derive deterministically from doc_id, then decoded by
+    the pure-python codecs (``functions/codecs.py``: chunk walk, zlib
+    inflate, scanline unfilter / RIFF PCM parse) inside Arrow-batched
+    mapInPandas. The oracle recomputes width/height/sample counts and the
+    pixel/amplitude checksum in closed form — a wrong decoder (skipped
+    chunk, bad unfilter, wrong endianness) breaks the hash.
+
+    Reference parity: the multimodal story the reference lacks entirely;
+    decode runs where the data lives, no driver collect, schema fixed.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from affinity_spark.functions.codecs import (
+        decode_png,
+        decode_wav,
+        encode_png_gray,
+        encode_wav_pcm16,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    schema = "doc_id long, modality string, d1 int, d2 int, checksum long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "modality": [], "d1": [], "d2": [], "checksum": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    w, h = 1 + did % 16, 1 + did % 8
+                    pixels = bytes((did * 7 + i * 3) % 256 for i in range(w * h))
+                    img = decode_png(encode_png_gray(w, h, pixels))
+                    out["doc_id"].append(did)
+                    out["modality"].append("image/png")
+                    out["d1"].append(img.width)
+                    out["d2"].append(img.height)
+                    out["checksum"].append(sum(img.pixels))
+                else:
+                    rate, n = 8000 + did % 100, 16 + did % 17
+                    samples = [((did * 11 + i * 5) % 2048) - 1024 for i in range(n)]
+                    wav = decode_wav(encode_wav_pcm16(rate, 1, samples))
+                    out["doc_id"].append(did)
+                    out["modality"].append("audio/wav")
+                    out["d1"].append(wav.sample_rate)
+                    out["d2"].append(len(wav.samples))
+                    out["checksum"].append(sum(abs(s) for s in wav.samples))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema)
+
+
+_MEDIA_DECODE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS modality,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 16
+                 ELSE 8000 + doc_id % 100 END AS INTEGER) AS d1,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 8
+                 ELSE 16 + doc_id % 17 END AS INTEGER) AS d2,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN
+              list_sum(list_transform(
+                range(0, (1 + doc_id % 16) * (1 + doc_id % 8)),
+                i -> (doc_id * 7 + i * 3) % 256))
+            ELSE
+              list_sum(list_transform(
+                range(0, 16 + doc_id % 17),
+                i -> abs(((doc_id * 11 + i * 5) % 2048) - 1024)))
+            END AS BIGINT) AS checksum
+FROM documents
+"""
+
+
+def docs_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling: each doc becomes a genuine
+    Matroska file (EBML header/track/cluster, ``codecs.encode_mkv``) with
+    2 + doc_id % 7 frames at 40 ms spacing, keyframes every 4th, payload
+    md5(doc_id-i); ``sample_frames(decode_stub=False)`` then walks the
+    container for real (VINT parse, SimpleBlock timestamps + flags) and
+    picks 3 uniformly-spaced frames by integer math. The oracle recomputes
+    indices/timestamps/flags/payload-md5 in closed form — a wrong EBML
+    walk or timestamp reconstruction breaks the hash."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from affinity_spark.functions.codecs import encode_mkv
+    from affinity_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    (
+                        i * 40,
+                        i % 4 == 0,
+                        hashlib.md5(f"{did}-{i}".encode()).digest(),
+                    )
+                    for i in range(2 + did % 7)
+                ]
+                blobs.append(encode_mkv(64, 48, frames))
+            out = pdf.copy()
+            out["blob"] = pd.Series(blobs, index=out.index, dtype="object")
+            yield out
+
+    videos = docs.mapInPandas(build, "doc_id long, blob binary")
+    sampled = sample_frames(videos, "doc_id", "blob", n_frames=3, decode_stub=False)
+    return sampled.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        "keyframe",
+        F.lower(F.hex(F.col("frame"))).alias("payload_md5"),
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH base AS (SELECT doc_id, 2 + doc_id % 7 AS total FROM documents),
+idx AS (
+  SELECT doc_id,
+         unnest(CASE WHEN total <= 3 THEN range(0, total)
+                     ELSE list_distinct([0, (total - 1) // 2, total - 1])
+                END) AS fi
+  FROM base
+)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(fi * 40 AS BIGINT) AS ts_ms,
+       fi % 4 = 0 AS keyframe,
+       md5(CAST(doc_id AS VARCHAR) || '-' || CAST(fi AS VARCHAR)) AS payload_md5
+FROM idx
+"""
+
+
+def index_word_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2/J3 inverted index lookup: word -> documents (semi-join)."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs, ["doc_id"], lambda d: tokenize(d["text"]), index_col="word")
+    return index_lookup(idx, docs, "spark", ["doc_id"], index_col="word").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_INDEX_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                      t -> t = 'spark')) > 0
+"""
+
+
+def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 word count (batch view of the continuous counter)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_WORDCOUNT_SQL = """
+SELECT word, count(*) AS n
+FROM (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            t -> t <> '')) AS word
+  FROM documents
+)
+GROUP BY word
+"""
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+
+
+_TOKCOUNT_SQL = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''))
+         AS n_tokens
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token stats, type/token ratio, stopword density."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_columns(F.col("text"))
+    return docs.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        q["n_distinct_tokens"].alias("n_distinct_tokens"),
+        F.floor(q["type_token_ratio"] * 10000).cast("long").alias("ttr_bp"),
+        F.floor(q["stopword_ratio"] * 10000).cast("long").alias("stopword_bp"),
+    )
+
+
+_STOPWORDS_SQL_LIST = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) AS n_distinct_tokens,
+       CAST(floor(round(len(list_distinct(t)) * 1.0 / len(t), 4) * 10000) AS BIGINT) AS ttr_bp,
+       CAST(floor(round(len(list_filter(t, x -> x IN ({_STOPWORDS_SQL_LIST}))) * 1.0 / len(t), 4) * 10000) AS BIGINT)
+         AS stopword_bp
+FROM toks
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID from English-stopword density."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+_LANGID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(t) > 0
+              AND len(list_filter(t, x -> x IN ({_STOPWORDS_SQL_LIST}))) * 1.0 / len(t) >= 0.05
+            THEN 'en' ELSE 'und' END AS lang_pred
+FROM toks
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of whitespace-normalized text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate per doc: one codegen'd regexp_count of the
+    GPT-2-style pattern (functions/text.py::BPE_TOKEN_PATTERN) — the token
+    accounting a training pipeline budgets with, no vocab or UDF needed."""
+    from affinity_spark.functions.text import bpe_token_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_estimate(F.col("text")).alias("n_bpe"))
+
+
+_BPE_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text),
+            $re$'[a-z]+| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\\s']+|\\s+$re$)) AS BIGINT)
+         AS n_bpe
+FROM documents
+"""
+
+
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, lang): subword-per-word
+    ratio (BPE-ish token estimate over whitespace words) and bytes per
+    subword, in integer ppm — the per-language tokenizer-efficiency
+    numbers a training pipeline watches when choosing vocab size and
+    per-language sampling (a language with 2x fertility pays 2x context
+    per word; compression-ratio drift per source flags boilerplate or
+    encoding damage). One map-side projection (two codegen'd regexes +
+    octet_length, no UDF) and one partial-aggregated groupBy on a tiny
+    key space — corpus-linear, shuffle carries |sources x langs| rows."""
+    from affinity_spark.functions.text import bpe_token_estimate, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        token_count(F.col("text")).cast("long").alias("_w"),
+        bpe_token_estimate(F.col("text")).alias("_t"),
+        F.octet_length("text").cast("long").alias("_b"),
+    )
+    g = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("words"),
+        F.sum("_t").alias("bpe_tokens"),
+        F.sum("_b").alias("bytes"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "words",
+        "bpe_tokens",
+        "bytes",
+        F.expr("(bpe_tokens * 1000000) div greatest(words, 1)").alias(
+            "fertility_ppm"
+        ),
+        F.expr("(bytes * 1000000) div greatest(bpe_tokens, 1)").alias(
+            "bytes_per_token_ppm"
+        ),
+    )
+
+
+_TOKENIZER_FERTILITY_SQL = """
+WITH per AS (
+  SELECT source, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS w,
+         CAST(len(regexp_extract_all(lower(text),
+              $re$'[a-z]+| ?[a-z]+| ?[0-9]{1,3}| ?[^a-z0-9\\s']+|\\s+$re$)) AS BIGINT) AS t,
+         CAST(strlen(text) AS BIGINT) AS b
+  FROM documents
+),
+g AS (
+  SELECT source, lang,
+         count(*) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS words,
+         CAST(sum(t) AS BIGINT) AS bpe_tokens,
+         CAST(sum(b) AS BIGINT) AS bytes
+  FROM per GROUP BY source, lang
+)
+SELECT source, lang, n_docs, words, bpe_tokens, bytes,
+       (bpe_tokens * 1000000) // greatest(words, 1) AS fertility_ppm,
+       (bytes * 1000000) // greatest(bpe_tokens, 1) AS bytes_per_token_ppm
+FROM g
+"""
+
+
+def text_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003) per doc:
+    k=7 char grams, window w=4, md5-derived hashes — the guaranteed-recall
+    substring-match fingerprint family. Emits the count and an md5 digest of
+    the sorted fingerprint set so the value hash verifies every selected
+    fingerprint."""
+    from affinity_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"), k=7, w=4)
+    # materialize the O(n*k) fingerprint array ONCE behind an alias:
+    # CollapseProject won't inline a non-cheap expression referenced twice,
+    # so size + digest both read the computed array (shared-subexpr trap).
+    return docs.select("doc_id", fps.alias("fps")).select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.md5(
+            F.array_join(F.transform("fps", lambda x: x.cast("string")), ",")
+        ).alias("fp_digest"),
+    )
+
+
+_WINNOW_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 7
+              THEN list_transform(range(1, len(t) - 5),
+                   i -> CAST(('0x' || substr(md5(substr(t, i, 7)), 1, 8)) AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM n
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4
+              THEN list_sort(list_distinct(list_transform(range(1, len(hs) - 2),
+                   j -> list_min(hs[j:j+3]))))
+              ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM h
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+       md5(array_to_string(fps, ',')) AS fp_digest
+FROM w
+"""
+
+
+def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split — the leakage-free form of
+    ``docs_train_split``: hash-splitting raw doc ids puts near-duplicate
+    pairs on both sides of the train/eval boundary (the classic
+    contamination bug benchmark papers keep re-finding), so the split key
+    here is the near-dup CLUSTER id (LSH candidates → exact-Jaccard
+    verify → connected components; singletons are their own cluster).
+    Every member of a cluster lands in the same split BY CONSTRUCTION
+    (split is a pure function of cluster_id), and the assignment stays
+    stable as the corpus grows — same md5 bucket bounds as train_split.
+
+    Scale shape: identical to dedup_cluster_canonical (zero-shuffle
+    signatures, candidate-sized verify, lineage-cut CC) plus one
+    broadcast-sized left join of the cluster map back onto doc ids."""
+    from affinity_spark.operators.graph import connected_components
+    from affinity_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
+    pairs = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "vertex", "doc_id"
+    )
+    lab = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+        )
+    )
+    b = hash_bucket(F.col("cluster_id"))
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 900, F.lit("train"))
+        .when(b < 950, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def _leakage_free_split_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_shingles_cte(3)},
+{_duck_lsh_cand_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+walk AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT w.v, e.b AS r FROM walk w JOIN edges e ON e.a = w.r
+),
+comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY v),
+lab AS (
+  SELECT d.doc_id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000 AS bucket
+  FROM lab
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def docs_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer trained ON the corpus (operators/bpe.py: one
+    word-count shuffle, vocab-sized driver merge loop, 24 merges), then
+    applied to every document — with the OUTPUT shaped so the driver can
+    cross-check it even though merge training is an argmax-iterated loop
+    no SQL oracle can replay.
+
+    The oracle-checkable invariants, all computed FROM the BPE token
+    stream on the Spark side and from the raw text in DuckDB:
+    - ``detok_md5``: md5 of the concatenated token stream. BPE symbols
+      concatenate back to ``word || '</w>'`` per word, so the digest
+      equals md5 of the normalized text with word boundaries marked —
+      any dropped/duplicated character or symbol anywhere in
+      segmentation breaks the hash (losslessness, the reversibility
+      property of ``AvroRecordPropSpec.scala:35-71`` in query form).
+    - ``n_words``: count of tokens carrying the end-of-word marker —
+      exactly one per word iff segmentation preserves word boundaries;
+      DuckDB counts words from the raw text.
+
+    Merge ORDER (the trained table itself) remains pinned by
+    tests/test_bpe.py goldens + the pure-python agreement model."""
+    from affinity_spark.operators.bpe import END, bpe_segment, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=24, min_count=2)
+    seg = bpe_segment(docs, "doc_id", "text", merges)
+    return seg.select(
+        "doc_id",
+        F.size(F.filter(F.col("tokens"), lambda t: t.endswith(END))).alias("n_words"),
+        F.md5(F.array_join(F.col("tokens"), "")).alias("detok_md5"),
+    )
+
+
+_BPE_SEGMENT_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       md5(array_to_string(list_transform(words, x -> x || '</w>'), ''))
+         AS detok_md5
+FROM w
+"""
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile style): training docs sharing
+    a word n-gram with the held-out eval slice (doc_id % 97 == 0) are
+    flagged. n=4 here — the synthetic corpus's small vocabulary means
+    13-grams (the production default) never repeat across docs; the
+    operator takes n as a parameter. Broadcast semi-join: zero shuffle
+    over the training corpus."""
+    from affinity_spark.operators.decontam import contamination_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_hits(train, eval_docs, "doc_id", "text", n=4)
+
+
+_DECONTAM_SQL = """
+WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 0) + 1),
+               i -> array_to_string(t[i:i+3], ' ')))) AS gram
+      FROM d WHERE len(t) >= 4),
+e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+hits AS (SELECT doc_id, count(*) AS n
+         FROM g JOIN e USING (gram) WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_contaminated_grams,
+       COALESCE(hits.n, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (word-repetition family, Rae et al. 2021):
+    integer mean-word-length and top-token-dominance signals plus the pass
+    flag. Thresholds picked from this corpus's distributions (mwl_x100
+    370-530, top_token_bp 515-3000, n_words 10-99) so both outcomes
+    occur. Zero shuffle: every signal is map-side."""
+    from affinity_spark.functions.text import gopher_rule_struct
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id", gopher_rule_struct(F.col("text")).alias("g"))
+    out = g.select(
+        "doc_id",
+        F.col("g.n_words").alias("n_words"),
+        F.col("g.mean_word_len_x100").alias("mwl_x100"),
+        F.col("g.top_token_bp").alias("top_token_bp"),
+    )
+    passes = (
+        (F.col("n_words") >= 20)
+        & F.col("mwl_x100").between(300, 1000)
+        & (F.col("top_token_bp") <= 1500)
+    )
+    return out.withColumn("quality_pass", passes)
+
+
+_GOPHER_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(t, w -> len(w))), 0) * 100
+              // greatest(len(t), 1) AS BIGINT) AS mwl_x100,
+         CAST(COALESCE(list_max(list_transform(list_distinct(t),
+                w -> len(list_filter(t, x -> x = w)))), 0) * 10000
+              // greatest(len(t), 1) AS BIGINT) AS top_token_bp
+  FROM toks
+)
+SELECT doc_id, n_words, mwl_x100, top_token_bp,
+       (n_words >= 20 AND mwl_x100 BETWEEN 300 AND 1000
+        AND top_token_bp <= 1500) AS quality_pass
+FROM m
+"""
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (§2.13 training-pipeline extension): per-class match
+    counts + redacted-text digest + a ``clean`` partition-prune flag.
+
+    The synthetic corpus contains no PII (no digits, no '@' anywhere), so
+    the query derives an augmented text column by deterministically
+    injecting synthetic PII for two of every three doc_ids — the SAME
+    derivation in the oracle — leaving doc_id % 3 == 2 rows clean so both
+    outcomes occur. Everything is a map-side regexp projection: zero
+    shuffle, codegen end to end (see ``operators/pii.py``)."""
+    from affinity_spark.operators.pii import pii_counts, scrub_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@mail.example.com now")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit(" from 10."),
+                did % 256,
+                F.lit(".0."),
+                (did * 7) % 256,
+                F.lit(" call 555-"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", aug.alias("aug"))
+    counts = pii_counts(F.col("aug"))
+    out = base.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        F.md5(scrub_text(F.col("aug"))).alias("masked_md5"),
+    )
+    total = sum((F.col(n) for n in counts), F.lit(0).cast("long"))
+    return out.withColumn("clean", total == 0)
+
+
+_PII_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN
+             ' contact user' || doc_id || '@mail.example.com now'
+           WHEN doc_id % 3 = 1 THEN
+             ' from 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+             || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+           ELSE ''
+         END AS aug
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(aug,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS masked_md5,
+  (len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+   + len(regexp_extract_all(aug, '\b\d{3}-\d{3}-\d{4}\b'))) = 0 AS clean
+FROM aug
+"""
+
+
+_BM25_TERMS = ("vector", "stream", "merge")
+
+
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-style top-20 ranked retrieval for an OR-of-terms query
+    (§2.13 extension of the inverted-index family, X1/X2). Integer
+    fixed-point scoring so the oracle matches bit-for-bit; per-term tf is
+    a map-side array filter (no explode), corpus stats reduce to ONE
+    broadcast row, top-k is TakeOrderedAndProject (see
+    ``operators/ranking.py``).
+
+    Served from the MATERIALIZED postings index (shared with
+    tfidf/phrase): the term filter prunes the postings scan, df/N/L derive
+    from the index alone, zero document scans at query time — the
+    reference's maintained-index lookup shape (``KVStoreIndex.scala:20-66``)."""
+    from affinity_spark.operators.ranking import bm25_topk_postings
+
+    return bm25_topk_postings(_postings(spark, sf_dir), _BM25_TERMS, k=20)
+
+
+def _bm25_oracle_sql() -> str:
+    tfs = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{term}')) AS BIGINT) AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = "\n       + ".join(
+        f"CASE WHEN tf{i} > 0 THEN ((n - df{i}) * 1000 // n) * "
+        f"((tf{i} * 2200 * l * 1000) // (tf{i} * 1000 * l + 300 * l + 900 * dl * n)) "
+        f"ELSE 0 END"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> t <> '') AS t
+           FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         {tfs}
+         FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l,
+         {dfs}
+          FROM base),
+scored AS (SELECT doc_id,
+       CAST({contribs} AS BIGINT) AS score_x1e6
+  FROM base, stats)
+SELECT doc_id, score_x1e6 FROM scored
+WHERE score_x1e6 > 0
+ORDER BY score_x1e6 DESC, doc_id
+LIMIT 20
+"""
+
+
+def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split the corpus 90/5/5 into train/val/test and account for it.
+
+    The split of a row is a pure function of md5(doc_id) — stable across
+    runs, engines, and data growth (new docs never move old ones between
+    splits). The aggregate output verifies every row's assignment *and* the
+    token accounting a loader would consume.
+    """
+    from affinity_spark.operators.sampling import train_split
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = train_split(docs.select("doc_id", "text"), "doc_id")
+    return lab.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("tok_sum"),
+    )
+
+
+_TRAIN_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> t <> ''))) AS BIGINT) AS tok_sum
+FROM b
+GROUP BY 1
+"""
+
+
+def docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate line removal (CCNet/RefinedWeb paragraph
+    dedup). The synthetic docs are single-line, so the query derives a
+    multi-line column first: a per-source header (25 docs share it → df 25
+    > 10, dropped), the original text (kept unless genuinely duplicated
+    across >10 docs), and a per-doc footer (df 1, kept — also guarantees
+    no doc loses every line). The SAME derivation runs in the oracle.
+    Shape: line-df agg + AQE-broadcast anti-join + per-doc regroup (see
+    ``dedup.line_dedup``)."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat_ws(
+        "\n",
+        F.concat(F.lit("(c) boilerplate of "), F.col("source")),
+        F.col("text"),
+        F.concat(F.lit("footer "), F.col("doc_id")),
+    )
+    base = docs.select("doc_id", aug.alias("aug"))
+    return dd.line_dedup(base, "doc_id", "aug", 10)
+
+
+_LINE_DEDUP_SQL = """
+WITH a AS (
+  SELECT doc_id,
+         '(c) boilerplate of ' || source || chr(10) || text
+           || chr(10) || 'footer ' || doc_id AS aug
+  FROM documents
+),
+d AS (SELECT doc_id, string_split(aug, chr(10)) AS l FROM a),
+lines AS (
+  SELECT doc_id, CAST(len(l) AS BIGINT) AS n_lines,
+         unnest(range(1, len(l) + 1)) AS pos, unnest(l) AS line
+  FROM d
+),
+bl AS (SELECT line FROM lines GROUP BY line
+       HAVING count(DISTINCT doc_id) > 10),
+kept AS (SELECT doc_id, n_lines, pos, line FROM lines ANTI JOIN bl USING (line))
+SELECT doc_id,
+       CAST(min(n_lines) AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(n_lines) - count(*) AS BIGINT) AS n_dropped,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+FROM kept GROUP BY doc_id
+"""
+
+
+def docs_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: fill a 600-token budget PER SOURCE in
+    stable hash order (take-while on the exclusive running token sum, last
+    doc may overshoot). The stop condition is token mass, not a row
+    percentage — the "equal tokens per source" mixing move a training
+    pipeline actually wants. One partition-aligned shuffle; selection is a
+    pure function of ids (rerun/retry-stable)."""
+    from affinity_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    picked = token_budget_sample(scored, "doc_id", "source", "n_tokens", 600)
+    return picked.select("doc_id", "source", "n_tokens", "cum_before")
+
+
+_SOURCE_MIX_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2147483648 AS hk
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY hk, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_before
+FROM c WHERE cum_before < 600
+"""
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic subsample (corpus mixing): keep 100% of en,
+    50% of fr, 25% of everything else — a zero-shuffle md5-bucket filter, the
+    scalable alternative to sample() whose membership survives reruns."""
+    from affinity_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 100, "fr": 50, "de": 25, "es": 25, "zh": 25}
+    kept = stratified_sample(docs, "doc_id", "lang", rates)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+    )
+
+
+_STRATIFIED_SQL = """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           AS bucket
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+FROM b
+WHERE (lang = 'en' AND bucket < 1000)
+   OR (lang = 'fr' AND bucket < 500)
+   OR (lang IN ('de', 'es', 'zh') AND bucket < 250)
+GROUP BY lang
+"""
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing into 2048-token context windows, per source
+    shard: pack_id = exclusive running token count div 2048. Shards pack
+    independently (one parallel per-shard window, never a global sort); a
+    straddling doc continues into the next pack — block packing with zero
+    padding waste. Output: per-pack doc/token accounting."""
+    from affinity_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(with_tok, "source", "doc_id", "n_tokens", 2048)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+    )
+
+
+_PACK_SQL = """
+WITH tok AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT source, n_tokens,
+         (CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          - n_tokens) // 2048 AS pack_id
+  FROM tok
+)
+SELECT source, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM cum
+GROUP BY source, pack_id
+"""
+
+
+def docs_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source subsample (distributed reservoir stand-in):
+    rank by md5(doc_id) within each source, keep the 5 smallest —
+    selection is a pure function of ids, so retries/engines agree, and
+    WindowGroupLimit prunes to 5 rows per group before the shuffle."""
+    from affinity_spark.operators.sampling import per_group_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = per_group_sample(docs.select("doc_id", "source"), "doc_id", "source", 5)
+    return kept.select("doc_id", "source")
+
+
+_RESERVOIR_SQL = """
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      % 2147483648 ASC,
+                    doc_id ASC) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+"""
+
+
+def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA: token-length histogram (50-token buckets, capped at 19) —
+    the distribution readout that gates length filters before training.
+    One map-side projection + one small agg; bucket math is integer so both
+    engines bin identically."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = token_count(F.col("text")).cast("long")
+    return (
+        docs.select(nt.alias("nt"))
+        .select(F.expr("least(nt div 50, 19L)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_TOKEN_HIST_SQL = """
+SELECT least(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '')) // 50, 19) AS bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def docs_lang_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab via the pivot operator (§2.7 aggregation family): doc
+    counts per source × language with an explicit pivot column list —
+    explicit values keep the plan a single pass (no extra distinct scan to
+    discover them) and pin the output schema for the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        docs.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, langs)
+        .select("source", *[F.col(l).cast("long").alias(f"n_{l}") for l in langs])
+    )
+
+
+_LANG_PIVOT_SQL = """
+SELECT source,
+       count(*) FILTER (lang = 'de') AS n_de,
+       count(*) FILTER (lang = 'en') AS n_en,
+       count(*) FILTER (lang = 'es') AS n_es,
+       count(*) FILTER (lang = 'fr') AS n_fr,
+       count(*) FILTER (lang = 'zh') AS n_zh
+FROM documents
+GROUP BY source
+"""
+
+
+def docs_lang_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt (unpivot) back to long form: the wide source × language counts
+    from the pivot flow into (source, lang, n) rows — the §2.7 reshaping
+    pair. Zero-filled cells survive the round trip, so the output is the
+    full source × lang grid (the oracle builds the same grid with a cross
+    join + left join)."""
+    wide = docs_lang_pivot(spark, sf_dir)
+    langs = ["de", "en", "es", "fr", "zh"]
+    return (
+        wide.unpivot(
+            "source", [f"n_{l}" for l in langs], "lang", "n"
+        )
+        .withColumn("lang", F.regexp_replace("lang", "^n_", ""))
+        .select("source", "lang", F.col("n").cast("long").alias("n"))
+    )
+
+
+_LANG_UNPIVOT_SQL = """
+WITH s AS (SELECT DISTINCT source FROM documents),
+l AS (SELECT unnest(['de', 'en', 'es', 'fr', 'zh']) AS lang),
+c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2)
+SELECT s.source, l.lang, COALESCE(c.n, 0) AS n
+FROM s CROSS JOIN l LEFT JOIN c ON c.source = s.source AND c.lang = l.lang
+"""
+
+
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16-token
+    overlap) — the retrieval/context-prep splitter run before embedding, and
+    the long-document fallback when a doc exceeds the context window.
+    Zero shuffles: chunk boundaries are a pure function of each document's
+    own token count (map-side posexplode, no global numbering), and the
+    chunk fingerprint is md5-derived so any engine reproduces it."""
+    from affinity_spark.operators.chunking import chunk_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_tokens(docs, "doc_id", "text", chunk_size=64, overlap=16)
+
+
+# stride = 64 - 16 = 48; n_chunks = max(ceil((n-16)/48), 1) in pure integer
+# math; DuckDB list slice is 1-based inclusive and clamps at the list end,
+# mirroring Spark's slice(toks, start, 64).
+_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         greatest((len(toks) - 16 + 47) // 48, 1) AS n_chunks
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(len(toks[1 + i*48 : i*48 + 64]) AS BIGINT) AS chunk_tokens,
+       md5(array_to_string(toks[1 + i*48 : i*48 + 64], ' ')) AS chunk_md5
+FROM p, unnest(range(0, n_chunks)) AS r(i)
+"""
+
+
+def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search from a positional inverted index (X1/X2 extended with
+    positions): the phrase is itself data-derived — the corpus's most
+    frequent bigram (ties broken by bigram text) — so the query is
+    regeneration-proof, then matched by aligning per-term posting lists on
+    (doc, pos - term_offset). At scale the positional index is persisted
+    partitioned by term, so each phrase term is a partition-pruned scan and
+    the alignment join is bounded by posting-list sizes, never corpus size.
+
+    Answered ENTIRELY from the materialized positional postings index
+    (shared with bm25/tfidf): the top bigram derives from a (doc, pos+1)
+    postings self-join and the phrase match from posting-list alignment —
+    zero document scans at query time."""
+    from affinity_spark.operators.index import phrase_lookup
+
+    idx = _postings(spark, sf_dir)
+    top = idx.top_bigram()
+    terms = top.select(
+        F.split(F.col("phrase"), " ").getItem(0).alias("term_0"),
+        F.split(F.col("phrase"), " ").getItem(1).alias("term_1"),
+    )
+    matches = phrase_lookup(idx.positional(), terms, ["doc_id"])
+    return matches.crossJoin(F.broadcast(top)).select(
+        "doc_id", "phrase", "n_matches"
+    )
+
+
+_PHRASE_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[i] || ' ' || toks[i+1] AS bg
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+),
+top AS (
+  SELECT bg AS phrase FROM bg GROUP BY bg ORDER BY count(*) DESC, bg LIMIT 1
+),
+m AS (
+  SELECT t.doc_id, top.phrase,
+         CAST(len(list_filter(range(1, len(t.toks)),
+                              i -> t.toks[i] || ' ' || t.toks[i+1] = top.phrase))
+              AS BIGINT) AS n_matches
+  FROM t CROSS JOIN top
+)
+SELECT doc_id, phrase, n_matches FROM m WHERE n_matches >= 1
+"""
+
+
+def docs_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020, public): score
+    every document against a bigram model trained on the lang='en' reference
+    slice, in integer floor-log2 "bits" (length(bin(x))-1 — exact in any
+    engine, unlike float logs). High bits-per-bigram ranks out-of-domain /
+    low-quality docs for the quality gate. Model tables are vocab-sized and
+    broadcast; ONE corpus-sized shuffle (groupBy doc)."""
+    from affinity_spark.operators.lm import lm_score_bits, train_bigram_model
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
+    return lm_score_bits(docs, model)
+
+
+_LM_BITS_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+db AS (
+  SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+),
+c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM db WHERE lang = 'en' GROUP BY 1, 2
+),
+c1 AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+),
+v AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM c2),
+scored AS (
+  SELECT db.doc_id,
+         (length(bin(COALESCE(c1.c1, 0) + v.v)) - 1)
+       - (length(bin(COALESCE(c2.c, 0) + 1)) - 1) AS bits
+  FROM db CROSS JOIN v
+  LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+  LEFT JOIN c1 ON db.w1 = c1.w1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) AS BIGINT) AS nll_bits,
+       CAST(sum(bits) AS BIGINT) * 100 // CAST(count(*) AS BIGINT)
+         AS bits_per_bigram_x100
+FROM scored GROUP BY doc_id
+"""
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, public): hashed-unigram
+    floor-log2 likelihood ratio between the lang='en' target slice and the
+    whole corpus, summed per document — the score used to importance-
+    resample pretraining data toward a target domain. md5-derived buckets
+    so any engine reproduces the weights; 1024-row model broadcast."""
+    from affinity_spark.operators.lm import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
+_DUCK_DSIR_WTS_CTE = """WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+),
+counts AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS cs,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
+  FROM toks GROUP BY b
+),
+wts AS (
+  SELECT toks.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum((length(bin(ct + 1)) - 1) - (length(bin(cs + 1)) - 1)) AS BIGINT)
+           AS weight_bits
+  FROM toks JOIN counts ON toks.b = counts.b
+  GROUP BY toks.doc_id
+)"""
+
+
+_DSIR_SQL = _DUCK_DSIR_WTS_CTE + """
+SELECT doc_id, n_tokens, weight_bits FROM wts
+"""
+
+
+def docs_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-n-gram repetition rules at n=2 (Rae et al. 2021
+    §A.1.1): per doc, the top bigram's share and the duplicate-bigram share
+    in integer basis points. Complements docs_gopher_rules' token-level
+    signals; all map-side (let-bound bigram + distinct arrays, no explode,
+    zero shuffle)."""
+    from affinity_spark.functions.text import gopher_rep_struct
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = docs.select("doc_id", gopher_rep_struct(F.col("text")).alias("r"))
+    return rep.select(
+        "doc_id", "r.n_bigrams", "r.top_bigram_bp", "r.dup_bigram_bp"
+    ).where(F.col("n_bigrams") >= 1)
+
+
+_GOPHER_REP_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg
+  FROM t WHERE len(toks) >= 2
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(bg) AS BIGINT) AS m,
+         CAST(len(list_distinct(bg)) AS BIGINT) AS d,
+         CAST(list_max(list_transform(list_distinct(bg),
+                                      w -> len(list_filter(bg, x -> x = w))))
+              AS BIGINT) AS top
+  FROM b
+)
+SELECT doc_id,
+       m AS n_bigrams,
+       top * 10000 // m AS top_bigram_bp,
+       (m - d) * 10000 // m AS dup_bigram_bp
+FROM s WHERE m >= 1
+"""
+
+
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (τ=2, the XLM-R α=0.5 move): each
+    source's token budget ∝ isqrt(its token mass), filled in stable hash
+    order — between raw-proportional (giant sources drown the mix) and
+    uniform (tiny sources overweighted). All integer math (exact isqrt +
+    integer div), so the selection is engine- and rerun-exact."""
+    from affinity_spark.operators.sampling import temperature_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    picked = temperature_budget_sample(scored, "doc_id", "source", "n_tokens", 3000)
+    return picked.select("doc_id", "source", "n_tokens", "grp_budget", "cum_before")
+
+
+_TEMP_MIX_SQL = """
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 2147483648 AS hk
+  FROM documents
+),
+tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS tt FROM t GROUP BY source),
+sq AS (
+  SELECT source, tt,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= tt THEN s0 + 1
+              WHEN s0 * s0 > tt THEN s0 - 1
+              ELSE s0 END AS w
+  FROM (SELECT source, tt, CAST(floor(sqrt(tt)) AS BIGINT) AS s0 FROM tot)
+),
+b AS (
+  SELECT source, (3000 * w) // (SELECT CAST(sum(w) AS BIGINT) FROM sq) AS grp_budget
+  FROM sq
+),
+c AS (
+  SELECT t.doc_id, t.source, t.n_tokens, b.grp_budget,
+         CAST(COALESCE(sum(t.n_tokens) OVER (
+           PARTITION BY t.source ORDER BY t.hk, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t JOIN b USING (source)
+)
+SELECT doc_id, source, n_tokens, grp_budget, cum_before
+FROM c WHERE cum_before < grp_budget
+"""
+
+
+def docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum phasing: rank docs by length into 4 ntile phases
+    (short→long, the classic length-curriculum) and assign a stable md5
+    shard within each phase — the (phase, shard) layout a curriculum
+    training loop reads in order. ntile over the total order
+    (n_tokens, doc_id) is engine-identical; shard is md5-derived.
+
+    Scale note: ntile is a GLOBAL window — exact equal-count phases
+    require a total order by definition. At 100 TB the same layout is
+    produced with approximate phase BOUNDARIES (percentile_approx on
+    n_tokens, broadcast, map-side compare), trading exact equal counts for
+    a boundary-sized slop; this query keeps the exact form because the
+    oracle contract is exact ntile."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    nt = token_count(F.col("text")).cast("long")
+    w = Window.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", nt.alias("n_tokens"))
+        .withColumn("phase", F.ntile(4).over(w).cast("long"))
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+                .cast("long") % 8
+            ),
+        )
+    )
+
+
+_CURRICULUM_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(ntile(4) OVER (ORDER BY
+            len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x <> '')) ASC, doc_id ASC) AS BIGINT) AS phase,
+       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8
+         AS shard
+FROM documents
+"""
+
+
+def docs_bloom_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership bitmap over document content fingerprints, exported
+    as (word_idx, bits) rows — the "have we trained on this doc" artifact a
+    DOWNSTREAM pipeline probes without rescanning this corpus. bit_or per
+    63-bit word is associative/mergeable, so the shuffle is bitmap-sized at
+    any corpus size and bitmaps from different runs OR together."""
+    from affinity_spark.operators.sketches import bloom_bitmap
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom_bitmap(docs, doc_fingerprint(F.col("text")), 4096, 3)
+
+
+_BLOOM_SQL = """
+WITH k AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+pos AS (
+  SELECT CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || fp), 1, 8))
+              AS BIGINT) % 4096 AS p
+  FROM k, unnest(range(0, 3)) AS r(i)
+)
+SELECT p // 63 AS word_idx,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS BIGINT) AS bits
+FROM pos GROUP BY 1
+"""
+
+
+def docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus health report per language: doc count, token mass,
+    mean tokens (x100 integer), and exact-duplicate doc count (docs beyond
+    the first per content fingerprint) — the summary a corpus owner reads
+    before any training run. Token stats fold into one aggregate; the dup
+    count is one fingerprint-grouped pass joined back at language grain."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        token_count(F.col("text")).cast("long").alias("nt"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    )
+    stats = base.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("total_tokens"),
+    )
+    dups = (
+        base.groupBy("lang", "fp")
+        .agg(F.count("*").alias("_n"))
+        .groupBy("lang")
+        .agg(F.sum(F.col("_n") - 1).cast("long").alias("dup_docs"))
+    )
+    return (
+        stats.join(dups, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.expr("(total_tokens * 100) div n_docs").alias("mean_tokens_x100"),
+            "dup_docs",
+        )
+    )
+
+
+_CORPUS_REPORT_SQL = """
+WITH base AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS total_tokens
+  FROM base GROUP BY lang
+),
+dups AS (
+  SELECT lang, CAST(sum(n - 1) AS BIGINT) AS dup_docs
+  FROM (SELECT lang, fp, count(*) AS n FROM base GROUP BY lang, fp)
+  GROUP BY lang
+)
+SELECT lang, n_docs, total_tokens,
+       (total_tokens * 100) // n_docs AS mean_tokens_x100,
+       dup_docs
+FROM stats JOIN dups USING (lang)
+"""
+
+
+def docs_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022, public) with
+    winnowing-anchored windows (``dedup.repeated_windows``): every 40-char
+    gram hashed, each 20-gram window keeps its min (MOSS selection), so
+    any cross-doc verbatim run >= 59 chars yields a shared fingerprint
+    REGARDLESS of the run's byte offset in either doc — the phase
+    misalignment a strided position sample silently misses.
+
+    Scale shape: single-expression map-side gram hashing + winnow select
+    over the let-bound char split, then ONE hash aggregate on the 8-byte
+    fingerprint (~2/21 of gram count). No joins, no candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.repeated_windows(docs, "doc_id", "text", win=40, stride=20)
+
+
+_REPEATED_WINDOWS_SQL = r"""
+WITH nn AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 40
+              THEN list_transform(range(1, len(t) - 38),
+                   i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 40)), 1, 8)) AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM nn
+), w AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 20 AND len(t) >= 59
+              THEN list_distinct(list_transform(range(1, len(hs) - 18),
+                   j -> list_min(hs[CAST(j AS INT):CAST(j AS INT)+19])))
+              ELSE CAST([] AS BIGINT[]) END AS fps
+  FROM h JOIN nn USING (doc_id)
+), f AS (SELECT doc_id, unnest(fps) AS win_hash FROM w)
+SELECT win_hash, count(DISTINCT doc_id) AS n_docs
+FROM f GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def docs_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 most similar document PAIRS by sparse TF-IDF dot product —
+    doc-to-doc similarity through the inverted postings index
+    (``operators/ranking.py::tfidf_pairs``), the retrieval-side complement
+    of BM25's query-to-doc scoring.
+
+    Integer weighting w = tf * floor_log2(N div df) is engine-exact; terms
+    with df > 100 are dropped (posting-list cap bounding the self-join at
+    max_df * total_postings) and corpus-majority terms get idf 0 — the
+    integer idf IS the stopword cut. TakeOrderedAndProject finishes.
+
+    Terms are word TRIGRAMS: the synthetic corpus's ~31-word unigram
+    vocabulary saturates at scale (every word in most docs -> idf 0
+    corpus-wide, an empty result at sf0.1), while trigram df shrinks
+    geometrically and stays discriminative at every sf.
+
+    Reads the MATERIALIZED postings index (built once per process, shared
+    with bm25/phrase): zero corpus re-tokenization at query time - the
+    maintained-index shape of the reference's X1/X2
+    (``KVStoreLocal.scala:195-248``)."""
+    from affinity_spark.operators.ranking import tfidf_pairs_postings
+
+    return tfidf_pairs_postings(
+        _postings(spark, sf_dir), n=3, max_df=100, k=50
+    )
+
+
+_TFIDF_PAIRS_SQL = r"""
+WITH words AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), y -> y <> '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] || ' ' || ws[CAST(i AS INT) + 2] AS term
+  FROM words, LATERAL unnest(range(1, greatest(len(ws) - 2, 0) + 1)) AS u(i)
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT doc_id, term, CAST(tf * (length(bin(n // df)) - 1) AS BIGINT) AS w
+  FROM tf JOIN dfq USING (term), nn
+  WHERE df <= 100 AND (length(bin(n // df)) - 1) > 0
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot FROM dots ORDER BY dot DESC, id_a, id_b LIMIT 50
+"""
+
+
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING — the selection step that consumes
+    ``docs_dsir_weights`` (Xie et al. 2023): per source, take docs in
+    descending weight order until a 600-token budget fills (exclusive
+    running sum, the ``token_budget_sample`` stop rule), i.e. "the most
+    target-like data from each source, budgeted in tokens".
+
+    Deterministic: (weight_bits DESC, doc_id) is a total order and the
+    budget test is integer. Scale shape: the window partitions by source
+    (the 100 TB partition column); for a GLOBAL budget use the
+    ``token_budget_sample_scalable`` two-phase bucket cutoff instead."""
+    from affinity_spark.operators.lm import dsir_weights
+    from affinity_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    wts = dsir_weights(docs, F.col("lang") == "en")
+    j = wts.join(docs.select("doc_id", "source"), "doc_id")
+    return token_budget_sample(
+        j, "doc_id", "source", "n_tokens", 600,
+        order_by=[F.col("weight_bits").desc(), F.col("doc_id").asc()],
+    ).select("doc_id", "source", "weight_bits", "n_tokens", "cum_before")
+
+
+_DSIR_SAMPLE_SQL = _DUCK_DSIR_WTS_CTE + """,
+j AS (
+  SELECT w.doc_id, d.source, w.weight_bits, w.n_tokens
+  FROM wts w JOIN documents d USING (doc_id)
+),
+c AS (
+  SELECT *,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY weight_bits DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM j
+)
+SELECT doc_id, source, weight_bits, n_tokens, cum_before
+FROM c WHERE cum_before < 600
+"""

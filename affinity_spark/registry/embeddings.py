@@ -1,0 +1,856 @@
+"""Embedding similarity search family (brute/LSH/IVF/PQ/int8).
+
+Split from the single-file ``__spark_entry__.py`` registry (round 6):
+one module per query family, each with its OWN helper namespace, so a
+same-named oracle helper in another family can never silently clobber
+this one's (the r3 ``_QUALITY_SQL`` collision trap). The driver contract
+(``entry``/``queries``/``oracle_sql``) stays in ``__spark_entry__.py``
+and references these modules by qualified name.
+
+Cross-engine determinism rules (aliased aggregates, integer money/ratio
+arithmetic, formatted timestamps, md5-derived text hashes) are inherited
+from the original registry header — see ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Callable
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from affinity_spark import TimeRange
+from affinity_spark.cache import track as _track_cache
+from affinity_spark.tables import load as load_table
+from affinity_spark.functions.text import (
+    EN_STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    let_bound,
+    quality_columns,
+    token_count,
+    tokenize,
+)
+from affinity_spark.operators import dedup as dd
+from affinity_spark.operators.asof import asof_join
+from affinity_spark.operators.multimodal import blob_metadata, extract_features
+from affinity_spark.operators.upsert import merge_upsert
+from affinity_spark.operators import similarity as sim
+from affinity_spark.operators.graph import connected_components
+from affinity_spark.operators.index import build_inverted_index, index_lookup
+from affinity_spark.operators.kv import compact_latest, point_get, prefix_scan, ttl_filter
+from affinity_spark.operators.topk import global_top_n, top_n_per_group
+
+from affinity_spark.registry._shared import _cents, _duck_lsh_bands_cte, _duck_lsh_cand_cte, _duck_shingles_cte, _t
+
+
+def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to the vec_id=0 query vector.
+
+    Similarity emitted as floor(10000*cos) so the hash is float-free.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    scored = sim.knn_to_query(
+        emb.filter(F.col("vec_id") != 0), query, 10, "vec_id", "embedding"
+    )
+    return scored.select(
+        "vec_id", F.floor(F.col("cosine_raw") * 10000).cast("long").alias("cos_bp")
+    )
+
+
+_KNN_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def emb_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: cosine top-10 to the vec_id=0 query among
+    vectors satisfying a metadata predicate (label = 3) — the
+    filtered-ANN problem real retrieval systems hit the moment vectors
+    carry attributes (tenant, language, date). Strategy here is
+    PRE-FILTER: the predicate is applied before scoring, so it reaches
+    the parquet scan as a pushed filter and the distance work is
+    filtered-set sized; at selective predicates this beats post-filtering
+    a k'-oversized ANN result, and the same pre-filter composes with the
+    IVF path by pruning cells first (`emb_ivf_search`). Scores in
+    integer basis points (float-free hash)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    scored = sim.knn_to_query(
+        emb.filter((F.col("vec_id") != 0) & (F.col("label") == 3)),
+        query,
+        10,
+        "vec_id",
+        "embedding",
+    )
+    return scored.select(
+        "vec_id", F.floor(F.col("cosine_raw") * 10000).cast("long").alias("cos_bp")
+    )
+
+
+_FILTERED_KNN_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0 AND e.label = 3
+)
+SELECT vec_id, CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def emb_cosine_pairs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell pairwise similarity: pairs within label cell, cos >= 0.35
+    (threshold sits just inside the regenerated corpus's within-cell cosine
+    range, max ~0.47/0.51 at sf0.01/0.1, so the pair set is non-trivial)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_join_within(emb, "label", 0.35, "vec_id", "embedding")
+    return pairs.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 10000).cast("long").alias("cos_bp")
+    )
+
+
+_COSPAIR_SQL = """
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(floor(
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
+FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (a.nrm * b.nrm) >= 0.35
+"""
+
+
+def emb_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment (ANN scale path): nearest of 8 seed centroids
+    (the 8 lowest-id vectors — SQL-reproducible codebook; the trained
+    k-means variant lives in operators/ivf.py with its own tests)."""
+    from affinity_spark.operators.ivf import assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    return assign(emb, seeds).select("vec_id", "cell")
+
+
+_IVF_SQL = """
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+dists AS (
+  SELECT e.vec_id, s.cell,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                     * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))
+           AS d
+  FROM embeddings e CROSS JOIN seeds s
+)
+SELECT vec_id, CAST(cell AS INT) AS cell
+FROM (
+  SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+  FROM dists
+) WHERE rn = 1
+"""
+
+
+_PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
+
+
+def _pq_seed_books(emb) -> list[list[list[float]]]:
+    """Seed codebooks: subvector slices of the 8 lowest-id vectors —
+    SQL-reproducible, like the IVF seed cells (trained PQ lives in
+    operators/pq.py with its own tests)."""
+    d_sub = _PQ_DIM // _PQ_M
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(_PQ_K).collect()
+    return [
+        [[float(x) for x in r.embedding[s * d_sub : (s + 1) * d_sub]] for r in rows]
+        for s in range(_PQ_M)
+    ]
+
+
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): 64-dim vectors
+    compressed to 4 subspace codes against the seed codebooks — map-side
+    argmin per subspace, zero shuffle (the memory-scale half of ANN;
+    operators/ivf.py is the pruning half)."""
+    from affinity_spark.operators.pq import assign_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return assign_codes(emb, _pq_seed_books(emb))
+
+
+def _pq_dist_sql(s: int) -> str:
+    d = _PQ_DIM // _PQ_M
+    off = s * d
+    return (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> (CAST(e.embedding[{off} + i] AS DOUBLE) - CAST(s.sv[{off} + i] AS DOUBLE))"
+        f" * (CAST(e.embedding[{off} + i] AS DOUBLE) - CAST(s.sv[{off} + i] AS DOUBLE))))"
+    )
+
+
+_PQ_SEEDS_CTE = f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, embedding AS sv
+  FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+)"""
+
+
+def _pq_code_ctes(where: str = "") -> str:
+    """c0..c{m-1} CTEs: per-subspace argmin codes (ties -> lowest idx,
+    matching array_position-first semantics)."""
+    return ",\n".join(
+        f"""c{s} AS (
+  SELECT vec_id, CAST(idx AS INT) AS code_{s} FROM (
+    SELECT e.vec_id, s.idx,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_pq_dist_sql(s)} ASC, s.idx ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s {where}) WHERE rn = 1
+)"""
+        for s in range(_PQ_M)
+    )
+
+
+def _pq_codes_sql() -> str:
+    joins = " ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))
+    cols = ", ".join(f"code_{s}" for s in range(_PQ_M))
+    return f"""
+WITH {_PQ_SEEDS_CTE},
+{_pq_code_ctes()}
+SELECT vec_id, {cols} FROM c0 {joins}
+"""
+
+
+def emb_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over PQ codes: the vec_id=0 query's per-subspace distance
+    table is a literal array, each row costs 4 lookups — the scan touches
+    codes (4 ints/row), never raw vectors. Distances in basis points so the
+    hash is float-free."""
+    from affinity_spark.operators.pq import adc_search, assign_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = _pq_seed_books(emb)
+    codes = assign_codes(emb.filter(F.col("vec_id") != 0), books)
+    query = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    top = adc_search(codes, books, query, 10)
+    return top.select(
+        "vec_id", F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_bp")
+    )
+
+
+def _pq_search_sql() -> str:
+    table_ctes = ",\n".join(
+        f"""t{s} AS (
+  SELECT s.idx, {_pq_dist_sql(s)} AS d
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) e CROSS JOIN seeds s
+)"""
+        for s in range(_PQ_M)
+    )
+    code_joins = " ".join(f"JOIN t{s} ON t{s}.idx = c{s}.code_{s}" for s in range(_PQ_M))
+    cjoins = " ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))
+    adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH {_PQ_SEEDS_CTE},
+{_pq_code_ctes("WHERE e.vec_id <> 0")},
+{table_ctes}
+SELECT c0.vec_id, CAST(floor(({adc}) * 10000) AS BIGINT) AS adc_bp
+FROM c0 {cjoins} {code_joins}
+ORDER BY ({adc}) ASC, c0.vec_id ASC
+LIMIT 10
+"""
+
+
+def emb_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF ANN read: assign vectors to the 8-seed codebook,
+    probe the query's nprobe=2 nearest cells only, cosine top-10 inside
+    them. At scale `cell` is a partition column, so the non-probed ~6/8 of
+    the corpus is never scanned — the partition-pruned ANN read the
+    SURVEY's similarity family targets (IVF per Jégou et al.).
+
+    Query vector = embedding of vec_id 0 (excluded from candidates);
+    similarity emitted as floor(10000*cos) so the hash is float-free.
+    """
+    from affinity_spark.operators.ivf import assign, search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    assigned = assign(emb.filter(F.col("vec_id") != 0), seeds)
+    res = search(assigned, seeds, seeds[0], 10, nprobe=2)
+    return res.select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.floor(F.col("cosine") * 10000).cast("long").alias("cos_bp"),
+    )
+
+
+_IVF_SEARCH_SQL = """
+WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT s.cell FROM seeds s, q
+  ORDER BY list_sum(list_transform(range(1, len(s.cv) + 1),
+             i -> (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                * (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) ASC,
+           s.cell ASC
+  LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, s.cell, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE)))) ASC,
+             s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT a.vec_id, a.cell,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM assigned a, q
+  WHERE a.cell IN (SELECT cell FROM probes)
+)
+SELECT vec_id, CAST(cell AS INT) AS cell,
+       CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def emb_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF ANN read — many queries in one pass (the online-serving
+    and hard-negative-mining shape; ``emb_ivf_search`` is the single-query
+    probe). The 4 lowest-id vectors each probe their nprobe=2 nearest of
+    the 8 seed cells; the exploded (query, cell) probe set broadcasts into
+    ONE join against the assigned corpus (only probed cells scanned —
+    partition-pruned at scale), and per-query top-5 rides a rank window
+    (WindowGroupLimit, never a global sort). Similarity in floored basis
+    points, rank long — float-free hash."""
+    from affinity_spark.operators.ivf import assign, batch_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = [
+        [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(8).collect()
+    ]
+    assigned = assign(emb, seeds)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = batch_search(assigned, seeds, qs, k=5, nprobe=2)
+    return out.select(
+        "qid",
+        "vec_id",
+        F.floor(F.col("cosine") * 10000).cast("long").alias("cos_bp"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+_BATCH_SEARCH_SQL = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+qs AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, s.cell,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(range(1, len(s.cv) + 1),
+               i -> (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                  * (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) ASC,
+             s.cell ASC) AS rn
+    FROM qs q CROSS JOIN seeds s
+  ) WHERE rn <= 2
+),
+assigned AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, s.cell, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE)))) ASC,
+             s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM assigned a
+  JOIN probes p ON a.cell = p.cell
+  JOIN qs q ON q.qid = p.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id,
+       CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked
+WHERE rnk <= 5
+"""
+
+
+def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (ANN scale path): 8 sign
+    bits against deterministic ±1 hyperplanes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_hyperplane_buckets(emb, 64, 8).select("vec_id", "bucket")
+
+
+def _lsh_bucket_expr() -> str:
+    """DuckDB expression for the 8-bit hyperplane bucket of `embedding`
+    (identical deterministic planes as the Spark side)."""
+    planes = sim._hyperplanes(64, 8)  # noqa: SLF001 - shared deterministic constants
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _lsh_oracle_sql() -> str:
+    return (
+        f"SELECT vec_id, CAST({_lsh_bucket_expr()} AS BIGINT) AS bucket "
+        f"FROM embeddings"
+    )
+
+
+def emb_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end hyperplane-LSH ANN read: bucket every vector by 8 sign
+    bits, probe ONLY the query's bucket, cosine top-10 inside it. At scale
+    `bucket` is the partition/cluster column, so ~255/256 of the corpus is
+    never scanned — the LSH twin of emb_ivf_search (nprobe=1; multi-probe =
+    flipping low-confidence bits adds buckets, same plan shape).
+
+    Query vector = vec_id 0's embedding (excluded from candidates);
+    similarity emitted as floor(10000*cos) so the hash is float-free.
+    Multi-probe: the query probes its own bucket plus the 8 one-bit flips
+    (Lv et al. 2007) — 9/256 of the corpus scanned instead of 1/256, the
+    standard recall/scan-fraction dial."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = sim.lsh_hyperplane_buckets(emb, 64, 8)
+    probes = F.array(*[F.lit(0)] + [F.lit(1 << j) for j in range(8)])
+    q = (
+        bucketed.filter(F.col("vec_id") == 0)
+        .select(
+            F.explode(probes).alias("flip"),
+            F.col("bucket").alias("qb"),
+            F.col("embedding").alias("qv"),
+        )
+        .select(
+            (F.col("qb").bitwiseXOR(F.col("flip"))).alias("bucket"), F.col("qv")
+        )
+    )
+    cands = bucketed.filter(F.col("vec_id") != 0).join(F.broadcast(q), "bucket")
+    scored = cands.select(
+        "vec_id",
+        sim.cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
+    )
+    return (
+        scored.orderBy(F.col("c").desc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id", F.floor(F.col("c") * 10000).cast("long").alias("cos_bp"))
+    )
+
+
+def _lsh_search_oracle_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST({_lsh_bucket_expr()} AS BIGINT) AS bucket
+  FROM embeddings
+),
+q0 AS (SELECT bucket, embedding AS qv FROM b WHERE vec_id = 0),
+q AS (
+  SELECT xor(q0.bucket, f.flip) AS bucket, q0.qv
+  FROM q0 CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f
+),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM b e JOIN q ON e.bucket = q.bucket
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def emb_near_dup_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup dedup (SemDeDup, Abbas et al. 2023): within each
+    IVF cell (label), a vector is dropped iff some lower-id vector in the
+    cell has cosine >= 0.35 with it; survivors keep the corpus. Candidate
+    pairs are cell-confined (Σ|cell|², never n²) and the drop set is one
+    distinct + left-anti join."""
+    from affinity_spark.operators.sampling import near_dup_survivors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = sim.cosine_join_within(emb, "label", 0.35, "vec_id", "embedding")
+    return near_dup_survivors(pairs, emb.select("vec_id", "label"))
+
+
+_NEAR_DUP_SQL = """
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           AS nrm
+  FROM embeddings
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                 i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (a.nrm * b.nrm) >= 0.35
+)
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM drops d WHERE d.vec_id = e.vec_id)
+"""
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's most
+    similar DIFFERENT-label neighbor among its 4-bit LSH bucket candidates —
+    the negative the retrieval index would actually confuse it with.
+    Candidates are bucket-confined (Σ|bucket|² cross-label pairs, never n²);
+    the per-anchor argmax orders by integer (cos_bp DESC, id ASC) so ties
+    resolve identically in any engine."""
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = sim.lsh_hyperplane_buckets(emb, 64, 4, keep_cols=["label"])
+    return sim.hard_negatives(buckets, "bucket", "label")
+
+
+def _lsh_bucket_expr_n(nbits: int) -> str:
+    """DuckDB expression for the nbits-bit hyperplane bucket of `embedding`
+    (same deterministic planes as the Spark side)."""
+    planes = sim._hyperplanes(64, nbits)  # noqa: SLF001 - shared deterministic constants
+    bits = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _hard_neg_oracle_sql() -> str:
+    return f"""
+WITH n AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         {_lsh_bucket_expr_n(4)} AS bucket
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS id_b,
+         CAST(floor(
+           list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
+  FROM n a JOIN n b ON a.bucket = b.bucket AND a.label <> b.label
+  WHERE a.nrm > 0 AND b.nrm > 0  -- zero-norm vectors have no cosine; Spark side filters NULL cos_bp identically
+)
+SELECT vec_id, id_b AS hard_neg_id, cos_bp
+FROM cand
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos_bp DESC, id_b ASC) = 1
+"""
+
+
+def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@10 of single-probe LSH search versus
+    exact brute-force, for 4 query vectors — the measurement that justifies
+    (or rejects) an index's scan-fraction/recall trade before it ships.
+    Output is integer (query_id, k_lsh, n_hits): k_lsh = LSH candidate
+    top-k size (bucket may hold < 10), n_hits = overlap with the exact
+    top-10. Both searches rank by (cosine DESC, vec_id ASC); both engines
+    fold the dot product in the same order so ranks agree exactly.
+    At scale the brute side runs on a SAMPLE of queries only — recall is a
+    statistic, the full corpus never needs the exact search."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = sim.lsh_hyperplane_buckets(emb, 64, 8)
+    qs = bucketed.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("bucket").alias("qb"),
+        F.col("embedding").alias("qv"),
+    )
+    cands = bucketed.filter(F.col("vec_id") >= 4)
+    scored = cands.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "vec_id",
+        "bucket",
+        "qb",
+        sim.cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
+    brute_top = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    lsh_top = (
+        scored.filter(F.col("bucket") == F.col("qb"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    k_lsh = lsh_top.groupBy("qid").agg(F.count("*").alias("k_lsh"))
+    hits = (
+        brute_top.join(lsh_top, ["qid", "vec_id"], "inner")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.select("qid")
+        .join(k_lsh, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("k_lsh"), F.lit(0)).alias("k_lsh"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+    )
+
+
+def _lsh_recall_oracle_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         {_lsh_bucket_expr_n(8)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, bucket AS qb, embedding AS qv, nrm AS qn
+      FROM b WHERE vec_id < 4),
+scored AS (
+  SELECT q.qid, b.vec_id, b.bucket, q.qb,
+         list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+           / (b.nrm * q.qn) AS c
+  FROM b CROSS JOIN q WHERE b.vec_id >= 4
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+lsht AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+    FROM scored WHERE bucket = qb) WHERE rn <= 10
+),
+k AS (SELECT qid, CAST(count(*) AS BIGINT) AS k_lsh FROM lsht GROUP BY qid),
+h AS (SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_hits
+      FROM brute JOIN lsht ON brute.qid = lsht.qid AND brute.vec_id = lsht.vec_id
+      GROUP BY brute.qid)
+SELECT q.qid AS query_id,
+       COALESCE(k.k_lsh, 0) AS k_lsh,
+       COALESCE(h.n_hits, 0) AS n_hits
+FROM q LEFT JOIN k ON q.qid = k.qid LEFT JOIN h ON q.qid = h.qid
+"""
+
+
+def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN read (the canonical billion-scale shape, Jégou
+    et al. 2011): coarse IVF cells prune the scan to the query's nprobe=2
+    nearest cells, then PQ asymmetric distance ranks ONLY those candidates
+    from their 4-byte codes — the scan never touches a raw vector outside
+    the probed cells, and inside them touches codes, not vectors. Composes
+    the two operators this repo already certifies separately
+    (emb_ivf_search, emb_pq_search); distances in basis points."""
+    from affinity_spark.operators.ivf import assign
+    from affinity_spark.operators.pq import adc_search, assign_codes
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # ONE driver collect: the PQ codebooks are subspace slices of the same
+    # 8 lowest-id vectors the IVF seeds are, so the seeds reconstruct by
+    # concatenating each row's slices (review finding: three identical
+    # 8-row collects = two wasted Spark jobs per run).
+    books = _pq_seed_books(emb)
+    seeds = [
+        [x for s in range(_PQ_M) for x in books[s][r]] for r in range(_PQ_K)
+    ]
+    query = seeds[0]  # vec_id 0's embedding, excluded from candidates
+    qd = sorted(
+        (sum((a - b) ** 2 for a, b in zip(query, c)), i) for i, c in enumerate(seeds)
+    )
+    probe_cells = [i for _, i in qd[:2]]
+
+    assigned = assign(emb.filter(F.col("vec_id") != 0), seeds)
+    cands = assigned.filter(F.col("cell").isin(probe_cells))
+    codes = assign_codes(cands, books)
+    top = adc_search(codes, books, query, 10)
+    return top.select(
+        "vec_id", F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_bp")
+    )
+
+
+def _ivfpq_search_sql() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))"
+        " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))"
+    )
+    qdist = dist.replace("e.embedding", "q.embedding")
+    table_ctes = ",\n".join(
+        f"""t{s} AS (
+  SELECT s.idx, {_pq_dist_sql(s)} AS d
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) e CROSS JOIN seeds s
+)"""
+        for s in range(_PQ_M)
+    )
+    code_joins = " ".join(f"JOIN t{s} ON t{s}.idx = c{s}.code_{s}" for s in range(_PQ_M))
+    cjoins = " ".join(f"JOIN c{s} USING (vec_id)" for s in range(1, _PQ_M))
+    adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH ivfseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+{_PQ_SEEDS_CTE},
+qcells AS (
+  SELECT cell FROM (
+    SELECT s.cell, row_number() OVER (ORDER BY {qdist} ASC, s.cell ASC) AS rn
+    FROM ivfseeds s CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ) WHERE rn <= 2
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN ivfseeds s WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+cand AS (SELECT vec_id FROM assigned WHERE cell IN (SELECT cell FROM qcells)),
+{_pq_code_ctes("JOIN cand ON cand.vec_id = e.vec_id")},
+{table_ctes}
+SELECT c0.vec_id, CAST(floor(({adc}) * 10000) AS BIGINT) AS adc_bp
+FROM c0 {cjoins} {code_joins}
+ORDER BY ({adc}) ASC, c0.vec_id ASC
+LIMIT 10
+"""
+
+
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scalar int8 quantization
+    (``similarity.scalar_quantize_int8``) — the 4x compressor vector
+    deployments apply before or instead of PQ — digested per vector:
+    md5 of the dim-ordered code string, code sum, and total integer
+    reconstruction error. Fixed-point micros + non-negative integer
+    division everywhere, so the oracle reproduces codes bit-for-bit.
+
+    Scale shape: one posexplode, a 64-row range broadcast, map-side
+    codes, one groupBy(vec) digest aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = sim.scalar_quantize_int8(emb)
+    ordered = F.array_sort(F.collect_list(F.struct("dim", "code")))
+    return q.groupBy("vec_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(ordered, lambda s: s["code"].cast("string")), ","
+            )
+        ).alias("codes_md5"),
+        F.sum("code").alias("code_sum"),
+        F.sum("abs_err").alias("sum_abs_err"),
+    )
+
+
+_INT8_QUANT_SQL = """
+WITH vals AS (
+  SELECT vec_id, i AS dim,
+         CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS vi
+  FROM embeddings, LATERAL unnest(range(0, len(embedding))) AS u(i)
+),
+ranges AS (SELECT dim, min(vi) AS mn, max(vi) AS mx FROM vals GROUP BY dim),
+q AS (
+  SELECT vec_id, v.dim, vi,
+         CASE WHEN mx > mn THEN ((vi - mn) * 255) // (mx - mn) ELSE 0 END AS code,
+         mn, mx
+  FROM vals v JOIN ranges r ON v.dim = r.dim
+),
+e AS (
+  SELECT vec_id, dim, code,
+         abs(vi - (mn + (code * (mx - mn)) // 255)) AS abs_err
+  FROM q
+)
+SELECT vec_id,
+       md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) AS codes_md5,
+       CAST(sum(code) AS BIGINT) AS code_sum,
+       CAST(sum(abs_err) AS BIGINT) AS sum_abs_err
+FROM e GROUP BY vec_id
+"""

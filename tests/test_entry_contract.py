@@ -100,3 +100,59 @@ def test_no_two_oracles_share_the_same_sql():
     dupes = {tuple(sorted(v)) for v in by_sql.values() if len(v) > 1}
     dupes -= {tuple(sorted(p)) for p in EQUIVALENT}
     assert not dupes, f"queries sharing one oracle string: {dupes}"
+
+
+def test_registry_modules_do_not_cross_shadow():
+    """r6 split guard: the registry is now per-family modules referenced by
+    QUALIFIED name from __spark_entry__, so a same-named helper in two
+    modules can't clobber anything — but only as long as the contract file
+    never does a star-import or bare-name rebind. Enforce both halves:
+
+    1. __spark_entry__ contains no `from affinity_spark.registry.X import`
+       (bare names would resurrect the r3 _QUALITY_SQL collision class);
+    2. every value in queries()/oracle_sql() resolves to an attribute of
+       exactly the module that DEFINES it (no accidental re-export served
+       from the wrong module).
+    """
+    import ast
+    import inspect
+
+    src = inspect.getsource(entrymod)
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and (
+            node.module.startswith("affinity_spark.registry.")
+        ):
+            raise AssertionError(
+                f"bare-name import from {node.module} in __spark_entry__ — "
+                "use qualified module references only"
+            )
+
+    from affinity_spark import registry
+
+    fams = ["tpch", "events", "docs", "dedup", "embeddings", "pipelines"]
+    mods = {f: getattr(registry, f) for f in fams}
+    for name, fn in entrymod.queries().items():
+        owner = fn.__module__
+        assert owner.startswith("affinity_spark.registry."), (name, owner)
+        fam = owner.rsplit(".", 1)[1]
+        assert getattr(mods[fam], fn.__name__) is fn, (
+            f"{name}: {fn.__name__} served from a module that does not "
+            f"define it ({owner})"
+        )
+
+
+def test_registry_modules_stay_under_size_budget():
+    """The split exists to keep each family reviewable and the collision
+    surface per-module; a module creeping back past ~2.5k lines means the
+    next family split is due."""
+    import os
+
+    import affinity_spark.registry as reg
+
+    root = os.path.dirname(reg.__file__)
+    for fname in os.listdir(root):
+        if not fname.endswith(".py"):
+            continue
+        n = sum(1 for _ in open(os.path.join(root, fname)))
+        assert n <= 2500, f"registry/{fname} is {n} lines — split it"
