@@ -191,6 +191,61 @@ def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
     ).otherwise(F.array().cast("array<bigint>"))
 
 
+def winnow_positioned(text: Column, k: int = 7, w: int = 4) -> Column:
+    """``winnow_fingerprints`` variant that keeps WHERE each selected
+    fingerprint sits: array<struct<win_hash:bigint, pos:int>> where ``pos``
+    is the 0-based char offset of the selected k-gram in the normalized
+    text (ties broken to the FIRST minimal gram in the window, same rule
+    both engines' argmin uses).
+
+    This is the span-excision feed: the value identifies a cross-doc
+    verbatim run, the position says which chars to cut. Same
+    normalization, gram hashing and O(1) char-array slices as
+    winnow_fingerprints; one extra argmin per window, evaluated on a
+    let-bound slice so the window is sliced once, not three times.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+    def hashes_of(cs: Column) -> Column:
+        def gram_hash(i: Column) -> Column:
+            return F.conv(
+                F.substring(F.md5(F.array_join(F.slice(cs, i, k), "")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+
+        n_grams = F.size(cs) - F.lit(k - 1)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), gram_hash
+        )
+
+    hashes = let_bound(F.split(norm, ""), hashes_of)
+
+    def windows_of(h: Column) -> Column:
+        def win_sel(j: Column) -> Column:
+            def of_slice(sub: Column) -> Column:
+                m = F.array_min(sub)
+                return F.struct(
+                    m.alias("win_hash"),
+                    (j - 1 + F.array_position(sub, m) - 1)
+                    .cast("int")
+                    .alias("pos"),
+                )
+
+            return let_bound(F.slice(h, j, w), of_slice)
+
+        return F.transform(
+            F.sequence(F.lit(1), F.size(h) - F.lit(w - 1)), win_sel
+        )
+
+    sel = let_bound(hashes, windows_of)
+    empty = F.array().cast("array<struct<win_hash:bigint,pos:int>>")
+    return F.when(
+        F.length(norm) >= F.lit(k + w - 1),
+        F.array_sort(F.array_distinct(sel)),
+    ).otherwise(empty)
+
+
 def _int_div(a: Column, b: Column) -> Column:
     """Exact integer division on columns (HOF-safe, unlike F.expr("div")):
     the numerator is reduced to an exact multiple first, so the double

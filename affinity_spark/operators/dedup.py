@@ -709,6 +709,147 @@ def repeated_windows(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    win: int = 40,
+    stride: int = 20,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 §4.1, public): where
+    ``repeated_windows`` only *detects* cross-document verbatim runs, this
+    excises them and re-emits cleaned documents, keeping each duplicated
+    span verbatim in exactly one canonical document.
+
+    Shape (all relational — no UDF, no driver loop):
+
+    1. winnow_positioned anchors window selection to CONTENT (min-hash per
+       stride window), so any cross-doc verbatim run of length >=
+       win + stride - 1 selects the SAME fingerprint at the aligned
+       offset in every copy, wherever the run sits (MOSS guarantee;
+       position-strided sampling is phase-fragile — the r4 lesson).
+    2. one hash aggregate per fingerprint finds cross-doc hashes and
+       elects the keeper = min(doc_id) — every other doc's occurrences
+       become cut intervals [pos, pos+win).
+    3. per-doc interval merge by gaps-and-islands (running max-end window,
+       island counter), because consecutive winnow selections inside one
+       long run overlap (win > stride) and must excise as ONE span.
+    4. excision is relational too: lag(end) gives each kept segment's
+       start, a tail segment closes the doc, and an ordered array_join
+       reassembles the cleaned text. Cleaning operates on the NORMALIZED
+       text (lowercase, whitespace-collapsed) — the same representation
+       the fingerprints hash, so offsets are exact; Lee et al. likewise
+       dedup a normalized token stream, not display text.
+
+    Returns every input doc: (id, clean_text, n_spans, removed_chars);
+    unaffected docs pass through with n_spans = 0. At 100 TB: winnowing
+    is map-side over the let-bound char split; the fingerprint agg and
+    the join back are shuffles on the 8-byte hash; interval merge and
+    reassembly shuffle on doc_id — O(selected fingerprints), never
+    O(text²). The keeper election broadcast-joins when the duplicated
+    fingerprint set is small (AQE decides).
+    """
+    from pyspark.sql import Window
+
+    from affinity_spark.functions.text import winnow_positioned
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col), norm.alias("_norm"))
+    fps = base.select(
+        id_col,
+        F.explode(
+            winnow_positioned(F.col("_norm"), k=win, w=stride)
+        ).alias("_sel"),
+    ).select(id_col, F.col("_sel.win_hash").alias("win_hash"), F.col("_sel.pos").alias("pos"))
+
+    dup = (
+        fps.groupBy("win_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("win_hash", "keeper")
+    )
+
+    cuts = (
+        fps.join(dup, "win_hash")
+        .filter(F.col(id_col) != F.col("keeper"))
+        .select(
+            id_col,
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(win)).alias("e"),
+        )
+        .distinct()
+    )
+
+    # gaps-and-islands merge: a new island starts where this interval's
+    # start clears the running max end of everything before it
+    by_start = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        by_start.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = cuts.withColumn(
+        "_new", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0)
+    ).withColumn("_island", F.sum("_new").over(by_start))
+    spans = islands.groupBy(id_col, "_island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+
+    # kept segment BEFORE each span: chars [prev_e, s) of the normalized
+    # text; substring is 1-based and char-correct in both engines. Only a
+    # handful of substrings per doc, so substring's byte-scan is fine here
+    # (the O(n²) trap is per-GRAM substrings).
+    by_s = Window.partitionBy(id_col).orderBy("s")
+    segs = spans.withColumn("_prev_e", F.lag("e", 1, 0).over(by_s))
+    heads = segs.join(base, id_col).select(
+        id_col,
+        F.col("s").alias("ord"),
+        F.substring(
+            F.col("_norm"), F.col("_prev_e") + 1, F.col("s") - F.col("_prev_e")
+        ).alias("piece"),
+    )
+    doc_stats = spans.groupBy(id_col).agg(
+        F.max("e").alias("_last_e"),
+        F.sum(F.col("e") - F.col("s")).alias("removed_chars"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    tails = doc_stats.join(base, id_col).select(
+        id_col,
+        F.length("_norm").alias("ord"),
+        F.substring(
+            F.col("_norm"), F.col("_last_e") + 1, F.greatest(F.length("_norm") - F.col("_last_e"), F.lit(0))
+        ).alias("piece"),
+    )
+    cleaned = (
+        heads.unionByName(tails)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord", "piece"))),
+                    lambda x: x["piece"],
+                ),
+                "",
+            ).alias("clean_text")
+        )
+        .join(doc_stats.select(id_col, "removed_chars", "n_spans"), id_col)
+    )
+
+    untouched = base.join(cleaned.select(id_col), id_col, "left_anti").select(
+        F.col(id_col),
+        F.col("_norm").alias("clean_text"),
+        F.lit(0).cast("long").alias("removed_chars"),
+        F.lit(0).cast("long").alias("n_spans"),
+    )
+    return cleaned.select(
+        id_col,
+        "clean_text",
+        F.col("removed_chars").cast("long").alias("removed_chars"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+    ).unionByName(untouched)
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -262,23 +262,41 @@ class PostingsIndex:
     def exists(self) -> bool:
         """True when every constituent table has a committed snapshot AND
         they all belong to the same build/refresh (shared lineage id in
-        the commit meta). A partial build/refresh — crash or lost CAS race
-        between the per-table commits — fails LOUDLY here instead of
-        silently serving doclen from one generation and postings from
-        another (which would skew every bm25/tfidf score undetectably).
-        Legacy tables committed before lineage stamping (all missing the
-        key) still read as consistent."""
+        the commit meta — legacy pre-lineage tables all missing the key
+        still read as consistent).
+
+        A torn index (partial build/refresh: crash or lost CAS race
+        between the per-table commits) returns ``False`` so the common
+        self-heal pattern ``if not ix.exists(): ix.build(docs)`` recovers
+        it — ``build()`` recommits every table under one fresh lineage id
+        and is always a valid repair. Callers that want the torn state
+        to fail LOUDLY instead (serving doclen from one generation and
+        postings from another skews every bm25/tfidf score undetectably)
+        should call :meth:`check_consistent`.
+
+        Note: a reader racing a mid-flight ``refresh()`` (doclen
+        committed, gram tables not yet) transiently observes the torn
+        state; that is indistinguishable from a crash until the refresh's
+        remaining commits land."""
         tables = [self._doclen, *self._tables.values()]
         if not all(t.exists() for t in tables):
             return False
+        ids = {t.commit_meta().get("postings_lineage") for t in tables}
+        return len(ids) <= 1
+
+    def check_consistent(self) -> None:
+        """Raise if the committed tables disagree on lineage (torn
+        build/refresh). Missing tables are NOT an error here — use
+        :meth:`exists` for presence."""
+        tables = [t for t in [self._doclen, *self._tables.values()] if t.exists()]
         ids = {t.commit_meta().get("postings_lineage") for t in tables}
         if len(ids) > 1:
             raise RuntimeError(
                 f"postings index at {self.path} is cross-table inconsistent: "
                 f"lineage ids {sorted(str(i) for i in ids)} — a build/refresh "
-                "was interrupted between table commits; rebuild or re-refresh"
+                "was interrupted between table commits (or is racing this "
+                "read); rebuild or re-refresh"
             )
-        return True
 
     # --- reads -------------------------------------------------------------
 
@@ -342,7 +360,8 @@ class PostingsIndex:
 # maintained index; a deployment would point at the maintained KeyedTables).
 # --------------------------------------------------------------------------
 
-_SHARED: dict[tuple[str, str, str], PostingsIndex] = {}
+# (applicationId, corpus_key) -> (corpus fingerprint, index)
+_SHARED: dict[tuple[str, str], tuple[str, PostingsIndex]] = {}
 
 
 def _corpus_fingerprint(docs: DataFrame) -> str:
@@ -380,25 +399,31 @@ def shared_postings(
     text_col: str = "text",
 ) -> PostingsIndex:
     """Build-once-per-process postings over ``docs``, keyed by
-    (application id, corpus_key, physical corpus fingerprint).  The first
-    retrieval query pays the ONE corpus scan; every later query reads the
-    materialized tables; a regenerated corpus at the same path re-keys
-    and rebuilds instead of serving stale postings."""
+    (application id, corpus_key); the physical corpus fingerprint is
+    stored in the VALUE, not the key, so a regenerated corpus at the same
+    path rebuilds AND evicts (rmtree) the superseded index instead of
+    leaking one tempdir per generation (r6 advice).  The first retrieval
+    query pays the ONE corpus scan; every later query reads the
+    materialized tables."""
+    import shutil
     import tempfile
 
-    key = (
-        spark.sparkContext.applicationId,
-        corpus_key,
-        _corpus_fingerprint(docs),
-    )
-    idx = _SHARED.get(key)
+    key = (spark.sparkContext.applicationId, corpus_key)
+    fp = _corpus_fingerprint(docs)
     want = tuple(sorted({1, *grams}))
-    if idx is not None and idx.exists() and set(want) <= set(idx.grams):
-        return idx
+    cached = _SHARED.get(key)
+    if cached is not None:
+        cached_fp, idx = cached
+        if cached_fp == fp and idx.exists() and set(want) <= set(idx.grams):
+            return idx
+        # superseded (regenerated corpus / torn index / missing grams):
+        # drop the entry and reclaim its on-disk tables before rebuilding
+        del _SHARED[key]
+        shutil.rmtree(idx.path, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="affinity_postings_")
     idx = PostingsIndex(
         spark, root, grams=want, id_col=id_col, text_col=text_col
     )
     idx.build(docs)
-    _SHARED[key] = idx
+    _SHARED[key] = (fp, idx)
     return idx

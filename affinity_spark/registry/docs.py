@@ -14,35 +14,30 @@ from the original registry header — see ``__spark_entry__.py``.
 
 from __future__ import annotations
 
-import math
 import os
-from collections.abc import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from affinity_spark import TimeRange
 from affinity_spark.cache import track as _track_cache
-from affinity_spark.tables import load as load_table
 from affinity_spark.functions.text import (
     EN_STOPWORDS,
     doc_fingerprint,
     lang_id,
-    let_bound,
     quality_columns,
     token_count,
     tokenize,
 )
 from affinity_spark.operators import dedup as dd
-from affinity_spark.operators.asof import asof_join
 from affinity_spark.operators.multimodal import blob_metadata, extract_features
-from affinity_spark.operators.upsert import merge_upsert
-from affinity_spark.operators import similarity as sim
 from affinity_spark.operators.graph import connected_components
 from affinity_spark.operators.index import build_inverted_index, index_lookup
-from affinity_spark.operators.kv import compact_latest, point_get, prefix_scan, ttl_filter
-from affinity_spark.operators.topk import global_top_n, top_n_per_group
 
-from affinity_spark.registry._shared import _cents, _duck_lsh_bands_cte, _duck_lsh_cand_cte, _duck_shingles_cte, _t
+from affinity_spark.registry._shared import (
+    _duck_lsh_bands_cte,
+    _duck_lsh_cand_cte,
+    _duck_shingles_cte,
+    _t,
+)
 
 
 def _postings(spark: SparkSession, sf_dir: str):

@@ -241,7 +241,9 @@ def _run(sf_dir: str) -> dict:
     # index incrementally; folding a full build into one query's time
     # would misstate both the build and the query.
     t0 = time.perf_counter()
-    entrymod._postings(spark, sf_dir)
+    from affinity_spark.registry import docs as _registry_docs
+
+    _registry_docs._postings(spark, sf_dir)
     index_build_sec = round(time.perf_counter() - t0, 3)
     r3 = time_set(R3_SET)
     r5 = time_set(R5_SET)

@@ -154,5 +154,52 @@ def test_registry_modules_stay_under_size_budget():
     for fname in os.listdir(root):
         if not fname.endswith(".py"):
             continue
-        n = sum(1 for _ in open(os.path.join(root, fname)))
+        with open(os.path.join(root, fname), encoding="utf-8") as f:
+            n = sum(1 for _ in f)
         assert n <= 2500, f"registry/{fname} is {n} lines — split it"
+
+
+def test_external_consumers_resolve_against_entry_surface():
+    """r6 fallout guard: bench.py and several test files reference the entry
+    module by attribute. Import bench.py under test and resolve every
+    `__spark_entry__.<name>` / `e.<name>` attribute any repo consumer uses,
+    so an orphaned reference fails HERE, not as 26 scattered AttributeErrors
+    (r6 verdict finding #2)."""
+    import ast
+    import importlib
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # bench.py must import cleanly (it crashed r6's BENCH gate).
+    importlib.import_module("bench")
+
+    # Collect every attribute accessed on an alias of __spark_entry__ in
+    # bench.py and tests/, then resolve each against the module.
+    consumers = [os.path.join(repo, "bench.py")] + [
+        os.path.join(repo, "tests", f)
+        for f in os.listdir(os.path.join(repo, "tests"))
+        if f.endswith(".py")
+    ]
+    used: set[str] = set()
+    for path in consumers:
+        with open(path, encoding="utf-8") as f:
+            tree = ast.parse(f.read())
+        aliases = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name == "__spark_entry__":
+                        aliases.add(a.asname or a.name)
+        if not aliases:
+            continue
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Attribute)
+                and isinstance(node.value, ast.Name)
+                and node.value.id in aliases
+            ):
+                used.add(node.attr)
+    missing = sorted(
+        name for name in used if not hasattr(entrymod, name)
+    )
+    assert not missing, f"entry-surface attributes consumers use but missing: {missing}"

@@ -358,30 +358,42 @@ def test_refresh_accepts_generator_and_empty_iterable_deleted_ids(spark, tmp_pat
 
 
 def test_exists_detects_cross_table_lineage_mismatch(spark, tmp_path):
-    """Regression (r6 advice): the doclen/post{n} tables commit
+    """Regression (r6 advice, revised r7): the doclen/post{n} tables commit
     independently — a crash between the per-table commits used to leave a
     permanently inconsistent index that exists() blessed, silently
-    skewing bm25/tfidf. Every build/refresh now stamps ONE lineage id
-    into each table's commit meta and exists() fails LOUDLY on
-    disagreement."""
+    skewing bm25/tfidf. Every build/refresh stamps ONE lineage id into
+    each table's commit meta; on disagreement exists() returns False (so
+    `if not ix.exists(): ix.build(...)` self-heals) and
+    check_consistent() raises LOUDLY."""
     ix = PostingsIndex(spark, str(tmp_path / "lin"), grams=(1,), num_buckets=2)
     ix.build(_docs(spark))
     assert ix.exists()  # consistent build
+    ix.check_consistent()  # no raise
 
     # simulate the torn refresh: doclen re-committed under a new lineage,
     # postings left at the old one
     ix._doclen.overwrite(
         ix._doclen.read(), meta={"postings_lineage": "torn-refresh"}
     )
+    assert not ix.exists()  # recoverable signal, not a raise
     with pytest.raises(RuntimeError, match="cross-table inconsistent"):
-        ix.exists()
+        ix.check_consistent()
+
+    # the documented self-heal path: build() recommits every table under
+    # one fresh lineage id
+    ix.build(_docs(spark))
+    assert ix.exists()
+    ix.check_consistent()
 
 
 def test_shared_postings_rebuilds_when_corpus_regenerated(spark, tmp_path):
     """Regression (r6 advice): shared_postings cached by (applicationId,
     corpus_key) alone — regenerating the corpus at the SAME path within
-    one Spark app silently served the stale index. The cache key now
-    folds in a physical fingerprint (file listing + mtime_ns + size)."""
+    one Spark app silently served the stale index. The cached value now
+    carries a physical fingerprint (file listing + mtime_ns + size); a
+    mismatch evicts the superseded entry AND removes its on-disk tables
+    (r7: fingerprint moved from key to value so generations don't leak
+    one tempdir each)."""
     import os
 
     from affinity_spark.operators.postings import shared_postings
@@ -402,3 +414,5 @@ def test_shared_postings_rebuilds_when_corpus_regenerated(spark, tmp_path):
     ix2 = shared_postings(spark, spark.read.parquet(corpus), key, grams=(1,))
     assert ix2 is not ix1
     assert [r[0] for r in ix2.positional().select("doc_id").distinct().collect()] == [7]
+    # the superseded generation's tables were reclaimed, not leaked
+    assert not os.path.exists(ix1.path)
