@@ -813,6 +813,7 @@ def span_dedup(
         F.max("e").alias("_last_e"),
         F.sum(F.col("e") - F.col("s")).alias("removed_chars"),
         F.count(F.lit(1)).alias("n_spans"),
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans"),
     )
     tails = doc_stats.join(base, id_col).select(
         id_col,
@@ -833,20 +834,23 @@ def span_dedup(
                 "",
             ).alias("clean_text")
         )
-        .join(doc_stats.select(id_col, "removed_chars", "n_spans"), id_col)
+        .join(doc_stats.select(id_col, "removed_chars", "n_spans", "spans"), id_col)
     )
 
+    empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
     untouched = base.join(cleaned.select(id_col), id_col, "left_anti").select(
         F.col(id_col),
         F.col("_norm").alias("clean_text"),
         F.lit(0).cast("long").alias("removed_chars"),
         F.lit(0).cast("long").alias("n_spans"),
+        empty_spans.alias("spans"),
     )
     return cleaned.select(
         id_col,
         "clean_text",
         F.col("removed_chars").cast("long").alias("removed_chars"),
         F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("spans").cast("array<struct<s:bigint,e:bigint>>").alias("spans"),
     ).unionByName(untouched)
 
 

@@ -648,3 +648,104 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE (n_common * 10000) // sa.n >= 2000 OR (n_common * 10000) // sb.n >= 2000
 """
+
+
+def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL over the documents corpus (Lee et al.
+    2022): cross-doc verbatim runs >= win+stride-1 = 59 chars are
+    winnow-anchored, merged per doc, and EXCISED from every copy except
+    the keeper (min doc_id per fingerprint) — ``docs_repeated_windows``
+    detects, this one cleans. Emits the affected docs with the cleaned
+    text's length + md5 digest (never raw text in the compare) and the
+    removal audit. Winnow anchoring leaves < win+stride residual chars at
+    each run edge by construction (the selected min-gram can sit up to a
+    window into the run); the invariant test pins that every removed span
+    still exists verbatim in a kept doc.
+
+    Reference parity: the reference has no span-level dedup — this is
+    extension-set canon (Lee et al. 2022 §4.1 ExactSubstr).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    out = dd.span_dedup(docs, "doc_id", "text", win=40, stride=20)
+    return (
+        out.filter(F.col("n_spans") > 0)
+        .select(
+            "doc_id",
+            "n_spans",
+            "removed_chars",
+            F.length("clean_text").cast("long").alias("clean_len"),
+            F.md5(F.col("clean_text")).alias("clean_digest"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_DEDUP_SQL = """
+WITH n AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 40
+              THEN list_transform(range(1, len(t) - 38),
+                   i -> CAST(('0x' || substr(md5(substr(t, i, 40)), 1, 8)) AS BIGINT))
+              ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM n
+), sel AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 20
+              THEN list_transform(range(1, len(hs) - 18),
+                   j -> {'win_hash': list_min(hs[j:j+19]),
+                         'pos': j + list_position(hs[j:j+19], list_min(hs[j:j+19])) - 2})
+              ELSE [] END AS fps
+  FROM h
+), fp AS (
+  SELECT DISTINCT doc_id, u.win_hash AS win_hash, u.pos AS pos
+  FROM sel, unnest(fps) AS s(u)
+), dup AS (
+  SELECT win_hash, min(doc_id) AS keeper
+  FROM fp GROUP BY win_hash HAVING count(DISTINCT doc_id) >= 2
+), cuts AS (
+  SELECT DISTINCT f.doc_id, f.pos AS s, f.pos + 40 AS e
+  FROM fp f JOIN dup d USING (win_hash)
+  WHERE f.doc_id <> d.keeper
+), isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_i
+  FROM cuts
+), isl2 AS (
+  SELECT doc_id, s, e,
+         sum(new_i) OVER (PARTITION BY doc_id ORDER BY s, e) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, min(s) AS s, max(e) AS e
+  FROM isl2 GROUP BY doc_id, island
+), segs AS (
+  SELECT doc_id, s, e,
+         lag(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+  FROM spans
+), heads AS (
+  SELECT g.doc_id, g.s AS ord, substr(n.t, g.prev_e + 1, g.s - g.prev_e) AS piece
+  FROM segs g JOIN n USING (doc_id)
+), stats AS (
+  SELECT doc_id, max(e) AS last_e,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS removed_chars
+  FROM spans GROUP BY doc_id
+), tails AS (
+  SELECT st.doc_id, len(n.t) AS ord,
+         substr(n.t, st.last_e + 1, greatest(len(n.t) - st.last_e, 0)) AS piece
+  FROM stats st JOIN n USING (doc_id)
+), clean AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS clean_text
+  FROM (SELECT * FROM heads UNION ALL SELECT * FROM tails)
+  GROUP BY doc_id
+)
+SELECT c.doc_id, st.n_spans, st.removed_chars,
+       CAST(len(c.clean_text) AS BIGINT) AS clean_len,
+       md5(c.clean_text) AS clean_digest
+FROM clean c JOIN stats st USING (doc_id)
+ORDER BY doc_id
+"""

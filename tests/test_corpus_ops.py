@@ -120,3 +120,77 @@ def test_leakage_free_split_invariant(spark):
         assert joined.filter(F.col("split") != F.col("raw_split")).count() == 0
     finally:
         lab.unpersist()
+
+
+def test_span_dedup_excises_shared_runs_and_keeps_one_copy(spark):
+    """ExactSubstr removal invariants (Lee et al. 2022):
+    1. the keeper (min doc_id per fingerprint) retains the shared run;
+    2. every other copy loses the run's CORE (winnow anchoring leaves
+       < win+stride residual chars at each edge by construction);
+    3. removed_chars accounting is exact;
+    4. every removed span's text exists verbatim in the keeper's
+       normalized text (it was genuinely duplicated, not collateral);
+    5. unaffected docs pass through untouched.
+    """
+    import re
+
+    from affinity_spark.operators.dedup import span_dedup
+
+    win, stride = 40, 20
+    lic = (
+        "this program is free software you can redistribute it and or "
+        "modify it under the terms of the gnu general public license as "
+        "published by the free software foundation"
+    )
+    rows = [
+        (1, f"unique alpha content about spark engines. {lic} trailing alpha words."),
+        (2, f"different beta document starts here and then... {lic} beta resumes its own story."),
+        (3, "no shared content in this document, entirely original prose long enough to fingerprint."),
+        (4, lic),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(df, "doc_id", "text", win, stride).collect()}
+    norms = {
+        i: re.sub(r"\s+", " ", t.lower().strip()) for i, t in rows
+    }
+
+    # (5) untouched doc unchanged
+    assert out[3]["n_spans"] == 0 and out[3]["clean_text"] == norms[3]
+    # (1) keeper keeps the run
+    assert out[1]["n_spans"] == 0 and lic in out[1]["clean_text"]
+    # (2) non-keepers lose the core (edge residue < win+stride per side)
+    core = lic[win + stride : -(win + stride)]
+    assert core and core not in out[2]["clean_text"]
+    assert core not in out[4]["clean_text"]
+    for i in (2, 4):
+        # (3) exact accounting
+        assert out[i]["removed_chars"] == len(norms[i]) - len(out[i]["clean_text"])
+        assert out[i]["n_spans"] >= 1
+        # (4) removed spans exist verbatim in the keeper's normalized text
+        for sp in out[i]["spans"]:
+            removed = norms[i][sp["s"] : sp["e"]]
+            assert removed in norms[1]
+
+
+def test_span_dedup_is_phase_robust(spark):
+    """The shared run sits at offsets differing mod stride in each copy —
+    the placement that zeroes out position-strided sampling (r4 lesson).
+    Content-anchored winnowing must still excise every non-keeper copy."""
+    from affinity_spark.operators.dedup import span_dedup
+
+    win, stride = 40, 20
+    run = "x" * 0  # build a high-entropy run so winnow mins are informative
+    import hashlib
+
+    run = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest()[:7] for i in range(20)
+    )  # ~160 chars, no internal repeats
+    pads = ["p" * 3, "q" * 11, "r" * 27]  # offsets 3, 11, 27 — all differ mod 20
+    rows = [(i + 1, f"{pads[i]} {run} tail{i}") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in span_dedup(df, "doc_id", "text", win, stride).collect()}
+    assert out[1]["n_spans"] == 0  # keeper
+    core = run[win + stride : -(win + stride)]
+    for i in (2, 3):
+        assert out[i]["n_spans"] >= 1
+        assert core not in out[i]["clean_text"]

@@ -51,6 +51,7 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_winnow_pairs",
+    "docs_span_dedup",
     # pipelines
     "pipeline_clean_corpus",
     "pipeline_training_corpus",
@@ -66,6 +67,8 @@ DEFAULT_QUERIES = [
     # corpus pays the one-scan index build, best-of-2 keeps the query path)
     "docs_tfidf_pairs",
     "docs_bm25_search",
+    "docs_phrase_search",
+    "docs_proximity_search",
     # iterative graph + sketches over events
     "graph_components",
     "events_cms_counts",
