@@ -48,7 +48,7 @@ def shingles(text: Column, n: int = 5) -> Column:
     normalized text is let-bound so the regex runs once per doc, not once
     per gram (O(n), not O(n²), in document length).
     """
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
     def grams_of(cs: Column) -> Column:
         idx = F.sequence(F.lit(1), F.greatest(F.size(cs) - (n - 1), F.lit(1)))
@@ -117,7 +117,7 @@ def doc_fingerprint(text: Column) -> Column:
     md5 (not Spark ``hash``) so any engine — and the DuckDB oracle — computes
     the identical fingerprint; this is the cross-system dedup key.
     """
-    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
 #: BPE-ish token pattern (GPT-2 style, lower-cased input): contraction
@@ -156,7 +156,7 @@ def winnow_fingerprints(text: Column, k: int = 7, w: int = 4) -> Column:
     Returns a sorted array<long> column (empty for texts shorter than
     k + w - 1 chars).
     """
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
     def hashes_of(cs: Column) -> Column:
         def gram_hash(i: Column) -> Column:
@@ -204,7 +204,7 @@ def winnow_positioned(text: Column, k: int = 7, w: int = 4) -> Column:
     winnow_fingerprints; one extra argmin per window, evaluated on a
     let-bound slice so the window is sliced once, not three times.
     """
-    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
     def hashes_of(cs: Column) -> Column:
         def gram_hash(i: Column) -> Column:

@@ -587,7 +587,7 @@ def edit_distance_pairs(
     the verifier-tier price — candidates only, never the corpus.
     Returns ``(id_a, id_b, lev, lev_bp)`` with id_a < id_b.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     # empty-normalized docs are excluded: they all share block '' and have
     # max(len)=0, so the bp division would be x/0 (ANSI: job-killing) and
     # "near-duplicate of nothing" is meaningless anyway. The oracle filters
@@ -753,7 +753,7 @@ def span_dedup(
 
     from affinity_spark.functions.text import winnow_positioned
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     base = df.select(F.col(id_col), norm.alias("_norm"))
     fps = base.select(
         id_col,

@@ -414,8 +414,13 @@ def shared_postings(
     cached = _SHARED.get(key)
     if cached is not None:
         cached_fp, idx = cached
-        if cached_fp == fp and idx.exists() and set(want) <= set(idx.grams):
-            return idx
+        if cached_fp == fp and idx.exists():
+            if set(want) <= set(idx.grams):
+                return idx
+            # corpus unchanged, grams missing: grow the gram set instead of
+            # destroying the index — two call sites with disjoint grams must
+            # not alternately evict each other's build (r7 advice)
+            want = tuple(sorted({*want, *idx.grams}))
         # superseded (regenerated corpus / torn index / missing grams):
         # drop the entry and reclaim its on-disk tables before rebuilding
         del _SHARED[key]

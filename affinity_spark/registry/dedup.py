@@ -34,7 +34,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_EXACT_SQL = """
-SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
        min(doc_id) AS keep_id,
        count(*) AS n_copies
 FROM documents
@@ -480,7 +480,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_PAIRS_SQL = """
 WITH n AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
 ), h AS (
   SELECT doc_id,
@@ -524,7 +524,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EDIT_DIST_SQL = """
 WITH t AS (
   SELECT doc_id,
-         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
   FROM documents
 ),
 b AS (SELECT doc_id, norm, substr(norm, 1, 24) AS blk FROM t WHERE len(norm) > 0),
@@ -682,7 +682,7 @@ def docs_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPAN_DEDUP_SQL = """
 WITH n AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
 ), h AS (
   SELECT doc_id,

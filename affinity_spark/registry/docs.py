@@ -722,7 +722,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FINGERPRINT_SQL = """
-SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
 FROM documents
 """
 
@@ -837,7 +837,7 @@ def text_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_SQL = """
 WITH n AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
   FROM documents
 ), h AS (
   SELECT doc_id,
@@ -1837,7 +1837,7 @@ def docs_bloom_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_SQL = """
 WITH k AS (
-  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
   FROM documents
 ),
 pos AS (
@@ -1890,7 +1890,7 @@ WITH base AS (
   SELECT lang,
          CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                               x -> x <> '')) AS BIGINT) AS nt,
-         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
   FROM documents
 ),
 stats AS (
@@ -1927,7 +1927,7 @@ def docs_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REPEATED_WINDOWS_SQL = r"""
 WITH nn AS (
-  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
 ), h AS (
   SELECT doc_id,

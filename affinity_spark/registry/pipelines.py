@@ -74,7 +74,7 @@ WITH t AS (
 q AS (SELECT * FROM t WHERE n_tokens >= 10),
 k AS (
   SELECT min(doc_id) AS doc_id
-  FROM q GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
 ),
 kd AS (SELECT q.* FROM q JOIN k USING (doc_id)),
 d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM kd),
@@ -152,7 +152,7 @@ WITH t AS (
 q AS (SELECT * FROM t WHERE n_tokens >= 10),
 k AS (
   SELECT min(doc_id) AS doc_id
-  FROM q GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+  FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
 ),
 kd AS (SELECT q.doc_id, q.source, q.n_tokens FROM q JOIN k USING (doc_id)),
 tr AS (

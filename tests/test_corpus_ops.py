@@ -178,10 +178,10 @@ def test_span_dedup_is_phase_robust(spark):
     Content-anchored winnowing must still excise every non-keeper copy."""
     from affinity_spark.operators.dedup import span_dedup
 
-    win, stride = 40, 20
-    run = "x" * 0  # build a high-entropy run so winnow mins are informative
     import hashlib
 
+    win, stride = 40, 20
+    # high-entropy run so winnow mins are informative
     run = " ".join(
         hashlib.md5(str(i).encode()).hexdigest()[:7] for i in range(20)
     )  # ~160 chars, no internal repeats
@@ -194,3 +194,39 @@ def test_span_dedup_is_phase_robust(spark):
     for i in (2, 3):
         assert out[i]["n_spans"] >= 1
         assert core not in out[i]["clean_text"]
+
+
+def test_span_dedup_leading_tab_positions_align(spark):
+    """Normalization must be idempotent (r7 advice): trim strips 0x20 only,
+    so collapse-then-trim is required — a doc starting with '\\t' must not
+    shift fingerprint positions by one relative to the excised string.
+    The removed span text must still exist verbatim in the keeper."""
+    import re
+
+    from affinity_spark.operators.dedup import span_dedup
+
+    win, stride = 40, 20
+    lic = (
+        "this program is free software you can redistribute it and or "
+        "modify it under the terms of the gnu general public license as "
+        "published by the free software foundation"
+    )
+    rows = [
+        (1, f"unique alpha content about spark engines. {lic} trailing."),
+        (2, f"\t\n {lic} resumed beta prose follows the shared block."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(df, "doc_id", "text", win, stride).collect()
+    }
+    norms = {i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in rows}
+    assert out[1]["n_spans"] == 0
+    r2 = out[2]
+    assert r2["n_spans"] >= 1
+    assert r2["removed_chars"] == len(norms[2]) - len(r2["clean_text"])
+    for sp in r2["spans"]:
+        removed = norms[2][sp["s"] : sp["e"]]
+        assert removed and removed in norms[1]
+    core = lic[win + stride : -(win + stride)]
+    assert core not in r2["clean_text"]
