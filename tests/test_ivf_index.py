@@ -1,0 +1,255 @@
+"""Maintained IVF vector index: admit==rebuild, index-served==derived,
+delta-proportional merge IO, drift detection, torn-lineage self-heal, and
+foreachBatch streaming maintenance (operators/ivf_index.py).
+
+Reference pattern: X1 index maintenance
+core/src/main/scala/io/amient/affinity/core/state/KVStoreLocal.scala:195-248.
+"""
+
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from affinity_spark.operators.ivf import assign, batch_search, search
+from affinity_spark.operators.ivf_index import IVFIndex
+
+
+def _vecs(spark, ids, dim=8, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in ids:
+        rng.seed(seed * 100003 + i)  # per-id deterministic vector
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    ix = IVFIndex(spark, str(tmp_path / "ivf"), num_buckets=2)
+    ix.build(_vecs(spark, range(64)), k=4, n_iter=0)
+    return ix
+
+
+def _rows(df):
+    return {
+        (r["vec_id"], r["cell"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in df.collect()
+    }
+
+
+def test_index_served_equals_derived(spark, idx):
+    """search()/batch_search() off the committed tables must equal the
+    session-local derivation (ivf.assign + ivf.search) with the same
+    codebook — the index is a materialization, never a different answer."""
+    emb = _vecs(spark, range(64))
+    cb = idx.codebook()
+    q = cb[1]
+    served = idx.search(q, 5, nprobe=2).collect()
+    derived = search(assign(emb, cb), cb, q, 5, nprobe=2).collect()
+    assert [(r["vec_id"], round(r["cosine"], 9)) for r in served] == [
+        (r["vec_id"], round(r["cosine"], 9)) for r in derived
+    ]
+
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    sb = {
+        (r["qid"], r["vec_id"], r["rnk"])
+        for r in idx.batch_search(qs, 4, nprobe=2).collect()
+    }
+    db = {
+        (r["qid"], r["vec_id"], r["rnk"])
+        for r in batch_search(assign(emb, cb), cb, qs, 4, nprobe=2).collect()
+    }
+    assert sb == db
+
+
+def test_admit_matches_full_rebuild(spark, tmp_path):
+    """admit(batch) on an index built from the base corpus must equal a
+    full build over base ∪ batch with the SAME codebook — assignment is
+    per-row map-side, so incremental and one-shot agree exactly."""
+    base = _vecs(spark, range(48))
+    batch = _vecs(spark, range(48, 64))
+    ix = IVFIndex(spark, str(tmp_path / "incr"), num_buckets=2)
+    ix.build(base, k=4, n_iter=0)
+    cb = ix.codebook()
+    ix.admit(batch)
+
+    full = IVFIndex(spark, str(tmp_path / "full"), num_buckets=2)
+    full.build(_vecs(spark, range(64)), codebook=cb)
+    assert _rows(ix.vectors()) == _rows(full.vectors())
+    # codebook untouched by admit (same generation, same lineage)
+    assert ix.codebook() == cb
+    assert ix.exists()
+
+
+def test_admit_updates_and_deletes(spark, tmp_path):
+    """An updated vector MOVES to its new cell (old row gone even when the
+    cells differ) and a deleted id disappears entirely."""
+    ix = IVFIndex(spark, str(tmp_path / "upd"), num_buckets=2)
+    ix.build(_vecs(spark, range(32)), k=4, n_iter=0)
+    cb = ix.codebook()
+    # overwrite vec 5 with a vector equal to centroid 3 -> lands in cell 3
+    moved = spark.createDataFrame(
+        [(5, cb[3])], "vec_id long, embedding array<double>"
+    )
+    ix.admit(moved, deleted_ids=[6, 7])
+    got = {r["vec_id"]: r["cell"] for r in ix.vectors().collect()}
+    assert got[5] == 3
+    assert 6 not in got and 7 not in got
+    assert set(got) == set(range(32)) - {6, 7}
+    # idempotent re-admit: same merge again changes nothing
+    ix.admit(moved)
+    assert got == {r["vec_id"]: r["cell"] for r in ix.vectors().collect()}
+
+
+def test_admit_hardlinks_untouched_cells(spark, tmp_path):
+    """Delta-proportional IO: cells the batch does not touch must be
+    HARDLINKED from the base snapshot (same inodes), touched cells
+    physically rewritten — merge cost ∝ batch, never ∝ index."""
+    ix = IVFIndex(spark, str(tmp_path / "hl"), num_buckets=2)
+    ix.build(_vecs(spark, range(64)), k=4, n_iter=0)
+    cb = ix.codebook()
+    base = ix._assigned._current_version_dir()
+    # a batch aimed at exactly cell 2 (vectors = centroid 2)
+    batch = spark.createDataFrame(
+        [(100, cb[2]), (101, cb[2])], "vec_id long, embedding array<double>"
+    )
+    ix.admit(batch)
+    new = ix._assigned._current_version_dir()
+    assert new != base
+
+    def inodes(vdir, cell):
+        d = os.path.join(vdir, f"cell={cell}")
+        if not os.path.isdir(d):
+            return set()
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    cells = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(base)
+        if e.startswith("cell=")
+    }
+    assert len(cells) > 1, "fixture must spread vectors over several cells"
+    for c in cells - {2}:
+        assert inodes(new, c) == inodes(base, c)  # hardlinked, not copied
+    assert inodes(new, 2).isdisjoint(inodes(base, 2))  # fresh rewrite
+
+
+def test_probe_scan_is_partition_pruned(spark, idx):
+    """The served search must prune non-probed cells AT THE SCAN
+    (PartitionFilters on cell), not filter after reading — the on-disk
+    realization of nprobe/k read cost."""
+    import re
+
+    from affinity_spark.plans.introspect import formatted_plan
+
+    probed = idx.vectors().filter(F.col("cell").isin([0, 3]))
+    probed.collect()
+    plan = formatted_plan(probed)
+    m = re.search(r"PartitionFilters: \[(?P<f>[^\]]*)\]", plan)
+    assert m and "cell" in m.group("f"), plan
+
+
+def test_drift_detection_and_retrain(spark, tmp_path):
+    """needs_retrain flips on growth past the bound and resets after
+    retrain() re-clusters from the maintained table itself."""
+    ix = IVFIndex(spark, str(tmp_path / "drift"), num_buckets=2)
+    ix.build(_vecs(spark, range(32)), k=4, n_iter=0)
+    assert not ix.needs_retrain()
+    # grow the corpus by 100% > max_growth=0.5
+    ix.admit(_vecs(spark, range(32, 64)))
+    assert ix.needs_retrain(max_growth=0.5)
+    gen0 = int(ix._centroids.commit_meta()["ivf_gen"])
+    ix.retrain()
+    assert int(ix._centroids.commit_meta()["ivf_gen"]) == gen0 + 1
+    assert int(ix._centroids.commit_meta()["n_at_build"]) == 64
+    assert not ix.needs_retrain(max_growth=0.5)
+    assert ix.exists()
+    # skew trigger: pile admissions onto one centroid's cell
+    cb = ix.codebook()
+    hot = spark.createDataFrame(
+        [(1000 + i, cb[0]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    ix.admit(hot)
+    assert ix.needs_retrain(max_skew=3.0, max_growth=1e9)
+
+
+def test_torn_lineage_reads_as_absent(spark, tmp_path):
+    """A crash between the two table commits (simulated by re-committing
+    one table under a different lineage) must make exists() False so the
+    self-heal rebuild pattern engages."""
+    ix = IVFIndex(spark, str(tmp_path / "torn"), num_buckets=2)
+    emb = _vecs(spark, range(16))
+    ix.build(emb, k=2, n_iter=0)
+    assert ix.exists()
+    ix._centroids.overwrite(
+        ix._centroids.read(), meta={"ivf_lineage": "other-generation"}
+    )
+    assert not ix.exists()
+    ix.build(emb, k=2, n_iter=0)  # the documented repair
+    assert ix.exists()
+
+
+def test_streaming_foreachbatch_maintenance_matches_rebuild(spark, tmp_path):
+    """A vector ingest STREAM drives IVFIndex.admit from foreachBatch
+    (maintainer()), and the maintained index equals a one-shot build over
+    the full corpus with the same codebook."""
+    import json
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ix = IVFIndex(spark, str(tmp_path / "m"), num_buckets=2)
+    base = _vecs(spark, range(32))
+    ix.build(base, k=4, n_iter=0)
+    cb = ix.codebook()
+
+    arriving = _vecs(spark, range(32, 40)).collect()
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    for i, r in enumerate(arriving):
+        tmp = os.path.join(src, f".c{i}.tmp")
+        with open(tmp, "w") as f:
+            f.write(
+                json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                )
+                + "\n"
+            )
+        dest = os.path.join(src, f"c{i}.json")
+        os.rename(tmp, dest)
+        os.utime(dest, (1_700_000_000 + i,) * 2)
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4)
+        .json(src)
+        .writeStream.foreachBatch(ix.maintainer())
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = IVFIndex(spark, str(tmp_path / "full"), num_buckets=2)
+    full.build(_vecs(spark, range(40)), codebook=cb)
+    assert _rows(ix.vectors()) == _rows(full.vectors())
