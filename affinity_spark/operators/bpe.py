@@ -68,11 +68,28 @@ def train_bpe(
     text_col: str,
     n_merges: int,
     min_count: int = 2,
+    max_word_types: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Ranked merge table from the corpus: repeatedly merge the most
     frequent adjacent symbol pair (ties → lexicographic), starting from
-    characters + an end-of-word marker."""
-    rows = word_counts(df, text_col).filter(F.col("n") >= min_count).collect()
+    characters + an end-of-word marker.
+
+    The collected vocabulary is UNCONDITIONALLY capped at the
+    ``max_word_types`` most frequent word types (count desc, word asc —
+    deterministic): ``min_count`` alone bounds nothing at 100 TB, where
+    the ≥-min_count type set is tens of millions of rows. The top-K runs
+    distributed (``TakeOrderedAndProject`` — per-partition heaps, never a
+    global sort), so the driver sees at most K rows; merge statistics over
+    the capped head match the full tail-included counts closely because
+    pair frequency is dominated by frequent types (and exactly, on any
+    corpus with ≤ K types — pinned by tests/test_bpe.py)."""
+    rows = (
+        word_counts(df, text_col)
+        .filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(max_word_types)
+        .collect()
+    )
     vocab: dict[tuple[str, ...], int] = {}
     for r in rows:
         vocab[tuple(r.word) + (END,)] = r.n

@@ -187,6 +187,28 @@ def main() -> None:
     verdict, lines = classify_stderr(text)
     payload["stderr_classification"] = verdict
     print(json.dumps(payload))
+    # Self-sufficient on-disk artifact (totals FIRST — readable even if the
+    # recorded stdout line is clipped from either end).
+    ordered = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "extended_total": payload["extended_total"],
+        "r3_total": payload["r3_total"],
+        "r5_total": payload["r5_total"],
+        "stderr_classification": verdict,
+        **payload,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            json.dump(ordered, f)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout must not fail the bench
     if verdict == "benign":
         print(
             "bench stderr: known-benign scheduler trace "
@@ -250,20 +272,24 @@ def _run(sf_dir: str) -> dict:
     write_path = _write_path_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
+    # Key order matters for the recorded artifact: the driver's tail-capture
+    # clips the FRONT of this (long) line, so the bulky per-query maps go
+    # first and every total goes LAST — the clipped artifact still shows
+    # the headline number (the BENCH_r07 truncation lesson).
     return {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
+        "extended": extended,
+        "r3": r3,
+        "r5": r5,
+        "write_path": write_path,
+        "postings_index_build_sec": index_build_sec,
         "sf": sf_of(sf_dir),
         "extended_total": round(sum(extended.values()), 3),
-        "extended": extended,
         "r3_total": round(sum(r3.values()), 3),
-        "r3": r3,
         "r5_total": round(sum(r5.values()), 3),
-        "r5": r5,
-        "postings_index_build_sec": index_build_sec,
-        "write_path": write_path,
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "value": total,
     }
 
 

@@ -86,3 +86,32 @@ def test_min_count_prunes_rare_words(spark):
     # 'lower' (x2) and 'widest'-only chars must not drive merges: 'w' 'i'
     # 'd' appear in newest/widest; 'r' only in lower (count 2) -> excluded
     assert "r" not in flat
+
+
+def test_vocab_cap_equality_and_plan(spark):
+    """The unconditional top-K word-type cap: (a) with K >= #types the
+    merge table is IDENTICAL to the uncapped result; (b) with a small K
+    training still works, over the K most frequent types; (c) the top-K
+    runs as TakeOrderedAndProject (per-partition heaps), never a global
+    sort followed by a full collect."""
+    c = _corpus(spark)
+    assert train_bpe(c, "text", 6, 1, max_word_types=1_000_000) == train_bpe(
+        c, "text", 6, 1, max_word_types=4
+    )  # corpus has exactly 4 word types
+
+    # K=2 keeps only newest(6) + low(5): merges must involve their symbols
+    capped = train_bpe(c, "text", 4, 1, max_word_types=2)
+    syms = {s for pair in capped for s in pair}
+    assert syms and not any("wid" in s or s == "r" for s in syms)
+
+    from affinity_spark.operators.bpe import word_counts
+    from affinity_spark.plans.introspect import formatted_plan
+    from pyspark.sql import functions as F
+
+    plan = formatted_plan(
+        word_counts(c, "text")
+        .filter(F.col("n") >= 1)
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(10)
+    )
+    assert "TakeOrderedAndProject" in plan
