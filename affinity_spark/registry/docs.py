@@ -2041,3 +2041,64 @@ c AS (
 SELECT doc_id, source, weight_bits, n_tokens, cum_before
 FROM c WHERE cum_before < 600
 """
+
+
+def docs_unicode_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene pass (functions/unicode_clean.py): mojibake repair
+    (ordered cp1252-artifact literal-replace chain, codegen'd), control
+    strip, NFC composition (Arrow pandas UDF — the one genuinely
+    non-expression step), with per-fix counters.
+
+    Each doc is first deterministically MANGLED (prepend e+combining-acute
+    and a mojibake é, append BEL + a mojibake ’) to simulate the
+    double-encoded ingest this operator exists for — so every rule class
+    is exercised per row and the counters are non-trivially verified; both
+    engines mangle identically. Zero-shuffle: one per-row projection."""
+    from affinity_spark.functions.unicode_clean import unicode_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    mangled = F.concat(
+        # decomposed e + combining acute (the NFC probe), a mojibake
+        # e-acute, a BEL control, a mojibake right-quote -- explicit
+        # escapes so editor normalization cannot silently break this
+        F.lit("e\u0301"), F.lit("\u00c3\u00a9"), F.col("text"),
+        F.lit("\x07"), F.lit("\u00e2\u20ac\u2122")
+    )
+    s = unicode_scrub(mangled)
+    return docs.select(
+        "doc_id",
+        F.md5(s["clean"]).alias("clean_md5"),
+        F.length(s["clean"]).cast("long").alias("n_chars"),
+        s["n_mojibake"].alias("n_mojibake"),
+        s["n_ctrl"].alias("n_ctrl"),
+        s["nfc_changed"].alias("nfc_changed"),
+    )
+
+
+def _unicode_scrub_oracle_sql() -> str:
+    from affinity_spark.functions.unicode_clean import MOJIBAKE_RULES
+
+    rep = "t"
+    for bad, good in MOJIBAKE_RULES:
+        rep = f"replace({rep}, '{bad}', '{good}')"
+    counts = " + ".join(
+        f"(length(t) - length(replace(t, '{bad}', ''))) // {len(bad)}"
+        for bad, _ in MOJIBAKE_RULES
+    )
+    ctrl = r"'[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]'"
+    return f"""
+WITH m AS (
+  SELECT doc_id, 'e' || chr(769) || 'Ã©' || text || chr(7) || 'â€™' AS t
+  FROM documents
+),
+r AS (SELECT doc_id, t, {rep} AS rep FROM m),
+s AS (SELECT doc_id, t, rep, regexp_replace(rep, {ctrl}, '', 'g') AS st FROM r),
+f AS (SELECT doc_id, t, rep, st, nfc_normalize(st) AS clean FROM s)
+SELECT doc_id,
+       md5(clean) AS clean_md5,
+       CAST(length(clean) AS BIGINT) AS n_chars,
+       CAST({counts} AS BIGINT) AS n_mojibake,
+       CAST(length(rep) - length(st) AS BIGINT) AS n_ctrl,
+       CAST(CASE WHEN clean <> st THEN 1 ELSE 0 END AS BIGINT) AS nfc_changed
+FROM f
+"""
