@@ -123,6 +123,67 @@ def pack_sequences(
     )
 
 
+def pack_bestfit(
+    df: DataFrame,
+    shard_col: str,
+    id_col: str,
+    tokens_col: str,
+    context_tokens: int,
+) -> DataFrame:
+    """First-Fit-Decreasing bin packing into fixed ``context_tokens``
+    windows, per shard — the padding-minimizing alternative to
+    :func:`pack_sequences` when documents must stay WHOLE (no straddling):
+    sort the shard's docs by (tokens desc, id asc), place each into the
+    first already-open pack it fits, else open a new pack. FFD packs
+    within 11/9·OPT + 6/9 bins (Dósa 2007) — near-optimal for the
+    long-tail doc-length distributions training corpora have.
+
+    A doc longer than the context always opens its own (overflowing) pack
+    — the caller chunks oversize docs first (operators/chunking.py) if
+    that is not acceptable.
+
+    The fold is genuinely sequential per shard (each placement depends on
+    every earlier placement), so this is the documented applyInPandas
+    case: shards pack independently and in parallel, the per-shard loop is
+    O(docs·bins) over one Arrow batch, and scale comes from shard count —
+    a shard is a training-shard-sized unit (~10⁴ docs), never the corpus.
+    Output adds ``pack_id`` (0-based, per shard). Deterministic: the sort
+    key is total, so retries and engines agree bit-for-bit.
+    """
+    import pandas as pd  # noqa: F401
+
+    out_schema = (
+        f"{id_col} long, {shard_col} string, {tokens_col} long, pack_id long"
+    )
+    cap = int(context_tokens)
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        loads: list[int] = []
+        assigned: list[int] = []
+        for w in pdf[tokens_col].astype(int):
+            placed = -1
+            if w <= cap:
+                for j, load in enumerate(loads):
+                    if load + w <= cap:
+                        placed = j
+                        break
+            if placed < 0:
+                loads.append(int(w))
+                placed = len(loads) - 1
+            else:
+                loads[placed] += int(w)
+            assigned.append(placed)
+        pdf = pdf.assign(pack_id=assigned)
+        return pdf[[id_col, shard_col, tokens_col, "pack_id"]]
+
+    return df.select(id_col, shard_col, tokens_col).groupBy(shard_col).applyInPandas(
+        pack, out_schema
+    )
+
+
 def near_dup_survivors(
     pairs: DataFrame, emb: DataFrame, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -2102,3 +2102,65 @@ SELECT doc_id,
        CAST(CASE WHEN clean <> st THEN 1 ELSE 0 END AS BIGINT) AS nfc_changed
 FROM f
 """
+
+
+def docs_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-Fit-Decreasing whole-document packing into 256-token context
+    windows, per source shard (operators/sampling.py::pack_bestfit) — the
+    padding-minimizing packer for loaders that cannot split documents
+    (contrast docs_pack_sequences' zero-waste straddling layout). Emits
+    the per-doc pack assignment; the oracle replays the exact FFD fold as
+    a recursive CTE over each shard's length-sorted sequence (the
+    _debounce_state_sql pattern: sequential state -> recursion, never
+    list_reduce)."""
+    from affinity_spark.operators.sampling import pack_bestfit
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_bestfit(with_tok, "source", "doc_id", "n_tokens", 256).select(
+        "doc_id", "source", "pack_id"
+    )
+
+
+def _pack_bestfit_oracle_sql(cap: int = 256) -> str:
+    fit = (
+        f"list_position(list_transform(f.loads, l -> l + s.n_tokens <= {cap}),"
+        " true)"
+    )
+    return f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens DESC, doc_id ASC) AS i
+  FROM tok
+),
+fold AS (
+  SELECT source, CAST(0 AS BIGINT) AS i, []::BIGINT[] AS loads,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS pack_id
+  FROM (SELECT DISTINCT source FROM seq)
+  UNION ALL
+  SELECT s.source, s.i,
+         CASE WHEN s.n_tokens <= {cap} AND coalesce({fit}, 0) > 0
+              THEN list_transform(range(1, len(f.loads) + 1),
+                     k -> CASE WHEN k = {fit}
+                               THEN f.loads[CAST(k AS INT)] + s.n_tokens
+                               ELSE f.loads[CAST(k AS INT)] END)
+              ELSE list_append(f.loads, s.n_tokens)
+         END AS loads,
+         s.doc_id,
+         CASE WHEN s.n_tokens <= {cap} AND coalesce({fit}, 0) > 0
+              THEN CAST({fit} AS BIGINT) - 1
+              ELSE len(f.loads)
+         END AS pack_id
+  FROM fold f JOIN seq s ON s.source = f.source AND s.i = f.i + 1
+)
+SELECT doc_id, source, pack_id FROM fold WHERE doc_id IS NOT NULL
+"""

@@ -230,3 +230,64 @@ def test_span_dedup_leading_tab_positions_align(spark):
         assert removed and removed in norms[1]
     core = lic[win + stride : -(win + stride)]
     assert core not in r2["clean_text"]
+
+
+def test_pack_bestfit_ffd_semantics(spark):
+    """FFD invariants: (1) matches an imperative reference fold exactly,
+    (2) no pack exceeds capacity except single-doc oversize packs,
+    (3) per-shard independence, (4) deterministic."""
+    from affinity_spark.operators.sampling import pack_bestfit
+
+    rows = [
+        # shard a: lengths force multi-bin placement (cap 100)
+        (1, "a", 60), (2, "a", 50), (3, "a", 40), (4, "a", 30), (5, "a", 20),
+        (6, "a", 130),              # oversize: own pack
+        (7, "b", 90), (8, "b", 90), (9, "b", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard string, w long")
+    got = {
+        (r["doc_id"]): (r["shard"], r["pack_id"])
+        for r in pack_bestfit(df, "shard", "doc_id", "w", 100).collect()
+    }
+
+    def ffd(docs, cap):
+        docs = sorted(docs, key=lambda x: (-x[1], x[0]))
+        loads, out = [], {}
+        for d, w in docs:
+            placed = -1
+            if w <= cap:
+                for j, load in enumerate(loads):
+                    if load + w <= cap:
+                        placed = j
+                        break
+            if placed < 0:
+                loads.append(w)
+                placed = len(loads) - 1
+            else:
+                loads[placed] += w
+            out[d] = placed
+        return out
+
+    from collections import defaultdict
+
+    byshard = defaultdict(list)
+    for d, s, w in rows:
+        byshard[s].append((d, w))
+    want = {}
+    for s, docs in byshard.items():
+        for d, p in ffd(docs, 100).items():
+            want[d] = (s, p)
+    assert got == want
+    # capacity invariant
+    loads = defaultdict(int)
+    for d, s, w in rows:
+        loads[got[d]] += w
+    for (s, p), load in loads.items():
+        members = [d for d, sp in got.items() if sp == (s, p)]
+        assert load <= 100 or len(members) == 1  # oversize alone
+    # determinism
+    again = {
+        (r["doc_id"]): (r["shard"], r["pack_id"])
+        for r in pack_bestfit(df, "shard", "doc_id", "w", 100).collect()
+    }
+    assert again == got
