@@ -171,3 +171,92 @@ SELECT source, pack_id, count(*) AS n_docs,
 FROM cum
 GROUP BY source, pack_id
 """
+
+
+def pipeline_streaming_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED STREAMING ingest pipeline's batch twin as a driver
+    query (streaming/pipeline.py::corpus_pipeline_replay): quality gate →
+    first-arrival exact dedup → online-LSH near-dup verdicts (band-bucket
+    state contract, 1024-member cap) → split labels. The streaming query
+    itself is equivalence-pinned to this replay over ≥3 micro-batches in
+    tests/test_streaming_pipeline.py; this entry makes the final sink
+    semantics oracle-checkable by the driver. dup_of = -1 and split =
+    'rejected' encode the nullable columns hash-safely."""
+    from affinity_spark.streaming.pipeline import corpus_pipeline_replay
+
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus_pipeline_replay(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("split"), F.lit("rejected")).alias("split"),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+    )
+
+
+def _streaming_replay_oracle_sql() -> str:
+    from affinity_spark.registry._shared import (
+        _duck_lsh_bands_cte,
+        _duck_shingles_cte,
+    )
+
+    shingles_over_keepers = _duck_shingles_cte(3).replace(
+        "FROM documents", "FROM kd"
+    )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+),
+q AS (SELECT * FROM t0 WHERE n_tokens >= 10),
+k AS (
+  SELECT min(doc_id) AS doc_id
+  FROM q GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+),
+kd AS (SELECT q.* FROM q JOIN k USING (doc_id)),
+{shingles_over_keepers.lstrip().lstrip(chr(10))},
+{_duck_lsh_bands_cte()},
+ranked AS (
+  SELECT doc_id, band_id, band_hash,
+         row_number() OVER (PARTITION BY band_id, band_hash ORDER BY doc_id) AS rk
+  FROM bands
+),
+bp AS (
+  SELECT DISTINCT a.doc_id AS dup_of, b.doc_id AS doc_id
+  FROM ranked a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  WHERE a.rk <= 1024
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM h GROUP BY doc_id),
+common AS (
+  SELECT p.dup_of, p.doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM bp p
+  JOIN h x ON x.doc_id = p.dup_of
+  JOIN h y ON y.doc_id = p.doc_id AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+matches AS (
+  SELECT c.doc_id, min(c.dup_of) AS dup_of
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.dup_of
+  JOIN sizes sb ON sb.doc_id = c.doc_id
+  WHERE 2 * c.n_common >= (sa.nsh + sb.nsh - c.n_common)
+  GROUP BY c.doc_id
+),
+lab AS (
+  SELECT kd.doc_id, kd.n_tokens, m.dup_of,
+         CAST(('0x' || substr(md5(CAST(kd.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000 AS bucket
+  FROM kd LEFT JOIN matches m USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN dup_of IS NOT NULL THEN 'rejected'
+            WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(coalesce(dup_of, -1) AS BIGINT) AS dup_of
+FROM lab
+"""

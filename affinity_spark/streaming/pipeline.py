@@ -1,0 +1,239 @@
+"""The composed streaming corpus-ingest pipeline, end to end in ONE
+streaming query:
+
+    readStream → quality gate → stateful exact dedup → online LSH near-dup
+    → (sink boundary) per-doc verdict collapse → split → keyed sinks
+
+This is the streaming twin of ``registry/pipelines.py::
+pipeline_clean_corpus`` (same quality rule, same exact-dedup rule, same
+shingle/band/Jaccard parameters), so the final sink state is
+batch-replayable and driver-checkable.
+
+Stage placement under Spark's structured-streaming constraints:
+
+- quality gate: stateless codegen'd expressions (token_count ≥ k);
+- exact dedup: ``dropDuplicates`` on the content fingerprint — streaming
+  state keyed by fp, keeps the FIRST ARRIVAL corpus-wide. This stateful op
+  composes BEFORE ``applyInPandasWithState`` (probed and pinned by the
+  equivalence test); the forbidden direction is stateful-AFTER-pandas-state
+  (ColumnarBatchRow → UnsafeRow, see CLAUDE.md), which is why the per-doc
+  any-band-matched collapse lives behind the foreachBatch sink boundary;
+- near-dup: per-LSH-bucket ``applyInPandasWithState`` emitting a VERDICT
+  row per (arriving doc × band) — ``dup_of`` NULL when that bucket holds
+  no near-match. Verdict rows (16 small rows/doc) ride to the sink, where
+  one groupBy collapses them: a doc survives iff every band said NULL;
+- split + sinks: survivors get the ``train_split`` md5-bucket label
+  (stateless) and are UPSERTED into a KeyedTable keyed by doc_id —
+  idempotent under micro-batch replay by construction (the replayed
+  upsert rewrites the same rows), so no batch-id marker is needed;
+  rejected docs land in a second KeyedTable with their dup reason.
+
+Arrival-order contract (what makes the batch twin exact): the feed is
+id-ordered across micro-batches and carries at most one new doc per
+fingerprint per batch — within one batch ``dropDuplicates`` keeps an
+engine-chosen row, so same-fp same-batch collisions are the one feed shape
+whose survivor id the twin cannot predict (compact such batches first,
+the ``compact_latest`` contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from affinity_spark.functions.text import doc_fingerprint, token_count
+from affinity_spark.operators.dedup import lsh_bands_mapside, word_ngrams
+
+_VERDICT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("dup_of", LongType()),  # NULL = this band saw no match
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(LongType())),
+        StructField("shingle_sets", ArrayType(ArrayType(StringType()))),
+    ]
+)
+
+
+def streaming_corpus_verdicts(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    min_tokens: int = 10,
+    max_bucket_members: int = 1024,
+) -> DataFrame:
+    """quality → exact-dedup → per-band near-dup verdicts, one query.
+
+    Emits one row per (exact-surviving arriving doc × band):
+    (doc_id, n_tokens, dup_of) with dup_of = the earliest-seen bucket
+    member whose exact Jaccard clears t_num/t_den, else NULL. The caller
+    collapses bands per doc behind a sink boundary."""
+    scored = docs_stream.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= min_tokens)
+    exact = (
+        scored.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+        .dropDuplicates(["_fp"])
+        .drop("_fp")
+    )
+    # doc_shingle_arrays drops payload columns; derive inline keeping
+    # n_tokens so the verdict rows carry it to the sink
+    arr = word_ngrams(F.col(text_col), n)
+    arrs = exact.select(
+        F.col(id_col),
+        arr.alias("shingles"),
+        F.size(arr).alias("n_shingles"),
+        F.col("n_tokens"),
+    )
+    with_bands = lsh_bands_mapside(arrs, id_col, keep_cols=("shingles", "n_tokens"))
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            ids, sets = state.get
+            ids = list(ids)
+            sets = [set(s) for s in sets]
+        else:
+            ids, sets = [], []
+        rows = []
+        for pdf in pdfs:
+            for did, ntok, sh in zip(pdf[id_col], pdf["n_tokens"], pdf["shingles"]):
+                rows.append((int(did), int(ntok), set(sh)))
+        rows.sort(key=lambda r: r[0])  # arrival order within the batch
+        out_id, out_tok, out_dup = [], [], []
+        for did, ntok, sh in rows:
+            if did in ids:
+                continue  # replayed doc: no self-match, no duplicate state
+            match = None
+            for prev_id, prev_sh in zip(ids, sets):
+                inter = len(sh & prev_sh)
+                union = len(sh) + len(prev_sh) - inter
+                if union and t_den * inter >= t_num * union:
+                    match = prev_id
+                    break  # earliest-seen member wins (ids are in order)
+            out_id.append(did)
+            out_tok.append(ntok)
+            out_dup.append(match)
+            if len(ids) < max_bucket_members:
+                ids.append(did)
+                sets.append(sh)
+        state.update((ids, [sorted(s) for s in sets]))
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_id,
+                    "n_tokens": out_tok,
+                    "dup_of": pd.array(out_dup, dtype="Int64"),
+                }
+            )
+
+    return with_bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        update,
+        outputStructType=_VERDICT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def corpus_sink(survivors_table, rejected_table):
+    """foreachBatch collapse + split + idempotent keyed writes.
+
+    Per batch: one groupBy(doc_id) collapses the band verdicts (a doc is
+    near-dup iff ANY band matched; the reported dup_of is the smallest),
+    survivors get the md5-bucket train/val/test label (the train_split
+    rule), and both outcomes UPSERT into KeyedTables keyed by doc_id —
+    a replayed batch rewrites the same rows, so the sink is idempotent
+    without a batch-id marker."""
+    from affinity_spark.operators.sampling import train_split
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        collapsed = batch_df.groupBy("doc_id").agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.min("dup_of").alias("dup_of"),
+        )
+        survivors = collapsed.filter(F.col("dup_of").isNull()).drop("dup_of")
+        rejected = collapsed.filter(F.col("dup_of").isNotNull()).select(
+            "doc_id", "dup_of"
+        )
+        if not survivors.isEmpty():
+            survivors_table.upsert(train_split(survivors, "doc_id"))
+        if not rejected.isEmpty():
+            rejected_table.upsert(rejected)
+
+    return apply
+
+
+def corpus_pipeline_replay(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    min_tokens: int = 10,
+    max_bucket_members: int = 1024,
+) -> DataFrame:
+    """Batch replay of the full pipeline for an id-ordered feed — the
+    driver-checkable twin of the streaming sink state: quality gate,
+    min-id-per-fingerprint exact dedup, online-LSH replay (any matching
+    band drops the doc; dup_of = the smallest matching earlier id), split
+    labels for survivors. Returns (doc_id, n_tokens, split, dup_of) with
+    dup_of NULL for survivors — the union of both sink tables."""
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.sampling import train_split
+    from affinity_spark.streaming.dedup_stream import online_lsh_replay
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= min_tokens)
+    w_fp = Window.partitionBy(doc_fingerprint(F.col(text_col))).orderBy(id_col)
+    keepers = (
+        scored.withColumn("_rn", F.row_number().over(w_fp))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    matches = (
+        online_lsh_replay(
+            keepers, id_col, text_col, n, t_num, t_den, max_bucket_members
+        )
+        .groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+    )
+    labelled = keepers.join(matches, "doc_id", "left").select(
+        "doc_id", "n_tokens", "dup_of"
+    )
+    survivors = train_split(
+        labelled.filter(F.col("dup_of").isNull()).drop("dup_of"), "doc_id"
+    ).withColumn("dup_of", F.lit(None).cast("long"))
+    rejected = labelled.filter(F.col("dup_of").isNotNull()).withColumn(
+        "split", F.lit(None).cast("string")
+    ).select("doc_id", "n_tokens", "split", "dup_of")
+    return survivors.select("doc_id", "n_tokens", "split", "dup_of").unionByName(
+        rejected
+    )
