@@ -96,3 +96,52 @@ def test_pagerank_iterations_shuffle_edge_sized_only(spark):
     # ranks are positive and the base term is the floor
     vals = [row.rank_ppm for row in ranks.collect()]
     assert min(vals) == 150000 and len(vals) > 0
+
+
+def test_star_cc_equivalence_on_fixtures(spark):
+    """large-star/small-star CC must equal min-label propagation on every
+    fixture shape: two components, chain, self-loop+isolated edge, and a
+    seeded random graph."""
+    import random
+
+    from affinity_spark.operators.graph import connected_components_star
+
+    fixtures = [
+        [(1, 2), (2, 3), (7, 9)],
+        [(i, i + 1) for i in range(1, 10)],
+        [(5, 5), (1, 2)],
+    ]
+    rng = random.Random(11)
+    fixtures.append(
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    )
+    for edges in fixtures:
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        want = {
+            (r["vertex"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        got = {
+            (r["vertex"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, edges
+
+
+def test_star_cc_rounds_logarithmic_on_path_graph(spark):
+    """The reason this variant exists: a 64-node path has diameter 63 —
+    min-label propagation needs ~diameter rounds, star rounds must stay
+    logarithmic."""
+    from affinity_spark.operators.graph import connected_components_star
+
+    n = 64
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    stats = {}
+    labels = {
+        r["vertex"]: r["component"]
+        for r in connected_components_star(df, stats=stats).collect()
+    }
+    assert labels == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 10, stats  # log2(64)=6; propagation needs ~63
