@@ -55,10 +55,15 @@ DEFAULT_QUERIES = [
     # pipelines
     "pipeline_clean_corpus",
     "pipeline_training_corpus",
+    "pipeline_streaming_replay",
+    # text hygiene + packing (r8)
+    "docs_unicode_scrub",
+    "docs_pack_bestfit",
     # ANN family
     "emb_knn_brute",
     "emb_ivfpq_search",
     "emb_pq_codes",
+    "emb_incremental_search",
     # text/LM family
     "docs_lm_bits",
     "docs_chunk_overlap",
