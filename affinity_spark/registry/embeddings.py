@@ -929,3 +929,60 @@ SELECT vec_id,
        CAST(sum(abs_err) AS BIGINT) AS sum_abs_err
 FROM e GROUP BY vec_id
 """
+
+
+def emb_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (the DCLM/DiverseEvol-style
+    selection move): an even quota of vectors from EVERY embedding-space
+    cell, so the sample spans the distribution instead of mirroring its
+    density. Served from the maintained IVFIndex (same shared build as
+    emb_ivf_search): per cell, keep the 5 deterministically-first members
+    (md5-hash order, vec_id tie-break — the repo's engine-stable sampling
+    rule). Per-cell top-k rides a rank window (WindowGroupLimit: per-
+    partition heads over the cell-partitioned table — no global sort, and
+    at scale each cell is one partition dir)."""
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.ivf_index import shared_ivf
+    from affinity_spark.operators.sampling import hash_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = shared_ivf(spark, emb, f"embeddings_seed8:{sf_dir}", k=8, n_iter=0)
+    w = Window.partitionBy("cell").orderBy(
+        hash_bucket(F.col("vec_id"), 1 << 31).asc(), F.col("vec_id").asc()
+    )
+    return (
+        idx.vectors()
+        .select("vec_id", F.col("cell").cast("int").alias("cell"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+_DIVERSE_SAMPLE_SQL = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE)))) ASC,
+             s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY cell ORDER BY
+           CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 2147483648 ASC,
+           vec_id ASC) AS rnk
+  FROM assigned
+)
+SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
