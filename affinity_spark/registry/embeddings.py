@@ -986,3 +986,119 @@ ranked AS (
 SELECT vec_id, CAST(cell AS INT) AS cell, CAST(rnk AS BIGINT) AS rnk
 FROM ranked WHERE rnk <= 5
 """
+
+
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation for the MAINTAINED IVF INDEX: recall@10 of
+    the nprobe=2 cell-pruned search versus exact brute force, for 4 query
+    vectors — the in-band measurement that justifies (or rejects) the
+    index's scan-fraction/recall trade, exactly as ``emb_lsh_recall`` does
+    for the hyperplane index. Output is integer (qid, k_ivf, n_hits):
+    k_ivf = probed-cells candidate top-k size, n_hits = overlap with the
+    exact top-10. Both searches rank (cosine DESC, vec_id ASC) with the
+    same fold order, so ranks agree across engines. At scale the brute
+    side runs on a query SAMPLE only — recall is a statistic."""
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.ivf import batch_search
+    from affinity_spark.operators.ivf_index import shared_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = shared_ivf(spark, emb, f"embeddings_seed8:{sf_dir}", k=8, n_iter=0)
+    cands = idx.vectors().filter(F.col("vec_id") >= 4)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ivf_top = batch_search(cands, idx.codebook(), qs, k=10, nprobe=2).select(
+        "qid", "vec_id"
+    )
+    scored = cands.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "vec_id",
+        sim.cosine_similarity(F.col("embedding"), F.col("qvec")).alias("c"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
+    brute_top = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    k_ivf = ivf_top.groupBy("qid").agg(F.count("*").cast("long").alias("k_ivf"))
+    hits = (
+        brute_top.join(ivf_top, ["qid", "vec_id"], "inner")
+        .groupBy("qid")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        k_ivf.join(hits, "qid", "left")
+        .select(
+            "qid",
+            "k_ivf",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+_IVF_RECALL_SQL = """
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4
+),
+assigned AS (
+  SELECT vec_id, cell, embedding FROM (
+    SELECT e.vec_id, s.cell, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE)))) ASC,
+             s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s
+    WHERE e.vec_id >= 4
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, s.cell,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(range(1, len(s.cv) + 1),
+               i -> (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                  * (CAST(s.cv[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) ASC,
+             s.cell ASC) AS rn
+    FROM qs q CROSS JOIN seeds s
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT q.qid, a.vec_id, a.cell,
+         list_sum(list_transform(range(1, len(a.embedding) + 1),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS c
+  FROM assigned a CROSS JOIN qs q
+),
+brute_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+),
+ivf_top AS (
+  SELECT qid, vec_id FROM (
+    SELECT s.qid, s.vec_id,
+           row_number() OVER (PARTITION BY s.qid ORDER BY s.c DESC, s.vec_id ASC) AS rn
+    FROM scored s JOIN probes p ON p.qid = s.qid AND p.cell = s.cell
+  ) WHERE rn <= 10
+),
+k AS (SELECT qid, CAST(count(*) AS BIGINT) AS k_ivf FROM ivf_top GROUP BY qid),
+h AS (
+  SELECT b.qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM brute_top b JOIN ivf_top i ON b.qid = i.qid AND b.vec_id = i.vec_id
+  GROUP BY b.qid
+)
+SELECT k.qid, k.k_ivf, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM k LEFT JOIN h ON h.qid = k.qid
+"""
