@@ -218,6 +218,14 @@ def corpus_pipeline_replay(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # keepers feeds BOTH the LSH branch (twice inside online_lsh_replay:
+    # stored × arriving) and the final label join — unpersisted, the
+    # corpus scan + tokenize + fp-window would run once per branch (the
+    # r5 dedup_winnow_pairs lesson). Tracked so bench/driver sessions
+    # release it after the query.
+    from affinity_spark.cache import track as _track_cache
+
+    keepers = _track_cache(keepers.persist())
     matches = (
         online_lsh_replay(
             keepers, id_col, text_col, n, t_num, t_den, max_bucket_members
