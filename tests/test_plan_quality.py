@@ -305,3 +305,39 @@ def test_retrieval_family_reads_postings_not_documents(spark):
     bm25 = e.docs_bm25_search(spark, SF)
     bm25.collect()
     assert any("term" in p for p in pushed_filters(bm25))
+
+
+def test_ivf_index_served_search_zero_shuffle_partition_pruned(spark):
+    """The r8 maintained-index contract: emb_ivf_search is a read of the
+    committed IVFIndex — ZERO exchanges (scan → filter → project → top-k),
+    the cell probe pruned AT THE SCAN (PartitionFilters on the hive cell
+    dirs), and no scan of the raw embeddings parquet in the final plan."""
+    import re
+
+    import __spark_entry__ as e
+    from affinity_spark.plans.introspect import executed_plan, formatted_plan
+
+    sf = "/root/testdata/sf0.001"
+    df = e.queries()["emb_ivf_search"](spark, sf)
+    df.collect()
+    final = executed_plan(df).split("== Initial Plan ==")[0]
+    exchanges = set(
+        re.findall(r"Exchange (?:hash|range)[^\n]*plan_id=(\d+)", final)
+    )
+    assert len(exchanges) == 0, final
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[(?P<f>[^\]]*)\]", plan)
+    assert m and "cell" in m.group("f"), plan
+    assert "embeddings.parquet" not in final  # served from the index tables
+
+
+def test_unicode_scrub_is_pure_projection(spark):
+    """Zero shuffles: the hygiene pass is repair chain + control strip
+    (codegen'd) + one ArrowEvalPython for NFC, all map-side."""
+    import __spark_entry__ as e
+    from affinity_spark.plans.introspect import executed_plan, n_exchanges
+
+    df = e.queries()["docs_unicode_scrub"](spark, "/root/testdata/sf0.001")
+    df.collect()
+    assert n_exchanges(df) == 0
+    assert "ArrowEvalPython" in executed_plan(df)  # NFC, Arrow-batched
