@@ -23,6 +23,14 @@ Spark-first shape — all zero-shuffle (pure per-row projections):
   The DuckDB oracle replays it via ``nfc_normalize`` (utf8proc); both
   implement the same Unicode standard.
 
+The repair is SINGLE-PASS (each rule's literal replace runs once, in list
+order): an adversarial input where one repair's output abuts leftover
+artifact bytes to form an EARLIER rule's artifact (e.g. "ÂÂ««") keeps the
+residual — the same semantics as DuckDB's replace chain, so cross-engine
+equality (the gate contract) holds regardless; a deployment wanting
+fixpoint repair iterates the pass, as ftfy does. Idempotence holds for
+non-overlapping artifacts (test-pinned).
+
 Counters count OCCURRENCES DETECTED IN THE INPUT of each artifact class
 (cheap length-delta arithmetic on the original string — exact, no second
 pass): in the pathological case where one repair's output abuts bytes that
