@@ -253,3 +253,26 @@ def test_streaming_foreachbatch_maintenance_matches_rebuild(spark, tmp_path):
     full = IVFIndex(spark, str(tmp_path / "full"), num_buckets=2)
     full.build(_vecs(spark, range(40)), codebook=cb)
     assert _rows(ix.vectors()) == _rows(full.vectors())
+
+
+def test_shared_ivf_evicts_on_corpus_regeneration(spark, tmp_path):
+    """The shared_postings contract applied to ANN: a corpus regenerated
+    AT THE SAME PATH within one application must get a fresh index (and
+    the superseded one's tempdir reclaimed), never stale cells."""
+    import affinity_spark.operators.ivf_index as mod
+
+    p = str(tmp_path / "corpus")
+    _vecs(spark, range(16)).write.mode("overwrite").parquet(p)
+    emb1 = spark.read.parquet(p)
+    idx1 = mod.shared_ivf(spark, emb1, "t-regen", k=2, n_iter=0)
+    assert mod.shared_ivf(spark, emb1, "t-regen", k=2, n_iter=0) is idx1
+
+    import time
+
+    time.sleep(0.05)  # ensure mtime_ns moves
+    _vecs(spark, range(24), seed=9).write.mode("overwrite").parquet(p)
+    emb2 = spark.read.parquet(p)
+    idx2 = mod.shared_ivf(spark, emb2, "t-regen", k=2, n_iter=0)
+    assert idx2 is not idx1
+    assert idx2.vectors().count() == 24
+    assert not os.path.isdir(idx1.path)  # superseded tempdir reclaimed
