@@ -161,27 +161,37 @@ def pack_bestfit(
         pdf = pdf.sort_values(
             [tokens_col, id_col], ascending=[False, True], kind="mergesort"
         )
-        loads: list[int] = []
-        assigned: list[int] = []
-        for w in pdf[tokens_col].astype(int):
-            placed = -1
-            if w <= cap:
-                for j, load in enumerate(loads):
-                    if load + w <= cap:
-                        placed = j
-                        break
-            if placed < 0:
-                loads.append(int(w))
-                placed = len(loads) - 1
-            else:
-                loads[placed] += int(w)
-            assigned.append(placed)
-        pdf = pdf.assign(pack_id=assigned)
+        pdf = pdf.assign(pack_id=ffd_pack(list(pdf[tokens_col].astype(int)), cap))
         return pdf[[id_col, shard_col, tokens_col, "pack_id"]]
 
     return df.select(id_col, shard_col, tokens_col).groupBy(shard_col).applyInPandas(
         pack, out_schema
     )
+
+
+def ffd_pack(weights: list[int], cap: int) -> list[int]:
+    """The pure FFD fold (weights already in placement order): place each
+    weight into the FIRST open pack it fits, else open a new pack; an
+    oversize weight always opens its own (overflowing) pack. Returns the
+    pack index per weight. Property-tested in tests/test_corpus_ops.py;
+    shared by pack_bestfit's per-shard Arrow batches."""
+    loads: list[int] = []
+    assigned: list[int] = []
+    for w in weights:
+        w = int(w)
+        placed = -1
+        if w <= cap:
+            for j, load in enumerate(loads):
+                if load + w <= cap:
+                    placed = j
+                    break
+        if placed < 0:
+            loads.append(w)
+            placed = len(loads) - 1
+        else:
+            loads[placed] += w
+        assigned.append(placed)
+    return assigned
 
 
 def near_dup_survivors(

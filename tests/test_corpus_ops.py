@@ -291,3 +291,42 @@ def test_pack_bestfit_ffd_semantics(spark):
         for r in pack_bestfit(df, "shard", "doc_id", "w", 100).collect()
     }
     assert again == got
+
+
+def test_ffd_pack_properties():
+    """Hypothesis invariants of the pure FFD fold: (1) every pack fits the
+    cap unless it holds exactly one oversize weight; (2) first-fit — a
+    weight never lands in pack j while an earlier pack j' < j could have
+    held it; (3) pack ids are dense 0..B-1; (4) deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from affinity_spark.operators.sampling import ffd_pack
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=300), max_size=60),
+        st.integers(min_value=1, max_value=200),
+    )
+    def check(weights, cap):
+        out = ffd_pack(weights, cap)
+        assert out == ffd_pack(weights, cap)  # (4)
+        assert len(out) == len(weights)
+        loads: dict[int, int] = {}
+        members: dict[int, int] = {}
+        for w, p in zip(weights, out):
+            # (2) replay first-fit: every earlier pack must NOT fit w
+            if w <= cap:
+                for j in range(p):
+                    assert loads.get(j, 0) + w > cap
+                assert loads.get(p, 0) + w <= cap
+            else:
+                assert p not in loads  # oversize opens its own pack
+            loads[p] = loads.get(p, 0) + w
+            members[p] = members.get(p, 0) + 1
+        for p, load in loads.items():
+            assert load <= cap or members[p] == 1  # (1)
+        if out:
+            assert sorted(set(out)) == list(range(max(out) + 1))  # (3)
+
+    check()
