@@ -9,6 +9,13 @@ pipeline_clean_corpus`` (same quality rule, same exact-dedup rule, same
 shingle/band/Jaccard parameters), so the final sink state is
 batch-replayable and driver-checkable.
 
+Reference parity: the ingest spine is S4 (stream ingest with commit
+intervals, ``core/src/main/scala/io/amient/affinity/core/storage/
+Storage.scala`` write path) composed with X4 change-listener maintenance
+(``core/src/main/scala/io/amient/affinity/core/state/
+KVStoreLocal.scala:195-248``); the LLM-pipeline stages compose on Spark
+exactly the way the reference chains ingest → state → derived index.
+
 Stage placement under Spark's structured-streaming constraints:
 
 - quality gate: stateless codegen'd expressions (token_count ≥ k);
