@@ -723,11 +723,12 @@ def span_dedup(
 
     Shape (all relational — no UDF, no driver loop):
 
-    1. winnow_positioned anchors window selection to CONTENT (min-hash per
-       stride window), so any cross-doc verbatim run of length >=
-       win + stride - 1 selects the SAME fingerprint at the aligned
-       offset in every copy, wherever the run sits (MOSS guarantee;
-       position-strided sampling is phase-fragile — the r4 lesson).
+    1. winnow_encoded anchors window selection to CONTENT (min-hash per
+       stride window, hash and offset packed in one primitive long), so
+       any cross-doc verbatim run of length >= win + stride - 1 selects
+       the SAME fingerprint at the aligned offset in every copy, wherever
+       the run sits (MOSS guarantee; position-strided sampling is
+       phase-fragile — the r4 lesson).
     2. one hash aggregate per fingerprint finds cross-doc hashes and
        elects the keeper = min(doc_id) — every other doc's occurrences
        become cut intervals [pos, pos+win).
@@ -751,16 +752,33 @@ def span_dedup(
     """
     from pyspark.sql import Window
 
-    from affinity_spark.functions.text import winnow_positioned
+    from affinity_spark import cache
+    from affinity_spark.functions.text import (
+        winnow_decode_hash,
+        winnow_decode_pos,
+        winnow_encoded,
+    )
 
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     base = df.select(F.col(id_col), norm.alias("_norm"))
-    fps = base.select(
-        id_col,
-        F.explode(
-            winnow_positioned(F.col("_norm"), k=win, w=stride)
-        ).alias("_sel"),
-    ).select(id_col, F.col("_sel.win_hash").alias("win_hash"), F.col("_sel.pos").alias("pos"))
+    # Packed-long winnowing (hash*2^31+pos) — the struct formulation was a
+    # measured scale cliff (interpreted HOF deep-compares; 921 s at a 30x
+    # corpus). Decode is a plain codegen'd projection after the explode.
+    # The winnow map is this operator's expensive derivation and BOTH the
+    # keeper-election aggregate and the cut join consume it, so persist it
+    # (the dedup_winnow_pairs precedent: 16.9 -> 8.6 s at 10x).
+    fps = cache.track(
+        base.select(
+            id_col,
+            F.explode(winnow_encoded(F.col("_norm"), k=win, w=stride)).alias("_enc"),
+        )
+        .select(
+            id_col,
+            winnow_decode_hash(F.col("_enc")).alias("win_hash"),
+            winnow_decode_pos(F.col("_enc")).alias("pos"),
+        )
+        .persist()
+    )
 
     dup = (
         fps.groupBy("win_hash")
@@ -792,8 +810,12 @@ def span_dedup(
     islands = cuts.withColumn(
         "_new", F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0)
     ).withColumn("_island", F.sum("_new").over(by_start))
-    spans = islands.groupBy(id_col, "_island").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
+    # Tiny (affected docs only) but consumed by both the head-segment branch
+    # and the doc-stats branch — persist so the cut join + windows run once.
+    spans = cache.track(
+        islands.groupBy(id_col, "_island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .persist()
     )
 
     # kept segment BEFORE each span: chars [prev_e, s) of the normalized
@@ -837,21 +859,21 @@ def span_dedup(
         .join(doc_stats.select(id_col, "removed_chars", "n_spans", "spans"), id_col)
     )
 
+    # One LEFT join from base covers touched and untouched docs alike, so
+    # ``cleaned`` (and everything upstream of it) appears in the plan ONCE —
+    # the anti-join + union form referenced it twice and recomputed it.
     empty_spans = F.array().cast("array<struct<s:bigint,e:bigint>>")
-    untouched = base.join(cleaned.select(id_col), id_col, "left_anti").select(
+    return base.join(cleaned, id_col, "left").select(
         F.col(id_col),
-        F.col("_norm").alias("clean_text"),
-        F.lit(0).cast("long").alias("removed_chars"),
-        F.lit(0).cast("long").alias("n_spans"),
-        empty_spans.alias("spans"),
+        F.coalesce(F.col("clean_text"), F.col("_norm")).alias("clean_text"),
+        F.coalesce(F.col("removed_chars").cast("long"), F.lit(0).cast("long")).alias(
+            "removed_chars"
+        ),
+        F.coalesce(F.col("n_spans").cast("long"), F.lit(0).cast("long")).alias("n_spans"),
+        F.coalesce(
+            F.col("spans").cast("array<struct<s:bigint,e:bigint>>"), empty_spans
+        ).alias("spans"),
     )
-    return cleaned.select(
-        id_col,
-        "clean_text",
-        F.col("removed_chars").cast("long").alias("removed_chars"),
-        F.col("n_spans").cast("long").alias("n_spans"),
-        F.col("spans").cast("array<struct<s:bigint,e:bigint>>").alias("spans"),
-    ).unionByName(untouched)
 
 
 def containment_pairs(
