@@ -171,8 +171,14 @@ def online_lsh_replay(
         F.col("shingles").alias("_sh_b"),
         F.col("n_shingles").alias("_n_b"),
     )
+    # Corpus × corpus on band keys: BOTH sides scale with the data (and
+    # carry full shingle arrays), so broadcasting either is a driver OOM
+    # waiting for scale — Catalyst's size estimate for this HOF-derived
+    # frame undershoots badly enough that it planned BuildLeft broadcast
+    # and died at a 30x corpus. Pin the shuffle join; buckets are already
+    # cap-bounded so per-partition pair work stays ~cap².
     joined = (
-        stored.join(arriving, keys)
+        stored.hint("shuffle_hash").join(arriving, keys)
         .filter(F.col("dup_of") < F.col("doc_id"))
         .withColumn("_common", F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long"))
         .withColumn("_union", F.col("_n_a") + F.col("_n_b") - F.col("_common"))

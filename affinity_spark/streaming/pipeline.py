@@ -243,12 +243,15 @@ def corpus_pipeline_replay(
     labelled = keepers.join(matches, "doc_id", "left").select(
         "doc_id", "n_tokens", "dup_of"
     )
-    survivors = train_split(
-        labelled.filter(F.col("dup_of").isNull()).drop("dup_of"), "doc_id"
-    ).withColumn("dup_of", F.lit(None).cast("long"))
-    rejected = labelled.filter(F.col("dup_of").isNotNull()).withColumn(
-        "split", F.lit(None).cast("string")
-    ).select("doc_id", "n_tokens", "split", "dup_of")
-    return survivors.select("doc_id", "n_tokens", "split", "dup_of").unionByName(
-        rejected
+    # train_split's label is a pure row-local hash of the id, so the
+    # survivors/rejected distinction is a projection — the former
+    # filter+union form duplicated the whole LSH-join subtree in the plan
+    # (each union branch recomputed it).
+    return train_split(labelled, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("dup_of").isNull(), F.col("split"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("split"),
+        F.col("dup_of").cast("long").alias("dup_of"),
     )

@@ -259,6 +259,15 @@ def _run(sf_dir: str) -> dict:
 
     repeats = max(int(os.environ.get("BENCH_REPEATS", "2")), 1)
 
+    # Consume via the built-in noop sink, NOT count(): count lets the
+    # optimizer eliminate outer-joins-to-unique-keys, generates, and final
+    # sorts — 8 registry queries lost their core joins under count() (an
+    # audited r8 finding; emb_lsh_recall elided all six). The noop write
+    # computes and materializes every output row executor-side and
+    # discards it — full query cost, zero driver ingest.
+    def consume(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     def time_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -266,7 +275,7 @@ def _run(sf_dir: str) -> dict:
             best = float("inf")
             for _ in range(repeats):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).count()
+                consume(fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
             out[name] = round(best, 3)
             release_shared()
