@@ -11,6 +11,14 @@ fixed-point math so any engine reproduces the scores bit-for-bit:
   hashed-unigram log-likelihood ratio between a target distribution and the
   raw corpus, the score used to importance-resample pretraining data toward
   a target domain.
+- :func:`train_nb_model` / :func:`nb_score_bits` /
+  :func:`classifier_eval` — a fastText-style supervised quality classifier
+  (Joulin et al. 2016; the GPT-3/LLaMA "quality filter" step): hashed-
+  unigram Naive Bayes trained on a labeled slice, applied as per-document
+  integer log-odds, evaluated on a held-out split with exact confusion
+  counts. Together the three cover the standard corpus-filter trio:
+  perplexity (unsupervised), importance (distribution-matching), and
+  classification (supervised).
 
 Float logs diverge across engines at the ULP level, so both operators use
 the integer floor-log2 ``flog2(x) = length(bin(x)) - 1`` (exact in any
@@ -35,6 +43,28 @@ def flog2(x: Column) -> Column:
     """Integer floor(log2(x)) for x >= 1: bit-length minus one. Exact in
     both Spark and DuckDB (``length(bin(x)) - 1``), unlike float log2."""
     return (F.length(F.bin(x)) - 1).cast("long")
+
+
+def flog2_x1024(x: Column) -> Column:
+    """log2(x) in 1/1024-bit fixed point for 1 <= x < 2^53, engine-exact.
+
+    ``1024*e + ((x << 10) >> e) - 1024`` with ``e = floor(log2(x))`` —
+    exponent from the bit length, mantissa linearly interpolated (max
+    error 0.086 bits, monotone, pure int64 ops). DuckDB replays it as
+    ``1024*(length(bin(x))-1) + ((x*1024) >> (length(bin(x))-1)) - 1024``.
+    Needed where :func:`flog2`'s whole-bit resolution is too coarse: a
+    Naive Bayes log-odds sum is a difference of nearly-equal logs, and
+    flooring each term to a whole bit erases the signal entirely (measured:
+    every per-token weight rounds to 0 on balanced classes).
+
+    Column-valued shift counts aren't reachable through ``F.shiftright``
+    (literal-only wrapper), hence ``F.call_function``.
+    """
+    e = (F.length(F.bin(x)) - 1).cast("int")
+    m = F.call_function(
+        "shiftright", F.call_function("shiftleft", x.cast("long"), F.lit(10)), e
+    )
+    return e.cast("long") * 1024 + m - 1024
 
 
 def doc_bigrams(df: DataFrame, id_cols: list[str], text_col: str) -> DataFrame:
@@ -181,4 +211,123 @@ def dsir_weights(
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("bits").cast("long").alias("weight_bits"),
+    )
+
+
+def train_nb_model(
+    train_docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Hashed-unigram Naive Bayes model: ``(b, cp, cn)`` per feature bucket.
+
+    ``cp``/``cn`` count token occurrences in positive/negative documents
+    (``label`` is a boolean Column over ``train_docs``). The model is
+    bucket-sized (``n_buckets`` rows max) regardless of corpus size — one
+    explode + one bucket-sized shuffle to train, broadcastable to score.
+    Reference analogue: the gather-style UDAF aggregation surface
+    (api/.../Gather*.java); the classifier itself is the public
+    fastText-as-NB quality-filter recipe, not a reference port.
+    """
+    toks = train_docs.select(
+        label.alias("_pos"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).select("_pos", hashed_bucket(F.col("tok"), n_buckets).alias("b"))
+    return toks.groupBy("b").agg(
+        F.sum(F.when(F.col("_pos"), 1).otherwise(0)).cast("long").alias("cp"),
+        F.sum(F.when(F.col("_pos"), 0).otherwise(1)).cast("long").alias("cn"),
+    )
+
+
+def nb_score_bits(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document Naive Bayes log-odds in 1/1024-bit fixed point.
+
+    Per-token weight is the likelihood ratio with add-one smoothing,
+    normalized by the class token masses::
+
+        w = [lg(cp+1) - lg(cn+1)] - [lg(Np+B) - lg(Nn+B)]
+
+    with ``lg`` = :func:`flog2_x1024` (``Np``/``Nn`` = total positive/
+    negative token counts, ``B`` = ``n_buckets`` — the smoothing
+    denominator mass). Whole-bit :func:`flog2` is NOT enough here: the
+    weight is a difference of nearly-equal logs, and flooring to whole
+    bits measurably zeroes every token on balanced classes. Summed per
+    document; ``score_x1024 > 0`` predicts positive. Exact integers, so
+    any engine reproduces the decision bit-for-bit. Documents with zero
+    tokens yield no row (no evidence, no verdict).
+
+    Plan: model + its 1-row totals broadcast; document tokens join them
+    map-side; ONE corpus-sized shuffle (groupBy doc).
+    """
+    totals = model.agg(
+        F.sum("cp").cast("long").alias("np_"),
+        F.sum("cn").cast("long").alias("nn_"),
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).select(id_col, hashed_bucket(F.col("tok"), n_buckets).alias("b"))
+    scored = (
+        toks.join(F.broadcast(model), ["b"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                flog2_x1024(F.coalesce(F.col("cp"), F.lit(0)) + F.lit(1))
+                - flog2_x1024(F.coalesce(F.col("cn"), F.lit(0)) + F.lit(1))
+                - (
+                    flog2_x1024(F.col("np_") + F.lit(n_buckets))
+                    - flog2_x1024(F.col("nn_") + F.lit(n_buckets))
+                )
+            ).alias("w"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("w").cast("long").alias("score_x1024"),
+    )
+
+
+def classifier_eval(
+    scored: DataFrame,
+    truth_col: str = "is_pos",
+    score_col: str = "score_x1024",
+) -> DataFrame:
+    """One-row confusion matrix + precision/recall/F1 in basis points.
+
+    ``scored`` carries a boolean truth column and an integer score column;
+    prediction is ``score > 0``. Ratios are exact integer basis points
+    (``10000*tp div (tp+fp)`` etc.), zero-guarded so an empty class can't
+    raise under ANSI mode. One corpus-sized aggregate, 1-row output — the
+    recall-measurement discipline (emb_ivf_recall) applied to the
+    supervised filter.
+    """
+    t = F.col(truth_col)
+    p = F.col(score_col) > 0
+    cm = scored.agg(
+        F.sum(F.when(t & p, 1).otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when(~t & p, 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(t & ~p, 1).otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when(~t & ~p, 1).otherwise(0)).cast("long").alias("tn"),
+    )
+
+    def ratio_bp(num: Column, den: Column) -> Column:
+        return _int_div(num * 10000, den)  # _int_div is zero-guarded
+
+    return cm.select(
+        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).alias("n_eval"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        ratio_bp(F.col("tp"), F.col("tp") + F.col("fp")).alias("precision_bp"),
+        ratio_bp(F.col("tp"), F.col("tp") + F.col("fn")).alias("recall_bp"),
+        ratio_bp(
+            F.col("tp") * 2, F.col("tp") * 2 + F.col("fp") + F.col("fn")
+        ).alias("f1_bp"),
     )

@@ -1685,6 +1685,136 @@ SELECT doc_id, n_tokens, weight_bits FROM wts
 """
 
 
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style supervised quality filter, end to end (Joulin et al.
+    2016; the GPT-3/LLaMA quality-classifier step): hash-split the corpus
+    90/10, train a hashed-unigram Naive Bayes model on the train slice,
+    score the held-out slice as integer log-odds bits, and emit the one-row
+    confusion matrix with precision/recall/F1 in basis points. Completes
+    the filter trio beside docs_lm_bits (perplexity) and docs_dsir_weights
+    (importance).
+
+    Label: stopword-dense docs (>=6% of tokens in {'the','a'} — the
+    C4/Gopher quality signal, threshold at the measured corpus median).
+    The testdata's ``lang`` column is metadata sampled independently of the
+    text (measured: every per-token log-odds is exactly 0 against it), so
+    the classifier distills a text-derived rule instead — the model has to
+    discover WHICH of the 1024 hashed buckets carry the signal from labels
+    alone, and held-out precision/recall are honestly < 100%.
+
+    All integer math; model broadcast; the only corpus-sized shuffles are
+    train counts and per-doc score sums."""
+    from affinity_spark.operators.lm import (
+        classifier_eval,
+        nb_score_bits,
+        train_nb_model,
+    )
+    from affinity_spark.operators.sampling import train_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(F.col("text"))
+    n_stop = F.size(
+        F.filter(toks, lambda x: (x == "the") | (x == "a"))
+    ).cast("long")
+    is_pos = (n_stop * 10000 >= F.size(toks).cast("long") * 600).alias("is_pos")
+    lab = train_split(docs.select("doc_id", "text", is_pos), "doc_id")
+    train = lab.where(F.col("split") == "train")
+    heldout = lab.where(F.col("split") != "train")
+    model = train_nb_model(train, F.col("is_pos"))
+    scored = nb_score_bits(heldout, model)
+    joined = scored.join(heldout.select("doc_id", "is_pos"), "doc_id")
+    return classifier_eval(joined)
+
+
+_QUALITY_CLF_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000 AS bucket
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, toks, bucket,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) * 10000
+           >= CAST(len(toks) AS BIGINT) * 600 AS is_pos
+  FROM base
+),
+tr AS (
+  SELECT is_pos,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM (
+    SELECT is_pos, unnest(toks) AS tok
+    FROM lab WHERE bucket < 900
+  )
+),
+model AS (
+  SELECT b,
+         CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
+  FROM tr GROUP BY b
+),
+tot AS (
+  SELECT CAST(sum(cp) AS BIGINT) AS np_, CAST(sum(cn) AS BIGINT) AS nn_
+  FROM model
+),
+te AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM (
+    SELECT doc_id, unnest(toks) AS tok
+    FROM lab WHERE bucket >= 900
+  )
+),
+lgargs AS (
+  -- lg(x) = 1024*(length(bin(x))-1) + ((x*1024) >> (length(bin(x))-1)) - 1024
+  SELECT te.doc_id,
+         coalesce(m.cp, 0) + 1 AS xp,
+         coalesce(m.cn, 0) + 1 AS xn,
+         np_ + 1024 AS xtp,
+         nn_ + 1024 AS xtn
+  FROM te LEFT JOIN model m ON te.b = m.b CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id,
+         CAST(sum(
+             (1024*(length(bin(xp))-1) + ((xp*1024) >> (length(bin(xp))-1)) - 1024)
+           - (1024*(length(bin(xn))-1) + ((xn*1024) >> (length(bin(xn))-1)) - 1024)
+           - (1024*(length(bin(xtp))-1) + ((xtp*1024) >> (length(bin(xtp))-1)) - 1024)
+           + (1024*(length(bin(xtn))-1) + ((xtn*1024) >> (length(bin(xtn))-1)) - 1024)
+         ) AS BIGINT) AS score_x1024
+  FROM lgargs
+  GROUP BY doc_id
+),
+ev AS (
+  SELECT s.score_x1024, l.is_pos
+  FROM scored s JOIN lab l ON s.doc_id = l.doc_id
+),
+cm AS (
+  SELECT
+    CAST(sum(CASE WHEN is_pos AND score_x1024 > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN NOT is_pos AND score_x1024 > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN is_pos AND score_x1024 <= 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN NOT is_pos AND score_x1024 <= 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn
+  FROM ev
+)
+SELECT tp + fp + fn + tn AS n_eval, tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp) ELSE 0 END
+         AS precision_bp,
+       CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn) ELSE 0 END
+         AS recall_bp,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN 2 * tp * 10000 // (2 * tp + fp + fn) ELSE 0 END
+         AS f1_bp
+FROM cm
+"""
+
+
 def docs_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-n-gram repetition rules at n=2 (Rae et al. 2021
     §A.1.1): per doc, the top bigram's share and the duplicate-bigram share

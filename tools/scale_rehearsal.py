@@ -66,6 +66,7 @@ DEFAULT_QUERIES = [
     "emb_incremental_search",
     # text/LM family
     "docs_lm_bits",
+    "docs_quality_classifier",
     "docs_chunk_overlap",
     "word_count",
     # index-served retrieval (r5: materialized postings; first call per
