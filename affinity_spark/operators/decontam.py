@@ -60,3 +60,60 @@ def contamination_hits(
             ),
         )
     )
+
+
+def contamination_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 8192,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-probe decontamination: like :func:`contamination_hits` but the
+    eval n-gram set is compressed into a fixed ``m_bits``-bit bloom filter
+    instead of broadcast exactly.
+
+    This is the bounded-memory 100 TB shape for LARGE eval suites: a
+    broadcast of 10^8 distinct 13-grams is gigabytes and can OOM the
+    driver/executors, while the bloom is m/8 bytes FOREVER — build it with
+    one bitmap-sized shuffle (``bloom_bitmap``'s bit_or partial-aggregates
+    map-side, so no distinct pass is needed: OR is idempotent), collect
+    ≤ m/63 longs, and probe every training gram map-side with k md5s.
+    ZERO shuffle over the training corpus and no join at all.
+
+    The trade is one-sided error: a flagged gram is only "maybe
+    contaminated" (false-positive rate ~(1-e^{-kn/m})^k — over-removal,
+    never under-removal, the safe direction for decontamination). Both
+    engines replay the identical md5 positions, so the flags — including
+    any false positives — are deterministic and oracle-checkable.
+
+    Output per training row: ``n_flagged_grams`` (distinct grams whose k
+    bloom bits are all set) and ``flagged``.
+    """
+    from affinity_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_member_expr,
+        bloom_words_dense,
+    )
+
+    eval_grams = eval_docs.select(
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    bitmap = bloom_bitmap(eval_grams, F.col("gram"), m_bits, k_hashes).collect()
+    words = bloom_words_dense(bitmap, m_bits)
+    garr = word_ngrams(F.col(text_col), n)
+    return (
+        train.select(
+            F.col(id_col),
+            F.size(
+                F.filter(
+                    garr, lambda g: bloom_member_expr(g, words, m_bits, k_hashes)
+                )
+            )
+            .cast("long")
+            .alias("n_flagged_grams"),
+        )
+        .withColumn("flagged", F.col("n_flagged_grams") > 0)
+    )

@@ -185,6 +185,59 @@ def bloom_bitmap(
     )
 
 
+def bloom_words_dense(bitmap_rows: list, m_bits: int) -> list[int]:
+    """Densify collected ``bloom_bitmap`` rows into a positional word list
+    (index = word_idx, 0 for absent words) — the form :func:`bloom_member_expr`
+    embeds as ONE array literal. Driver memory is bounded by ``m_bits``
+    (m/63 longs) regardless of how many keys built the filter."""
+    words = [0] * ((m_bits + 62) // 63)
+    for r in bitmap_rows:
+        words[r["word_idx"]] = r["bits"]
+    return words
+
+
+def bloom_member_expr(
+    key: Column, words: list[int], m_bits: int, k_hashes: int = 3
+) -> Column:
+    """Map-side bloom probe: True iff every salted md5 position of ``key``
+    has its bit set in ``words`` (the :func:`bloom_words_dense` form) —
+    i.e. "maybe member"; False is a definite miss (the bloom contract).
+
+    This is the bounded-memory alternative to broadcasting the exact key
+    set: the probe plan carries m/63 longs (TWO literal array nodes total —
+    the r5 nested-literal lesson, not one node per word), the executor does
+    k md5s + k bit tests per value, and NOTHING shuffles. Same position
+    math as :func:`bloom_bitmap`, so any engine replays it exactly.
+
+    Each position hashes ONCE: the word/bit split reads the position as a
+    let-bound lambda variable, not a re-evaluated outer expression."""
+    from affinity_spark.functions.text import let_bound
+
+    words_lit = F.lit(words)
+    pow2 = F.lit([1 << b for b in range(63)])
+    salts = F.array(*[F.lit(i) for i in range(k_hashes)])
+
+    def bit_set(i: Column) -> Column:
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(i.cast("string"), F.lit(":"), key)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        return let_bound(
+            pos,
+            lambda p: F.get(words_lit, F.floor(p / 63).cast("int"))
+            .bitwiseAND(F.get(pow2, (p % 63).cast("int")))
+            != F.lit(0).cast("long"),
+        )
+
+    return F.forall(salts, bit_set)
+
+
 def bloom_might_contain(
     bitmap_rows: list, value: str, m_bits: int = 4096, k_hashes: int = 3
 ) -> bool:

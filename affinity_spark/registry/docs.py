@@ -1032,6 +1032,58 @@ LEFT JOIN hits USING (doc_id)
 """
 
 
+def docs_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-probe decontamination: the eval slice's 4-gram set is folded
+    into a 2^17-bit bloom filter (one bitmap-sized shuffle, ≤2081 longs on
+    the driver — ~16 KB however large the eval suite) and every training
+    gram is probed MAP-SIDE with 3 md5 bit tests — zero shuffle and zero
+    join over the training corpus. The bounded-memory twin of
+    ``docs_decontaminate`` for eval suites whose distinct gram set is too
+    big to broadcast; error is one-sided (false-positive over-removal) and
+    deterministic, so the oracle replays the identical positions including
+    any collisions. m is sized ~13 bits/gram at sf0.1 (FP ~1%); an
+    undersized filter saturates and flags everything — measured: m=8192
+    flagged 99% of docs at sf0.1, m=2^17 flags ~1.6%."""
+    from affinity_spark.operators.decontam import contamination_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_bloom(
+        train, eval_docs, "doc_id", "text", n=4, m_bits=131072, k_hashes=3
+    )
+
+
+_BLOOM_DECONTAM_SQL = """
+WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 0) + 1),
+               i -> array_to_string(t[i:i+3], ' ')))) AS gram
+      FROM d WHERE len(t) >= 4),
+epos AS (SELECT DISTINCT
+           CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || gram), 1, 8))
+                AS BIGINT) % 131072 AS pe
+         FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+              unnest(range(0, 3)) AS r(i)),
+probes AS (SELECT doc_id, gram,
+                  CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || gram),
+                                       1, 8)) AS BIGINT) % 131072 AS p
+           FROM g, unnest(range(0, 3)) AS r(i)
+           WHERE doc_id % 97 <> 0),
+fl AS (SELECT doc_id, gram
+       FROM probes LEFT JOIN epos ON probes.p = epos.pe
+       GROUP BY doc_id, gram HAVING count(epos.pe) = 3),
+fld AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fl GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(fld.n, 0) AS BIGINT) AS n_flagged_grams,
+       COALESCE(fld.n, 0) > 0 AS flagged
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN fld USING (doc_id)
+"""
+
+
 def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality gate (word-repetition family, Rae et al. 2021):
     integer mean-word-length and top-token-dominance signals plus the pass

@@ -51,6 +51,79 @@ def test_contamination_broadcast_plan(spark):
     assert "hashpartitioning(gram" not in plan
 
 
+def test_contamination_bloom_no_false_negatives_and_zero_shuffle(spark):
+    """The bloom probe must flag EVERY truly contaminated doc (one-sided
+    error: false positives allowed, false negatives never), agree with the
+    python-side probe bit-for-bit, and keep the training side shuffle-free
+    (no Exchange at all — probing is a pure projection)."""
+    from affinity_spark.operators.decontam import contamination_bloom
+    from affinity_spark.plans.introspect import executed_plan
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+            (3, "alpha beta gamma delta other"),
+            (4, "short doc"),
+        ]
+        + [(10 + i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "x alpha beta gamma delta y")], "doc_id long, text string"
+    )
+    exact = {
+        r.doc_id: r.contaminated
+        for r in contamination_hits(train, eval_docs, n=4).collect()
+    }
+    bloom = {
+        r.doc_id: r.flagged
+        for r in contamination_bloom(
+            train, eval_docs, n=4, m_bits=4096, k_hashes=3
+        ).collect()
+    }
+    assert set(bloom) == set(exact)
+    for doc_id, contaminated in exact.items():
+        if contaminated:
+            assert bloom[doc_id], f"false negative on doc {doc_id}"
+    # 1 eval doc / 4096 bits: false positives must be rare, not systemic
+    fps = sum(1 for d, f in bloom.items() if f and not exact[d])
+    assert fps <= 2
+
+    plan = executed_plan(
+        contamination_bloom(train, eval_docs, n=4, m_bits=4096, k_hashes=3)
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_member_expr_matches_python_probe(spark):
+    """Column-side probe == collected-bitmap python probe on every key,
+    present or absent (identical md5 position math)."""
+    from pyspark.sql import functions as F
+
+    from affinity_spark.operators.sketches import (
+        bloom_bitmap,
+        bloom_member_expr,
+        bloom_might_contain,
+        bloom_words_dense,
+    )
+
+    keys = [f"doc-{i}" for i in range(60)]
+    df = spark.createDataFrame([(k,) for k in keys[:30]], "k string")
+    rows = [r.asDict() for r in bloom_bitmap(df, F.col("k"), 1024, 3).collect()]
+    words = bloom_words_dense(rows, 1024)
+    probe = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r.k: r.m
+        for r in probe.select(
+            "k", bloom_member_expr(F.col("k"), words, 1024, 3).alias("m")
+        ).collect()
+    }
+    for k in keys:
+        assert got[k] == bloom_might_contain(rows, k, 1024, 3), k
+    assert all(got[k] for k in keys[:30])
+
+
 def test_gopher_struct_values(spark):
     df = spark.createDataFrame(
         [(1, "aa bb aa aa"), (2, ""), (3, "abcd efgh")],

@@ -67,6 +67,7 @@ DEFAULT_QUERIES = [
     # text/LM family
     "docs_lm_bits",
     "docs_quality_classifier",
+    "docs_bloom_decontam",
     "docs_chunk_overlap",
     "word_count",
     # index-served retrieval (r5: materialized postings; first call per
