@@ -67,11 +67,22 @@ class IVFIndex:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         num_buckets: int = 8,
+        pq_m: int | None = None,
+        pq_k: int = 8,
     ) -> None:
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.vec_col = vec_col
+        # PQ serving shape (Jégou et al. 2011): when pq_m is set, every
+        # admitted row ALSO carries its m subspace codes as int columns of
+        # the assigned table, encoded map-side against per-subspace
+        # codebooks committed beside the centroids under the same lineage.
+        # ADC search then scans (id, code_*) of the probed cells only —
+        # column pruning keeps raw vectors off the wire, partition pruning
+        # keeps unprobed cells off disk.
+        self.pq_m = pq_m
+        self.pq_k = pq_k
         # codebook: k rows; `gen` is the training generation ordinal so a
         # reader can cheaply see "same codebook as last time" without
         # diffing vectors
@@ -85,16 +96,38 @@ class IVFIndex:
             spark, os.path.join(path, "assigned"), [id_col], ts_col="cell",
             num_buckets=num_buckets, partition_col="cell",
         )
+        # per-subspace PQ codebooks: m*k rows keyed by (subspace, idx)
+        self._pq_books = (
+            KeyedTable(
+                spark, os.path.join(path, "pq_books"), ["s", "idx"],
+                ts_col="gen", num_buckets=1,
+            )
+            if pq_m
+            else None
+        )
 
     # --- build / maintain --------------------------------------------------
 
     def _assigned_delta(
-        self, emb: DataFrame, codebook: list[list[float]]
+        self,
+        emb: DataFrame,
+        codebook: list[list[float]],
+        pq_books: list[list[list[float]]] | None = None,
     ) -> DataFrame:
-        return assign(
+        out = assign(
             emb.select(self.id_col, self.vec_col), codebook,
             id_col=self.id_col, vec_col=self.vec_col,
         )
+        if self.pq_m:
+            from affinity_spark.operators.pq import code_columns
+
+            if pq_books is None:
+                pq_books = self.pq_codebooks()
+            # encode map-side IN THE SAME SELECT as the cell assignment:
+            # codes ride the exact delta the admit merge writes, so the
+            # delta-IO contract (rewrite touched cells only) covers them
+            out = out.select("*", *code_columns(pq_books, self.vec_col))
+        return out
 
     def build(
         self,
@@ -102,15 +135,29 @@ class IVFIndex:
         k: int = 8,
         n_iter: int = 0,
         codebook: list[list[float]] | None = None,
+        pq_books: list[list[list[float]]] | None = None,
     ) -> None:
         """Full (re)build: train (or accept) a codebook, assign every
         vector map-side, commit both tables under ONE fresh lineage id.
         ``n_iter=0`` keeps the deterministic k-lowest-id seed codebook
         (the SQL-reproducible variant the oracle queries use); Lloyd
-        iterations refine it when reproducibility-by-SQL isn't required."""
+        iterations refine it when reproducibility-by-SQL isn't required.
+
+        With ``pq_m`` set, per-subspace PQ codebooks are trained (or
+        accepted) under the SAME lineage and every assigned row is encoded
+        map-side — the index stores codes, so ADC reads never re-derive
+        them (reference pattern: maintained index X1,
+        core/src/main/scala/io/amient/affinity/core/state/KVStoreLocal.scala:195-248)."""
         if codebook is None:
             codebook = train_centroids(
                 emb, k, n_iter=n_iter, id_col=self.id_col, vec_col=self.vec_col
+            )
+        if self.pq_m and pq_books is None:
+            from affinity_spark.operators.pq import train_pq
+
+            pq_books = train_pq(
+                emb, self.pq_m, self.pq_k, dim=len(codebook[0]),
+                n_iter=n_iter, id_col=self.id_col, vec_col=self.vec_col,
             )
         gen = int(self._centroids.commit_meta().get("ivf_gen", -1)) + 1
         lineage = {
@@ -125,7 +172,19 @@ class IVFIndex:
             ["cell", "cv", "gen"],
         )
         self._centroids.overwrite(cents, meta=lineage)
-        self._assigned.overwrite(self._assigned_delta(emb, codebook), meta=lineage)
+        if self.pq_m:
+            books_df = self.spark.createDataFrame(
+                [
+                    (s, i, [float(x) for x in c], gen)
+                    for s, book in enumerate(pq_books)
+                    for i, c in enumerate(book)
+                ],
+                ["s", "idx", "cv", "gen"],
+            )
+            self._pq_books.overwrite(books_df, meta=lineage)
+        self._assigned.overwrite(
+            self._assigned_delta(emb, codebook, pq_books), meta=lineage
+        )
 
     def admit(
         self, new_vectors: DataFrame, deleted_ids: Iterable[object] = ()
@@ -236,6 +295,8 @@ class IVFIndex:
         a torn build (crash between the two commits) reads as absent so
         ``if not ix.exists(): ix.build(...)`` self-heals."""
         tables = [self._centroids, self._assigned]
+        if self._pq_books is not None:
+            tables.append(self._pq_books)
         if not all(t.exists() for t in tables):
             return False
         ids = {t.commit_meta().get("ivf_lineage") for t in tables}
@@ -249,10 +310,31 @@ class IVFIndex:
         rows = self._centroids.read().orderBy("cell").collect()
         return [[float(x) for x in r["cv"]] for r in rows]
 
+    def pq_codebooks(self) -> list[list[list[float]]]:
+        """The committed per-subspace PQ codebooks as a nested list
+        (m*k rows — model-sized by design), (s, idx) order preserved."""
+        if self._pq_books is None:
+            raise ValueError("index was opened without pq_m; no PQ codebooks")
+        rows = self._pq_books.read().orderBy("s", "idx").collect()
+        books: list[list[list[float]]] = [[] for _ in range(self.pq_m)]
+        for r in rows:
+            books[r["s"]].append([float(x) for x in r["cv"]])
+        return books
+
     def vectors(self) -> DataFrame:
-        """(id, vec, cell) — the maintained assignment table. Filters on
-        ``cell`` are partition-pruned."""
+        """(id, vec, cell[, code_*]) — the maintained assignment table.
+        Filters on ``cell`` are partition-pruned."""
         return self._assigned.read()
+
+    def codes(self) -> DataFrame:
+        """(id, cell, code_0..code_{m-1}) — the PQ view of the assigned
+        table. Raw vectors are PROJECTED AWAY here, so a plan built on this
+        frame reads only the 4-byte codes of the cells it probes (column
+        pruning + partition pruning — the billion-vector serving read)."""
+        if self._pq_books is None:
+            raise ValueError("index was opened without pq_m; no PQ codes")
+        code_cols = [f"code_{s}" for s in range(self.pq_m)]
+        return self._assigned.read().select(self.id_col, "cell", *code_cols)
 
     def search(
         self, query: list[float], k: int, nprobe: int = 2,
@@ -266,6 +348,32 @@ class IVFIndex:
         return search(
             served, self.codebook(), query, k, nprobe=nprobe,
             id_col=self.id_col, vec_col=self.vec_col,
+        )
+
+    def adc_search(
+        self, query: list[float], k: int, nprobe: int = 2,
+        candidates: DataFrame | None = None,
+    ) -> DataFrame:
+        """Index-served IVF-PQ ANN (Jégou et al. 2011): the query's
+        ``nprobe`` nearest cells are picked driver-side against the k-row
+        codebook, the scan reads ONLY those cells' (id, code_*) columns —
+        partition-pruned on cell AND column-pruned of raw vectors — and
+        ADC ranks candidates by m table lookups per row. ``candidates``
+        optionally narrows the served frame; it must be a filter of
+        :meth:`codes`. Returns (id, adc_dist) ascending, k rows."""
+        from affinity_spark.operators.pq import adc_search as pq_adc
+
+        codebook = self.codebook()
+
+        def sqd(a, b):
+            return sum((x - y) ** 2 for x, y in zip(a, b))
+
+        order = sorted(range(len(codebook)), key=lambda i: sqd(codebook[i], query))
+        probes = order[:nprobe]
+        served = candidates if candidates is not None else self.codes()
+        probed = served.filter(F.col("cell").isin(probes))
+        return pq_adc(
+            probed, self.pq_codebooks(), query, k, id_col=self.id_col
         )
 
     def batch_search(
@@ -299,6 +407,8 @@ def shared_ivf(
     n_iter: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_m: int | None = None,
+    pq_k: int = 8,
 ) -> IVFIndex:
     """Build-once-per-process IVF index over ``emb``, keyed by
     (application id, corpus_key) with the physical corpus fingerprint in
@@ -315,12 +425,14 @@ def shared_ivf(
     cached = _SHARED.get(key)
     if cached is not None:
         cached_fp, idx = cached
-        if cached_fp == fp and idx.exists():
+        if cached_fp == fp and idx.pq_m == pq_m and idx.exists():
             return idx
         del _SHARED[key]
         shutil.rmtree(idx.path, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="affinity_ivf_")
-    idx = IVFIndex(spark, root, id_col=id_col, vec_col=vec_col)
+    idx = IVFIndex(
+        spark, root, id_col=id_col, vec_col=vec_col, pq_m=pq_m, pq_k=pq_k
+    )
     idx.build(emb, k=k, n_iter=n_iter)
     _SHARED[key] = (fp, idx)
     return idx

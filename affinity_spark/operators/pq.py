@@ -52,20 +52,21 @@ def train_pq(
     return books
 
 
-def assign_codes(
-    emb: DataFrame,
+def code_columns(
     codebooks: list[list[list[float]]],
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """Map-side PQ encoding: per subspace, the argmin centroid id over the
-    literal codebook (first index wins ties — both engines' list-position
-    semantics). Output: id + ``code_0..code_{m-1}`` int columns."""
+) -> list:
+    """The map-side PQ encode as a list of column expressions
+    (``code_0..code_{m-1}``, int): per subspace, the argmin centroid id
+    over the literal codebook (first index wins ties — both engines'
+    list-position semantics). Shared by :func:`assign_codes` and the
+    maintained ``IVFIndex``, whose assigned table carries these columns
+    so ADC search scans codes instead of raw vectors."""
     from affinity_spark.functions.text import let_bound
     from affinity_spark.operators.ivf import _sq_dist
 
     vec = F.col(vec_col).cast("array<double>")
-    cols = [F.col(id_col)]
+    cols = []
     d_sub = len(codebooks[0][0])
     for s, book in enumerate(codebooks):
         # ONE nested-array literal per codebook (k*d_sub literal nodes
@@ -84,7 +85,17 @@ def assign_codes(
             ),
         )
         cols.append(code.cast("int").alias(f"code_{s}"))
-    return emb.select(*cols)
+    return cols
+
+
+def assign_codes(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-side PQ encoding of a frame: id + ``code_0..code_{m-1}``."""
+    return emb.select(F.col(id_col), *code_columns(codebooks, vec_col))
 
 
 def adc_search(

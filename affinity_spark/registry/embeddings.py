@@ -179,6 +179,20 @@ def _pq_seed_books(emb) -> list[list[list[float]]]:
     ]
 
 
+def _shared_emb_ivf(spark: SparkSession, emb: DataFrame, sf_dir: str):
+    """ONE maintained IVF(-PQ) index per embeddings corpus per process:
+    k=8 seed cells AND m=4 PQ codebooks (slices of the same seeds) under a
+    single lineage, PQ codes stored as columns of the assigned table. The
+    IVF queries never read the code columns (column pruning), the IVF-PQ
+    query never reads raw vectors — one index, both serving shapes."""
+    from affinity_spark.operators.ivf_index import shared_ivf
+
+    return shared_ivf(
+        spark, emb, f"embeddings_seed8:{sf_dir}", k=8, n_iter=0,
+        pq_m=_PQ_M, pq_k=_PQ_K,
+    )
+
+
 def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encoding (Jégou et al. 2011): 64-dim vectors
     compressed to 4 subspace codes against the seed codebooks — map-side
@@ -290,7 +304,7 @@ def emb_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from affinity_spark.operators.ivf_index import shared_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = shared_ivf(spark, emb, f"embeddings_seed8:{sf_dir}", k=8, n_iter=0)
+    idx = _shared_emb_ivf(spark, emb, sf_dir)
     query = idx.codebook()[0]  # cell 0's centroid == vec_id 0's embedding
     res = idx.search(
         query, 10, nprobe=2,
@@ -363,7 +377,7 @@ def emb_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from affinity_spark.operators.ivf_index import shared_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = shared_ivf(spark, emb, f"embeddings_seed8:{sf_dir}", k=8, n_iter=0)
+    idx = _shared_emb_ivf(spark, emb, sf_dir)
     qs = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -939,35 +953,25 @@ FROM qv LEFT JOIN h ON qv.qid = h.qid
 
 
 def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ composed ANN read (the canonical billion-scale shape, Jégou
-    et al. 2011): coarse IVF cells prune the scan to the query's nprobe=2
-    nearest cells, then PQ asymmetric distance ranks ONLY those candidates
-    from their 4-byte codes — the scan never touches a raw vector outside
-    the probed cells, and inside them touches codes, not vectors. Composes
-    the two operators this repo already certifies separately
-    (emb_ivf_search, emb_pq_search); distances in basis points."""
-    from affinity_spark.operators.ivf import assign
-    from affinity_spark.operators.pq import adc_search, assign_codes
-
+    """IVF-PQ ANN read SERVED FROM THE MAINTAINED INDEX (the canonical
+    billion-scale shape, Jégou et al. 2011): the shared IVFIndex stores
+    each vector's 4 PQ subspace codes AS COLUMNS of the cell-partitioned
+    assigned table — admitted/retrained under the same lineage as the
+    cells — so this read probes the query's nprobe=2 nearest cells
+    (PartitionFilters-pruned off disk) and ranks them by asymmetric
+    distance over the code columns alone: no raw vector is read anywhere
+    (ReadSchema excludes `embedding`; plan-pinned by
+    tests/test_ivf_index.py). Same maintained-index contract as
+    emb_ivf_search/emb_batch_search (reference pattern: X1,
+    core/src/main/scala/io/amient/affinity/core/state/KVStoreLocal.scala:195-248);
+    distances in basis points."""
     emb = _t(spark, sf_dir, "embeddings")
-    # ONE driver collect: the PQ codebooks are subspace slices of the same
-    # 8 lowest-id vectors the IVF seeds are, so the seeds reconstruct by
-    # concatenating each row's slices (review finding: three identical
-    # 8-row collects = two wasted Spark jobs per run).
-    books = _pq_seed_books(emb)
-    seeds = [
-        [x for s in range(_PQ_M) for x in books[s][r]] for r in range(_PQ_K)
-    ]
-    query = seeds[0]  # vec_id 0's embedding, excluded from candidates
-    qd = sorted(
-        (sum((a - b) ** 2 for a, b in zip(query, c)), i) for i, c in enumerate(seeds)
+    idx = _shared_emb_ivf(spark, emb, sf_dir)
+    query = idx.codebook()[0]  # vec_id 0's embedding, excluded below
+    top = idx.adc_search(
+        query, 10, nprobe=2,
+        candidates=idx.codes().filter(F.col("vec_id") != 0),
     )
-    probe_cells = [i for _, i in qd[:2]]
-
-    assigned = assign(emb.filter(F.col("vec_id") != 0), seeds)
-    cands = assigned.filter(F.col("cell").isin(probe_cells))
-    codes = assign_codes(cands, books)
-    top = adc_search(codes, books, query, 10)
     return top.select(
         "vec_id", F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_bp")
     )
@@ -1085,7 +1089,7 @@ def emb_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from affinity_spark.operators.sampling import hash_bucket
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = shared_ivf(spark, emb, f"embeddings_seed8:{sf_dir}", k=8, n_iter=0)
+    idx = _shared_emb_ivf(spark, emb, sf_dir)
     w = Window.partitionBy("cell").orderBy(
         hash_bucket(F.col("vec_id"), 1 << 31).asc(), F.col("vec_id").asc()
     )
@@ -1142,7 +1146,7 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from affinity_spark.operators.ivf_index import shared_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
-    idx = shared_ivf(spark, emb, f"embeddings_seed8:{sf_dir}", k=8, n_iter=0)
+    idx = _shared_emb_ivf(spark, emb, sf_dir)
     cands = idx.vectors().filter(F.col("vec_id") >= 4)
     qs = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")

@@ -276,3 +276,113 @@ def test_shared_ivf_evicts_on_corpus_regeneration(spark, tmp_path):
     assert idx2 is not idx1
     assert idx2.vectors().count() == 24
     assert not os.path.isdir(idx1.path)  # superseded tempdir reclaimed
+
+
+# --- IVF-PQ served from the maintained index (codes as admitted columns) ---
+
+
+def _pq_idx(spark, path, ids=range(64), k=4, m=2):
+    ix = IVFIndex(spark, path, num_buckets=2, pq_m=m, pq_k=k)
+    ix.build(_vecs(spark, ids), k=k, n_iter=0)
+    return ix
+
+
+def _code_rows(df, m):
+    cols = ["vec_id", "cell"] + [f"code_{s}" for s in range(m)]
+    return {tuple(r[c] for c in cols) for r in df.select(*cols).collect()}
+
+
+def test_pq_index_served_equals_derived(spark, tmp_path):
+    """adc_search() off the committed code columns must equal the
+    session-local derivation (pq.assign_codes + pq.adc_search over the
+    same probed cells with the same codebooks) — the stored codes are a
+    materialization, never a different answer."""
+    from affinity_spark.operators.pq import adc_search as derived_adc
+    from affinity_spark.operators.pq import assign_codes
+
+    ix = _pq_idx(spark, str(tmp_path / "pq"))
+    cb, books = ix.codebook(), ix.pq_codebooks()
+    q = cb[1]
+    served = ix.adc_search(q, 5, nprobe=2).collect()
+
+    def sqd(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    probes = sorted(range(len(cb)), key=lambda i: sqd(cb[i], q))[:2]
+    emb = _vecs(spark, range(64))
+    cand = assign(emb, cb).filter(F.col("cell").isin(probes))
+    derived = derived_adc(assign_codes(cand, books), books, q, 5).collect()
+    assert [(r["vec_id"], round(r["adc_dist"], 9)) for r in served] == [
+        (r["vec_id"], round(r["adc_dist"], 9)) for r in derived
+    ]
+
+
+def test_pq_admit_codes_ride_delta(spark, tmp_path):
+    """admit(batch) on a PQ-enabled index must equal a full rebuild over
+    base ∪ batch with the SAME codebooks — including the code columns —
+    and must leave both codebook tables untouched (same generation)."""
+    ix = IVFIndex(spark, str(tmp_path / "incr"), num_buckets=2, pq_m=2)
+    ix.build(_vecs(spark, range(48)), k=4, n_iter=0)
+    cb, books = ix.codebook(), ix.pq_codebooks()
+    gen0 = int(ix._centroids.commit_meta()["ivf_gen"])
+    ix.admit(_vecs(spark, range(48, 64)))
+
+    full = IVFIndex(spark, str(tmp_path / "full"), num_buckets=2, pq_m=2)
+    full.build(_vecs(spark, range(64)), codebook=cb, pq_books=books)
+    assert _code_rows(ix.codes(), 2) == _code_rows(full.codes(), 2)
+    assert ix.pq_codebooks() == books
+    assert int(ix._pq_books.commit_meta()["ivf_gen"]) == gen0
+    assert ix.exists()
+
+
+def test_pq_retrain_reencodes_codes(spark, tmp_path):
+    """retrain() after corpus growth must bump the codebook generation on
+    ALL THREE tables and re-encode every row's codes against the fresh
+    PQ codebooks (codes match a clean build over the same corpus)."""
+    ix = IVFIndex(spark, str(tmp_path / "rt"), num_buckets=2, pq_m=2)
+    ix.build(_vecs(spark, range(32)), k=4, n_iter=0)
+    gen0 = int(ix._pq_books.commit_meta()["ivf_gen"])
+    ix.admit(_vecs(spark, range(32, 64)))
+    assert ix.needs_retrain(max_growth=0.5)
+    ix.retrain()
+    assert int(ix._pq_books.commit_meta()["ivf_gen"]) == gen0 + 1
+    assert ix.exists()  # one lineage across centroids/assigned/pq_books
+
+    clean = IVFIndex(spark, str(tmp_path / "clean"), num_buckets=2, pq_m=2)
+    clean.build(_vecs(spark, range(64)), k=4, n_iter=0)
+    assert _code_rows(ix.codes(), 2) == _code_rows(clean.codes(), 2)
+
+
+def test_pq_probe_reads_codes_not_vectors(spark, tmp_path):
+    """The ADC serving plan must (a) prune non-probed cells AT THE SCAN
+    (PartitionFilters on cell) and (b) never read the raw vector column
+    (ReadSchema excludes `embedding`) — the codes-in-the-index contract
+    that makes IVF-PQ a code-sized read at billion-vector scale."""
+    import re
+
+    from affinity_spark.plans.introspect import formatted_plan
+
+    ix = _pq_idx(spark, str(tmp_path / "plan"))
+    top = ix.adc_search(ix.codebook()[0], 5, nprobe=2)
+    top.collect()
+    plan = formatted_plan(top)
+    m = re.search(r"PartitionFilters: \[(?P<f>[^\]]*)\]", plan)
+    assert m and "cell" in m.group("f"), plan
+    schemas = re.findall(r"ReadSchema: (.*)", plan)
+    assert schemas and all("embedding" not in s for s in schemas), plan
+
+
+def test_pq_torn_codebook_lineage_reads_as_absent(spark, tmp_path):
+    """A crash between the assigned/pq_books commits must read as absent
+    (exists() False) so the self-heal rebuild engages — the two-table
+    torn-lineage contract extended to the third table."""
+    ix = IVFIndex(spark, str(tmp_path / "torn"), num_buckets=2, pq_m=2)
+    emb = _vecs(spark, range(16))
+    ix.build(emb, k=2, n_iter=0)
+    assert ix.exists()
+    ix._pq_books.overwrite(
+        ix._pq_books.read(), meta={"ivf_lineage": "other-generation"}
+    )
+    assert not ix.exists()
+    ix.build(emb, k=2, n_iter=0)
+    assert ix.exists()
