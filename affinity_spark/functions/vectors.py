@@ -55,8 +55,13 @@ def srp_project(vec: Column, signs: list[list[int]], scale: int = 1 << 20) -> Co
     and EXACT integer output: the input is fixed-point quantized once (one
     pass, let-bound) and every later sum/product is int64, so two engines
     — or two runs on differently-partitioned data — agree bit-for-bit.
-    With unit-ish inputs and scale 2^20, |y_j| ≤ d·2^20 and the downstream
-    dot of two projections ≤ p·(d·2^20)² — inside int64 for d ≤ 64, p ≤ 16.
+    ASSUMES |v_i| ≤ 1 (unit-ish inputs): then with scale 2^20,
+    |y_j| ≤ d·2^20 and the downstream dot of two projections ≤
+    p·(d·2^20)² — inside int64 for d ≤ 64, p ≤ 16. Inputs with |v_i|
+    around B shrink that headroom by B² — under ANSI mode an overflow is
+    a job-killing exception, not a wrap — so for unnormalized vectors
+    pass ``scale ≈ (1 << 20) // B`` (or l2-normalize first); the bound to
+    keep is p·(d·B·scale)² < 2^63.
 
     The sign matrix embeds as ONE nested array literal (two plan nodes
     total, not d·p — the plan-compile-time lesson)."""

@@ -68,7 +68,7 @@ def contamination_bloom(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 13,
-    m_bits: int = 8192,
+    m_bits: int = 1 << 20,
     k_hashes: int = 3,
 ) -> DataFrame:
     """Bloom-probe decontamination: like :func:`contamination_hits` but the
@@ -84,10 +84,14 @@ def contamination_bloom(
     ZERO shuffle over the training corpus and no join at all.
 
     The trade is one-sided error: a flagged gram is only "maybe
-    contaminated" (false-positive rate ~(1-e^{-kn/m})^k — over-removal,
-    never under-removal, the safe direction for decontamination). Both
-    engines replay the identical md5 positions, so the flags — including
-    any false positives — are deterministic and oracle-checkable.
+    contaminated" (false-positive rate ~(1-e^{-k·N/m})^k where N = distinct
+    eval grams inserted, m = ``m_bits``, k = ``k_hashes`` — over-removal,
+    never under-removal, the safe direction for decontamination). Size
+    ``m_bits`` ≳ 10·N for ~1% FP at k=3; a saturated filter silently flags
+    (over-removes) nearly everything, so a filter more than half full after
+    insertion raises a warning here. Both engines replay the identical md5
+    positions, so the flags — including any false positives — are
+    deterministic and oracle-checkable.
 
     Output per training row: ``n_flagged_grams`` (distinct grams whose k
     bloom bits are all set) and ``flagged``.
@@ -103,6 +107,17 @@ def contamination_bloom(
     )
     bitmap = bloom_bitmap(eval_grams, F.col("gram"), m_bits, k_hashes).collect()
     words = bloom_words_dense(bitmap, m_bits)
+    fill = sum(bin(w & ((1 << 64) - 1)).count("1") for w in words) / m_bits
+    if fill > 0.5:
+        import warnings
+
+        warnings.warn(
+            f"bloom filter is {fill:.0%} full at m_bits={m_bits}: FP rate "
+            f"~{fill ** k_hashes:.0%} — nearly every training "
+            "gram will be flagged (over-removal). Raise m_bits to ~10x the "
+            "distinct eval-gram count.",
+            stacklevel=2,
+        )
     garr = word_ngrams(F.col(text_col), n)
     return (
         train.select(

@@ -203,3 +203,38 @@ def test_external_consumers_resolve_against_entry_surface():
         name for name in used if not hasattr(entrymod, name)
     )
     assert not missing, f"entry-surface attributes consumers use but missing: {missing}"
+
+
+def test_staleness_rotation():
+    """The driver checks ~50 queries per round, so the queries() dict order
+    IS the evidence-rotation policy. Two invariants keep the stale backlog
+    from silently regrowing (r8 verdict: 23 queries sat unchecked since r4):
+    (1) after the flagship, order is ascending in each query's most recent
+    driver-check round (never-checked first); (2) any query >=3 rounds
+    stale must sit inside the driver's next-pass window (first 50), i.e.
+    it WILL be re-checked in the imminent run. Regenerate the ordering
+    with tools/staleness_order.py after adding queries or landing a new
+    CORRECTNESS artifact."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from staleness_order import FLAGSHIP, ledger
+
+    import __spark_entry__ as e
+
+    last = ledger()
+    qs = list(e.queries())
+    assert qs[0] == FLAGSHIP
+    rounds = [last.get(q, 0) for q in qs[1:]]
+    assert rounds == sorted(rounds), (
+        "queries() is not in ascending driver-staleness order; "
+        "run tools/staleness_order.py"
+    )
+    latest = max(last.values(), default=0)
+    for i, q in enumerate(qs):
+        age = latest - last.get(q, 0)
+        if age >= 3:
+            assert i < 50, (
+                f"{q} is {age} rounds stale at position {i} — outside the "
+                "driver's next CORRECTNESS window; run tools/staleness_order.py"
+            )
