@@ -155,6 +155,99 @@ def lm_score_bits(
     )
 
 
+def kn_score_bits(
+    docs: DataFrame,
+    bigram_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_quarters: int = 3,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring in 1/1024-bit fixed point —
+    the actual CCNet filter recipe's smoothing family (CCNet uses a KenLM
+    5-gram; Kneser & Ney 1995, Chen & Goodman 1999 are the public
+    formulation) upgrading :func:`lm_score_bits`'s add-one baseline.
+
+    With discount ``D = discount_quarters/4`` (default 0.75, the standard
+    value), all quantities derive from the one bigram count table::
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1.) + lam(w1) * Pcont(w2)
+        lam(w1)     = D * N1+(w1.) / c(w1.)
+        Pcont(w2)   = (N1+(.w2) + 1) / (T + V)     # add-one continuation
+
+    where ``N1+(w1.)`` / ``N1+(.w2)`` are distinct-follower / distinct-
+    predecessor type counts, ``T`` = total bigram types, ``V`` = distinct
+    right-word vocabulary. The +1/(T+V) smoothing keeps unseen words
+    scoreable (plain KN gives them probability zero); since
+    sum(N1+(.w2)) = T, the continuation distribution still sums to 1 over
+    the vocabulary, so per-bigram probability NUM/DEN <= 1 exactly.
+
+    Multiplying through by 4 (quarters) and by (T+V) makes NUM and DEN
+    exact integers::
+
+        NUM = max(4c - d, 0)*(T+V) + d*N1f*(Np+1)      # seen context
+        DEN = 4*c1*(T+V)
+        NUM = Np + 1, DEN = T + V                      # unseen context
+
+    and per-bigram cost is ``flog2_x1024(DEN) - flog2_x1024(NUM)`` >= 0.
+    Counts must satisfy ``4*c1*(T+V) < 2^53`` (flog2_x1024's domain) —
+    train the model on a reference SLICE (the CCNet shape), not the whole
+    100 TB corpus, which is also what keeps the model broadcastable.
+
+    Output: ``(id, n_bigrams, nll_kn_x1024, bits_per_bigram_x100)`` for
+    documents with >= 1 bigram. Plan shape is identical to
+    :func:`lm_score_bits`: model-sized broadcast aggregates, map-side
+    joins, ONE corpus-sized shuffle (groupBy doc).
+    """
+    d = int(discount_quarters)
+    if not 1 <= d <= 3:
+        raise ValueError("discount_quarters must be in 1..3 (D = d/4 in (0,1))")
+    c2 = bigram_model
+    # left-context totals AND distinct-follower type counts: one pass
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    # continuation type counts per right word
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("np_"))
+    tot = c2.agg(
+        F.count(F.lit(1)).cast("long").alias("t_"),
+        F.countDistinct("w2").cast("long").alias("v_"),
+    )
+
+    db = doc_bigrams(docs, [id_col], text_col)
+    tv = F.col("t_") + F.col("v_")
+    npl = F.coalesce(F.col("np_"), F.lit(0)) + F.lit(1)
+    seen = F.col("c1").isNotNull()
+    num = F.when(
+        seen,
+        F.greatest(F.coalesce(F.col("c"), F.lit(0)) * 4 - F.lit(d), F.lit(0)) * tv
+        + F.lit(d) * F.col("n1f") * npl,
+    ).otherwise(npl)
+    den = F.when(seen, F.col("c1") * 4 * tv).otherwise(tv)
+    scored = (
+        db.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(c2), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), ["w1"], "left")
+        .join(F.broadcast(cont), ["w2"], "left")
+        .select(
+            id_col,
+            (flog2_x1024(den) - flog2_x1024(num)).alias("bits_x1024"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bits_x1024").cast("long").alias("nll_kn_x1024"),
+    )
+    return agg.select(
+        id_col,
+        "n_bigrams",
+        "nll_kn_x1024",
+        _int_div(F.col("nll_kn_x1024") * 100, F.col("n_bigrams") * 1024).alias(
+            "bits_per_bigram_x100"
+        ),
+    )
+
+
 def hashed_bucket(token: Column, n_buckets: int = 1024) -> Column:
     """md5-derived feature bucket — engine-portable (any system with md5
     reproduces the bucketing, so weights are comparable across engines)."""

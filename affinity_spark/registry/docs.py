@@ -1694,6 +1694,79 @@ FROM scored GROUP BY doc_id
 """
 
 
+def docs_lm_bits_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-grade perplexity filtering with interpolated Kneser-Ney
+    smoothing (Kneser & Ney 1995; Chen & Goodman 1999 — the smoothing
+    family the actual CCNet KenLM filter uses, upgrading docs_lm_bits'
+    add-one baseline): discounted bigram mass interpolated with an add-one
+    continuation distribution, D=0.75, all in exact integer 1/1024-bit
+    fixed point so both engines reproduce every score bit-for-bit. Model
+    trained on the lang='en' reference slice; model tables broadcast; ONE
+    corpus-sized shuffle (groupBy doc)."""
+    from affinity_spark.operators.lm import kn_score_bits, train_bigram_model
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
+    return kn_score_bits(docs, model)
+
+
+def _lg1024(x: str) -> str:
+    """DuckDB replay of operators.lm.flog2_x1024 (verified exact)."""
+    return (
+        f"(1024*(length(bin({x}))-1) + (({x}*1024) >> (length(bin({x}))-1)) - 1024)"
+    )
+
+
+_LM_BITS_KN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+db AS (
+  SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+),
+c2 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM db WHERE lang = 'en' GROUP BY 1, 2
+),
+ctx AS (
+  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
+  FROM c2 GROUP BY 1
+),
+cont AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS np FROM c2 GROUP BY 1
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_, CAST(count(DISTINCT w2) AS BIGINT) AS v_
+  FROM c2
+),
+scored AS (
+  SELECT db.doc_id,
+         CASE WHEN ctx.c1 IS NOT NULL
+              THEN greatest(COALESCE(c2.c, 0)*4 - 3, 0)*(t_ + v_)
+                   + 3*ctx.n1f*(COALESCE(cont.np, 0) + 1)
+              ELSE COALESCE(cont.np, 0) + 1 END AS num,
+         CASE WHEN ctx.c1 IS NOT NULL THEN ctx.c1*4*(t_ + v_)
+              ELSE t_ + v_ END AS den
+  FROM db CROSS JOIN tot
+  LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
+  LEFT JOIN ctx ON db.w1 = ctx.w1
+  LEFT JOIN cont ON db.w2 = cont.w2
+),
+bits AS (
+  SELECT doc_id, {_lg1024('den')} - {_lg1024('num')} AS b FROM scored
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(b) AS BIGINT) AS nll_kn_x1024,
+       CAST(sum(b) AS BIGINT) * 100 // (CAST(count(*) AS BIGINT) * 1024)
+         AS bits_per_bigram_x100
+FROM bits GROUP BY doc_id
+"""
+
+
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, public): hashed-unigram
     floor-log2 likelihood ratio between the lang='en' target slice and the

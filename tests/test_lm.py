@@ -152,3 +152,108 @@ def test_lm_models_are_broadcast(spark):
     model = train_bigram_model(docs.filter(F.col("lang") == "en"))
     plan = lm_score_bits(docs, model)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2  # c2 and c1 joins map-side
+
+
+def _kn_python(corpus_bigrams, doc_bigrams_list, d=3):
+    """Pure-python replay of kn_score_bits' integer formula."""
+    from collections import Counter
+
+    c2 = Counter(corpus_bigrams)
+    c1, n1f, np_ = Counter(), Counter(), Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        np_[w2] += 1
+    t_, v_ = len(c2), len({w2 for _, w2 in c2})
+    tv = t_ + v_
+    total = 0
+    for w1, w2 in doc_bigrams_list:
+        npl = np_.get(w2, 0) + 1
+        if w1 in c1:
+            num = max(4 * c2.get((w1, w2), 0) - d, 0) * tv + d * n1f[w1] * npl
+            den = 4 * c1[w1] * tv
+        else:
+            num, den = npl, tv
+        assert 0 < num <= den
+        total += _lg1024(den) - _lg1024(num)
+    return total
+
+
+def test_kn_score_bits_matches_python_reference(spark):
+    """kn_score_bits' integer KN formula must equal a pure-python replay
+    bigram-for-bigram (exact fixed-point arithmetic, no float anywhere),
+    across seen pairs, seen-context/unseen-word, and unseen-context."""
+    from affinity_spark.operators.lm import kn_score_bits
+
+    ref_text = "a b a b a c b c a b"
+    ref = spark.createDataFrame(
+        [(0, ref_text, "en")], "doc_id long, text string, lang string"
+    )
+    model = train_bigram_model(ref.filter(F.col("lang") == "en"))
+    doc_text = "a b c a z b a q q"
+    docs = spark.createDataFrame([(1, doc_text)], "doc_id long, text string")
+    row = kn_score_bits(docs, model).collect()[0]
+
+    toks = ref_text.split()
+    corpus_bg = list(zip(toks, toks[1:]))
+    dt = doc_text.split()
+    doc_bg = list(zip(dt, dt[1:]))
+    expect = _kn_python(corpus_bg, doc_bg)
+    assert (row.n_bigrams, row.nll_kn_x1024) == (len(doc_bg), expect)
+    assert row.bits_per_bigram_x100 == expect * 100 // (len(doc_bg) * 1024)
+
+
+def test_kn_probabilities_sum_to_one(spark):
+    """The integer KN construction must be a true probability model:
+    summing NUM/DEN over the full right vocabulary for a seen context
+    gives exactly 1 (the interpolation identity sum(N1+(.w2))=T makes the
+    quarters cancel) — the property add-k smoothing only approximates."""
+    from collections import Counter
+    from fractions import Fraction
+
+    toks = "a b a b a c b c a b b a".split()
+    c2 = Counter(zip(toks, toks[1:]))
+    c1, n1f, np_ = Counter(), Counter(), Counter()
+    for (w1, w2), c in c2.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        np_[w2] += 1
+    t_ = len(c2)
+    vocab = {w2 for _, w2 in c2}
+    tv = t_ + len(vocab)
+    for w1 in c1:
+        s = Fraction(0)
+        for w2 in vocab:
+            num = max(4 * c2.get((w1, w2), 0) - 3, 0) * tv + 3 * n1f[w1] * (
+                np_.get(w2, 0) + 1
+            )
+            s += Fraction(num, 4 * c1[w1] * tv)
+        assert s == 1, (w1, s)
+
+
+def test_kn_orders_fluent_below_garbage_like_addk(spark):
+    """Perplexity-ordering sanity vs the add-k baseline: on docs scored
+    against a reference model, a fluent doc (reference-distribution text)
+    must score fewer bits-per-bigram than an out-of-domain doc under BOTH
+    models, and the two models must agree on the full quality ordering of
+    the three-tier fixture (fluent < mixed < garbage)."""
+    from affinity_spark.operators.lm import kn_score_bits
+
+    ref = spark.createDataFrame(
+        [(0, "the cat sat on the mat and the dog sat on the rug "
+             "the cat ran to the dog and the dog ran to the mat", "en")],
+        "doc_id long, text string, lang string",
+    )
+    model = train_bigram_model(ref.filter(F.col("lang") == "en"))
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog ran to the rug"),  # fluent
+            (2, "the cat zzz qqq on the mat xxx yyy dog"),             # mixed
+            (3, "zzz qqq xxx yyy www vvv uuu ttt sss rrr"),            # garbage
+        ],
+        "doc_id long, text string",
+    )
+    kn = {r.doc_id: r.bits_per_bigram_x100 for r in kn_score_bits(docs, model).collect()}
+    addk = {r.doc_id: r.bits_per_bigram_x100 for r in lm_score_bits(docs, model).collect()}
+    assert kn[1] < kn[2] < kn[3], kn
+    assert addk[1] < addk[2] < addk[3], addk
