@@ -78,6 +78,29 @@ _STATE_SCHEMA = StructType(
 )
 
 
+def quality_exact_stream(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+) -> DataFrame:
+    """The pipeline's stateless-quality + stateful-exact-dedup prefix:
+    token gate, then corpus-wide first-arrival dropDuplicates on the
+    content fingerprint. Shared by the in-state LSH pipeline
+    (:func:`streaming_corpus_verdicts`) and the maintained-index sink
+    (:func:`indexed_corpus_sink`)."""
+    scored = docs_stream.select(
+        F.col(id_col),
+        F.col(text_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= min_tokens)
+    return (
+        scored.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+        .dropDuplicates(["_fp"])
+        .drop("_fp")
+    )
+
+
 def streaming_corpus_verdicts(
     docs_stream: DataFrame,
     id_col: str = "doc_id",
@@ -94,15 +117,8 @@ def streaming_corpus_verdicts(
     (doc_id, n_tokens, dup_of) with dup_of = the earliest-seen bucket
     member whose exact Jaccard clears t_num/t_den, else NULL. The caller
     collapses bands per doc behind a sink boundary."""
-    scored = docs_stream.select(
-        F.col(id_col),
-        F.col(text_col),
-        token_count(F.col(text_col)).alias("n_tokens"),
-    ).filter(F.col("n_tokens") >= min_tokens)
-    exact = (
-        scored.withColumn("_fp", doc_fingerprint(F.col(text_col)))
-        .dropDuplicates(["_fp"])
-        .drop("_fp")
+    exact = quality_exact_stream(
+        docs_stream, id_col=id_col, text_col=text_col, min_tokens=min_tokens
     )
     # doc_shingle_arrays drops payload columns; derive inline keeping
     # n_tokens so the verdict rows carry it to the sink
@@ -189,6 +205,159 @@ def corpus_sink(survivors_table, rejected_table):
             survivors_table.upsert(train_split(survivors, "doc_id"))
         if not rejected.isEmpty():
             rejected_table.upsert(rejected)
+
+    return apply
+
+
+def indexed_corpus_sink(
+    band_index,
+    corpus_store,
+    survivors_table,
+    rejected_table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+):
+    """foreachBatch near-dup stage served from the maintained BandIndex
+    instead of streaming band state — the X1 maintained-index treatment
+    (``operators/bandindex.py``) composed into the ingest pipeline.
+
+    Why this variant exists next to :func:`corpus_sink`'s in-state bands:
+    the band/shingle corpus memory lives in COMMITTED KeyedTables, so it
+    (a) survives a checkpoint reset — a fresh checkpoint replays the
+    source, but near-dup history is index truth, not state-store truth;
+    (b) is queryable at rest (the index doubles as the batch
+    ``incremental_lsh_pairs`` corpus side); and (c) has no
+    ``max_bucket_members`` cap — the cap exists to bound state-store
+    memory, which a table doesn't need. Equivalence with the in-state
+    pipeline on cap-free feeds is pinned by
+    tests/test_streaming_pipeline.py.
+
+    Batch protocol (receives the quality-gated, exact-deduped stream):
+    1. already-admitted ids are dropped (left_anti vs the corpus store) —
+       the replay-idempotence twin of the in-state ``did in ids`` skip;
+    2. candidates = maintained-index probe (prior corpus, batch bands
+       broadcast, index never shuffled) ∪ within-batch band self-join
+       (earlier id wins, the in-batch arrival-order contract);
+    3. exact integer Jaccard >= t_num/t_den verifies candidates against
+       the corpus store's shingle arrays (word_ngrams arrays are
+       distinct, so array Jaccard == the stream state's set Jaccard);
+    4. verdicts upsert into the same survivors/rejected tables as
+       :func:`corpus_sink`; ALL fresh docs (survivors AND near-dups) are
+       admitted to the index + store — matching the in-state contract
+       where every processed doc joins its buckets' membership.
+    """
+    from affinity_spark.operators.sampling import train_split
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        arr0 = word_ngrams(F.col(text_col), n)
+        arr = batch_df.select(
+            F.col(id_col),
+            arr0.alias("shingles"),
+            F.size(arr0).alias("n_shingles"),
+            F.col("n_tokens"),
+        )
+        if corpus_store.exists():
+            arr = arr.join(
+                F.broadcast(corpus_store.read().select(id_col)),
+                id_col,
+                "left_anti",
+            )
+        # the batch frame feeds banding (twice: probe + intra), the verify
+        # joins (both sides), the verdict join, and the admits — persist
+        # the expensive gram derivation once (the r5 multi-branch rule)
+        arr = arr.persist()
+        if arr.isEmpty():
+            arr.unpersist()
+            return
+
+        nb = lsh_bands_mapside(arr, id_col)
+        intra = (
+            F.broadcast(
+                nb.select(
+                    F.col(id_col).alias("new_id"), "band_id", "band_hash"
+                )
+            )
+            .join(
+                nb.select(
+                    F.col(id_col).alias("dup_of"), "band_id", "band_hash"
+                ),
+                ["band_id", "band_hash"],
+            )
+            .filter(F.col("dup_of") < F.col("new_id"))
+            .select("new_id", "dup_of")
+        )
+        cand = intra
+        have_corpus = band_index.exists() and corpus_store.exists()
+        if have_corpus:
+            # dup_of < new_id: the id-ordered arrival contract (earlier
+            # docs are the corpus). Also covers the crash window between
+            # index admit and store upsert — a replayed doc whose own (or
+            # whose same-batch successors') bands already sit in the
+            # index must not match itself or them backwards.
+            cand = (
+                band_index.probe(arr)
+                .filter(F.col("dup_of") < F.col("new_id"))
+                .unionByName(intra)
+            )
+        cand = cand.distinct()
+
+        ref = arr.select(id_col, "shingles", "n_shingles")
+        if have_corpus:
+            ref = corpus_store.read().select(
+                id_col, "shingles", "n_shingles"
+            ).unionByName(ref)
+        a = arr.select(
+            F.col(id_col).alias("new_id"),
+            F.col("shingles").alias("sh_a"),
+            F.col("n_shingles").alias("n_a"),
+        )
+        b = ref.select(
+            F.col(id_col).alias("dup_of"),
+            F.col("shingles").alias("sh_b"),
+            F.col("n_shingles").alias("n_b"),
+        )
+        matches = (
+            cand.join(a, "new_id")
+            .join(b, "dup_of")
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "n_union", F.col("n_a") + F.col("n_b") - F.col("n_common")
+            )
+            .filter(
+                (F.col("n_union") > 0)
+                & (
+                    F.lit(t_den) * F.col("n_common")
+                    >= F.lit(t_num) * F.col("n_union")
+                )
+            )
+            .groupBy("new_id")
+            .agg(F.min("dup_of").alias("dup_of"))
+            .withColumnRenamed("new_id", id_col)
+        )
+        verdicts = arr.select(id_col, "n_tokens").join(matches, id_col, "left")
+        survivors = verdicts.filter(F.col("dup_of").isNull()).drop("dup_of")
+        rejected = verdicts.filter(F.col("dup_of").isNotNull()).select(
+            id_col, "dup_of"
+        )
+        if not survivors.isEmpty():
+            survivors_table.upsert(train_split(survivors, id_col))
+        if not rejected.isEmpty():
+            rejected_table.upsert(rejected)
+        # corpus admission LAST: a crash mid-batch leaves the doc
+        # unadmitted and the replay re-processes it whole (idempotent);
+        # admitted-before-verdict would make the replay skip its verdict
+        admit_arr = arr.select(id_col, "shingles", "n_shingles")
+        if band_index.exists():
+            band_index.admit(admit_arr)
+        else:
+            band_index.build(admit_arr)
+        corpus_store.upsert(admit_arr)
+        arr.unpersist()
 
     return apply
 

@@ -169,3 +169,129 @@ def test_streaming_pipeline_restart_is_idempotent(spark, tmp_path, tables):
         (r["doc_id"], r["n_tokens"], r["split"]) for r in surv.read().collect()
     }
     assert got_surv == want_surv
+
+
+# --- maintained-BandIndex near-dup stage (indexed_corpus_sink) --------------
+
+
+def _indexed_setup(spark, tmp_path):
+    from affinity_spark.operators.bandindex import BandIndex
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    surv = KeyedTable(
+        spark, str(tmp_path / "ix_survivors"), ["doc_id"], ts_col="n_tokens",
+        num_buckets=2,
+    )
+    rej = KeyedTable(
+        spark, str(tmp_path / "ix_rejected"), ["doc_id"], ts_col="dup_of",
+        num_buckets=2,
+    )
+    bidx = BandIndex(spark, str(tmp_path / "bandix"), num_buckets=2, doc_buckets=2)
+    store = KeyedTable(
+        spark, str(tmp_path / "shingle_store"), ["doc_id"], ts_col="n_shingles",
+        num_buckets=2,
+    )
+    return surv, rej, bidx, store
+
+
+def _run_indexed(spark, src, ckpt, sink):
+    from affinity_spark.streaming.pipeline import quality_exact_stream
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        quality_exact_stream(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_indexed_sink_matches_in_state_pipeline(spark, tmp_path, tables):
+    """The maintained-BandIndex near-dup stage must produce EXACTLY the
+    in-state pipeline's sink tables over >=3 micro-batches (the cap-free
+    equivalence contract): same survivors with same splits, same rejected
+    docs with the same dup_of attributions."""
+    from affinity_spark.streaming.pipeline import indexed_corpus_sink
+
+    surv_s, rej_s = tables
+    surv_i, rej_i, bidx, store = _indexed_setup(spark, tmp_path)
+    src = str(tmp_path / "in")
+    batches = _docs()
+    _feed(src, batches)
+
+    # in-state pipeline
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = (
+        streaming_corpus_verdicts(stream)
+        .writeStream.foreachBatch(corpus_sink(surv_s, rej_s))
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    # index-served pipeline over the same feed
+    _run_indexed(
+        spark, src, str(tmp_path / "ckpt_ix"),
+        indexed_corpus_sink(bidx, store, surv_i, rej_i),
+    )
+
+    def rows(t, cols):
+        return {tuple(r[c] for c in cols) for r in t.read().collect()}
+
+    assert rows(surv_i, ["doc_id", "n_tokens", "split"]) == rows(
+        surv_s, ["doc_id", "n_tokens", "split"]
+    )
+    assert rows(rej_i, ["doc_id", "dup_of"]) == rows(rej_s, ["doc_id", "dup_of"])
+    # the index carries the corpus at rest: every exact-surviving doc's
+    # bands are admitted (survivors AND near-dups — bucket membership)
+    assert {r["doc_id"] for r in bidx.bands().select("doc_id").distinct().collect()} == {
+        1, 3, 5, 7, 8
+    }
+
+
+def test_indexed_sink_survives_checkpoint_reset(spark, tmp_path):
+    """THE reason the index variant exists: near-dup corpus memory lives
+    in committed tables, so after the checkpoint is wiped (fresh source
+    replay, empty streaming state) a new near-dup of a pre-reset doc is
+    still caught against the maintained index, and the replayed docs are
+    skipped idempotently (no duplicate or flipped verdicts)."""
+    import shutil
+
+    from affinity_spark.streaming.pipeline import indexed_corpus_sink
+
+    surv, rej, bidx, store = _indexed_setup(spark, tmp_path)
+    sink = indexed_corpus_sink(bidx, store, surv, rej)
+    src = str(tmp_path / "in")
+    batches = _docs()
+    _feed(src, batches)
+    _run_indexed(spark, src, str(tmp_path / "ckpt1"), sink)
+
+    before_surv = {r["doc_id"] for r in surv.read().collect()}
+    before_rej = {(r["doc_id"], r["dup_of"]) for r in rej.read().collect()}
+
+    # wipe the checkpoint entirely; feed ONE new file containing a near
+    # dup of doc 1 (different fingerprint, so the rebuilt exact state
+    # cannot catch it — only the index can)
+    shutil.rmtree(str(tmp_path / "ckpt1"))
+    _feed(src, [[{"doc_id": 9, "text": BODY + " nine ending"}]], start=3)
+    _run_indexed(spark, src, str(tmp_path / "ckpt2"), sink)
+
+    got_rej = {(r["doc_id"], r["dup_of"]) for r in rej.read().collect()}
+    got_surv = {r["doc_id"] for r in surv.read().collect()}
+    assert (9, 1) in got_rej  # pre-reset history served from the index
+    assert got_surv == before_surv  # replayed docs: verdicts unchanged
+    assert got_rej == before_rej | {(9, 1)}
+    assert 9 in {
+        r["doc_id"] for r in bidx.bands().select("doc_id").distinct().collect()
+    }
