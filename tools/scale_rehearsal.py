@@ -81,6 +81,17 @@ DEFAULT_QUERIES = [
     "graph_components",
     "events_cms_counts",
     "events_sessionize",
+    # r9: the last heavy queries without a recorded exponent (r8 verdict
+    # Next #4) — LSH-verify-bound canonicalization/splitting, the two
+    # sequential-state batch twins, the BPE apply path, diversity
+    # sampling, and the KN perplexity filter (new r9)
+    "dedup_quality_canonical",
+    "docs_leakage_free_split",
+    "docs_online_lsh_state",
+    "events_debounce_state",
+    "docs_bpe_segment",
+    "emb_diverse_sample",
+    "docs_lm_bits_kn",
 ]
 
 
