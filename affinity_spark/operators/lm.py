@@ -248,6 +248,71 @@ def kn_score_bits(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "bits_per_bigram_x100",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet head/middle/tail tertiles per group (Wenzek et al. 2020: the
+    corpus is sharded by per-language perplexity tertile; "head" = most
+    reference-like, typically kept; "tail" = candidates for dropping).
+
+    NOT a rank window: a per-language ntile would globally sort each
+    language partition — one task per language at 100 TB. Instead the
+    tertile CUTOFFS come from a (group, score) HISTOGRAM (the
+    events_mad_outliers rank-selection discipline): scores are bounded
+    integers, so the histogram + its cumulative sums are value-domain-
+    sized, the two cutoffs per group broadcast, and bucketing is a
+    map-side comparison. Tie semantics are cutoff-based (all docs at a
+    boundary score share a bucket) — deterministic in any engine, unlike
+    ntile's arbitrary tie split.
+
+    Cutoffs: c1 = smallest score with cumulative count >= ceil(n/3),
+    c2 = smallest with cum >= ceil(2n/3); bucket = head (score <= c1),
+    middle (<= c2), else tail. Returns ``scored``'s rows + ``ppl_bucket``.
+    """
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(group_col, score_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        group_col,
+        score_col,
+        F.sum("_n").over(w).alias("_cum"),
+        F.sum("_n").over(
+            Window.partitionBy(group_col).orderBy(score_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_tot"),
+    )
+    cuts = cum.groupBy(group_col).agg(
+        F.min(
+            F.when(
+                F.col("_cum") * 3 >= F.col("_tot"), F.col(score_col)
+            )
+        ).alias("_c1"),
+        F.min(
+            F.when(
+                F.col("_cum") * 3 >= F.col("_tot") * 2, F.col(score_col)
+            )
+        ).alias("_c2"),
+    )
+    out = scored.join(F.broadcast(cuts), group_col).withColumn(
+        "ppl_bucket",
+        F.when(F.col(score_col) <= F.col("_c1"), F.lit("head"))
+        .when(F.col(score_col) <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return out.drop("_c1", "_c2")
+
+
 def hashed_bucket(token: Column, n_buckets: int = 1024) -> Column:
     """md5-derived feature bucket — engine-portable (any system with md5
     reproduces the bucketing, so weights are comparable across engines)."""

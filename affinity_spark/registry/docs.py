@@ -1717,8 +1717,7 @@ def _lg1024(x: str) -> str:
     )
 
 
-_LM_BITS_KN_SQL = f"""
-WITH t AS (
+_KN_CORE_CTES = f"""t AS (
   SELECT doc_id, lang,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                      x -> x <> '') AS toks
@@ -1757,13 +1756,74 @@ scored AS (
 ),
 bits AS (
   SELECT doc_id, {_lg1024('den')} - {_lg1024('num')} AS b FROM scored
-)
+)"""
+
+_KN_AGG_SELECT = """
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(b) AS BIGINT) AS nll_kn_x1024,
        CAST(sum(b) AS BIGINT) * 100 // (CAST(count(*) AS BIGINT) * 1024)
          AS bits_per_bigram_x100
 FROM bits GROUP BY doc_id
+"""
+
+_LM_BITS_KN_SQL = f"WITH {_KN_CORE_CTES} {_KN_AGG_SELECT}"
+
+
+def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity sharding (Wenzek et al. 2020 —
+    the step after scoring: per-language tertiles of the KN perplexity,
+    head = most reference-like). NOT a per-language ntile (a rank window
+    would serialize each language through one sorted task at 100 TB):
+    tertile cutoffs come from a value-domain-sized (lang, score)
+    histogram — the events_mad_outliers rank-selection discipline — and
+    bucketing is a broadcast-join map-side comparison with deterministic
+    cutoff tie semantics (ntile splits boundary ties arbitrarily; both
+    engines here agree bit-for-bit)."""
+    from affinity_spark.operators.lm import (
+        kn_score_bits,
+        perplexity_buckets,
+        train_bigram_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
+    scored = kn_score_bits(docs, model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    out = perplexity_buckets(scored)
+    return out.select("doc_id", "lang", "bits_per_bigram_x100", "ppl_bucket")
+
+
+_CCNET_BUCKETS_SQL = f"""
+WITH {_KN_CORE_CTES},
+kn AS ({_KN_AGG_SELECT}),
+scores AS (
+  SELECT kn.doc_id, d.lang, kn.bits_per_bigram_x100 AS s
+  FROM kn JOIN documents d ON kn.doc_id = d.doc_id
+),
+hist AS (
+  SELECT lang, s, CAST(count(*) AS BIGINT) AS n FROM scores GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, s,
+         CAST(sum(n) OVER (PARTITION BY lang ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN c * 3 >= tot THEN s END) AS c1,
+         min(CASE WHEN c * 3 >= tot * 2 THEN s END) AS c2
+  FROM cum GROUP BY lang
+)
+SELECT scores.doc_id, scores.lang,
+       s AS bits_per_bigram_x100,
+       CASE WHEN s <= c1 THEN 'head'
+            WHEN s <= c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scores JOIN cuts ON scores.lang = cuts.lang
 """
 
 

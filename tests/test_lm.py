@@ -257,3 +257,31 @@ def test_kn_orders_fluent_below_garbage_like_addk(spark):
     addk = {r.doc_id: r.bits_per_bigram_x100 for r in lm_score_bits(docs, model).collect()}
     assert kn[1] < kn[2] < kn[3], kn
     assert addk[1] < addk[2] < addk[3], addk
+
+
+def test_perplexity_buckets_cutoff_semantics(spark):
+    """Histogram-cutoff tertiles: c1/c2 are the smallest scores whose
+    cumulative count reaches ceil(n/3)/ceil(2n/3); boundary ties share a
+    bucket (deterministic, unlike ntile); groups are independent."""
+    from affinity_spark.operators.lm import perplexity_buckets
+
+    rows = [
+        # lang en: scores 10,20,20,30,40,50 (n=6; ceil(2)=2 -> c1=20
+        # because cum(10)=1 < 2, cum(20)=3 >= 2; c2: cum >= 4 -> 30)
+        (1, "en", 10), (2, "en", 20), (3, "en", 20),
+        (4, "en", 30), (5, "en", 40), (6, "en", 50),
+        # lang de: all equal scores -> everything is head
+        (7, "de", 99), (8, "de", 99), (9, "de", 99),
+    ]
+    scored = spark.createDataFrame(
+        rows, "doc_id long, lang string, bits_per_bigram_x100 long"
+    )
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(scored).collect()
+    }
+    assert got == {
+        1: "head", 2: "head", 3: "head",  # ties at c1=20 stay together
+        4: "middle", 5: "tail", 6: "tail",
+        7: "head", 8: "head", 9: "head",
+    }
