@@ -124,6 +124,16 @@ R8_SET = [
 ]
 
 
+# Round-9 surface: index-served IVF-PQ (codes-in-the-index ADC read),
+# the KN perplexity filter + CCNet tertile sharding. Sixth set so earlier
+# totals stay anchor-comparable.
+R9_SET = [
+    "emb_ivfpq_search",
+    "docs_lm_bits_kn",
+    "docs_ccnet_buckets",
+]
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -296,6 +306,7 @@ def _run(sf_dir: str) -> dict:
     r3 = time_set(R3_SET)
     r5 = time_set(R5_SET)
     r8 = time_set(R8_SET)
+    r9 = time_set(R9_SET)
     write_path = _write_path_bench(spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
@@ -309,6 +320,7 @@ def _run(sf_dir: str) -> dict:
         "r3": r3,
         "r5": r5,
         "r8": r8,
+        "r9": r9,
         "write_path": write_path,
         "postings_index_build_sec": index_build_sec,
         "sf": sf_of(sf_dir),
@@ -316,6 +328,7 @@ def _run(sf_dir: str) -> dict:
         "r3_total": round(sum(r3.values()), 3),
         "r5_total": round(sum(r5.values()), 3),
         "r8_total": round(sum(r8.values()), 3),
+        "r9_total": round(sum(r9.values()), 3),
         "metric": "headline_queries_total",
         "unit": "sec",
         "value": total,
