@@ -376,6 +376,68 @@ class IVFIndex:
             probed, self.pq_codebooks(), query, k, id_col=self.id_col
         )
 
+    def adc_batch_search(
+        self, queries: DataFrame, k: int, nprobe: int = 2,
+        qid_col: str = "qid", qvec_col: str = "qvec",
+    ) -> DataFrame:
+        """Batched index-served IVF-PQ: MANY queries in one pass over the
+        probed cells' CODE columns (:meth:`adc_search` is the single-query
+        probe; :meth:`batch_search` is the raw-vector variant). Per query,
+        the nprobe nearest cells AND the m ADC distance tables are
+        computed map-side on the (small) queries frame against the
+        literal codebooks; the exploded (query, cell, tables) probe set
+        BROADCASTS into one join with :meth:`codes` — only probed cells
+        are scanned (partition-pruned), no raw vector is read anywhere,
+        and each candidate costs m element_at lookups. Per-query top-k
+        rides a rank window (WindowGroupLimit, never a global sort).
+        Returns (qid, id, adc_dist, rnk), rnk 1..k ascending distance,
+        ties by id."""
+        from pyspark.sql import Window
+
+        from affinity_spark.functions.text import let_bound
+        from affinity_spark.operators.ivf import _sq_dist
+        from affinity_spark.operators.pq import query_distance_tables
+
+        codebook = self.codebook()
+        books = self.pq_codebooks()
+        cents = F.lit([[float(x) for x in c] for c in codebook])
+        qv = F.col(qvec_col).cast("array<double>")
+        dists = F.transform(cents, lambda c: _sq_dist(qv, c))
+        ranked_cells = let_bound(
+            dists,
+            lambda d: F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        d,
+                        F.sequence(F.lit(0), F.size(d) - 1),
+                        lambda dd, i: F.struct(dd.alias("d"), i.alias("c")),
+                    )
+                ),
+                1,
+                nprobe,
+            ),
+        )
+        probes = queries.select(
+            F.col(qid_col),
+            *query_distance_tables(queries, books, qvec_col=qvec_col),
+            F.explode(
+                F.transform(ranked_cells, lambda s: s["c"])
+            ).alias("cell"),
+        )
+        adc = None
+        for s in range(self.pq_m):
+            term = F.element_at(F.col(f"_t{s}"), F.col(f"code_{s}") + 1)
+            adc = term if adc is None else adc + term
+        scored = self.codes().join(F.broadcast(probes), "cell").select(
+            F.col(qid_col), F.col(self.id_col), adc.alias("adc_dist")
+        )
+        w = Window.partitionBy(qid_col).orderBy(
+            F.col("adc_dist").asc(), F.col(self.id_col).asc()
+        )
+        return scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= k
+        )
+
     def batch_search(
         self, queries: DataFrame, k: int, nprobe: int = 2,
         qid_col: str = "qid", qvec_col: str = "qvec",

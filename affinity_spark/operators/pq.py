@@ -98,6 +98,34 @@ def assign_codes(
     return emb.select(F.col(id_col), *code_columns(codebooks, vec_col))
 
 
+def query_distance_tables(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    qvec_col: str = "qvec",
+) -> list:
+    """Per-query ADC distance tables as column expressions
+    (``_t0.._t{m-1}``, each ``array<double>[k]``): the query's squared
+    distance to every centroid of every subspace, computed MAP-SIDE on
+    the (small) queries frame against the literal codebooks. The batched
+    twin of :func:`adc_search`'s driver-side table — the table rides the
+    broadcast with the query row, and each candidate row costs m
+    ``element_at`` lookups regardless of dimension."""
+    from affinity_spark.functions.text import let_bound
+    from affinity_spark.operators.ivf import _sq_dist
+
+    qv = F.col(qvec_col).cast("array<double>")
+    d_sub = len(codebooks[0][0])
+    cols = []
+    for s, book in enumerate(codebooks):
+        book_lit = F.lit([[float(x) for x in c] for c in book])
+        sub = F.slice(qv, s * d_sub + 1, d_sub)
+        tab = let_bound(
+            sub, lambda sv: F.transform(book_lit, lambda c: _sq_dist(sv, c))
+        )
+        cols.append(tab.alias(f"_t{s}"))
+    return cols
+
+
 def adc_search(
     emb_codes: DataFrame,
     codebooks: list[list[list[float]]],

@@ -1023,6 +1023,91 @@ LIMIT 10
 """
 
 
+def emb_pq_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched index-served IVF-PQ — the hard-negative-mining / online-
+    serving shape over CODES: the 4 lowest-id vectors each probe their
+    nprobe=2 nearest cells, per-query ADC distance tables ride the
+    broadcast probe set, and ONE join against the maintained index's code
+    columns scores every (query, candidate) in the probed cells — no raw
+    vector read anywhere, per-query top-5 via a rank window (completes
+    the serving matrix: single/batch x IVF/IVF-PQ, all four index-served
+    from the same maintained tables). Distances in floored basis points,
+    rank long — float-free hash."""
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _shared_emb_ivf(spark, emb, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = idx.adc_batch_search(qs, k=5, nprobe=2)
+    return out.select(
+        "qid",
+        "vec_id",
+        F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_bp"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+def _pq_batch_search_sql() -> str:
+    dist = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))"
+        " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))"
+    )
+    qdist = dist.replace("e.embedding", "qv.qvec")
+    table_ctes = ",\n".join(
+        f"""t{s} AS (
+  SELECT qv.qid, s.idx, {_pq_dist_sql(s).replace("e.embedding", "qv.qvec")} AS d
+  FROM qv CROSS JOIN seeds s
+)"""
+        for s in range(_PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN c{s} ON c{s}.vec_id = cand.vec_id "
+        f"JOIN t{s} ON t{s}.qid = cand.qid AND t{s}.idx = c{s}.code_{s}"
+        for s in range(_PQ_M)
+    )
+    adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
+    return f"""
+WITH ivfseeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+{_PQ_SEEDS_CTE},
+{_pq_code_ctes()},
+qv AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 4),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT qv.qid, s.cell,
+           row_number() OVER (PARTITION BY qv.qid
+                              ORDER BY {qdist.replace("s.cv", "s.cv")} ASC, s.cell ASC) AS rn
+    FROM ivfseeds s CROSS JOIN qv
+  ) WHERE rn <= 2
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, s.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN ivfseeds s
+  ) WHERE rn = 1
+),
+{table_ctes},
+cand AS (
+  SELECT p.qid, a.vec_id FROM assigned a JOIN probes p ON a.cell = p.cell
+),
+adc AS (
+  SELECT cand.qid, cand.vec_id, {adc} AS d
+  FROM cand {code_joins}
+)
+SELECT qid, vec_id, CAST(floor(d * 10000) AS BIGINT) AS adc_bp,
+       CAST(rn AS BIGINT) AS rnk
+FROM (
+  SELECT qid, vec_id, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rn
+  FROM adc
+) WHERE rn <= 5
+"""
+
+
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension scalar int8 quantization
     (``similarity.scalar_quantize_int8``) — the 4x compressor vector

@@ -386,3 +386,41 @@ def test_pq_torn_codebook_lineage_reads_as_absent(spark, tmp_path):
     assert not ix.exists()
     ix.build(emb, k=2, n_iter=0)
     assert ix.exists()
+
+
+def test_pq_batch_search_matches_single_query(spark, tmp_path):
+    """adc_batch_search must equal per-query adc_search exactly — same
+    probed cells, same tables, same ranking — for every query at once."""
+    ix = _pq_idx(spark, str(tmp_path / "bq"))
+    cb = ix.codebook()
+    qs = spark.createDataFrame(
+        [(i, cb[i]) for i in range(3)], "qid long, qvec array<double>"
+    )
+    batched = {
+        (r["qid"], r["rnk"]): (r["vec_id"], round(r["adc_dist"], 9))
+        for r in ix.adc_batch_search(qs, 4, nprobe=2).collect()
+    }
+    for i in range(3):
+        single = ix.adc_search(cb[i], 4, nprobe=2).collect()
+        for rnk, r in enumerate(single, start=1):
+            assert batched[(i, rnk)] == (r["vec_id"], round(r["adc_dist"], 9))
+    assert len(batched) == 12
+
+
+def test_pq_batch_search_reads_codes_not_vectors(spark, tmp_path):
+    """The batched ADC plan: probes broadcast (no shuffle of the index),
+    scan reads code columns only (ReadSchema excludes `embedding`)."""
+    from affinity_spark.plans.introspect import formatted_plan
+
+    ix = _pq_idx(spark, str(tmp_path / "bqplan"))
+    qs = spark.createDataFrame(
+        [(0, ix.codebook()[0])], "qid long, qvec array<double>"
+    )
+    out = ix.adc_batch_search(qs, 3, nprobe=2)
+    out.collect()
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: (.*)", plan)
+    assert schemas and all("embedding" not in s for s in schemas), plan
