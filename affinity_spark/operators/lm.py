@@ -271,6 +271,13 @@ def perplexity_buckets(
     Cutoffs: c1 = smallest score with cumulative count >= ceil(n/3),
     c2 = smallest with cum >= ceil(2n/3); bucket = head (score <= c1),
     middle (<= c2), else tail. Returns ``scored``'s rows + ``ppl_bucket``.
+
+    ``scored`` is consumed TWICE (histogram branch + output join branch),
+    so an unpersisted expensive scoring subtree recomputes (the repo's
+    multi-branch rule). Measured at sf0.1 the KN recompute is a wash
+    (model-sized joins, ±2%), so no persist is forced here — callers
+    whose scoring derivation is corpus-dominant should persist ``scored``
+    before calling.
     """
     from pyspark.sql import Window
 
