@@ -1047,7 +1047,11 @@ def emb_pq_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_batch_search_sql() -> str:
+def _pq_batch_core() -> str:
+    """Shared CTE block: qv (4 lowest-id queries), IVF probes, assigned
+    cells, per-query ADC tables, and the `adc` relation (qid, vec_id, d)
+    over the probed cells — reused by the batch-search and recall
+    oracles."""
     dist = (
         "list_sum(list_transform(range(1, 65), "
         "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))"
@@ -1067,8 +1071,7 @@ def _pq_batch_search_sql() -> str:
         for s in range(_PQ_M)
     )
     adc = " + ".join(f"t{s}.d" for s in range(_PQ_M))
-    return f"""
-WITH ivfseeds AS (
+    return f"""ivfseeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding AS cv
   FROM embeddings ORDER BY vec_id LIMIT 8
 ),
@@ -1079,7 +1082,7 @@ probes AS (
   SELECT qid, cell FROM (
     SELECT qv.qid, s.cell,
            row_number() OVER (PARTITION BY qv.qid
-                              ORDER BY {qdist.replace("s.cv", "s.cv")} ASC, s.cell ASC) AS rn
+                              ORDER BY {qdist} ASC, s.cell ASC) AS rn
     FROM ivfseeds s CROSS JOIN qv
   ) WHERE rn <= 2
 ),
@@ -1097,7 +1100,12 @@ cand AS (
 adc AS (
   SELECT cand.qid, cand.vec_id, {adc} AS d
   FROM cand {code_joins}
-)
+)"""
+
+
+def _pq_batch_search_sql() -> str:
+    return f"""
+WITH {_pq_batch_core()}
 SELECT qid, vec_id, CAST(floor(d * 10000) AS BIGINT) AS adc_bp,
        CAST(rn AS BIGINT) AS rnk
 FROM (
@@ -1105,6 +1113,83 @@ FROM (
          row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rn
   FROM adc
 ) WHERE rn <= 5
+"""
+
+
+def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the index-served IVF-PQ ADC read vs exact L2 brute
+    force — the in-band quality measurement for the codes-in-the-index
+    serving path (the emb_ivf_recall discipline applied to ADC): for the
+    4 lowest-id query vectors, how many of the true 10 nearest (exact
+    squared L2 over ALL vectors) does the nprobe=2 code-only probe
+    return? Quantifies BOTH approximation losses at once (cell pruning +
+    PQ quantization). Integer (query_id, n_hits) rows."""
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.ivf import _sq_dist
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = _shared_emb_ivf(spark, emb, sf_dir)
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    approx = idx.adc_batch_search(qs, 10, nprobe=2).select("qid", "vec_id")
+
+    scored = emb.crossJoin(F.broadcast(qs)).select(
+        "qid",
+        "vec_id",
+        _sq_dist(
+            F.col("embedding").cast("array<double>"),
+            F.col("qvec").cast("array<double>"),
+        ).alias("d"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    brute = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = approx.join(brute, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return qs.select(F.col("qid").alias("query_id")).join(
+        hits.withColumnRenamed("qid", "query_id"), "query_id", "left"
+    ).select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+
+
+def _ivfpq_recall_sql() -> str:
+    l2 = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(qv.qvec[i] AS DOUBLE))"
+        " * (CAST(e.embedding[i] AS DOUBLE) - CAST(qv.qvec[i] AS DOUBLE))))"
+    )
+    return f"""
+WITH {_pq_batch_core()},
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS rn
+    FROM adc
+  ) WHERE rn <= 10
+),
+brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qv.qid, e.vec_id,
+           row_number() OVER (PARTITION BY qv.qid
+                              ORDER BY {l2} ASC, e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN qv
+  ) WHERE rn <= 10
+),
+h AS (
+  SELECT approx.qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM approx JOIN brute ON approx.qid = brute.qid AND approx.vec_id = brute.vec_id
+  GROUP BY approx.qid
+)
+SELECT qv.qid AS query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+FROM qv LEFT JOIN h ON qv.qid = h.qid
 """
 
 
