@@ -246,15 +246,42 @@ class IVFIndex:
         corpus = self.vectors().select(self.id_col, self.vec_col)
         self.build(corpus, k=k, n_iter=n_iter)
 
-    def maintainer(self):
+    def maintainer(
+        self,
+        auto_retrain: bool = False,
+        max_skew: float = 4.0,
+        max_growth: float = 0.5,
+        grow_k: bool = True,
+    ):
         """foreachBatch function for streaming maintenance: each
         micro-batch of (id, vec) rows is admitted incrementally, exactly
-        like PostingsIndex/BandIndex maintenance."""
+        like PostingsIndex/BandIndex maintenance.
+
+        With ``auto_retrain`` the maintainer also keeps the index HEALTHY,
+        not just current: after each admit it runs the k-row drift check
+        and, when cell skew or corpus growth crosses the bounds,
+        re-clusters from the maintained table — with ``grow_k`` the new
+        codebook scales k by the measured corpus growth (the "cells ∝
+        corpus" lever firing autonomously, so per-cell size — and
+        therefore probe cost — stays roughly constant under continuous
+        ingest). Retrain frequency is self-limiting: each retrain resets
+        ``n_at_build``, so the growth trigger needs another
+        ``max_growth`` fraction of NEW corpus before firing again."""
 
         def apply(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             self.admit(batch_df)
+            if auto_retrain and self.needs_retrain(max_skew, max_growth):
+                meta = self._centroids.commit_meta()
+                k = int(meta.get("k", 8))
+                if grow_k:
+                    n0 = int(meta.get("n_at_build", 0))
+                    n_now = self._assigned.read().count()
+                    if n0 > 0 and n_now > n0:
+                        # round k up with the corpus; never shrink
+                        k = max(k, -(-k * n_now // n0))
+                self.retrain(k=k)
 
         return apply
 

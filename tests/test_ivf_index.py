@@ -424,3 +424,69 @@ def test_pq_batch_search_reads_codes_not_vectors(spark, tmp_path):
 
     schemas = re.findall(r"ReadSchema: (.*)", plan)
     assert schemas and all("embedding" not in s for s in schemas), plan
+
+
+def test_maintainer_auto_retrain_grows_k(spark, tmp_path):
+    """The streaming maintainer with auto_retrain keeps the index healthy
+    autonomously: once ingest grows the corpus past max_growth, the next
+    micro-batch triggers a retrain whose k scales with the measured
+    growth (cells ∝ corpus), the generation bumps, and the index stays
+    consistent; a follow-up small batch does NOT retrain again (the
+    trigger resets with n_at_build)."""
+    import json
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    ix = IVFIndex(spark, str(tmp_path / "auto"), num_buckets=2)
+    ix.build(_vecs(spark, range(16)), k=2, n_iter=0)
+    gen0 = int(ix._centroids.commit_meta()["ivf_gen"])
+
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+
+    def feed(name, ids, mtime):
+        rows = _vecs(spark, ids).collect()
+        tmp = os.path.join(src, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                ) + "\n")
+        dest = os.path.join(src, f"{name}.json")
+        os.rename(tmp, dest)
+        os.utime(dest, (mtime,) * 2)
+
+    feed("c0", range(16, 48), 1_700_000_000)   # +200% > max_growth=0.5
+    feed("c1", range(48, 50), 1_700_000_001)   # tiny follow-up
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(ix.maintainer(auto_retrain=True))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = ix.commit_meta() if hasattr(ix, "commit_meta") else ix._centroids.commit_meta()
+    # one retrain fired (gen +1, not +2): batch c0 triggered it, and the
+    # post-retrain n_at_build=48 means c1's +2 rows stay under max_growth
+    assert int(meta["ivf_gen"]) == gen0 + 1
+    # k grew with the corpus: 16 -> 48 rows at retrain time => k 2 -> 6
+    assert int(meta["k"]) == 6
+    assert int(meta["n_at_build"]) == 48
+    assert ix.exists()
+    assert ix.vectors().count() == 50
+    assert not ix.needs_retrain()
