@@ -1827,6 +1827,125 @@ FROM scores JOIN cuts ON scores.lang = cuts.lang
 """
 
 
+def docs_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled corpus-filter verdict — what a production cleaning
+    job actually emits: per document, the Gopher rule gate (map-side),
+    the CCNet KN-perplexity tertile (broadcast model + histogram
+    cutoffs), and exact-dedup canonicality (fp window), folded into one
+    ``keep`` flag (pass AND canonical AND not perplexity-tail). Docs too
+    short to score (< 2 tokens) carry no fluency evidence and default to
+    the tail bucket. One corpus scan feeds all three signals; the only
+    corpus-sized shuffles are the fp window and the per-doc KN sum."""
+    from pyspark.sql import Window
+
+    from affinity_spark.functions.text import doc_fingerprint, gopher_rule_struct
+    from affinity_spark.operators.lm import (
+        kn_score_bits,
+        perplexity_buckets,
+        train_bigram_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id", gopher_rule_struct(F.col("text")).alias("g"))
+    quality = g.select(
+        "doc_id",
+        (
+            (F.col("g.n_words") >= 20)
+            & F.col("g.mean_word_len_x100").between(300, 1000)
+            & (F.col("g.top_token_bp") <= 1500)
+        ).alias("quality_pass"),
+    )
+    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
+    scored = kn_score_bits(docs, model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    buckets = perplexity_buckets(scored).select("doc_id", "ppl_bucket")
+    w_fp = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    canon = docs.select(
+        "doc_id", (F.row_number().over(w_fp) == 1).alias("is_canonical")
+    )
+    out = (
+        quality.join(canon, "doc_id")
+        .join(buckets, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality_pass",
+            F.coalesce(F.col("ppl_bucket"), F.lit("tail")).alias("ppl_bucket"),
+            "is_canonical",
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("quality_pass")
+        & F.col("is_canonical")
+        & (F.col("ppl_bucket") != "tail"),
+    )
+
+
+_FILTER_ENSEMBLE_SQL = f"""
+WITH {_KN_CORE_CTES},
+kn AS ({_KN_AGG_SELECT}),
+scores AS (
+  SELECT kn.doc_id, d.lang, kn.bits_per_bigram_x100 AS s
+  FROM kn JOIN documents d ON kn.doc_id = d.doc_id
+),
+hist AS (
+  SELECT lang, s, CAST(count(*) AS BIGINT) AS n FROM scores GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, s,
+         CAST(sum(n) OVER (PARTITION BY lang ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+  FROM hist
+),
+cuts AS (
+  SELECT lang,
+         min(CASE WHEN c * 3 >= tot THEN s END) AS c1,
+         min(CASE WHEN c * 3 >= tot * 2 THEN s END) AS c2
+  FROM cum GROUP BY lang
+),
+buckets AS (
+  SELECT scores.doc_id,
+         CASE WHEN s <= c1 THEN 'head'
+              WHEN s <= c2 THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM scores JOIN cuts ON scores.lang = cuts.lang
+),
+gtoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS tk
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+         (CAST(len(tk) AS BIGINT) >= 20
+          AND CAST(COALESCE(list_sum(list_transform(tk, w -> len(w))), 0) * 100
+                   // greatest(len(tk), 1) AS BIGINT) BETWEEN 300 AND 1000
+          AND CAST(COALESCE(list_max(list_transform(list_distinct(tk),
+                     w -> len(list_filter(tk, x -> x = w)))), 0) * 10000
+                   // greatest(len(tk), 1) AS BIGINT) <= 1500) AS quality_pass
+  FROM gtoks
+),
+canon AS (
+  SELECT doc_id,
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ORDER BY doc_id) = 1 AS is_canonical
+  FROM documents
+)
+SELECT q.doc_id, q.quality_pass,
+       COALESCE(b.ppl_bucket, 'tail') AS ppl_bucket,
+       c.is_canonical,
+       (q.quality_pass AND c.is_canonical
+        AND COALESCE(b.ppl_bucket, 'tail') <> 'tail') AS keep
+FROM quality q
+JOIN canon c ON q.doc_id = c.doc_id
+LEFT JOIN buckets b ON q.doc_id = b.doc_id
+"""
+
+
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, public): hashed-unigram
     floor-log2 likelihood ratio between the lang='en' target slice and the

@@ -92,6 +92,9 @@ DEFAULT_QUERIES = [
     "docs_bpe_segment",
     "emb_diverse_sample",
     "docs_lm_bits_kn",
+    "docs_ccnet_buckets",
+    "emb_pq_batch_search",
+    "emb_ivfpq_recall",
 ]
 
 
