@@ -362,6 +362,44 @@ def indexed_corpus_sink(
     return apply
 
 
+def retract_docs(
+    band_index,
+    corpus_store,
+    survivors_table,
+    rejected_table,
+    doc_ids,
+    id_col: str = "doc_id",
+) -> None:
+    """Takedown/right-to-be-forgotten for the indexed pipeline: remove
+    documents from EVERY maintained surface — band index (their buckets
+    stop matching future arrivals), shingle store (no future verify can
+    read their content), and both verdict tables. The in-state pipeline
+    cannot do this (streaming state is append-only from outside the
+    query); committed tables can, which is the fourth reason the indexed
+    variant exists.
+
+    Historical ``dup_of`` attributions pointing AT a retracted doc are
+    kept (they are verdicts about the rejected doc, not retained content
+    of the retracted one); future near-dups match the earliest REMAINING
+    bucket member. Index removal is the partition-pruned delete path
+    (``BandIndex.admit`` with only ``deleted_ids`` rewrites just the
+    touched doc buckets); the verdict tables are small filtered
+    overwrites under the same CAS contract as every other commit."""
+    ids = [int(d) for d in doc_ids]
+    if not ids:
+        return
+    spark = corpus_store.spark
+    empty = spark.createDataFrame(
+        [], "doc_id long, shingles array<string>, n_shingles int"
+    ).withColumnRenamed("doc_id", id_col)
+    if band_index.exists():
+        band_index.admit(empty, deleted_ids=ids)
+    for table in (corpus_store, survivors_table, rejected_table):
+        if table.exists():
+            kept = table.read().filter(~F.col(id_col).isin(ids))
+            table.overwrite(kept, expected_base=table._current_version_dir())
+
+
 def corpus_pipeline_replay(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -295,3 +295,40 @@ def test_indexed_sink_survives_checkpoint_reset(spark, tmp_path):
     assert 9 in {
         r["doc_id"] for r in bidx.bands().select("doc_id").distinct().collect()
     }
+
+
+def test_retract_docs_removes_from_every_surface(spark, tmp_path):
+    """Takedown: retracting a doc removes it from the band index, the
+    shingle store, and the verdict tables; FUTURE near-dups then match
+    the earliest REMAINING bucket member, while historical dup_of
+    attributions pointing at the retracted doc are kept (verdicts about
+    the rejected docs, not retained content)."""
+    from affinity_spark.streaming.pipeline import (
+        indexed_corpus_sink,
+        retract_docs,
+    )
+
+    surv, rej, bidx, store = _indexed_setup(spark, tmp_path)
+    sink = indexed_corpus_sink(bidx, store, surv, rej)
+    src = str(tmp_path / "in")
+    _feed(src, _docs())
+    _run_indexed(spark, src, str(tmp_path / "ckpt1"), sink)
+    assert 1 in {r["doc_id"] for r in surv.read().collect()}
+
+    retract_docs(bidx, store, surv, rej, [1])
+    assert 1 not in {r["doc_id"] for r in surv.read().collect()}
+    assert 1 not in {r["doc_id"] for r in store.read().collect()}
+    assert 1 not in {
+        r["doc_id"] for r in bidx.bands().select("doc_id").distinct().collect()
+    }
+    # historical attributions to the retracted doc survive
+    assert {(r["doc_id"], r["dup_of"]) for r in rej.read().collect()} == {
+        (5, 1), (8, 1)
+    }
+
+    # a NEW near-dup of the retracted content now matches the earliest
+    # REMAINING bucket member (5), not the gone doc
+    _feed(src, [[{"doc_id": 10, "text": BODY + " ten ending"}]], start=3)
+    _run_indexed(spark, src, str(tmp_path / "ckpt1"), sink)
+    got = {(r["doc_id"], r["dup_of"]) for r in rej.read().collect()}
+    assert (10, 5) in got, got
