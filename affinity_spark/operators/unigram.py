@@ -1,0 +1,161 @@
+"""Unigram-LM (SentencePiece-style) subword tokenization.
+
+The second of the two tokenizer families real pipelines train (Kudo 2018,
+public; ``operators/bpe.py`` is the merge-based first): a vocabulary of
+subword pieces with unigram costs, applied by VITERBI — each word is
+segmented into the piece sequence of minimum total cost. This module
+implements the deterministic, oracle-checkable core:
+
+- :func:`train_unigram_vocab` — a substring-frequency seed vocabulary
+  (the initialization step of the full EM trainer): token-occurrence-
+  weighted counts of every piece of length 1..L, top-K selected
+  distributed (TakeOrderedAndProject — the BPE ``max_word_types``
+  contract: the driver never sees more than K rows), costs as exact
+  integer 1/1024-bit log2 so both engines reproduce them bit-for-bit.
+  Full EM (E: expected piece counts under the current model; M:
+  re-estimate + prune) composes on top by re-scoring — each round is the
+  same train/apply shapes — and is deliberately out of scope here, as
+  float EM cannot be oracle-exact.
+- :func:`viterbi_segment_words` — exact DP over DISTINCT words (type-
+  level work: the corpus never flows through Python; a trillion-token
+  corpus has a bounded word-type vocabulary), Arrow-batched pandas UDF
+  (inherently sequential per-word DP — the FFD-packing precedent for
+  dropping to pandas), vocabulary broadcast in the closure
+  (model-sized, the codebook contract).
+
+Tie-breaking is part of the contract (both engines and the oracle
+replay it): minimum total cost, ties resolved toward the LONGEST final
+piece at each position. Unknown single characters cost ``UNK_COST_X1024``
+(greater than any trained piece), so every word is segmentable and the
+fallback is visible in the cost.
+
+100 TB shape: train = one bounded explode (≤ L pieces per character) +
+one count shuffle + a distributed top-K; apply = one distinct-words
+shuffle (vocabulary-sized), map-side Viterbi over types, broadcast join
+back to occurrences. Nothing corpus-sized ever reaches the driver or
+Python except the word-TYPE frame.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from affinity_spark.functions.text import tokenize
+from affinity_spark.operators.lm import flog2_x1024
+
+PIECE_MAX_LEN = 4
+UNK_COST_X1024 = 1 << 20
+
+
+def train_unigram_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_pieces: int = 64,
+    piece_max_len: int = PIECE_MAX_LEN,
+) -> DataFrame:
+    """(piece, cost_x1024) — substring-frequency seed vocabulary.
+
+    Every token occurrence contributes all its substrings of length
+    1..``piece_max_len``; the ``max_pieces`` most frequent (count desc,
+    piece asc — deterministic) are kept, and each gets the integer cost
+    ``lg(total + K) - lg(count + 1)`` (lg = flog2_x1024, total = summed
+    count of the SELECTED pieces) — a monotone negative-log-frequency in
+    exact fixed point. Note ``substring`` byte-scans per call: tokens are
+    word-sized here; for pathological unbroken-text inputs, pre-split
+    with the char-array idiom (functions/text.py)."""
+    tok = F.explode(tokenize(F.col(text_col))).alias("tok")
+    pieces = docs.select(tok).select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(piece_max_len), F.length("tok") - i + 1
+                            ),
+                        ),
+                        lambda j: F.substring(F.col("tok"), i, j),
+                    ),
+                )
+            )
+        ).alias("piece")
+    )
+    top = (
+        pieces.groupBy("piece")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(max_pieces)
+    )
+    tot = top.agg(F.sum("c").cast("long").alias("t"))
+    return top.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        (
+            flog2_x1024(F.col("t") + F.lit(max_pieces))
+            - flog2_x1024(F.col("c") + F.lit(1))
+        ).alias("cost_x1024"),
+    )
+
+
+def viterbi_segment(
+    word: str, costs: dict[str, int], piece_max_len: int = PIECE_MAX_LEN
+) -> tuple[int, int, str]:
+    """Exact integer Viterbi for one word: (n_pieces, total cost,
+    '|'-joined segmentation). Pure python — the per-row kernel of
+    :func:`viterbi_segment_words` and the reference for the tests and
+    the recursive-CTE oracle. Tie-break: min cost, then longest piece."""
+    n = len(word)
+    inf = 1 << 62
+    best = [0] + [inf] * n
+    bp = [0] * (n + 1)
+    for p in range(1, n + 1):
+        bc, bj = inf, 0
+        for j in range(1, min(piece_max_len, p) + 1):
+            piece = word[p - j : p]
+            pc = costs.get(piece)
+            if pc is None:
+                if j != 1:
+                    continue
+                pc = UNK_COST_X1024
+            c = best[p - j] + pc
+            if c < bc or (c == bc and j > bj):
+                bc, bj = c, j
+        best[p], bp[p] = bc, bj
+    segs: list[str] = []
+    p = n
+    while p > 0:
+        j = bp[p]
+        segs.append(word[p - j : p])
+        p -= j
+    segs.reverse()
+    return len(segs), best[n], "|".join(segs)
+
+
+def viterbi_segment_words(
+    words: DataFrame,
+    vocab: DataFrame,
+    word_col: str = "word",
+    piece_max_len: int = PIECE_MAX_LEN,
+) -> DataFrame:
+    """Segment a frame of (distinct) words against the vocabulary:
+    returns ``words`` + (n_pieces, cost_x1024, segmentation). The vocab
+    collect is model-sized by construction (≤ max_pieces rows)."""
+    costs = {r["piece"]: int(r["cost_x1024"]) for r in vocab.collect()}
+
+    @F.pandas_udf("n_pieces long, cost_x1024 long, segmentation string")
+    def seg(col: pd.Series) -> pd.DataFrame:
+        rows = [viterbi_segment(w, costs, piece_max_len) for w in col]
+        return pd.DataFrame(
+            rows, columns=["n_pieces", "cost_x1024", "segmentation"]
+        )
+
+    out = words.withColumn("_s", seg(F.col(word_col)))
+    return out.select(
+        *words.columns,
+        F.col("_s.n_pieces").alias("n_pieces"),
+        F.col("_s.cost_x1024").alias("cost_x1024"),
+        F.col("_s.segmentation").alias("segmentation"),
+    )

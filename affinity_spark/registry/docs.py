@@ -1946,6 +1946,107 @@ LEFT JOIN buckets b ON q.doc_id = b.doc_id
 """
 
 
+def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) subword segmentation (Kudo 2018;
+    the tokenizer family beside BPE): a substring-frequency seed
+    vocabulary (top-64 pieces of length 1-4, integer 1/1024-bit costs)
+    applied by exact integer VITERBI over the corpus's DISTINCT words —
+    type-level work: the corpus never flows through the DP; occurrences
+    would re-join the segmented types map-side. Tie-break contract:
+    minimum cost, then longest final piece; unknown single chars cost
+    2^20 (> any trained piece). The oracle replays the DP as a
+    per-word recursive CTE with correlated vocab lookups (the
+    events_debounce / FFD sequential-fold discipline) plus a second
+    recursive backtrace pass."""
+    from affinity_spark.operators.unigram import (
+        train_unigram_vocab,
+        viterbi_segment_words,
+    )
+    from affinity_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_unigram_vocab(docs, max_pieces=64, piece_max_len=4)
+    words = docs.select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    ).distinct()
+    return viterbi_segment_words(words, vocab).select(
+        "word", "n_pieces", "cost_x1024", "segmentation"
+    )
+
+
+def _unigram_segment_sql() -> str:
+    unk = 1 << 20
+    big = 1 << 62
+
+    def cj(j):
+        base = f"costs[pos + 2 - {j}]"
+        look = (
+            f"(SELECT v2.cost FROM vocab v2 "
+            f"WHERE v2.piece = substr(word, pos + 2 - {j}, {j}))"
+        )
+        if j == 1:
+            return f"{base} + COALESCE({look}, {unk})"
+        return f"CASE WHEN pos + 1 >= {j} THEN {base} + {look} END"
+
+    best = "least(" + ", ".join(
+        f"COALESCE(c{j}, {big})" for j in (1, 2, 3, 4)
+    ) + ")"
+    bj = (
+        "CASE "
+        + " ".join(
+            f"WHEN c{j} IS NOT NULL AND c{j} = {best} THEN CAST({j} AS BIGINT)"
+            for j in (4, 3, 2)
+        )
+        + " ELSE CAST(1 AS BIGINT) END"
+    )
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+cnts AS (
+  SELECT piece, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(flatten(list_transform(range(1, len(tok) + 1),
+             i -> list_transform(range(1, least(4, len(tok) - i + 1) + 1),
+                    j -> substr(tok, i, j))))) AS piece
+    FROM toks)
+  GROUP BY 1
+),
+vocab0 AS (SELECT piece, c FROM cnts ORDER BY c DESC, piece ASC LIMIT 64),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab0),
+vocab AS (
+  SELECT piece, {_lg1024('(t + 64)')} - {_lg1024('(c + 1)')} AS cost
+  FROM vocab0 CROSS JOIN tot
+),
+words AS (SELECT DISTINCT tok AS word FROM toks),
+v(word, pos, costs, bps) AS (
+  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS BIGINT[]) FROM words
+  UNION ALL
+  SELECT word, pos + 1, costs || [{best}], bps || [{bj}]
+  FROM (
+    SELECT word, pos, costs, bps, {cj(1)} AS c1, {cj(2)} AS c2,
+           {cj(3)} AS c3, {cj(4)} AS c4
+    FROM v WHERE pos < len(word)
+  )
+),
+bt(word, pos, bps, segs, total) AS (
+  SELECT word, pos, bps, CAST([] AS VARCHAR[]) AS segs, costs[pos + 1] AS total
+  FROM v WHERE pos = len(word)
+  UNION ALL
+  SELECT word, pos - CAST(bps[pos] AS INT), bps,
+         list_prepend(substr(word, pos - CAST(bps[pos] AS INT) + 1,
+                             CAST(bps[pos] AS INT)), segs),
+         total
+  FROM bt WHERE pos > 0
+)
+SELECT word, CAST(len(segs) AS BIGINT) AS n_pieces,
+       CAST(total AS BIGINT) AS cost_x1024,
+       array_to_string(segs, '|') AS segmentation
+FROM bt WHERE pos = 0
+"""
+
+
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, public): hashed-unigram
     floor-log2 likelihood ratio between the lang='en' target slice and the
