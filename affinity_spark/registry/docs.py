@@ -1645,581 +1645,6 @@ SELECT doc_id, phrase, n_matches FROM m WHERE n_matches >= 1
 """
 
 
-def docs_lm_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style perplexity filtering (Wenzek et al. 2020, public): score
-    every document against a bigram model trained on the lang='en' reference
-    slice, in integer floor-log2 "bits" (length(bin(x))-1 — exact in any
-    engine, unlike float logs). High bits-per-bigram ranks out-of-domain /
-    low-quality docs for the quality gate. Model tables are vocab-sized and
-    broadcast; ONE corpus-sized shuffle (groupBy doc)."""
-    from affinity_spark.operators.lm import lm_score_bits, train_bigram_model
-
-    docs = _t(spark, sf_dir, "documents")
-    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
-    return lm_score_bits(docs, model)
-
-
-_LM_BITS_SQL = """
-WITH t AS (
-  SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                     x -> x <> '') AS toks
-  FROM documents
-),
-db AS (
-  SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
-  FROM t, unnest(range(1, len(toks))) AS r(i)
-),
-c2 AS (
-  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM db WHERE lang = 'en' GROUP BY 1, 2
-),
-c1 AS (
-  SELECT w1, CAST(sum(c) AS BIGINT) AS c1 FROM c2 GROUP BY 1
-),
-v AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v FROM c2),
-scored AS (
-  SELECT db.doc_id,
-         (length(bin(COALESCE(c1.c1, 0) + v.v)) - 1)
-       - (length(bin(COALESCE(c2.c, 0) + 1)) - 1) AS bits
-  FROM db CROSS JOIN v
-  LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
-  LEFT JOIN c1 ON db.w1 = c1.w1
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(bits) AS BIGINT) AS nll_bits,
-       CAST(sum(bits) AS BIGINT) * 100 // CAST(count(*) AS BIGINT)
-         AS bits_per_bigram_x100
-FROM scored GROUP BY doc_id
-"""
-
-
-def docs_lm_bits_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-grade perplexity filtering with interpolated Kneser-Ney
-    smoothing (Kneser & Ney 1995; Chen & Goodman 1999 — the smoothing
-    family the actual CCNet KenLM filter uses, upgrading docs_lm_bits'
-    add-one baseline): discounted bigram mass interpolated with an add-one
-    continuation distribution, D=0.75, all in exact integer 1/1024-bit
-    fixed point so both engines reproduce every score bit-for-bit. Model
-    trained on the lang='en' reference slice; model tables broadcast; ONE
-    corpus-sized shuffle (groupBy doc)."""
-    from affinity_spark.operators.lm import kn_score_bits, train_bigram_model
-
-    docs = _t(spark, sf_dir, "documents")
-    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
-    return kn_score_bits(docs, model)
-
-
-def _lg1024(x: str) -> str:
-    """DuckDB replay of operators.lm.flog2_x1024 (verified exact)."""
-    return (
-        f"(1024*(length(bin({x}))-1) + (({x}*1024) >> (length(bin({x}))-1)) - 1024)"
-    )
-
-
-_KN_CORE_CTES = f"""t AS (
-  SELECT doc_id, lang,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                     x -> x <> '') AS toks
-  FROM documents
-),
-db AS (
-  SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
-  FROM t, unnest(range(1, len(toks))) AS r(i)
-),
-c2 AS (
-  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM db WHERE lang = 'en' GROUP BY 1, 2
-),
-ctx AS (
-  SELECT w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
-  FROM c2 GROUP BY 1
-),
-cont AS (
-  SELECT w2, CAST(count(*) AS BIGINT) AS np FROM c2 GROUP BY 1
-),
-tot AS (
-  SELECT CAST(count(*) AS BIGINT) AS t_, CAST(count(DISTINCT w2) AS BIGINT) AS v_
-  FROM c2
-),
-scored AS (
-  SELECT db.doc_id,
-         CASE WHEN ctx.c1 IS NOT NULL
-              THEN greatest(COALESCE(c2.c, 0)*4 - 3, 0)*(t_ + v_)
-                   + 3*ctx.n1f*(COALESCE(cont.np, 0) + 1)
-              ELSE COALESCE(cont.np, 0) + 1 END AS num,
-         CASE WHEN ctx.c1 IS NOT NULL THEN ctx.c1*4*(t_ + v_)
-              ELSE t_ + v_ END AS den
-  FROM db CROSS JOIN tot
-  LEFT JOIN c2 ON db.w1 = c2.w1 AND db.w2 = c2.w2
-  LEFT JOIN ctx ON db.w1 = ctx.w1
-  LEFT JOIN cont ON db.w2 = cont.w2
-),
-bits AS (
-  SELECT doc_id, {_lg1024('den')} - {_lg1024('num')} AS b FROM scored
-)"""
-
-_KN_AGG_SELECT = """
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(b) AS BIGINT) AS nll_kn_x1024,
-       CAST(sum(b) AS BIGINT) * 100 // (CAST(count(*) AS BIGINT) * 1024)
-         AS bits_per_bigram_x100
-FROM bits GROUP BY doc_id
-"""
-
-_LM_BITS_KN_SQL = f"WITH {_KN_CORE_CTES} {_KN_AGG_SELECT}"
-
-
-def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail perplexity sharding (Wenzek et al. 2020 —
-    the step after scoring: per-language tertiles of the KN perplexity,
-    head = most reference-like). NOT a per-language ntile (a rank window
-    would serialize each language through one sorted task at 100 TB):
-    tertile cutoffs come from a value-domain-sized (lang, score)
-    histogram — the events_mad_outliers rank-selection discipline — and
-    bucketing is a broadcast-join map-side comparison with deterministic
-    cutoff tie semantics (ntile splits boundary ties arbitrarily; both
-    engines here agree bit-for-bit)."""
-    from affinity_spark.operators.lm import (
-        kn_score_bits,
-        perplexity_buckets,
-        train_bigram_model,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
-    scored = kn_score_bits(docs, model).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
-    out = perplexity_buckets(scored)
-    return out.select("doc_id", "lang", "bits_per_bigram_x100", "ppl_bucket")
-
-
-_CCNET_BUCKETS_SQL = f"""
-WITH {_KN_CORE_CTES},
-kn AS ({_KN_AGG_SELECT}),
-scores AS (
-  SELECT kn.doc_id, d.lang, kn.bits_per_bigram_x100 AS s
-  FROM kn JOIN documents d ON kn.doc_id = d.doc_id
-),
-hist AS (
-  SELECT lang, s, CAST(count(*) AS BIGINT) AS n FROM scores GROUP BY 1, 2
-),
-cum AS (
-  SELECT lang, s,
-         CAST(sum(n) OVER (PARTITION BY lang ORDER BY s
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
-         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
-  FROM hist
-),
-cuts AS (
-  SELECT lang,
-         min(CASE WHEN c * 3 >= tot THEN s END) AS c1,
-         min(CASE WHEN c * 3 >= tot * 2 THEN s END) AS c2
-  FROM cum GROUP BY lang
-)
-SELECT scores.doc_id, scores.lang,
-       s AS bits_per_bigram_x100,
-       CASE WHEN s <= c1 THEN 'head'
-            WHEN s <= c2 THEN 'middle'
-            ELSE 'tail' END AS ppl_bucket
-FROM scores JOIN cuts ON scores.lang = cuts.lang
-"""
-
-
-def docs_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The assembled corpus-filter verdict — what a production cleaning
-    job actually emits: per document, the Gopher rule gate (map-side),
-    the CCNet KN-perplexity tertile (broadcast model + histogram
-    cutoffs), and exact-dedup canonicality (fp window), folded into one
-    ``keep`` flag (pass AND canonical AND not perplexity-tail). Docs too
-    short to score (< 2 tokens) carry no fluency evidence and default to
-    the tail bucket. One corpus scan feeds all three signals; the only
-    corpus-sized shuffles are the fp window and the per-doc KN sum."""
-    from pyspark.sql import Window
-
-    from affinity_spark.functions.text import doc_fingerprint, gopher_rule_struct
-    from affinity_spark.operators.lm import (
-        kn_score_bits,
-        perplexity_buckets,
-        train_bigram_model,
-    )
-
-    docs = _t(spark, sf_dir, "documents")
-    g = docs.select("doc_id", gopher_rule_struct(F.col("text")).alias("g"))
-    quality = g.select(
-        "doc_id",
-        (
-            (F.col("g.n_words") >= 20)
-            & F.col("g.mean_word_len_x100").between(300, 1000)
-            & (F.col("g.top_token_bp") <= 1500)
-        ).alias("quality_pass"),
-    )
-    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
-    scored = kn_score_bits(docs, model).join(
-        docs.select("doc_id", "lang"), "doc_id"
-    )
-    buckets = perplexity_buckets(scored).select("doc_id", "ppl_bucket")
-    w_fp = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
-    canon = docs.select(
-        "doc_id", (F.row_number().over(w_fp) == 1).alias("is_canonical")
-    )
-    out = (
-        quality.join(canon, "doc_id")
-        .join(buckets, "doc_id", "left")
-        .select(
-            "doc_id",
-            "quality_pass",
-            F.coalesce(F.col("ppl_bucket"), F.lit("tail")).alias("ppl_bucket"),
-            "is_canonical",
-        )
-    )
-    return out.withColumn(
-        "keep",
-        F.col("quality_pass")
-        & F.col("is_canonical")
-        & (F.col("ppl_bucket") != "tail"),
-    )
-
-
-_FILTER_ENSEMBLE_SQL = f"""
-WITH {_KN_CORE_CTES},
-kn AS ({_KN_AGG_SELECT}),
-scores AS (
-  SELECT kn.doc_id, d.lang, kn.bits_per_bigram_x100 AS s
-  FROM kn JOIN documents d ON kn.doc_id = d.doc_id
-),
-hist AS (
-  SELECT lang, s, CAST(count(*) AS BIGINT) AS n FROM scores GROUP BY 1, 2
-),
-cum AS (
-  SELECT lang, s,
-         CAST(sum(n) OVER (PARTITION BY lang ORDER BY s
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
-         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
-  FROM hist
-),
-cuts AS (
-  SELECT lang,
-         min(CASE WHEN c * 3 >= tot THEN s END) AS c1,
-         min(CASE WHEN c * 3 >= tot * 2 THEN s END) AS c2
-  FROM cum GROUP BY lang
-),
-buckets AS (
-  SELECT scores.doc_id,
-         CASE WHEN s <= c1 THEN 'head'
-              WHEN s <= c2 THEN 'middle'
-              ELSE 'tail' END AS ppl_bucket
-  FROM scores JOIN cuts ON scores.lang = cuts.lang
-),
-gtoks AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                     w -> w <> '') AS tk
-  FROM documents
-),
-quality AS (
-  SELECT doc_id,
-         (CAST(len(tk) AS BIGINT) >= 20
-          AND CAST(COALESCE(list_sum(list_transform(tk, w -> len(w))), 0) * 100
-                   // greatest(len(tk), 1) AS BIGINT) BETWEEN 300 AND 1000
-          AND CAST(COALESCE(list_max(list_transform(list_distinct(tk),
-                     w -> len(list_filter(tk, x -> x = w)))), 0) * 10000
-                   // greatest(len(tk), 1) AS BIGINT) <= 1500) AS quality_pass
-  FROM gtoks
-),
-canon AS (
-  SELECT doc_id,
-         row_number() OVER (
-           PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-           ORDER BY doc_id) = 1 AS is_canonical
-  FROM documents
-)
-SELECT q.doc_id, q.quality_pass,
-       COALESCE(b.ppl_bucket, 'tail') AS ppl_bucket,
-       c.is_canonical,
-       (q.quality_pass AND c.is_canonical
-        AND COALESCE(b.ppl_bucket, 'tail') <> 'tail') AS keep
-FROM quality q
-JOIN canon c ON q.doc_id = c.doc_id
-LEFT JOIN buckets b ON q.doc_id = b.doc_id
-"""
-
-
-def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM (SentencePiece-style) subword segmentation (Kudo 2018;
-    the tokenizer family beside BPE): a substring-frequency seed
-    vocabulary (top-64 pieces of length 1-4, integer 1/1024-bit costs)
-    applied by exact integer VITERBI over the corpus's DISTINCT words —
-    type-level work: the corpus never flows through the DP; occurrences
-    would re-join the segmented types map-side. Tie-break contract:
-    minimum cost, then longest final piece; unknown single chars cost
-    2^20 (> any trained piece). The oracle replays the DP as a
-    per-word recursive CTE with correlated vocab lookups (the
-    events_debounce / FFD sequential-fold discipline) plus a second
-    recursive backtrace pass."""
-    from affinity_spark.operators.unigram import (
-        train_unigram_vocab,
-        viterbi_segment_words,
-    )
-    from affinity_spark.functions.text import tokenize
-
-    docs = _t(spark, sf_dir, "documents")
-    vocab = train_unigram_vocab(docs, max_pieces=64, piece_max_len=4)
-    words = docs.select(
-        F.explode(tokenize(F.col("text"))).alias("word")
-    ).distinct()
-    return viterbi_segment_words(words, vocab).select(
-        "word", "n_pieces", "cost_x1024", "segmentation"
-    )
-
-
-def _unigram_segment_sql() -> str:
-    unk = 1 << 20
-    big = 1 << 62
-
-    def cj(j):
-        base = f"costs[pos + 2 - {j}]"
-        look = (
-            f"(SELECT v2.cost FROM vocab v2 "
-            f"WHERE v2.piece = substr(word, pos + 2 - {j}, {j}))"
-        )
-        if j == 1:
-            return f"{base} + COALESCE({look}, {unk})"
-        return f"CASE WHEN pos + 1 >= {j} THEN {base} + {look} END"
-
-    best = "least(" + ", ".join(
-        f"COALESCE(c{j}, {big})" for j in (1, 2, 3, 4)
-    ) + ")"
-    bj = (
-        "CASE "
-        + " ".join(
-            f"WHEN c{j} IS NOT NULL AND c{j} = {best} THEN CAST({j} AS BIGINT)"
-            for j in (4, 3, 2)
-        )
-        + " ELSE CAST(1 AS BIGINT) END"
-    )
-    return f"""
-WITH RECURSIVE toks AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                x -> x <> '')) AS tok
-  FROM documents
-),
-cnts AS (
-  SELECT piece, CAST(count(*) AS BIGINT) AS c FROM (
-    SELECT unnest(flatten(list_transform(range(1, len(tok) + 1),
-             i -> list_transform(range(1, least(4, len(tok) - i + 1) + 1),
-                    j -> substr(tok, i, j))))) AS piece
-    FROM toks)
-  GROUP BY 1
-),
-vocab0 AS (SELECT piece, c FROM cnts ORDER BY c DESC, piece ASC LIMIT 64),
-tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab0),
-vocab AS (
-  SELECT piece, {_lg1024('(t + 64)')} - {_lg1024('(c + 1)')} AS cost
-  FROM vocab0 CROSS JOIN tot
-),
-words AS (SELECT DISTINCT tok AS word FROM toks),
-v(word, pos, costs, bps) AS (
-  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS BIGINT[]) FROM words
-  UNION ALL
-  SELECT word, pos + 1, costs || [{best}], bps || [{bj}]
-  FROM (
-    SELECT word, pos, costs, bps, {cj(1)} AS c1, {cj(2)} AS c2,
-           {cj(3)} AS c3, {cj(4)} AS c4
-    FROM v WHERE pos < len(word)
-  )
-),
-bt(word, pos, bps, segs, total) AS (
-  SELECT word, pos, bps, CAST([] AS VARCHAR[]) AS segs, costs[pos + 1] AS total
-  FROM v WHERE pos = len(word)
-  UNION ALL
-  SELECT word, pos - CAST(bps[pos] AS INT), bps,
-         list_prepend(substr(word, pos - CAST(bps[pos] AS INT) + 1,
-                             CAST(bps[pos] AS INT)), segs),
-         total
-  FROM bt WHERE pos > 0
-)
-SELECT word, CAST(len(segs) AS BIGINT) AS n_pieces,
-       CAST(total AS BIGINT) AS cost_x1024,
-       array_to_string(segs, '|') AS segmentation
-FROM bt WHERE pos = 0
-"""
-
-
-def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weights (Xie et al. 2023, public): hashed-unigram
-    floor-log2 likelihood ratio between the lang='en' target slice and the
-    whole corpus, summed per document — the score used to importance-
-    resample pretraining data toward a target domain. md5-derived buckets
-    so any engine reproduces the weights; 1024-row model broadcast."""
-    from affinity_spark.operators.lm import dsir_weights
-
-    docs = _t(spark, sf_dir, "documents")
-    return dsir_weights(docs, F.col("lang") == "en")
-
-
-_DUCK_DSIR_WTS_CTE = """WITH toks AS (
-  SELECT doc_id, lang = 'en' AS is_target,
-         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
-  FROM (
-    SELECT doc_id, lang,
-           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                              x -> x <> '')) AS tok
-    FROM documents
-  )
-),
-counts AS (
-  SELECT b,
-         CAST(count(*) AS BIGINT) AS cs,
-         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct
-  FROM toks GROUP BY b
-),
-wts AS (
-  SELECT toks.doc_id,
-         CAST(count(*) AS BIGINT) AS n_tokens,
-         CAST(sum((length(bin(ct + 1)) - 1) - (length(bin(cs + 1)) - 1)) AS BIGINT)
-           AS weight_bits
-  FROM toks JOIN counts ON toks.b = counts.b
-  GROUP BY toks.doc_id
-)"""
-
-
-_DSIR_SQL = _DUCK_DSIR_WTS_CTE + """
-SELECT doc_id, n_tokens, weight_bits FROM wts
-"""
-
-
-def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fastText-style supervised quality filter, end to end (Joulin et al.
-    2016; the GPT-3/LLaMA quality-classifier step): hash-split the corpus
-    90/10, train a hashed-unigram Naive Bayes model on the train slice,
-    score the held-out slice as integer log-odds bits, and emit the one-row
-    confusion matrix with precision/recall/F1 in basis points. Completes
-    the filter trio beside docs_lm_bits (perplexity) and docs_dsir_weights
-    (importance).
-
-    Label: stopword-dense docs (>=6% of tokens in {'the','a'} — the
-    C4/Gopher quality signal, threshold at the measured corpus median).
-    The testdata's ``lang`` column is metadata sampled independently of the
-    text (measured: every per-token log-odds is exactly 0 against it), so
-    the classifier distills a text-derived rule instead — the model has to
-    discover WHICH of the 1024 hashed buckets carry the signal from labels
-    alone, and held-out precision/recall are honestly < 100%.
-
-    All integer math; model broadcast; the only corpus-sized shuffles are
-    train counts and per-doc score sums."""
-    from affinity_spark.operators.lm import (
-        classifier_eval,
-        nb_score_bits,
-        train_nb_model,
-    )
-    from affinity_spark.operators.sampling import train_split
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokenize(F.col("text"))
-    n_stop = F.size(
-        F.filter(toks, lambda x: (x == "the") | (x == "a"))
-    ).cast("long")
-    is_pos = (n_stop * 10000 >= F.size(toks).cast("long") * 600).alias("is_pos")
-    lab = train_split(docs.select("doc_id", "text", is_pos), "doc_id")
-    train = lab.where(F.col("split") == "train")
-    heldout = lab.where(F.col("split") != "train")
-    model = train_nb_model(train, F.col("is_pos"))
-    scored = nb_score_bits(heldout, model)
-    joined = scored.join(heldout.select("doc_id", "is_pos"), "doc_id")
-    return classifier_eval(joined)
-
-
-_QUALITY_CLF_SQL = """
-WITH base AS (
-  SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                     x -> x <> '') AS toks,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-           % 1000 AS bucket
-  FROM documents
-),
-lab AS (
-  SELECT doc_id, toks, bucket,
-         CAST(len(list_filter(toks, x -> x IN ('the', 'a'))) AS BIGINT) * 10000
-           >= CAST(len(toks) AS BIGINT) * 600 AS is_pos
-  FROM base
-),
-tr AS (
-  SELECT is_pos,
-         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
-  FROM (
-    SELECT is_pos, unnest(toks) AS tok
-    FROM lab WHERE bucket < 900
-  )
-),
-model AS (
-  SELECT b,
-         CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-         CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS cn
-  FROM tr GROUP BY b
-),
-tot AS (
-  SELECT CAST(sum(cp) AS BIGINT) AS np_, CAST(sum(cn) AS BIGINT) AS nn_
-  FROM model
-),
-te AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS b
-  FROM (
-    SELECT doc_id, unnest(toks) AS tok
-    FROM lab WHERE bucket >= 900
-  )
-),
-lgargs AS (
-  -- lg(x) = 1024*(length(bin(x))-1) + ((x*1024) >> (length(bin(x))-1)) - 1024
-  SELECT te.doc_id,
-         coalesce(m.cp, 0) + 1 AS xp,
-         coalesce(m.cn, 0) + 1 AS xn,
-         np_ + 1024 AS xtp,
-         nn_ + 1024 AS xtn
-  FROM te LEFT JOIN model m ON te.b = m.b CROSS JOIN tot
-),
-scored AS (
-  SELECT doc_id,
-         CAST(sum(
-             (1024*(length(bin(xp))-1) + ((xp*1024) >> (length(bin(xp))-1)) - 1024)
-           - (1024*(length(bin(xn))-1) + ((xn*1024) >> (length(bin(xn))-1)) - 1024)
-           - (1024*(length(bin(xtp))-1) + ((xtp*1024) >> (length(bin(xtp))-1)) - 1024)
-           + (1024*(length(bin(xtn))-1) + ((xtn*1024) >> (length(bin(xtn))-1)) - 1024)
-         ) AS BIGINT) AS score_x1024
-  FROM lgargs
-  GROUP BY doc_id
-),
-ev AS (
-  SELECT s.score_x1024, l.is_pos
-  FROM scored s JOIN lab l ON s.doc_id = l.doc_id
-),
-cm AS (
-  SELECT
-    CAST(sum(CASE WHEN is_pos AND score_x1024 > 0 THEN 1 ELSE 0 END)
-         AS BIGINT) AS tp,
-    CAST(sum(CASE WHEN NOT is_pos AND score_x1024 > 0 THEN 1 ELSE 0 END)
-         AS BIGINT) AS fp,
-    CAST(sum(CASE WHEN is_pos AND score_x1024 <= 0 THEN 1 ELSE 0 END)
-         AS BIGINT) AS fn,
-    CAST(sum(CASE WHEN NOT is_pos AND score_x1024 <= 0 THEN 1 ELSE 0 END)
-         AS BIGINT) AS tn
-  FROM ev
-)
-SELECT tp + fp + fn + tn AS n_eval, tp, fp, fn, tn,
-       CASE WHEN tp + fp > 0 THEN tp * 10000 // (tp + fp) ELSE 0 END
-         AS precision_bp,
-       CASE WHEN tp + fn > 0 THEN tp * 10000 // (tp + fn) ELSE 0 END
-         AS recall_bp,
-       CASE WHEN 2 * tp + fp + fn > 0
-            THEN 2 * tp * 10000 // (2 * tp + fp + fn) ELSE 0 END
-         AS f1_bp
-FROM cm
-"""
-
-
 def docs_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher duplicate-n-gram repetition rules at n=2 (Rae et al. 2021
     §A.1.1): per doc, the top bigram's share and the duplicate-bigram share
@@ -2534,47 +1959,6 @@ dots AS (
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, dot FROM dots ORDER BY dot DESC, id_a, id_b LIMIT 50
-"""
-
-
-def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance RESAMPLING — the selection step that consumes
-    ``docs_dsir_weights`` (Xie et al. 2023): per source, take docs in
-    descending weight order until a 600-token budget fills (exclusive
-    running sum, the ``token_budget_sample`` stop rule), i.e. "the most
-    target-like data from each source, budgeted in tokens".
-
-    Deterministic: (weight_bits DESC, doc_id) is a total order and the
-    budget test is integer. Scale shape: the window partitions by source
-    (the 100 TB partition column); for a GLOBAL budget use the
-    ``token_budget_sample_scalable`` two-phase bucket cutoff instead."""
-    from affinity_spark.operators.lm import dsir_weights
-    from affinity_spark.operators.sampling import token_budget_sample
-
-    docs = _t(spark, sf_dir, "documents")
-    wts = dsir_weights(docs, F.col("lang") == "en")
-    j = wts.join(docs.select("doc_id", "source"), "doc_id")
-    return token_budget_sample(
-        j, "doc_id", "source", "n_tokens", 600,
-        order_by=[F.col("weight_bits").desc(), F.col("doc_id").asc()],
-    ).select("doc_id", "source", "weight_bits", "n_tokens", "cum_before")
-
-
-_DSIR_SAMPLE_SQL = _DUCK_DSIR_WTS_CTE + """,
-j AS (
-  SELECT w.doc_id, d.source, w.weight_bits, w.n_tokens
-  FROM wts w JOIN documents d USING (doc_id)
-),
-c AS (
-  SELECT *,
-         CAST(coalesce(sum(n_tokens) OVER (
-           PARTITION BY source ORDER BY weight_bits DESC, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS cum_before
-  FROM j
-)
-SELECT doc_id, source, weight_bits, n_tokens, cum_before
-FROM c WHERE cum_before < 600
 """
 
 
