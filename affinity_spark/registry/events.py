@@ -1531,6 +1531,97 @@ FROM split GROUP BY event_type, bucket
 """
 
 
+def events_hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation — the 100 TB rollup story: DAILY per-day HLL
+    register tables merged into the whole-period sketch by bucket-wise
+    register MAX, never rescanning raw events (a deployment stores the
+    daily 256-row sketches and answers month/quarter distincts from
+    them). The query pins the algebra: merged-from-daily must equal the
+    direct whole-corpus sketch register-for-register (n_mismatch = 0),
+    and emits the exact integer harmonic numerator sum(2^(53-r)) the HLL
+    estimate divides by — engine-exact, so the hash covers the full
+    estimator state, not a float."""
+    from affinity_spark.operators.sketches import (
+        hll_registers,
+        hll_registers_by_group,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_registers_by_group(
+        ev.withColumn("_day", F.date_format(F.col("ts"), "yyyy-MM-dd")),
+        "_day",
+        F.col("user_id").cast("string"),
+        p=8,
+    )
+    merged = daily.groupBy("bucket").agg(F.max("register").alias("register"))
+    direct = hll_registers(ev, F.col("user_id").cast("string"), p=8)
+    n_days = daily.select(F.countDistinct("_day").cast("long").alias("n_days"))
+    cmp = merged.join(
+        direct.withColumnRenamed("register", "register_d"), "bucket", "full"
+    )
+    pow_term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (53 - F.col("register")).cast("int")
+    )
+    agg = cmp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("register").cast("long").alias("sum_registers"),
+        F.sum(pow_term).cast("long").alias("harmonic_num"),
+        F.sum(
+            F.when(
+                F.col("register").isNull()
+                | F.col("register_d").isNull()
+                | (F.col("register") != F.col("register_d")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+    return F.broadcast(n_days).crossJoin(agg).select(
+        "n_days", "n_buckets", "sum_registers", "harmonic_num", "n_mismatch"
+    )
+
+
+_HLL_ROLLUP_SQL = """
+WITH h AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+),
+split AS (SELECT day, hv % 256 AS bucket, hv // 256 AS w FROM h),
+daily AS (
+  SELECT day, bucket,
+         CAST(max(CASE WHEN w > 0 THEN 52 - (length(bin(w)) - 1)
+                       ELSE 53 END) AS BIGINT) AS register
+  FROM split GROUP BY day, bucket
+),
+merged AS (
+  SELECT bucket, CAST(max(register) AS BIGINT) AS register
+  FROM daily GROUP BY bucket
+),
+direct AS (
+  SELECT bucket,
+         CAST(max(CASE WHEN w > 0 THEN 52 - (length(bin(w)) - 1)
+                       ELSE 53 END) AS BIGINT) AS register
+  FROM split GROUP BY bucket
+),
+days AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days FROM daily)
+SELECT days.n_days,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(m.register) AS BIGINT) AS sum_registers,
+       CAST(sum(1::BIGINT << CAST(53 - m.register AS INT)) AS BIGINT)
+         AS harmonic_num,
+       CAST(sum(CASE WHEN m.register IS NULL OR d.register IS NULL
+                       OR m.register <> d.register THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mismatch
+FROM merged m
+FULL JOIN direct d ON m.bucket = d.bucket
+CROSS JOIN days
+GROUP BY days.n_days
+"""
+
+
 def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over orders: not-null / set-membership
     / range rules compiled to ONE conditional-sum aggregate, key-uniqueness
