@@ -1622,6 +1622,58 @@ GROUP BY days.n_days
 """
 
 
+_HLL_STORES: dict = {}
+
+
+def events_hll_range_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range distinct-estimate SERVED FROM THE MAINTAINED SKETCH STORE
+    (operators/sketch_store.py — the fourth maintained-index family):
+    per-day HLL register tables live in a day-partitioned KeyedTable
+    (built once per process, the shared_postings/shared_ivf contract);
+    "distinct users in Jan 08-22" reads ONLY the in-range day partitions
+    (PartitionFilters-pruned) and bucket-max-merges 2^p-row sketches —
+    raw events are never rescanned. Output is the exact integer
+    estimator state (register sum + harmonic numerator), so the hash
+    covers everything the float HLL formula consumes."""
+    import tempfile
+
+    from affinity_spark.operators.postings import _corpus_fingerprint
+    from affinity_spark.operators.sketch_store import HLLStore
+
+    ev = _t(spark, sf_dir, "events")
+    key = (spark.sparkContext.applicationId, f"hll:{sf_dir}")
+    fp = _corpus_fingerprint(ev)
+    cached = _HLL_STORES.get(key)
+    if cached is None or cached[0] != fp or not cached[1].exists():
+        st = HLLStore(spark, tempfile.mkdtemp(prefix="affinity_hll_"))
+        st.build(ev, F.col("user_id").cast("string"))
+        _HLL_STORES[key] = (fp, st)
+    st = _HLL_STORES[key][1]
+    return st.estimate_state("2024-01-08", "2024-01-22")
+
+
+_HLL_RANGE_STORE_SQL = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+  WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-22'
+),
+regs AS (
+  SELECT hv % 256 AS bucket,
+         CAST(max(CASE WHEN hv // 256 > 0
+                       THEN 52 - (length(bin(hv // 256)) - 1)
+                       ELSE 53 END) AS BIGINT) AS register
+  FROM h GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(register) AS BIGINT) AS sum_registers,
+       CAST(sum(1::BIGINT << CAST(53 - register AS INT)) AS BIGINT)
+         AS harmonic_num
+FROM regs
+"""
+
+
 def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over orders: not-null / set-membership
     / range rules compiled to ONE conditional-sum aggregate, key-uniqueness
