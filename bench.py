@@ -129,8 +129,12 @@ R8_SET = [
 # totals stay anchor-comparable.
 R9_SET = [
     "emb_ivfpq_search",
+    "emb_pq_batch_search",
     "docs_lm_bits_kn",
     "docs_ccnet_buckets",
+    "docs_filter_ensemble",
+    "docs_unigram_segment",
+    "events_hll_range_store",
 ]
 
 

@@ -95,6 +95,9 @@ DEFAULT_QUERIES = [
     "docs_ccnet_buckets",
     "emb_pq_batch_search",
     "emb_ivfpq_recall",
+    "docs_filter_ensemble",
+    "docs_unigram_segment",
+    "events_hll_range_store",
 ]
 
 
