@@ -1674,6 +1674,70 @@ FROM regs
 """
 
 
+_DD_STORES: dict = {}
+
+
+def events_dd_range_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range quantiles SERVED FROM THE MAINTAINED DDSketch STORE
+    (operators/dd_store.py — the ADDITIVE sketch-store sibling of
+    events_hll_range_store): per-day octave-bucket count tables in a
+    day-partitioned KeyedTable; "p50/p90/p99 of value in Jan 08-22" sums
+    ONLY the in-range day partitions' sketch rows and rank-selects —
+    raw events never rescanned. Addition is not replay-idempotent, so
+    the store's maintainer carries the run-scoped applied-batch fence
+    (tests/test_dd_store.py pins the contrast with HLL's free max
+    idempotence). Values in cents; all integer arithmetic."""
+    import tempfile
+
+    from affinity_spark.operators.dd_store import DDStore
+    from affinity_spark.operators.postings import _corpus_fingerprint
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    key = (spark.sparkContext.applicationId, f"dd:{sf_dir}")
+    fp = _corpus_fingerprint(ev)
+    cached = _DD_STORES.get(key)
+    if cached is None or cached[0] != fp or not cached[1].exists():
+        st = DDStore(
+            spark, tempfile.mkdtemp(prefix="affinity_dd_"), value_col="cents"
+        )
+        st.build(ev)
+        _DD_STORES[key] = (fp, st)
+    st = _DD_STORES[key][1]
+    return st.quantiles_for_range("2024-01-08", "2024-01-22")
+
+
+_DD_RANGE_STORE_SQL = r"""
+WITH v AS (
+  SELECT greatest(CAST(floor("value" * 100 + 0.5) AS BIGINT), 1) AS v
+  FROM events
+  WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-22'
+),
+b AS (
+  SELECT (length(bin(v)) - 1) * 8
+         + ((v - (1::BIGINT << (length(bin(v)) - 1))) * 8)
+           // (1::BIGINT << (length(bin(v)) - 1)) AS bucket
+  FROM v
+),
+s AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+c AS (
+  SELECT bucket, n,
+         CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(n) OVER () AS BIGINT) AS tot,
+         (1::BIGINT << CAST(bucket // 8 AS INT)) AS pw
+  FROM s
+),
+l AS (SELECT *, pw + ((bucket % 8) * pw) // 8 AS lo FROM c)
+SELECT CAST(max(tot) AS BIGINT) AS n,
+       CAST(min(CASE WHEN cum >= (tot - 1) * 50 // 100 + 1 THEN lo END) AS BIGINT) AS p50_est,
+       CAST(min(CASE WHEN cum >= (tot - 1) * 90 // 100 + 1 THEN lo END) AS BIGINT) AS p90_est,
+       CAST(min(CASE WHEN cum >= (tot - 1) * 99 // 100 + 1 THEN lo END) AS BIGINT) AS p99_est
+FROM l
+"""
+
+
 def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over orders: not-null / set-membership
     / range rules compiled to ONE conditional-sum aggregate, key-uniqueness
