@@ -135,6 +135,7 @@ R9_SET = [
     "docs_filter_ensemble",
     "docs_unigram_segment",
     "events_hll_range_store",
+    "events_dd_range_store",
 ]
 
 

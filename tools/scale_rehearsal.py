@@ -98,6 +98,7 @@ DEFAULT_QUERIES = [
     "docs_filter_ensemble",
     "docs_unigram_segment",
     "events_hll_range_store",
+    "events_dd_range_store",
 ]
 
 
