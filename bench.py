@@ -283,7 +283,21 @@ def _run(sf_dir: str) -> dict:
     def consume(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    def set_boundary() -> None:
+        # 174 queries' accumulated plan/codegen state measurably inflates
+        # LATE sets inside one JVM (r9 A/B: the r8 set reads 15.9 s as the
+        # 5th set of a full run vs 10.9 s in a fresh JVM on the same host
+        # minutes apart). Dropping cached relations and nudging a full GC
+        # at set boundaries keeps per-set numbers comparable to their
+        # isolated anchors without paying a JVM restart per set.
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     def time_set(names: list[str]) -> dict[str, float]:
+        set_boundary()
         out: dict[str, float] = {}
         for name in names:
             fn = queries[name]
