@@ -102,9 +102,9 @@ def train_unigram_vocab(
 
 def viterbi_segment(
     word: str, costs: dict[str, int], piece_max_len: int = PIECE_MAX_LEN
-) -> tuple[int, int, str]:
-    """Exact integer Viterbi for one word: (n_pieces, total cost,
-    '|'-joined segmentation). Pure python — the per-row kernel of
+) -> tuple[int, int, list[str]]:
+    """Exact integer Viterbi for one word: (n_pieces, total cost, piece
+    list). Pure python — the per-row kernel of
     :func:`viterbi_segment_words` and the reference for the tests and
     the recursive-CTE oracle. Tie-break: min cost, then longest piece."""
     n = len(word)
@@ -131,7 +131,7 @@ def viterbi_segment(
         segs.append(word[p - j : p])
         p -= j
     segs.reverse()
-    return len(segs), best[n], "|".join(segs)
+    return len(segs), best[n], segs
 
 
 def viterbi_segment_words(
@@ -145,11 +145,17 @@ def viterbi_segment_words(
     collect is model-sized by construction (≤ max_pieces rows)."""
     costs = {r["piece"]: int(r["cost_x1024"]) for r in vocab.collect()}
 
-    @F.pandas_udf("n_pieces long, cost_x1024 long, segmentation string")
+    @F.pandas_udf(
+        "n_pieces long, cost_x1024 long, pieces array<string>, "
+        "segmentation string"
+    )
     def seg(col: pd.Series) -> pd.DataFrame:
-        rows = [viterbi_segment(w, costs, piece_max_len) for w in col]
+        rows = []
+        for w in col:
+            n, c, segs = viterbi_segment(w, costs, piece_max_len)
+            rows.append((n, c, segs, "|".join(segs)))
         return pd.DataFrame(
-            rows, columns=["n_pieces", "cost_x1024", "segmentation"]
+            rows, columns=["n_pieces", "cost_x1024", "pieces", "segmentation"]
         )
 
     out = words.withColumn("_s", seg(F.col(word_col)))
@@ -157,5 +163,83 @@ def viterbi_segment_words(
         *words.columns,
         F.col("_s.n_pieces").alias("n_pieces"),
         F.col("_s.cost_x1024").alias("cost_x1024"),
+        F.col("_s.pieces").alias("pieces"),
         F.col("_s.segmentation").alias("segmentation"),
     )
+
+
+def reestimate_costs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    piece_max_len: int = PIECE_MAX_LEN,
+) -> DataFrame:
+    """ONE hard-EM round (Kudo 2018 §3.2's E/M with Viterbi hard
+    assignments — the deterministic, oracle-exact variant of the
+    probabilistic EM; float forward-backward cannot hash-reproduce):
+    segment every word TYPE under the current costs, weight each used
+    piece by the word's corpus occurrence count, and re-derive costs as
+    ``lg(total_used + |V|) - lg(used + 1)`` over the FIXED vocabulary
+    (unknown-char fallbacks never enter the estimate). Pieces the
+    segmentation stopped using get the max cost instead of vanishing —
+    hard-EM prunes by disuse, not by deletion, so the vocab stays
+    joinable round over round.
+
+    Scale shape per round: one distinct-words aggregate (type-level),
+    the Viterbi pandas UDF over types, one piece-usage aggregate
+    (vocab-bounded), zero corpus-sized joins."""
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    seg = viterbi_segment_words(words, vocab, piece_max_len=piece_max_len)
+    usage = (
+        seg.select("wc", F.explode("pieces").alias("piece"))
+        .join(F.broadcast(vocab.select("piece")), "piece")
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("used"))
+    )
+    base = (
+        vocab.select("piece")
+        .join(usage, "piece", "left")
+        .select(
+            "piece",
+            F.coalesce(F.col("used"), F.lit(0).cast("long")).alias("used"),
+        )
+    )
+    tot = base.agg(
+        F.sum("used").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return base.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        (
+            flog2_x1024(F.col("t") + F.col("k"))
+            - flog2_x1024(F.col("used") + F.lit(1))
+        ).alias("cost_x1024"),
+    )
+
+
+def train_unigram_hard_em(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_pieces: int = 64,
+    piece_max_len: int = PIECE_MAX_LEN,
+    rounds: int = 1,
+) -> DataFrame:
+    """Seed vocabulary + ``rounds`` hard-EM refinements. Each round
+    re-weights pieces by how much the CURRENT segmentation actually uses
+    them (substring frequency over-counts overlapping pieces; usage
+    counts each character exactly once), so multi-char pieces that win
+    segmentations get cheaper and crowded-out pieces decay toward the
+    max cost."""
+    vocab = train_unigram_vocab(
+        docs, text_col=text_col, max_pieces=max_pieces,
+        piece_max_len=piece_max_len,
+    )
+    for _ in range(rounds):
+        vocab = reestimate_costs(
+            docs, vocab, text_col=text_col, piece_max_len=piece_max_len
+        )
+    return vocab

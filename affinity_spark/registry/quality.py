@@ -344,15 +344,18 @@ def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _unigram_segment_sql() -> str:
+def _viterbi_blocks(sfx: str, vocab: str, words: str) -> str:
+    """One Viterbi DP + backtrace as a pair of recursive CTE blocks
+    (``v{sfx}``/``bt{sfx}``), parameterized by the vocab relation —
+    chained by the hard-EM oracle, which runs the pair twice."""
     unk = 1 << 20
     big = 1 << 62
 
     def cj(j):
         base = f"costs[pos + 2 - {j}]"
         look = (
-            f"(SELECT v2.cost FROM vocab v2 "
-            f"WHERE v2.piece = substr(word, pos + 2 - {j}, {j}))"
+            f"(SELECT vv.cost FROM {vocab} vv "
+            f"WHERE vv.piece = substr(word, pos + 2 - {j}, {j}))"
         )
         if j == 1:
             return f"{base} + COALESCE({look}, {unk})"
@@ -369,8 +372,29 @@ def _unigram_segment_sql() -> str:
         )
         + " ELSE CAST(1 AS BIGINT) END"
     )
-    return f"""
-WITH RECURSIVE toks AS (
+    return f"""v{sfx}(word, pos, costs, bps) AS (
+  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS BIGINT[]) FROM {words}
+  UNION ALL
+  SELECT word, pos + 1, costs || [{best}], bps || [{bj}]
+  FROM (
+    SELECT word, pos, costs, bps, {cj(1)} AS c1, {cj(2)} AS c2,
+           {cj(3)} AS c3, {cj(4)} AS c4
+    FROM v{sfx} WHERE pos < len(word)
+  )
+),
+bt{sfx}(word, pos, bps, segs, total) AS (
+  SELECT word, pos, bps, CAST([] AS VARCHAR[]) AS segs, costs[pos + 1] AS total
+  FROM v{sfx} WHERE pos = len(word)
+  UNION ALL
+  SELECT word, pos - CAST(bps[pos] AS INT), bps,
+         list_prepend(substr(word, pos - CAST(bps[pos] AS INT) + 1,
+                             CAST(bps[pos] AS INT)), segs),
+         total
+  FROM bt{sfx} WHERE pos > 0
+)"""
+
+
+_UNIGRAM_PRELUDE = f"""toks AS (
   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                 x -> x <> '')) AS tok
   FROM documents
@@ -389,32 +413,86 @@ vocab AS (
   SELECT piece, {_lg1024('(t + 64)')} - {_lg1024('(c + 1)')} AS cost
   FROM vocab0 CROSS JOIN tot
 ),
-words AS (SELECT DISTINCT tok AS word FROM toks),
-v(word, pos, costs, bps) AS (
-  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS BIGINT[]) FROM words
-  UNION ALL
-  SELECT word, pos + 1, costs || [{best}], bps || [{bj}]
-  FROM (
-    SELECT word, pos, costs, bps, {cj(1)} AS c1, {cj(2)} AS c2,
-           {cj(3)} AS c3, {cj(4)} AS c4
-    FROM v WHERE pos < len(word)
-  )
-),
-bt(word, pos, bps, segs, total) AS (
-  SELECT word, pos, bps, CAST([] AS VARCHAR[]) AS segs, costs[pos + 1] AS total
-  FROM v WHERE pos = len(word)
-  UNION ALL
-  SELECT word, pos - CAST(bps[pos] AS INT), bps,
-         list_prepend(substr(word, pos - CAST(bps[pos] AS INT) + 1,
-                             CAST(bps[pos] AS INT)), segs),
-         total
-  FROM bt WHERE pos > 0
-)
+words AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc FROM toks GROUP BY 1
+)"""
+
+
+_UNIGRAM_FINAL = """
 SELECT word, CAST(len(segs) AS BIGINT) AS n_pieces,
        CAST(total AS BIGINT) AS cost_x1024,
        array_to_string(segs, '|') AS segmentation
-FROM bt WHERE pos = 0
+FROM {bt} WHERE pos = 0
 """
+
+
+def _unigram_segment_sql() -> str:
+    return (
+        f"\nWITH RECURSIVE {_UNIGRAM_PRELUDE},\n"
+        + _viterbi_blocks("", "vocab", "words")
+        + _UNIGRAM_FINAL.format(bt="bt")
+    )
+
+
+def _unigram_em_sql() -> str:
+    """One hard-EM refinement, oracle-side: segment under the seed vocab
+    (v/bt), re-weight the FIXED vocabulary by occurrence-weighted piece
+    usage, re-derive costs, and segment again (v2/bt2)."""
+    return (
+        f"\nWITH RECURSIVE {_UNIGRAM_PRELUDE},\n"
+        + _viterbi_blocks("", "vocab", "words")
+        + f""",
+usage1 AS (
+  SELECT u.piece, CAST(sum(w.wc) AS BIGINT) AS used
+  FROM (
+    SELECT word, unnest(segs) AS piece FROM bt WHERE pos = 0
+  ) u
+  JOIN words w ON u.word = w.word
+  WHERE u.piece IN (SELECT piece FROM vocab)
+  GROUP BY 1
+),
+base2 AS (
+  SELECT vocab.piece, COALESCE(usage1.used, 0) AS used
+  FROM vocab LEFT JOIN usage1 ON vocab.piece = usage1.piece
+),
+tot2 AS (
+  SELECT CAST(sum(used) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k
+  FROM base2
+),
+vocab2 AS (
+  SELECT piece, {_lg1024('(t + k)')} - {_lg1024('(used + 1)')} AS cost
+  FROM base2 CROSS JOIN tot2
+),
+"""
+        + _viterbi_blocks("2", "vocab2", "words")
+        + _UNIGRAM_FINAL.format(bt="bt2")
+    )
+
+
+
+def docs_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer after ONE hard-EM refinement round (Kudo 2018
+    §3.2 with Viterbi hard assignments — deterministic and integer-
+    exact, unlike float forward-backward): segment under the seed
+    vocabulary, re-weight the FIXED vocabulary by occurrence-weighted
+    piece usage (substring counting over-counts overlapping pieces;
+    usage counts each character once), re-derive costs, segment again.
+    The oracle chains two per-word recursive-CTE Viterbi passes with the
+    usage re-estimation between. Per-round scale shape: type-level DP +
+    vocab-bounded usage aggregate, zero corpus-sized joins."""
+    from affinity_spark.operators.unigram import (
+        train_unigram_hard_em,
+        viterbi_segment_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_unigram_hard_em(docs, max_pieces=64, rounds=1)
+    words = docs.select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    ).distinct()
+    return viterbi_segment_words(words, vocab).select(
+        "word", "n_pieces", "cost_x1024", "segmentation"
+    )
 
 
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

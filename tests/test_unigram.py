@@ -15,24 +15,24 @@ from affinity_spark.operators.unigram import (
 def test_viterbi_picks_min_cost_segmentation():
     costs = {"ab": 10, "a": 8, "b": 8, "abc": 100, "c": 5}
     # 'abc': ab|c = 15 beats a|b|c = 21 and abc = 100
-    assert viterbi_segment("abc", costs) == (2, 15, "ab|c")
+    assert viterbi_segment("abc", costs) == (2, 15, ["ab", "c"])
 
 
 def test_viterbi_tie_breaks_toward_longest_piece():
     costs = {"a": 5, "aa": 10}
     # 'aa': a|a = 10 == aa = 10 -> the LONGEST final piece wins
-    assert viterbi_segment("aa", costs) == (1, 10, "aa")
+    assert viterbi_segment("aa", costs) == (1, 10, ["aa"])
 
 
 def test_viterbi_unknown_chars_cost_unk():
     costs = {"a": 5}
     n, c, s = viterbi_segment("axa", costs)
-    assert (n, s) == (3, "a|x|a")
+    assert (n, s) == (3, ["a", "x", "a"])
     assert c == 10 + UNK_COST_X1024
 
 
 def test_viterbi_empty_word():
-    assert viterbi_segment("", {"a": 1}) == (0, 0, "")
+    assert viterbi_segment("", {"a": 1}) == (0, 0, [])
 
 
 def test_train_vocab_is_deterministic_topk(spark):
@@ -72,4 +72,44 @@ def test_spark_segmentation_matches_python_kernel(spark):
         for r in viterbi_segment_words(words, vocab).collect()
     }
     for w in ["alpha", "beta", "alphabet", "bet", "a"]:
-        assert got[w] == viterbi_segment(w, costs)
+        n, c, segs = viterbi_segment(w, costs)
+        assert got[w] == (n, c, "|".join(segs))
+
+
+def test_hard_em_reweights_by_usage(spark):
+    """One hard-EM round: a piece that WINS segmentations gets cheaper
+    relative to overlapping pieces the Viterbi stopped using (substring
+    seeding over-counts overlaps; usage counts each character once), and
+    the vocabulary stays fixed (same piece set, new costs)."""
+    from affinity_spark.operators.unigram import (
+        reestimate_costs,
+        train_unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab cd")], "doc_id long, text string"
+    )
+    v0 = train_unigram_vocab(docs, max_pieces=16)
+    v1 = reestimate_costs(docs, v0)
+    p0 = {r["piece"]: r["cost_x1024"] for r in v0.collect()}
+    p1 = {r["piece"]: r["cost_x1024"] for r in v1.collect()}
+    assert set(p0) == set(p1)  # fixed vocabulary, re-weighted
+    # 'abab' segments as one piece; its parts 'a'/'b'/'ab' fall out of
+    # use and must now cost at least as much as the winner
+    assert p1["abab"] < p1["ab"]
+    assert p1["abab"] <= min(p1["a"], p1["b"])
+    # python twin agreement: costs dict from round-1 vocab re-segments
+    # identically through the Spark UDF path
+    from affinity_spark.operators.unigram import (
+        viterbi_segment,
+        viterbi_segment_words,
+    )
+
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).distinct()
+    got = {
+        r["word"]: (r["n_pieces"], r["cost_x1024"], r["segmentation"])
+        for r in viterbi_segment_words(words, v1).collect()
+    }
+    for w in ["abab", "cd"]:
+        n, c, segs = viterbi_segment(w, p1)
+        assert got[w] == (n, c, "|".join(segs))
