@@ -54,6 +54,7 @@ def train_unigram_vocab(
     text_col: str = "text",
     max_pieces: int = 64,
     piece_max_len: int = PIECE_MAX_LEN,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """(piece, cost_x1024) — substring-frequency seed vocabulary.
 
@@ -64,9 +65,38 @@ def train_unigram_vocab(
     count of the SELECTED pieces) — a monotone negative-log-frequency in
     exact fixed point. Note ``substring`` byte-scans per call: tokens are
     word-sized here; for pathological unbroken-text inputs, pre-split
-    with the char-array idiom (functions/text.py)."""
-    tok = F.explode(tokenize(F.col(text_col))).alias("tok")
-    pieces = docs.select(tok).select(
+    with the char-array idiom (functions/text.py).
+
+    The substring explode (~piece_max_len * avg_len pieces per token) is
+    the one corpus-linear stage (measured: the only super-×10 growth in
+    the family's ×30 rehearsal). Vocabulary learning doesn't need every
+    occurrence: ``sample_mod=N`` harvests from the deterministic
+    1/N hash-sample of token occurrences (md5-based, engine-portable) —
+    the standard tokenizer-training move at 100 TB, leaving apply
+    (type-level Viterbi) untouched."""
+    if sample_mod is None:
+        toks_df = docs.select(
+            F.explode(tokenize(F.col(text_col))).alias("tok")
+        )
+    else:
+        # occurrence key = (doc text digest, in-doc position, token) — a
+        # pure function of the DATA, so the sample is identical under any
+        # partitioning or engine (monotonically_increasing_id is neither)
+        toks_df = docs.select(
+            F.md5(F.col(text_col)).alias("_d"),
+            F.posexplode(tokenize(F.col(text_col))).alias("_p", "tok"),
+        ).filter(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", "_d", "_p", "tok")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % sample_mod
+            == 0
+        ).select("tok")
+    pieces = toks_df.select(
         F.explode(
             F.flatten(
                 F.transform(

@@ -113,3 +113,21 @@ def test_hard_em_reweights_by_usage(spark):
     for w in ["abab", "cd"]:
         n, c, segs = viterbi_segment(w, p1)
         assert got[w] == (n, c, "|".join(segs))
+
+
+def test_sampled_vocab_is_deterministic_and_scales_counts(spark):
+    """sample_mod harvests the seed vocabulary from a content-derived
+    1/N occurrence sample: deterministic across runs (pure function of
+    the data, not of partitioning) and non-empty on a realistic mod."""
+    from affinity_spark.operators.unigram import train_unigram_vocab
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 5) for i in range(40)],
+        "doc_id long, text string",
+    )
+    v1 = {(r["piece"], r["cost_x1024"])
+          for r in train_unigram_vocab(docs, max_pieces=16, sample_mod=3).collect()}
+    v2 = {(r["piece"], r["cost_x1024"])
+          for r in train_unigram_vocab(
+              docs.repartition(7), max_pieces=16, sample_mod=3).collect()}
+    assert v1 == v2 and len(v1) == 16
