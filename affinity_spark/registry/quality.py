@@ -434,10 +434,10 @@ def _unigram_segment_sql() -> str:
     )
 
 
-def _unigram_em_sql() -> str:
-    """One hard-EM refinement, oracle-side: segment under the seed vocab
-    (v/bt), re-weight the FIXED vocabulary by occurrence-weighted piece
-    usage, re-derive costs, and segment again (v2/bt2)."""
+def _unigram_em_chain() -> str:
+    """The full two-round CTE chain: prelude + seed-vocab Viterbi (v/bt)
+    + occurrence-weighted usage re-estimation + refined-vocab Viterbi
+    (v2/bt2). Shared by the EM-segmentation and fertility oracles."""
     return (
         f"\nWITH RECURSIVE {_UNIGRAM_PRELUDE},\n"
         + _viterbi_blocks("", "vocab", "words")
@@ -465,8 +465,35 @@ vocab2 AS (
 ),
 """
         + _viterbi_blocks("2", "vocab2", "words")
-        + _UNIGRAM_FINAL.format(bt="bt2")
     )
+
+
+def _unigram_em_sql() -> str:
+    """One hard-EM refinement, oracle-side: segment under the seed vocab
+    (v/bt), re-weight the FIXED vocabulary by occurrence-weighted piece
+    usage, re-derive costs, and segment again (v2/bt2)."""
+    return _unigram_em_chain() + _UNIGRAM_FINAL.format(bt="bt2")
+
+
+def _unigram_fertility_sql() -> str:
+    return _unigram_em_chain() + """,
+seedagg AS (
+  SELECT CAST(sum(w.wc * len(b.segs)) AS BIGINT) AS sp
+  FROM bt b JOIN words w ON b.word = w.word WHERE b.pos = 0
+),
+emagg AS (
+  SELECT CAST(sum(w.wc * len(b.segs)) AS BIGINT) AS se
+  FROM bt2 b JOIN words w ON b.word = w.word WHERE b.pos = 0
+),
+tokc AS (
+  SELECT CAST(count(*) AS BIGINT) AS nw, CAST(sum(wc) AS BIGINT) AS nt
+  FROM words
+)
+SELECT nw AS n_word_types, nt AS n_tokens,
+       sp * 1000 // nt AS fert_seed_x1000,
+       se * 1000 // nt AS fert_em_x1000
+FROM tokc CROSS JOIN seedagg CROSS JOIN emagg
+"""
 
 
 
@@ -493,6 +520,54 @@ def docs_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viterbi_segment_words(words, vocab).select(
         "word", "n_pieces", "cost_x1024", "segmentation"
     )
+
+
+def docs_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the hard-EM round BUYS, measured: occurrence-weighted
+    tokenizer fertility (pieces per token, x1000 integer) under the seed
+    vocabulary vs after one EM re-weighting — the compression readout
+    real tokenizer training optimizes (docs_tokenizer_fertility's
+    discipline applied to the unigram family). Both segmentations are
+    type-level; the corpus contributes only occurrence counts."""
+    from affinity_spark.operators.unigram import (
+        reestimate_costs,
+        train_unigram_vocab,
+        viterbi_segment_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seed = train_unigram_vocab(docs, max_pieces=64)
+    em = reestimate_costs(docs, seed)
+    words = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    from affinity_spark.cache import track as _track_cache
+
+    words = _track_cache(words.persist())  # two segmentation consumers
+
+    def fert(vocab, alias):
+        seg = viterbi_segment_words(words, vocab)
+        return seg.agg(
+            F.sum(F.col("wc") * F.col("n_pieces")).cast("long").alias(alias)
+        )
+
+    totals = words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        F.sum("wc").cast("long").alias("n_tokens"),
+    )
+    out = (
+        totals.crossJoin(F.broadcast(fert(seed, "sp")))
+        .crossJoin(F.broadcast(fert(em, "se")))
+        .select(
+            "n_word_types",
+            "n_tokens",
+            F.expr("sp * 1000 div n_tokens").alias("fert_seed_x1000"),
+            F.expr("se * 1000 div n_tokens").alias("fert_em_x1000"),
+        )
+    )
+    return out
 
 
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
