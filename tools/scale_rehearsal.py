@@ -99,6 +99,8 @@ DEFAULT_QUERIES = [
     "docs_unigram_segment",
     "events_hll_range_store",
     "events_dd_range_store",
+    "docs_unigram_em",
+    "docs_unigram_fertility",
 ]
 
 
