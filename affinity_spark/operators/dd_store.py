@@ -34,6 +34,13 @@ class DDStore:
     """Day-partitioned DDSketch bucket-count table with merge-on-read
     range quantiles and a replay-fenced streaming maintainer."""
 
+    # The applied-fence ledger keeps only this many trailing entries:
+    # Structured Streaming replays at most the last uncommitted batch(es)
+    # after a restart, so a bounded window preserves the replay fence while
+    # keeping commit meta O(1) — an unbounded ledger is O(n) meta per admit
+    # and O(n^2) cumulative over a long-running stream.
+    FENCE_WINDOW = 256
+
     def __init__(
         self,
         spark: SparkSession,
@@ -79,7 +86,11 @@ class DDStore:
             return
         delta = self._daily_counts(batch)
         days = [r[0] for r in delta.select("day").distinct().collect()]
-        meta = {"dd_applied": applied + ([fence] if fence else [])}
+        meta = {
+            "dd_applied": (applied + ([fence] if fence else []))[
+                -self.FENCE_WINDOW :
+            ]
+        }
         if not days:
             return
         if not self._table.exists():

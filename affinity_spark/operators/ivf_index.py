@@ -514,7 +514,12 @@ def shared_ivf(
     cached = _SHARED.get(key)
     if cached is not None:
         cached_fp, idx = cached
-        if cached_fp == fp and idx.pq_m == pq_m and idx.exists():
+        if (
+            cached_fp == fp
+            and idx.pq_m == pq_m
+            and idx.pq_k == pq_k
+            and idx.exists()
+        ):
             return idx
         del _SHARED[key]
         shutil.rmtree(idx.path, ignore_errors=True)

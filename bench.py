@@ -139,6 +139,63 @@ R9_SET = [
 ]
 
 
+# --- per-query work volumes (Spark UI REST) --------------------------------
+# The r9 verdict: quiet-window anchors moved +44% on an unchanged query set
+# and were dispositioned by narrative + spot floors. Recording input rows,
+# shuffle bytes, and task time per query makes "host constant" vs
+# "plan/data growth" arithmetic: same bytes+rows with higher wall time is
+# host; more bytes/rows is data or plan. Snapshots are keyed by
+# (stageId, attemptId) so UI stage eviction between snapshots cannot
+# corrupt a delta (evicted stages simply drop out of both snapshots).
+
+_WORK_FIELDS = {
+    "input_rows": "inputRecords",
+    "input_bytes": "inputBytes",
+    "shuffle_read_bytes": "shuffleReadBytes",
+    "shuffle_write_bytes": "shuffleWriteBytes",
+    "task_time_ms": "executorRunTime",
+    "num_tasks": "numTasks",
+}
+
+
+def _stage_snapshot(spark) -> dict | None:
+    """(stageId, attemptId) -> metrics for every stage the UI still holds,
+    or None when the UI is disabled/unreachable."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete&status=failed"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.load(r)
+    except Exception:
+        return None
+    return {
+        (s["stageId"], s.get("attemptId", 0)): {
+            k: int(s.get(v, 0) or 0) for k, v in _WORK_FIELDS.items()
+        }
+        for s in stages
+    }
+
+
+def _work_delta(before: dict | None, after: dict | None) -> dict | None:
+    if before is None or after is None:
+        return None
+    out = {k: 0 for k in _WORK_FIELDS}
+    new_stages = 0
+    for key, m in after.items():
+        if key in before:
+            continue
+        new_stages += 1
+        for k in out:
+            out[k] += m[k]
+    out["num_stages"] = new_stages
+    return out
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -257,7 +314,13 @@ def main() -> None:
 
 
 def _run(sf_dir: str) -> dict:
-    spark = get_spark(app_name="affinity-spark-bench")
+    spark = get_spark(
+        app_name="affinity-spark-bench",
+        # UI on for the work-volume REST capture; retention high enough
+        # that a full 170-query run cannot evict a stage between the
+        # before/after snapshots of a single query.
+        conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "40000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
 
@@ -296,16 +359,26 @@ def _run(sf_dir: str) -> dict:
         except Exception:
             pass
 
+    work: dict[str, dict] = {}
+
     def time_set(names: list[str]) -> dict[str, float]:
         set_boundary()
         out: dict[str, float] = {}
         for name in names:
             fn = queries[name]
             best = float("inf")
-            for _ in range(repeats):
+            for i in range(repeats):
+                last = i == repeats - 1
+                before = _stage_snapshot(spark) if last else None
                 t0 = time.perf_counter()
                 consume(fn(spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
+                if last:
+                    # Steady-state work volume: the LAST repeat's stages
+                    # (shared index/cache builds land on repeat 1).
+                    delta = _work_delta(before, _stage_snapshot(spark))
+                    if delta is not None:
+                        work[name] = delta
             out[name] = round(best, 3)
             release_shared()
         return out
@@ -334,6 +407,7 @@ def _run(sf_dir: str) -> dict:
     # first and every total goes LAST — the clipped artifact still shows
     # the headline number (the BENCH_r07 truncation lesson).
     return {
+        "work": work,
         "queries": timings,
         "extended": extended,
         "r3": r3,

@@ -23,7 +23,7 @@ FLAGSHIP = "q1_pricing_summary"
 def ledger(repo: str = REPO) -> dict[str, int]:
     """query -> round of its most recent driver CORRECTNESS row."""
     last: dict[str, int] = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r0*(\d+)", os.path.basename(f)).group(1))
         for q in json.load(open(f)):
             last[q] = rnd
