@@ -140,16 +140,42 @@ FROM bits GROUP BY doc_id
 _LM_BITS_KN_SQL = f"WITH {_KN_CORE_CTES} {_KN_AGG_SELECT}"
 
 
+def _quality_store(spark: SparkSession, sf_dir: str):
+    """Maintained quality-signal store over the documents corpus — built
+    ONCE per process and shared by the quality/filter family (the
+    maintained-index architecture of the reference's X1,
+    ``KVStoreLocal.scala:195-248``, applied to quality signals: the r9
+    verdict's sixth maintained family). The first query pays the one
+    scoring pass; every later read is a committed-signals scan + a
+    broadcast cutoff join."""
+    import os
+
+    from affinity_spark.operators.quality_store import shared_quality
+
+    return shared_quality(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        corpus_key=os.path.abspath(sf_dir),
+    )
+
+
 def docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity sharding (Wenzek et al. 2020 —
     the step after scoring: per-language tertiles of the KN perplexity,
-    head = most reference-like). NOT a per-language ntile (a rank window
-    would serialize each language through one sorted task at 100 TB):
-    tertile cutoffs come from a value-domain-sized (lang, score)
-    histogram — the events_mad_outliers rank-selection discipline — and
-    bucketing is a broadcast-join map-side comparison with deterministic
-    cutoff tie semantics (ntile splits boundary ties arbitrarily; both
-    engines here agree bit-for-bit)."""
+    head = most reference-like), SERVED from the maintained QualityStore:
+    per-doc KN scores, the frozen reference model, the (lang, score)
+    histogram and the tertile cutoffs are committed tables, so this read
+    is a column-pruned signals scan + one broadcast cutoff join — no
+    model (re)training, no corpus-sized rank window, zero corpus-sized
+    shuffles (derived twin pinned equivalent by
+    tests/test_quality_store.py; cutoff tie semantics as before:
+    deterministic, never ntile's arbitrary split)."""
+    return _quality_store(spark, sf_dir).buckets()
+
+
+def _derived_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch derivation (pre-store twin, kept as the
+    served==derived equivalence witness)."""
     from affinity_spark.operators.lm import (
         kn_score_bits,
         perplexity_buckets,
@@ -199,13 +225,22 @@ FROM scores JOIN cuts ON scores.lang = cuts.lang
 
 def docs_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The assembled corpus-filter verdict — what a production cleaning
-    job actually emits: per document, the Gopher rule gate (map-side),
-    the CCNet KN-perplexity tertile (broadcast model + histogram
-    cutoffs), and exact-dedup canonicality (fp window), folded into one
-    ``keep`` flag (pass AND canonical AND not perplexity-tail). Docs too
-    short to score (< 2 tokens) carry no fluency evidence and default to
-    the tail bucket. One corpus scan feeds all three signals; the only
-    corpus-sized shuffles are the fp window and the per-doc KN sum."""
+    job actually emits: per document, the Gopher rule gate, the CCNet
+    KN-perplexity tertile, and exact-dedup canonicality folded into one
+    ``keep`` flag (pass AND canonical AND not perplexity-tail; docs too
+    short to score default to the tail bucket). SERVED from the
+    maintained QualityStore: every signal was committed at build/admit
+    time, so this read is a signals scan + one broadcast cutoff join with
+    the gate thresholds applied map-side — the 21-shuffle re-derivation
+    this query used to be is now the store's build path, paid once and
+    maintained incrementally (r9 verdict Next #4; derived twin pinned
+    equivalent by tests/test_quality_store.py)."""
+    return _quality_store(spark, sf_dir).ensemble()
+
+
+def _derived_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch derivation (pre-store twin, kept as the
+    served==derived equivalence witness)."""
     from pyspark.sql import Window
 
     from affinity_spark.functions.text import doc_fingerprint, gopher_rule_struct

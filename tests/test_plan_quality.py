@@ -341,3 +341,40 @@ def test_unicode_scrub_is_pure_projection(spark):
     df.collect()
     assert n_exchanges(df) == 0
     assert "ArrowEvalPython" in executed_plan(df)  # NFC, Arrow-batched
+
+
+def test_quality_family_served_from_store_not_rederived(spark):
+    """The r10 maintained-index contract (sixth family): the ensemble and
+    bucket reads are projections of the committed QualityStore — no scan
+    of the documents table, NO fp window (the corpus-wide Window node the
+    pre-store derivation carried), no model (re)training anywhere in the
+    plan, and a final-plan shuffle budget of ~2 (cutoff derivation reads
+    are value-domain-sized; the pre-store ensemble carried 21)."""
+    import re
+
+    import __spark_entry__ as e
+    from affinity_spark.plans.introspect import executed_plan, formatted_plan
+
+    def final_exchanges(df) -> int:
+        final = executed_plan(df).split("== Initial Plan ==")[0]
+        return len(
+            set(
+                re.findall(
+                    r"Exchange (?:hash|range|Single)[^\n]*plan_id=(\d+)", final
+                )
+            )
+        )
+
+    for q, budget in (
+        ("docs_filter_ensemble", 2),
+        ("docs_ccnet_buckets", 2),
+    ):
+        df = e.queries()[q](spark, SF)
+        df.collect()
+        plan = formatted_plan(df)
+        assert "documents.parquet" not in plan, q
+        assert "Window" not in executed_plan(df), q
+        assert final_exchanges(df) <= budget, (q, final_exchanges(df))
+        # every scan in the plan reads the committed store, nothing else
+        files = df.inputFiles()
+        assert files and all("affinity_quality_" in f for f in files), q

@@ -1,0 +1,271 @@
+"""Maintained quality-signal store (operators/quality_store.py — the
+sixth maintained family): served==derived equivalence for the bucket and
+ensemble reads, admit==rebuild against the standing model, canonicality
+flips across generations, additive-histogram replay fencing, generation
+hardlinking (delta-proportional IO), drift trigger, torn-build healing,
+and streaming maintenance."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from affinity_spark.operators.quality_store import QualityStore
+
+# a small multilingual corpus: en reference slice (>= 2 tokens), short
+# unscorable docs, exact-duplicate fingerprints across doc ids, non-en
+# languages with enough docs for distinct tertiles
+_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog",  # dup fp of 0
+    "a stitch in time saves nine every single time",
+    "pack my box with five dozen liquor jugs",
+    "how vexingly quick daft zebras jump",
+    "sphinx of black quartz judge my vow",
+    "the five boxing wizards jump quickly",
+    "jived fox nymph grabs quick waltz",
+    "hi",  # < 2 tokens: unscorable
+    "glib jocks quiz nymph to vex dwarf",
+    "the jay pig fox zebra and my wolves quack",
+    "quick zephyrs blow vexing daft jim",
+]
+
+
+def _docs(spark, ids, lang_of=None):
+    lang_of = lang_of or (lambda i: "en" if i % 3 != 2 else "fr")
+    rows = [
+        (i, _TEXTS[i % len(_TEXTS)] + (" extra" if i >= len(_TEXTS) else ""),
+         lang_of(i))
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _sig_set(df):
+    return {
+        tuple(r[c] for c in (
+            "doc_id", "lang", "fp", "n_words", "mean_word_len_x100",
+            "top_token_bp", "n_bigrams", "nll_kn_x1024",
+            "bits_per_bigram_x100", "is_canonical",
+        ))
+        for r in df.collect()
+    }
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_served_buckets_match_derivation(spark, tmp_path):
+    """store.buckets() == the from-scratch perplexity_buckets derivation
+    on the same corpus (same model slice, same cutoff rule)."""
+    from affinity_spark.operators.lm import (
+        kn_score_bits,
+        perplexity_buckets,
+        train_bigram_model,
+    )
+
+    docs = _docs(spark, range(24))
+    st = QualityStore(spark, str(tmp_path / "q"))
+    st.build(docs)
+
+    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
+    scored = kn_score_bits(docs, model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    derived = perplexity_buckets(scored).select(
+        "doc_id", "lang", "bits_per_bigram_x100", "ppl_bucket"
+    )
+    assert _rows_set(st.buckets()) == _rows_set(derived)
+
+
+def test_served_ensemble_matches_derivation(spark, tmp_path):
+    """store.ensemble() == the pre-store 21-shuffle derivation (the
+    rewired registry query's equivalence witness)."""
+    from affinity_spark.registry.quality import _derived_filter_ensemble
+
+    sf_dir = "/root/testdata/sf0.001"
+    from affinity_spark.registry._shared import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    st = QualityStore(spark, str(tmp_path / "e"))
+    st.build(docs)
+    assert _rows_set(st.ensemble()) == _rows_set(
+        _derived_filter_ensemble(spark, sf_dir)
+    )
+
+
+def test_admit_matches_rebuild_with_same_model(spark, tmp_path):
+    """Incremental admit == full rebuild scored against the SAME standing
+    model (the IVFIndex same-codebook contract): signals, histogram and
+    cutoffs all agree."""
+    all_docs = _docs(spark, range(30))
+    a = all_docs.filter(F.col("doc_id") < 20)
+    b = all_docs.filter(F.col("doc_id") >= 20)
+
+    st = QualityStore(spark, str(tmp_path / "inc"))
+    st.build(a)
+    st.admit(b)
+
+    expected = QualityStore._with_canonical(
+        st._signals_delta(all_docs, st.model())
+    )
+    assert _sig_set(st.signals().drop("gen")) == _sig_set(expected)
+    assert _rows_set(st._hist.read()) == _rows_set(st._hist_of(expected))
+    assert _rows_set(st.cutoffs()) == _rows_set(
+        st._cutoffs_of(st._hist_of(expected))
+    )
+
+
+def test_admit_replacement_updates_signals_and_hist(spark, tmp_path):
+    """Re-admitting an existing doc_id with new text replaces its row and
+    SUBTRACTS its old (lang, score) histogram contribution."""
+    docs = _docs(spark, range(12))
+    st = QualityStore(spark, str(tmp_path / "rep"))
+    st.build(docs)
+    new_text = spark.createDataFrame(
+        [(3, "pack my box with five dozen liquor jugs", "en")],
+        "doc_id long, text string, lang string",
+    )
+    st.admit(new_text)
+    replaced = docs.filter(F.col("doc_id") != 3).unionByName(new_text)
+    expected = QualityStore._with_canonical(
+        st._signals_delta(replaced, st.model())
+    )
+    assert _sig_set(st.signals().drop("gen")) == _sig_set(expected)
+    assert _rows_set(st._hist.read()) == _rows_set(st._hist_of(expected))
+
+
+def test_canonicality_flips_across_generations(spark, tmp_path):
+    """A later admit landing a SMALLER doc_id on an existing fingerprint
+    must flip the old generation's canonical flag — the flip rewrites
+    only the generation holding the flipped row."""
+    base = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog", "en"),
+         (11, "pack my box with five dozen liquor jugs", "en")],
+        "doc_id long, text string, lang string",
+    )
+    st = QualityStore(spark, str(tmp_path / "flip"))
+    st.build(base)
+    assert {
+        r["doc_id"]: r["is_canonical"] for r in st.signals().collect()
+    } == {10: True, 11: True}
+
+    smaller = spark.createDataFrame(
+        [(5, "the quick brown fox jumps over the lazy dog", "en")],
+        "doc_id long, text string, lang string",
+    )
+    st.admit(smaller)
+    got = {r["doc_id"]: r["is_canonical"] for r in st.signals().collect()}
+    assert got == {5: True, 10: False, 11: True}
+
+
+def test_admit_hardlinks_untouched_generations(spark, tmp_path):
+    """An admit with no replacement and no canonicality flip must write
+    ONLY its new generation partition; every prior generation hardlinks
+    forward (same inodes) — merge IO ∝ batch, never ∝ corpus."""
+    st = QualityStore(spark, str(tmp_path / "hl"))
+    st.build(_docs(spark, range(10)))
+    st.admit(_docs(spark, range(20, 24)))
+    base = st._signals._current_version_dir()
+    st.admit(_docs(spark, range(30, 33)))
+    new = st._signals._current_version_dir()
+    assert new != base
+
+    def inodes(vdir, gen):
+        d = os.path.join(vdir, f"gen={gen}")
+        if not os.path.isdir(d):
+            return set()
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    for gen in ("g0", "g1"):
+        assert inodes(base, gen), f"{gen} missing from base snapshot"
+        assert inodes(new, gen) == inodes(base, gen)  # hardlinked
+    assert inodes(new, "g2")  # fresh partition for the batch
+
+
+def test_histogram_fence_replay_safety(spark, tmp_path):
+    """Additive-state fencing (the DDStore rule): a fenced re-admit is
+    dropped whole; the same batch id under a NEW run id applies."""
+    st = QualityStore(spark, str(tmp_path / "fence"))
+    st.build(_docs(spark, range(10)))
+    batch = _docs(spark, range(40, 44))
+    st.admit(batch, fence="runA:0")
+    n1 = st.signals().count()
+    h1 = _rows_set(st._hist.read())
+    st.admit(batch, fence="runA:0")  # replay: dropped whole
+    assert st.signals().count() == n1
+    assert _rows_set(st._hist.read()) == h1
+    st.admit(_docs(spark, range(50, 52)), fence="runB:0")  # new run applies
+    assert st.signals().count() == n1 + 2
+
+
+def test_needs_retrain_growth_trigger(spark, tmp_path):
+    st = QualityStore(spark, str(tmp_path / "drift"))
+    st.build(_docs(spark, range(10)))
+    assert not st.needs_retrain(max_growth=0.5)
+    st.admit(_docs(spark, range(100, 108)))
+    assert st.needs_retrain(max_growth=0.5)
+    st.retrain(_docs(spark, list(range(10)) + list(range(100, 108))))
+    assert not st.needs_retrain(max_growth=0.5)
+    assert st.signals().count() == 18
+
+
+def test_torn_build_reads_as_absent(spark, tmp_path):
+    st = QualityStore(spark, str(tmp_path / "torn"))
+    assert not st.exists()
+    st.build(_docs(spark, range(8)))
+    assert st.exists()
+    # simulate a torn rebuild: cutoffs committed under a different lineage
+    st._cutoffs.overwrite(st.cutoffs(), meta={"q_lineage": "other"})
+    assert not st.exists()
+
+
+def test_streaming_maintainer_matches_admits(spark, tmp_path):
+    """foreachBatch maintenance: micro-batched ingest leaves the store
+    exactly where direct sequential admits would."""
+    base = _docs(spark, range(12))
+    st = QualityStore(spark, str(tmp_path / "m"))
+    st.build(base)
+
+    chunks = [[(60, _TEXTS[3], "en"), (61, _TEXTS[4], "fr")],
+              [(62, _TEXTS[5], "en")]]
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    for i, chunk in enumerate(chunks):
+        tmp = os.path.join(src, f".c{i}.tmp")
+        with open(tmp, "w") as f:
+            for did, text, lang in chunk:
+                f.write(json.dumps(
+                    {"doc_id": did, "text": text, "lang": lang}
+                ) + "\n")
+        dest = os.path.join(src, f"c{i}.json")
+        os.rename(tmp, dest)
+        os.utime(dest, (1_700_000_000 + i,) * 2)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(st.maintainer(run_id="t-run-1"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    twin = QualityStore(spark, str(tmp_path / "twin"))
+    twin.build(base)
+    for chunk in chunks:
+        twin.admit(spark.createDataFrame(
+            chunk, "doc_id long, text string, lang string"
+        ))
+    assert _sig_set(st.signals().drop("gen")) == _sig_set(
+        twin.signals().drop("gen")
+    )
+    assert _rows_set(st._hist.read()) == _rows_set(twin._hist.read())
+    assert _rows_set(st.cutoffs()) == _rows_set(twin.cutoffs())
