@@ -198,6 +198,200 @@ def viterbi_segment_words(
     )
 
 
+#: fixed-point one (2^20) for the soft-EM lattice arithmetic
+WSCALE_BITS = 20
+#: saturation cap for the relative forward/backward masses: keeps every
+#: intermediate product inside int64 for BOTH engines (al*pexp <= 2^52,
+#: then * be <= 2^52+26... see soft_piece_counts), and saturation is part
+#: of the deterministic contract (both engines clamp identically)
+ALPHA_CAP = 1 << 26
+
+
+def pexp20(c: int) -> int:
+    """Deterministic integer ``2^20 * 2^(-c/1024)`` for c >= 0 — the
+    inverse of :func:`~affinity_spark.operators.lm.flog2_x1024`'s
+    linear-mantissa idea: exponent from the 1024-block, mantissa linearly
+    interpolated, floor-clamped to 1 so no weight is ever exactly zero
+    (an all-UNK path must stay representable). DuckDB replays it as
+    ``greatest(((2048 - (c % 1024)) * 512) >> least(c // 1024, 60), 1)``.
+    Monotone non-increasing; pexp20(0) = 2^20; max error ~6% within a
+    block (deterministic, identical in both engines — the contract is
+    bit-reproducibility, not float fidelity)."""
+    q, r = divmod(int(c), 1024)
+    v = ((2048 - r) * 512) >> min(q, 60)
+    return v if v > 0 else 1
+
+
+def soft_piece_counts(
+    word: str, costs: dict[str, int], piece_max_len: int = PIECE_MAX_LEN
+) -> list[tuple[str, int]]:
+    """Expected piece counts for one word under the unigram model —
+    the E-step of SOFT EM (Kudo 2018 §3.2's forward-backward), in exact
+    integer fixed point so both engines reproduce every count bit-for-bit.
+
+    The key trick making integer forward-backward possible: all masses
+    are normalized RELATIVE TO THE VITERBI BEST path through the same
+    prefix/suffix — every lattice weight becomes ``pexp20(detour)`` with
+    ``detour >= 0`` by Viterbi optimality, so nothing underflows and
+    nothing needs float log-sum-exp. Concretely::
+
+        bf[p] = min cost 0..p          (forward Viterbi, the existing DP)
+        sb[p] = min cost p..n          (backward Viterbi)
+        al[p] = 2^20 * sum over prefix paths 2^(-(cost - bf[p])/1024)
+        be[p] = 2^20 * sum over suffix paths 2^(-(cost - sb[p])/1024)
+        E(occurrence i,j) = al[i] * pexp20(d) * be[i+j] / (al[n] * 2^20)
+          with d = bf[i] + c(piece) + sb[i+j] - bf[n]   (the detour)
+
+    Sums saturate at :data:`ALPHA_CAP` (deterministically, both engines)
+    and every division floors in one canonical order. Returns
+    ``(piece, e_x1024)`` pairs (expected count in 1/1024 units) for every
+    vocabulary piece occurrence with a nonzero posterior; UNK single
+    chars participate in the lattice (they carry probability mass) but
+    are not reported — like hard EM, the M-step re-estimates only the
+    FIXED vocabulary."""
+    n = len(word)
+    inf = 1 << 62
+
+    def cost_of(piece: str) -> int | None:
+        pc = costs.get(piece)
+        if pc is None:
+            return UNK_COST_X1024 if len(piece) == 1 else None
+        return pc
+
+    # forward / backward Viterbi bests
+    bf = [0] + [inf] * n
+    for p in range(1, n + 1):
+        for j in range(1, min(piece_max_len, p) + 1):
+            pc = cost_of(word[p - j : p])
+            if pc is None:
+                continue
+            c = bf[p - j] + pc
+            if c < bf[p]:
+                bf[p] = c
+    sb = [inf] * n + [0]
+    for p in range(n - 1, -1, -1):
+        for j in range(1, min(piece_max_len, n - p) + 1):
+            pc = cost_of(word[p : p + j])
+            if pc is None:
+                continue
+            c = pc + sb[p + j]
+            if c < sb[p]:
+                sb[p] = c
+    one = 1 << WSCALE_BITS
+    # relative forward mass
+    al = [0] * (n + 1)
+    al[0] = one
+    for p in range(1, n + 1):
+        s = 0
+        for j in range(1, min(piece_max_len, p) + 1):
+            pc = cost_of(word[p - j : p])
+            if pc is None or al[p - j] == 0:
+                continue
+            s += al[p - j] * pexp20(bf[p - j] + pc - bf[p])
+        al[p] = min(s >> WSCALE_BITS, ALPHA_CAP)
+    # relative backward mass
+    be = [0] * (n + 1)
+    be[n] = one
+    for p in range(n - 1, -1, -1):
+        s = 0
+        for j in range(1, min(piece_max_len, n - p) + 1):
+            pc = cost_of(word[p : p + j])
+            if pc is None or be[p + j] == 0:
+                continue
+            s += pexp20(pc + sb[p + j] - sb[p]) * be[p + j]
+        be[p] = min(s >> WSCALE_BITS, ALPHA_CAP)
+    z = al[n]
+    if z == 0:
+        return []
+    out: dict[str, int] = {}
+    for i in range(n):
+        for j in range(1, min(piece_max_len, n - i) + 1):
+            piece = word[i : i + j]
+            pc = costs.get(piece)
+            if pc is None:  # UNK carries mass but is never re-estimated
+                continue
+            d = bf[i] + pc + sb[i + j] - bf[n]
+            # canonical op order (the oracle replays it verbatim):
+            # ((al*pexp)>>20)*be, then one floor division
+            num = ((al[i] * pexp20(d)) >> WSCALE_BITS) * be[i + j]
+            e = (num * 1024) // (z << WSCALE_BITS)
+            if e > 0:
+                out[piece] = out.get(piece, 0) + e
+    return sorted(out.items())
+
+
+def expected_usage_words(
+    words: DataFrame,
+    vocab: DataFrame,
+    word_col: str = "word",
+    piece_max_len: int = PIECE_MAX_LEN,
+) -> DataFrame:
+    """(piece, e_x1024) expected-count pairs per word row (exploded) —
+    the distributed E-step: type-level pandas UDF over distinct words,
+    vocabulary broadcast in the closure (the viterbi_segment_words
+    contract)."""
+    costs = {r["piece"]: int(r["cost_x1024"]) for r in vocab.collect()}
+
+    @F.pandas_udf("array<struct<piece:string,e_x1024:bigint>>")
+    def ex(col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [soft_piece_counts(w, costs, piece_max_len) for w in col]
+        )
+
+    return words.select(
+        *words.columns, F.explode(ex(F.col(word_col))).alias("_e")
+    ).select(
+        *words.columns,
+        F.col("_e.piece").alias("piece"),
+        F.col("_e.e_x1024").alias("e_x1024"),
+    )
+
+
+def reestimate_costs_soft(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    piece_max_len: int = PIECE_MAX_LEN,
+) -> DataFrame:
+    """ONE soft-EM round: expected piece usage from the forward-backward
+    lattice (occurrence-weighted over word types), costs re-derived over
+    the FIXED vocabulary as ``lg(t + k*1024) - lg(used_x1024 + 1024)``
+    (the hard-EM formula in 1/1024 fractional-count units — the 1024
+    scale cancels in the difference, so the cost magnitudes are directly
+    comparable with :func:`reestimate_costs`'s). Same scale shape as the
+    hard round: type-level DP, vocab-bounded usage aggregate, zero
+    corpus-sized joins."""
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    usage = (
+        expected_usage_words(words, vocab, piece_max_len=piece_max_len)
+        .groupBy("piece")
+        .agg(F.sum(F.col("wc") * F.col("e_x1024")).cast("long").alias("used"))
+    )
+    base = (
+        vocab.select("piece")
+        .join(usage, "piece", "left")
+        .select(
+            "piece",
+            F.coalesce(F.col("used"), F.lit(0).cast("long")).alias("used"),
+        )
+    )
+    tot = base.agg(
+        F.sum("used").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return base.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        (
+            flog2_x1024(F.col("t") + F.col("k") * 1024)
+            - flog2_x1024(F.col("used") + F.lit(1024))
+        ).alias("cost_x1024"),
+    )
+
+
 def reestimate_costs(
     docs: DataFrame,
     vocab: DataFrame,
@@ -270,6 +464,36 @@ def train_unigram_hard_em(
     )
     for _ in range(rounds):
         vocab = reestimate_costs(
+            docs, vocab, text_col=text_col, piece_max_len=piece_max_len
+        )
+    return vocab
+
+
+def train_unigram_em(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_pieces: int = 64,
+    piece_max_len: int = PIECE_MAX_LEN,
+    rounds: int = 1,
+    soft: bool = False,
+) -> DataFrame:
+    """Seed vocabulary + ``rounds`` EM refinements, hard (Viterbi
+    one-best assignments — deterministic and cheap, but can lock into
+    Viterbi-greedy optima: a piece used only in near-best ALTERNATIVE
+    segmentations gets zero usage and decays even when it carries real
+    probability mass) or soft (``soft=True``: forward-backward expected
+    counts over the SAME integer cost lattice — Kudo 2018's actual E
+    step, kept engine-exact by the Viterbi-relative fixed-point
+    normalization in :func:`soft_piece_counts`). Both variants are
+    bit-reproducible and oracle-checkable; soft pays ~L× the per-word
+    DP work for the fractional credit assignment."""
+    vocab = train_unigram_vocab(
+        docs, text_col=text_col, max_pieces=max_pieces,
+        piece_max_len=piece_max_len,
+    )
+    step = reestimate_costs_soft if soft else reestimate_costs
+    for _ in range(rounds):
+        vocab = step(
             docs, vocab, text_col=text_col, piece_max_len=piece_max_len
         )
     return vocab

@@ -379,6 +379,56 @@ def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _viterbi_blocks_carried(sfx: str, wpc_rel: str) -> str:
+    """Viterbi DP + backtrace where the per-word piece costs ride INSIDE
+    the recursion as a stride-4 array column (``pc[(p-1)*4 + j]`` = cost
+    of the length-j piece ending at position p; NULL = not in vocab,
+    UNK pre-coalesced at j=1). Needed when the vocabulary derives from a
+    chain CONTAINING recursive CTEs: DuckDB mis-evaluates a recursive
+    CTE referenced from inside another recursive CTE's iteration (probed:
+    correlated lookups see an empty/garbage vocab), so the recursive
+    step here references nothing outside its own working row."""
+    big = 1 << 62
+
+    def cj(j):
+        t = f"costs[pos + 2 - {j}] + pc[pos * 4 + {j}]"
+        if j == 1:
+            return t
+        return f"CASE WHEN pos + 1 >= {j} THEN {t} END"
+
+    best = "least(" + ", ".join(
+        f"COALESCE(c{j}, {big})" for j in (1, 2, 3, 4)
+    ) + ")"
+    bj = (
+        "CASE "
+        + " ".join(
+            f"WHEN c{j} IS NOT NULL AND c{j} = {best} THEN CAST({j} AS BIGINT)"
+            for j in (4, 3, 2)
+        )
+        + " ELSE CAST(1 AS BIGINT) END"
+    )
+    return f"""v{sfx}(word, pos, pc, costs, bps) AS (
+  SELECT word, 0, pc, [CAST(0 AS BIGINT)], CAST([] AS BIGINT[]) FROM {wpc_rel}
+  UNION ALL
+  SELECT word, pos + 1, pc, costs || [{best}], bps || [{bj}]
+  FROM (
+    SELECT word, pos, pc, costs, bps, {cj(1)} AS c1, {cj(2)} AS c2,
+           {cj(3)} AS c3, {cj(4)} AS c4
+    FROM v{sfx} WHERE pos < len(word)
+  )
+),
+bt{sfx}(word, pos, bps, segs, total) AS (
+  SELECT word, pos, bps, CAST([] AS VARCHAR[]) AS segs, costs[pos + 1] AS total
+  FROM v{sfx} WHERE pos = len(word)
+  UNION ALL
+  SELECT word, pos - CAST(bps[pos] AS INT), bps,
+         list_prepend(substr(word, pos - CAST(bps[pos] AS INT) + 1,
+                             CAST(bps[pos] AS INT)), segs),
+         total
+  FROM bt{sfx} WHERE pos > 0
+)"""
+
+
 def _viterbi_blocks(sfx: str, vocab: str, words: str) -> str:
     """One Viterbi DP + backtrace as a pair of recursive CTE blocks
     (``v{sfx}``/``bt{sfx}``), parameterized by the vocab relation —
@@ -603,6 +653,216 @@ def docs_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def docs_unigram_soft_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram tokenizer after ONE SOFT-EM round (Kudo 2018 §3.2's
+    actual E step — forward-backward expected counts over the lattice,
+    not Viterbi one-best credit): pieces used only by near-best
+    ALTERNATIVE segmentations keep fractional usage instead of decaying
+    (the Viterbi-lock failure hard EM carries). Engine-exact despite the
+    fractional math: all masses are integers normalized RELATIVE to the
+    Viterbi best (``soft_piece_counts``'s detour trick — every weight is
+    ``pexp20(detour >= 0)``), so DuckDB replays forward Viterbi,
+    backward Viterbi, forward mass, backward mass (four recursive CTEs)
+    and the posterior/M-step arithmetic bit-for-bit. Scale shape
+    identical to the hard round: type-level DP, vocab-bounded usage
+    aggregate, zero corpus-sized joins."""
+    from affinity_spark.operators.unigram import (
+        train_unigram_em,
+        viterbi_segment_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = train_unigram_em(docs, max_pieces=64, rounds=1, soft=True)
+    words = docs.select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    ).distinct()
+    return viterbi_segment_words(words, vocab).select(
+        "word", "n_pieces", "cost_x1024", "segmentation"
+    )
+
+
+def _pexp(x: str) -> str:
+    """DuckDB replay of operators.unigram.pexp20 (deterministic integer
+    2^20 * 2^(-x/1024), linear mantissa, floor-clamped to 1). The
+    ``+ 0 * (x)`` term makes NULL propagate: DuckDB's greatest/least
+    IGNORE nulls (max-like), so without it pexp(NULL) would read 1 and a
+    not-in-vocab piece would leak mass into the lattice sums."""
+    return (
+        f"(greatest(((2048 - (({x}) % 1024)) * 512) "
+        f">> least(({x}) // 1024, 60), 1) + 0 * ({x}))"
+    )
+
+
+def _soft_em_chain() -> str:
+    """Prelude + the full soft-EM CTE chain: forward Viterbi (v — its
+    costs array IS bf), backward Viterbi (sbv — suffix bests), relative
+    forward mass (af), relative backward mass (bb), per-occurrence
+    posterior + M-step (vocab2s), refined-vocab Viterbi (v2s/bt2s)."""
+    unk = 1 << 20
+    big = 1 << 62
+    cap = 1 << 26
+
+    def look(piece_expr: str) -> str:
+        return (
+            f"(SELECT vv.cost FROM vocab vv WHERE vv.piece = {piece_expr})"
+        )
+
+    # backward Viterbi: row (word, pos, costs) holds sb for positions
+    # pos..n (costs[i] = sb[pos+i-1]); step computes sb[pos-1]
+    def sc(j: int) -> str:
+        piece = f"substr(word, pos, {j})"
+        if j == 1:
+            return f"costs[1] + COALESCE({look(piece)}, {unk})"
+        return (
+            f"CASE WHEN len(costs) >= {j} "
+            f"THEN costs[{j}] + {look(piece)} END"
+        )
+
+    sbest = "least(" + ", ".join(
+        f"COALESCE(c{j}, {big})" for j in (1, 2, 3, 4)
+    ) + ")"
+
+    # forward mass: row (word, pos, bf, al) holds alpha for 0..pos
+    # (al[i] = alpha_{i-1}); step computes alpha_{pos+1}
+    def at(j: int) -> str:
+        piece = f"substr(word, pos + 2 - {j}, {j})"
+        cost = (
+            f"COALESCE({look(piece)}, {unk})"
+            if j == 1
+            else look(piece)
+        )
+        t = (
+            f"al[pos + 2 - {j}] * "
+            f"{_pexp(f'bf[pos + 2 - {j}] + {cost} - bf[pos + 2]')}"
+        )
+        if j == 1:
+            return t
+        return f"CASE WHEN pos + 1 >= {j} THEN {t} END"
+
+    asum = " + ".join(f"COALESCE(a{j}, 0)" for j in (1, 2, 3, 4))
+
+    # backward mass: row (word, pos, sb, be) holds beta for pos..n
+    # (be[i] = beta_{pos+i-1}); step computes beta_{pos-1}
+    def bt_(j: int) -> str:
+        piece = f"substr(word, pos, {j})"
+        cost = (
+            f"COALESCE({look(piece)}, {unk})"
+            if j == 1
+            else look(piece)
+        )
+        t = (
+            f"{_pexp(f'{cost} + sb[pos + {j}] - sb[pos]')} * be[{j}]"
+        )
+        if j == 1:
+            return t
+        return f"CASE WHEN len(be) >= {j} THEN {t} END"
+
+    bsum = " + ".join(f"COALESCE(b{j}, 0)" for j in (1, 2, 3, 4))
+
+    return (
+        f"\nWITH RECURSIVE {_UNIGRAM_PRELUDE},\n"
+        + _viterbi_blocks("", "vocab", "words")
+        + f""",
+sbv(word, pos, costs) AS (
+  SELECT word, len(word), [CAST(0 AS BIGINT)] FROM words
+  UNION ALL
+  SELECT word, pos - 1, list_prepend({sbest}, costs)
+  FROM (
+    SELECT word, pos, costs, {sc(1)} AS c1, {sc(2)} AS c2,
+           {sc(3)} AS c3, {sc(4)} AS c4
+    FROM sbv WHERE pos > 0
+  )
+),
+bfv AS MATERIALIZED (SELECT word, costs AS bf FROM v WHERE pos = len(word)),
+sbb AS MATERIALIZED (SELECT word, costs AS sb FROM sbv WHERE pos = 0),
+af(word, pos, bf, al) AS (
+  SELECT word, 0, bf, [CAST(1048576 AS BIGINT)] FROM bfv
+  UNION ALL
+  SELECT word, pos + 1, bf, al || [least(({asum}) >> 20, {cap})]
+  FROM (
+    SELECT word, pos, bf, al, {at(1)} AS a1, {at(2)} AS a2,
+           {at(3)} AS a3, {at(4)} AS a4
+    FROM af WHERE pos < len(word)
+  )
+),
+bb(word, pos, sb, be) AS (
+  SELECT word, len(word), sb, [CAST(1048576 AS BIGINT)] FROM sbb
+  UNION ALL
+  SELECT word, pos - 1, sb, list_prepend(least(({bsum}) >> 20, {cap}), be)
+  FROM (
+    SELECT word, pos, sb, be, {bt_(1)} AS b1, {bt_(2)} AS b2,
+           {bt_(3)} AS b3, {bt_(4)} AS b4
+    FROM bb WHERE pos > 0
+  )
+),
+lattice AS MATERIALIZED (
+  SELECT f.word, f.bf, s.sb, a.al, b.be
+  FROM bfv f
+  JOIN sbb s ON f.word = s.word
+  JOIN (SELECT word, al FROM af WHERE pos = len(word)) a ON f.word = a.word
+  JOIN (SELECT word, be FROM bb WHERE pos = 0) b ON f.word = b.word
+),
+occ AS (
+  SELECT l.word, i, j, substr(l.word, i + 1, j) AS piece,
+         l.bf, l.sb, l.al, l.be
+  FROM lattice l,
+       unnest(range(0, len(l.word))) r(i),
+       unnest(range(1, least(4, len(l.word) - i) + 1)) r2(j)
+),
+ecount AS (
+  SELECT occ.word, occ.piece,
+         ((((al[i + 1] * {_pexp('bf[i + 1] + vv.cost + sb[i + j + 1] - bf[len(word) + 1]')}) >> 20)
+            * be[i + j + 1]) * 1024)
+           // (al[len(word) + 1] << 20) AS e
+  FROM occ JOIN vocab vv ON occ.piece = vv.piece
+  WHERE al[len(word) + 1] > 0
+),
+eword AS (
+  SELECT word, piece, CAST(sum(e) AS BIGINT) AS e
+  FROM ecount WHERE e > 0 GROUP BY 1, 2
+),
+usages AS (
+  SELECT e.piece, CAST(sum(w.wc * e.e) AS BIGINT) AS used
+  FROM eword e JOIN words w ON e.word = w.word
+  GROUP BY 1
+),
+base2s AS (
+  SELECT vocab.piece, COALESCE(usages.used, 0) AS used
+  FROM vocab LEFT JOIN usages ON vocab.piece = usages.piece
+),
+tot2s AS (
+  SELECT CAST(sum(used) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS k
+  FROM base2s
+),
+vocab2s AS (
+  SELECT piece, {_lg1024('(t + k * 1024)')} - {_lg1024('(used + 1024)')} AS cost
+  FROM base2s CROSS JOIN tot2s
+),
+wpieces AS (
+  SELECT w.word, p, j,
+         CASE WHEN j <= p THEN substr(w.word, p - j + 1, j) END AS piece
+  FROM words w,
+       unnest(range(1, len(w.word) + 1)) AS r(p),
+       unnest([1, 2, 3, 4]) AS r2(j)
+),
+wpos AS (
+  SELECT wp.word, wp.p, wp.j,
+         CASE WHEN wp.j = 1 THEN COALESCE(vv.cost, {1 << 20})
+              WHEN wp.piece IS NOT NULL THEN vv.cost END AS pcost
+  FROM wpieces wp LEFT JOIN vocab2s vv ON wp.piece = vv.piece
+),
+wpc AS MATERIALIZED (
+  SELECT word, list(pcost ORDER BY p, j) AS pc FROM wpos GROUP BY word
+),
+"""
+        + _viterbi_blocks_carried("2s", "wpc")
+    )
+
+
+def _unigram_soft_em_sql() -> str:
+    return _soft_em_chain() + _UNIGRAM_FINAL.format(bt="bt2s")
 
 
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,3 +131,110 @@ def test_sampled_vocab_is_deterministic_and_scales_counts(spark):
           for r in train_unigram_vocab(
               docs.repartition(7), max_pieces=16, sample_mod=3).collect()}
     assert v1 == v2 and len(v1) == 16
+
+
+def test_pexp20_contract():
+    """Deterministic fixed-point 2^(-c/1024): exact at block boundaries,
+    monotone non-increasing, floor-clamped to 1 for huge costs (UNK)."""
+    from affinity_spark.operators.unigram import pexp20
+
+    assert pexp20(0) == 1 << 20
+    assert pexp20(1024) == 1 << 19
+    assert pexp20(2048) == 1 << 18
+    prev = pexp20(0)
+    for c in range(0, 8192, 64):
+        cur = pexp20(c)
+        assert cur <= prev
+        prev = cur
+    assert pexp20(UNK_COST_X1024) == 1  # clamped, never zero
+
+
+def test_soft_counts_posterior_mass():
+    """Forward-backward expected counts: a forced piece carries ~full
+    posterior (1024 in x1024 units), ambiguous spans split mass across
+    alternatives, and per-position total mass of vocab pieces covering
+    any position is <= ~1024 (it IS a posterior)."""
+    from affinity_spark.operators.unigram import soft_piece_counts
+
+    costs = {"ab": 3000, "a": 4000, "b": 4100, "cd": 3500, "c": 4200,
+             "d": 4300}
+    e = dict(soft_piece_counts("cd", costs))
+    # 'cd' vs 'c'+'d': both segmentations exist; mass splits, cd favored
+    assert e["cd"] > e["c"] and e["cd"] > e["d"]
+    assert abs(e["cd"] + e["c"] - 1024) <= 8  # position 0 coverage ~ 1
+    # a word with a single segmentation: posterior ~= 1 for each piece
+    e2 = dict(soft_piece_counts("x", {"x": 3000}))
+    assert abs(e2["x"] - 1024) <= 2
+    # all-UNK word: nothing to re-estimate, lattice still sums (no crash)
+    assert soft_piece_counts("qz", {"ab": 3000}) == []
+
+
+def test_soft_counts_vs_hard_viterbi_credit():
+    """The divergence soft EM exists to fix: a piece used only by the
+    SECOND-best segmentation gets zero hard-EM usage but nonzero soft
+    expected count."""
+    from affinity_spark.operators.unigram import (
+        soft_piece_counts,
+        viterbi_segment,
+    )
+
+    # 'abc' best = 'ab'+'c' (7100); alternative 'a'+'bc' (7200)
+    costs = {"ab": 3000, "c": 4100, "a": 3100, "bc": 4100, "b": 5000}
+    _, _, segs = viterbi_segment("abc", costs)
+    assert segs == ["ab", "c"]  # hard EM credits only these
+    e = dict(soft_piece_counts("abc", costs))
+    assert e.get("bc", 0) > 0 and e.get("a", 0) > 0  # soft credits both
+    assert e["ab"] > e["bc"]  # ...proportionally to probability
+
+
+def test_spark_soft_usage_matches_python_kernel(spark):
+    """The distributed E-step (pandas UDF over word types) reproduces the
+    python kernel bit-for-bit, occurrence weights included."""
+    from affinity_spark.operators.unigram import (
+        expected_usage_words,
+        soft_piece_counts,
+        train_unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cdcd ab"), (2, "abab cd xyz")],
+        "doc_id long, text string",
+    )
+    vocab = train_unigram_vocab(docs, max_pieces=12)
+    costs = {r["piece"]: r["cost_x1024"] for r in vocab.collect()}
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    got = {
+        (r["word"], r["piece"]): r["e_x1024"]
+        for r in expected_usage_words(words, vocab).collect()
+    }
+    want = {}
+    for w, wc in [(r["word"], r["wc"]) for r in words.collect()]:
+        for piece, e in soft_piece_counts(w, costs):
+            want[(w, piece)] = e
+    assert got == want
+
+
+def test_soft_em_round_is_deterministic_and_fixed_vocab(spark):
+    """reestimate_costs_soft: same piece set, new costs, identical on
+    repeat evaluation (pure integer pipeline)."""
+    from affinity_spark.operators.unigram import (
+        reestimate_costs_soft,
+        train_unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab cd")], "doc_id long, text string"
+    )
+    v0 = train_unigram_vocab(docs, max_pieces=16)
+    r1 = {r["piece"]: r["cost_x1024"]
+          for r in reestimate_costs_soft(docs, v0).collect()}
+    r2 = {r["piece"]: r["cost_x1024"]
+          for r in reestimate_costs_soft(docs, v0).collect()}
+    assert r1 == r2
+    assert set(r1) == {r["piece"] for r in v0.collect()}
+    # the dominant whole-word piece still wins after soft re-weighting
+    assert r1["abab"] < r1["ab"]
