@@ -351,6 +351,65 @@ LEFT JOIN buckets b ON q.doc_id = b.doc_id
 """
 
 
+def docs_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained QualityStore's committed per-document signal
+    surface, read back verbatim: content fingerprint, the Gopher shape
+    fields, the KN score fields (NULL for docs too short to score — no
+    fluency evidence), and the canonicality flag. This is the row a
+    100 TB cleaning job ADMITS once and every downstream filter READS —
+    the oracle re-derives all of it from scratch, so a driver check on
+    this query is an end-to-end audit of the store's build/admit
+    arithmetic (fp = md5 of normalized text; every ratio integer)."""
+    return _quality_store(spark, sf_dir).signals().select(
+        "doc_id",
+        "lang",
+        "fp",
+        "n_words",
+        "mean_word_len_x100",
+        "top_token_bp",
+        "n_bigrams",
+        "nll_kn_x1024",
+        "bits_per_bigram_x100",
+        "is_canonical",
+    )
+
+
+_QUALITY_SIGNALS_SQL = f"""
+WITH {_KN_CORE_CTES},
+kn AS ({_KN_AGG_SELECT}),
+gtoks AS (
+  SELECT doc_id, lang, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS tk
+  FROM documents
+),
+gsig AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CAST(len(tk) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(tk, w -> len(w))), 0) * 100
+              // greatest(len(tk), 1) AS BIGINT) AS mean_word_len_x100,
+         CAST(COALESCE(list_max(list_transform(list_distinct(tk),
+                w -> len(list_filter(tk, x -> x = w)))), 0) * 10000
+              // greatest(len(tk), 1) AS BIGINT) AS top_token_bp
+  FROM gtoks
+),
+canon AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+           AS is_canonical
+  FROM gsig
+)
+SELECT g.doc_id, g.lang, g.fp, g.n_words, g.mean_word_len_x100,
+       g.top_token_bp,
+       kn.n_bigrams, kn.nll_kn_x1024, kn.bits_per_bigram_x100,
+       c.is_canonical
+FROM gsig g
+JOIN canon c ON g.doc_id = c.doc_id
+LEFT JOIN kn ON g.doc_id = kn.doc_id
+"""
+
+
 def docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) subword segmentation (Kudo 2018;
     the tokenizer family beside BPE): a substring-frequency seed
@@ -519,15 +578,9 @@ def _unigram_segment_sql() -> str:
     )
 
 
-def _unigram_em_chain() -> str:
-    """The full two-round CTE chain: prelude + seed-vocab Viterbi (v/bt)
-    + occurrence-weighted usage re-estimation + refined-vocab Viterbi
-    (v2/bt2). Shared by the EM-segmentation and fertility oracles."""
-    return (
-        f"\nWITH RECURSIVE {_UNIGRAM_PRELUDE},\n"
-        + _viterbi_blocks("", "vocab", "words")
-        + f""",
-usage1 AS (
+#: hard-EM re-estimation over the seed segmentation (bt) — shared by the
+#: hard-EM chain and the hard-vs-soft fertility oracle
+_HARD_REEST_BLOCK = f"""usage1 AS (
   SELECT u.piece, CAST(sum(w.wc) AS BIGINT) AS used
   FROM (
     SELECT word, unnest(segs) AS piece FROM bt WHERE pos = 0
@@ -549,6 +602,17 @@ vocab2 AS (
   FROM base2 CROSS JOIN tot2
 ),
 """
+
+
+def _unigram_em_chain() -> str:
+    """The full two-round CTE chain: prelude + seed-vocab Viterbi (v/bt)
+    + occurrence-weighted usage re-estimation + refined-vocab Viterbi
+    (v2/bt2). Shared by the EM-segmentation and fertility oracles."""
+    return (
+        f"\nWITH RECURSIVE {_UNIGRAM_PRELUDE},\n"
+        + _viterbi_blocks("", "vocab", "words")
+        + ",\n"
+        + _HARD_REEST_BLOCK
         + _viterbi_blocks("2", "vocab2", "words")
     )
 
@@ -863,6 +927,88 @@ wpc AS MATERIALIZED (
 
 def _unigram_soft_em_sql() -> str:
     return _soft_em_chain() + _UNIGRAM_FINAL.format(bt="bt2s")
+
+
+def docs_unigram_soft_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the SOFT E-step buys over hard-EM, measured on the same
+    readout real tokenizer training optimizes: occurrence-weighted
+    fertility (pieces per token, x1000 integer) under the hard-EM
+    re-weighted vocabulary vs the soft-EM one, from the same seed. One
+    row; the oracle chains the seed Viterbi, the hard usage
+    re-estimation + Viterbi, and the full soft forward-backward +
+    Viterbi — the complete hard-vs-soft contract replayed in SQL. Both
+    refinements are type-level; the corpus contributes only occurrence
+    counts."""
+    from affinity_spark.cache import track as _track_cache
+    from affinity_spark.operators.unigram import (
+        reestimate_costs,
+        reestimate_costs_soft,
+        train_unigram_vocab,
+        viterbi_segment_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    seed = train_unigram_vocab(docs, max_pieces=64)
+    hard = reestimate_costs(docs, seed)
+    soft = reestimate_costs_soft(docs, seed)
+    words = (
+        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    words = _track_cache(words.persist())  # two segmentation consumers
+
+    def fert(vocab, alias):
+        seg = viterbi_segment_words(words, vocab)
+        return seg.agg(
+            F.sum(F.col("wc") * F.col("n_pieces")).cast("long").alias(alias)
+        )
+
+    totals = words.agg(
+        F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        F.sum("wc").cast("long").alias("n_tokens"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(fert(hard, "sh")))
+        .crossJoin(F.broadcast(fert(soft, "ss")))
+        .select(
+            "n_word_types",
+            "n_tokens",
+            F.expr("sh * 1000 div n_tokens").alias("fert_hard_x1000"),
+            F.expr("ss * 1000 div n_tokens").alias("fert_soft_x1000"),
+        )
+    )
+
+
+def _unigram_soft_fertility_sql() -> str:
+    """Hard and soft refinement chains side by side over one prelude:
+    the soft chain (v/bt, sbv, af, bb, posterior M-step, v2s/bt2s) plus
+    the hard re-estimation (usage1..vocab2, v2/bt2), aggregated to the
+    one-row fertility comparison."""
+    return (
+        _soft_em_chain()
+        + ",\n"
+        + _HARD_REEST_BLOCK
+        + _viterbi_blocks("2", "vocab2", "words")
+        + """,
+hardagg AS (
+  SELECT CAST(sum(w.wc * len(b.segs)) AS BIGINT) AS sh
+  FROM bt2 b JOIN words w ON b.word = w.word WHERE b.pos = 0
+),
+softagg AS (
+  SELECT CAST(sum(w.wc * len(b.segs)) AS BIGINT) AS ss
+  FROM bt2s b JOIN words w ON b.word = w.word WHERE b.pos = 0
+),
+tokc AS (
+  SELECT CAST(count(*) AS BIGINT) AS nw, CAST(sum(wc) AS BIGINT) AS nt
+  FROM words
+)
+SELECT nw AS n_word_types, nt AS n_tokens,
+       sh * 1000 // nt AS fert_hard_x1000,
+       ss * 1000 // nt AS fert_soft_x1000
+FROM tokc CROSS JOIN hardagg CROSS JOIN softagg
+"""
+    )
 
 
 def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
