@@ -101,6 +101,9 @@ DEFAULT_QUERIES = [
     "events_dd_range_store",
     "docs_unigram_em",
     "docs_unigram_fertility",
+    "docs_quality_signals",
+    "docs_unigram_soft_em",
+    "docs_unigram_soft_fertility",
 ]
 
 
