@@ -357,6 +357,23 @@ class QualityStore:
         signals, not text). New lineage, new generation numbering."""
         self.build(docs)
 
+    def compact_generations(self) -> None:
+        """Squash every generation partition into one. Each admit writes
+        its batch as a new ``gen`` partition; a long-running maintainer
+        would otherwise accumulate one tiny hive dir per micro-batch —
+        file-count pressure and planner overhead, the small-files problem.
+        Signals are FINAL (scored against the standing model), so
+        compaction is a pure rewrite — no rescoring — and the fence
+        ledger and lineage carry forward (a replayed batch still fences
+        after compaction)."""
+        meta = self._signals.commit_meta()
+        sig = (
+            self._signals.read()
+            .drop("gen")
+            .withColumn("gen", F.lit("g0"))
+        )
+        self._signals.overwrite(sig, meta={**meta, "next_gen": 1})
+
     def maintainer(self, run_id: str):
         """foreachBatch maintenance: each micro-batch of documents is
         admitted incrementally under a run-scoped replay fence (the DDStore

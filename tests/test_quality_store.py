@@ -269,3 +269,26 @@ def test_streaming_maintainer_matches_admits(spark, tmp_path):
     )
     assert _rows_set(st._hist.read()) == _rows_set(twin._hist.read())
     assert _rows_set(st.cutoffs()) == _rows_set(twin.cutoffs())
+
+
+def test_compact_generations_preserves_reads_and_fences(spark, tmp_path):
+    """Compaction squashes the per-admit generation partitions into one
+    (the small-files answer for a long-running maintainer) without
+    changing any read, and the replay fence survives it."""
+    st = QualityStore(spark, str(tmp_path / "cg"))
+    st.build(_docs(spark, range(10)))
+    st.admit(_docs(spark, range(20, 24)), fence="r:0")
+    st.admit(_docs(spark, range(30, 33)), fence="r:1")
+    before_sig = _sig_set(st.signals().drop("gen"))
+    before_ens = _rows_set(st.ensemble())
+    st.compact_generations()
+    vdir = st._signals._current_version_dir()
+    gens = [d for d in os.listdir(vdir) if d.startswith("gen=")]
+    assert gens == ["gen=g0"]
+    assert _sig_set(st.signals().drop("gen")) == before_sig
+    assert _rows_set(st.ensemble()) == before_ens
+    n = st.signals().count()
+    st.admit(_docs(spark, range(30, 33)), fence="r:1")  # replay still fenced
+    assert st.signals().count() == n
+    st.admit(_docs(spark, range(40, 42)), fence="r:2")  # new batches land
+    assert st.signals().count() == n + 2
