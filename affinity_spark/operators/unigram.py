@@ -347,11 +347,24 @@ def expected_usage_words(
     )
 
 
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, wc) occurrence-weighted word types — the one frame every
+    EM round consumes. Callers running several rounds (or hard AND soft
+    variants) should compute it once, persist it, and pass it down via
+    ``words=`` instead of paying the tokenize+groupBy per round."""
+    return (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+
+
 def reestimate_costs_soft(
     docs: DataFrame,
     vocab: DataFrame,
     text_col: str = "text",
     piece_max_len: int = PIECE_MAX_LEN,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """ONE soft-EM round: expected piece usage from the forward-backward
     lattice (occurrence-weighted over word types), costs re-derived over
@@ -361,11 +374,8 @@ def reestimate_costs_soft(
     comparable with :func:`reestimate_costs`'s). Same scale shape as the
     hard round: type-level DP, vocab-bounded usage aggregate, zero
     corpus-sized joins."""
-    words = (
-        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
-    )
+    if words is None:
+        words = word_counts(docs, text_col)
     usage = (
         expected_usage_words(words, vocab, piece_max_len=piece_max_len)
         .groupBy("piece")
@@ -397,6 +407,7 @@ def reestimate_costs(
     vocab: DataFrame,
     text_col: str = "text",
     piece_max_len: int = PIECE_MAX_LEN,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """ONE hard-EM round (Kudo 2018 §3.2's E/M with Viterbi hard
     assignments — the deterministic, oracle-exact variant of the
@@ -412,11 +423,8 @@ def reestimate_costs(
     Scale shape per round: one distinct-words aggregate (type-level),
     the Viterbi pandas UDF over types, one piece-usage aggregate
     (vocab-bounded), zero corpus-sized joins."""
-    words = (
-        docs.select(F.explode(tokenize(F.col(text_col))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
-    )
+    if words is None:
+        words = word_counts(docs, text_col)
     seg = viterbi_segment_words(words, vocab, piece_max_len=piece_max_len)
     usage = (
         seg.select("wc", F.explode("pieces").alias("piece"))

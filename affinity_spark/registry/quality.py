@@ -684,17 +684,15 @@ def docs_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         viterbi_segment_words,
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    seed = train_unigram_vocab(docs, max_pieces=64)
-    em = reestimate_costs(docs, seed)
-    words = (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
-    )
     from affinity_spark.cache import track as _track_cache
+    from affinity_spark.operators.unigram import word_counts
 
-    words = _track_cache(words.persist())  # two segmentation consumers
+    docs = _t(spark, sf_dir, "documents")
+    # three consumers of the word-type frame (EM round + two
+    # segmentations): compute once, persist, pass down
+    words = _track_cache(word_counts(docs).persist())
+    seed = train_unigram_vocab(docs, max_pieces=64)
+    em = reestimate_costs(docs, seed, words=words)
 
     def fert(vocab, alias):
         seg = viterbi_segment_words(words, vocab)
@@ -947,16 +945,15 @@ def docs_unigram_soft_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         viterbi_segment_words,
     )
 
+    from affinity_spark.operators.unigram import word_counts
+
     docs = _t(spark, sf_dir, "documents")
+    # four consumers of the word-type frame (hard round, soft round, two
+    # segmentations): compute once, persist, pass down
+    words = _track_cache(word_counts(docs).persist())
     seed = train_unigram_vocab(docs, max_pieces=64)
-    hard = reestimate_costs(docs, seed)
-    soft = reestimate_costs_soft(docs, seed)
-    words = (
-        docs.select(F.explode(tokenize(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
-    )
-    words = _track_cache(words.persist())  # two segmentation consumers
+    hard = reestimate_costs(docs, seed, words=words)
+    soft = reestimate_costs_soft(docs, seed, words=words)
 
     def fert(vocab, alias):
         seg = viterbi_segment_words(words, vocab)
