@@ -362,6 +362,70 @@ def indexed_corpus_sink(
     return apply
 
 
+def store_served_corpus_sink(
+    quality_store,
+    band_index,
+    corpus_store,
+    survivors_table,
+    rejected_table,
+    run_id: str,
+    min_tokens: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+):
+    """The whole ingest pipeline served from maintained tables — ZERO
+    streaming state stores: the QualityStore replaces both the stateless
+    quality gate (committed gopher signals) and the exact-dedup state
+    (committed fp-canonicality), the BandIndex replaces the LSH bucket
+    state. Consumes the RAW stream (id, text, lang) directly in
+    foreachBatch:
+
+    1. ``quality_store.admit(batch, fence=run_id:batch_id)`` — per-doc
+       signals committed first (the replay fence makes the additive
+       histogram safe; signal rows themselves are idempotent by keyed
+       replacement, so a post-reset replay under a NEW run id nets zero);
+    2. gate + exact dedup read the store back: keep docs with
+       ``n_words >= min_tokens AND is_canonical``. Canonicality is min-id
+       per fingerprint — identical to first-arrival under the pipeline's
+       documented arrival-order contract (ids ascend across batches), and
+       CORPUS-WIDE with no state store: it survives a checkpoint reset
+       because it is table truth, not state truth;
+    3. near-dup verdicts + admits via :func:`indexed_corpus_sink`'s
+       protocol against the maintained BandIndex.
+
+    Composition note: admit-before-read is deliberate — the batch's own
+    fingerprints join the committed corpus memory BEFORE the gate reads
+    canonicality, so within-batch exact dups resolve identically to the
+    cross-batch case (min id wins) with no special casing."""
+    inner = indexed_corpus_sink(
+        band_index, corpus_store, survivors_table, rejected_table,
+        id_col, text_col, n, t_num, t_den,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        quality_store.admit(batch_df, fence=f"{run_id}:{batch_id}")
+        ids = batch_df.select(id_col).distinct()
+        keep = (
+            quality_store.signals()
+            .join(F.broadcast(ids), id_col)
+            .filter(
+                (F.col("n_words") >= min_tokens) & F.col("is_canonical")
+            )
+            .select(id_col, F.col("n_words").alias("n_tokens"))
+        )
+        gated = batch_df.select(id_col, text_col).join(
+            F.broadcast(keep), id_col
+        )
+        inner(gated, batch_id)
+
+    return apply
+
+
 def retract_docs(
     band_index,
     corpus_store,

@@ -332,3 +332,145 @@ def test_retract_docs_removes_from_every_surface(spark, tmp_path):
     _run_indexed(spark, src, str(tmp_path / "ckpt1"), sink)
     got = {(r["doc_id"], r["dup_of"]) for r in rej.read().collect()}
     assert (10, 5) in got, got
+
+
+# --- fully store-served pipeline (QualityStore gate + BandIndex near-dup) ----
+
+
+def _store_served_setup(spark, tmp_path):
+    from affinity_spark.operators.quality_store import QualityStore
+
+    surv, rej, bidx, store = _indexed_setup(spark, tmp_path)
+    qstore = QualityStore(spark, str(tmp_path / "qstore"))
+    # the CCNet shape: the reference model trains on a reference corpus
+    # BEFORE the stream starts; admitted docs score against it
+    ref = spark.createDataFrame(
+        [(1000 + i, BODY + f" ref {i}", "en") for i in range(4)],
+        "doc_id long, text string, lang string",
+    )
+    qstore.build(ref)
+    return surv, rej, bidx, store, qstore
+
+
+def _feed_lang(dirpath, batches, start=0):
+    import json as _json
+    import os as _os
+
+    _os.makedirs(dirpath, exist_ok=True)
+    for i, chunk in enumerate(batches):
+        tmp = _os.path.join(dirpath, f".l{start + i}.tmp")
+        with open(tmp, "w") as f:
+            for row in chunk:
+                f.write(_json.dumps({**row, "lang": "en"}) + "\n")
+        dest = _os.path.join(dirpath, f"l{start + i}.json")
+        _os.rename(tmp, dest)
+        _os.utime(dest, (1_700_000_000 + start + i,) * 2)
+
+
+def _run_store_served(spark, src, ckpt, sink, through_gate=False):
+    from affinity_spark.streaming.pipeline import quality_exact_stream
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    if through_gate:
+        stream = quality_exact_stream(stream)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_store_served_sink_matches_indexed_pipeline(spark, tmp_path):
+    """Gate + exact dedup read from the QualityStore and near-dup from
+    the BandIndex must reproduce the quality_exact_stream +
+    indexed_corpus_sink pipeline exactly over the same feed — zero
+    streaming state anywhere in the served variant."""
+    from affinity_spark.streaming.pipeline import (
+        indexed_corpus_sink,
+        store_served_corpus_sink,
+    )
+
+    surv_a, rej_a, bidx_a, store_a, qstore = _store_served_setup(
+        spark, tmp_path
+    )
+    surv_b, rej_b, bidx_b, store_b = _indexed_setup(
+        spark, tmp_path / "twin"
+    )
+
+    src = str(tmp_path / "in")
+    _feed_lang(src, _docs())
+
+    _run_store_served(
+        spark, src, str(tmp_path / "ckpt_served"),
+        store_served_corpus_sink(
+            qstore, bidx_a, store_a, surv_a, rej_a, run_id="r1"
+        ),
+    )
+    _run_store_served(
+        spark, src, str(tmp_path / "ckpt_twin"),
+        indexed_corpus_sink(bidx_b, store_b, surv_b, rej_b),
+        through_gate=True,
+    )
+
+    def rows(t, cols):
+        return {tuple(r[c] for c in cols) for r in t.read().collect()}
+
+    assert rows(surv_a, ["doc_id", "n_tokens", "split"]) == rows(
+        surv_b, ["doc_id", "n_tokens", "split"]
+    )
+    assert rows(rej_a, ["doc_id", "dup_of"]) == rows(
+        rej_b, ["doc_id", "dup_of"]
+    )
+    # the quality store holds a committed signal row for EVERY streamed
+    # doc (gated and dropped alike) — the audit surface the state
+    # pipeline never had
+    streamed = {r["doc_id"] for b in _docs() for r in b}
+    got = {
+        r["doc_id"]
+        for r in qstore.signals().filter(F.col("doc_id") < 1000).collect()
+    }
+    assert got == streamed
+
+
+def test_store_served_sink_checkpoint_reset_idempotent(spark, tmp_path):
+    """All truth lives in committed tables, so wiping the checkpoint and
+    replaying the full source under a NEW run id changes NOTHING: signal
+    rows replace themselves (histogram nets zero via the replacement
+    subtraction), admitted ids skip, verdicts stay put."""
+    from affinity_spark.streaming.pipeline import store_served_corpus_sink
+
+    surv, rej, bidx, store, qstore = _store_served_setup(spark, tmp_path)
+    src = str(tmp_path / "in")
+    _feed_lang(src, _docs())
+
+    _run_store_served(
+        spark, src, str(tmp_path / "ckpt1"),
+        store_served_corpus_sink(qstore, bidx, store, surv, rej, run_id="rA"),
+    )
+    before = (
+        {tuple(r) for r in surv.read().select("doc_id", "split").collect()},
+        {tuple(r) for r in rej.read().collect()},
+        {tuple(r) for r in qstore._hist.read().collect()},
+        {r["doc_id"] for r in qstore.signals().collect()},
+    )
+
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt1"))
+    _run_store_served(
+        spark, src, str(tmp_path / "ckpt2"),
+        store_served_corpus_sink(qstore, bidx, store, surv, rej, run_id="rB"),
+    )
+    after = (
+        {tuple(r) for r in surv.read().select("doc_id", "split").collect()},
+        {tuple(r) for r in rej.read().collect()},
+        {tuple(r) for r in qstore._hist.read().collect()},
+        {r["doc_id"] for r in qstore.signals().collect()},
+    )
+    assert after == before
