@@ -368,6 +368,7 @@ def test_quality_family_served_from_store_not_rederived(spark):
     for q, budget in (
         ("docs_filter_ensemble", 2),
         ("docs_ccnet_buckets", 2),
+        ("docs_quality_signals", 1),
     ):
         df = e.queries()[q](spark, SF)
         df.collect()
