@@ -70,14 +70,21 @@ def docs_lm_bits_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     family the actual CCNet KenLM filter uses, upgrading docs_lm_bits'
     add-one baseline): discounted bigram mass interpolated with an add-one
     continuation distribution, D=0.75, all in exact integer 1/1024-bit
-    fixed point so both engines reproduce every score bit-for-bit. Model
-    trained on the lang='en' reference slice; model tables broadcast; ONE
-    corpus-sized shuffle (groupBy doc)."""
-    from affinity_spark.operators.lm import kn_score_bits, train_bigram_model
-
-    docs = _t(spark, sf_dir, "documents")
-    model = train_bigram_model(docs.filter(F.col("lang") == "en"))
-    return kn_score_bits(docs, model)
+    fixed point so both engines reproduce every score bit-for-bit.
+    SERVED from the maintained QualityStore (r10): the KN scores were
+    committed at store build/admit time, so this read is a column-pruned
+    signals scan filtered to scored docs — no model training, zero
+    corpus-sized shuffles. The scoring derivation itself lives in
+    ``operators/lm.kn_score_bits`` (the store's build path) and stays
+    independently exercised by `docs_ccnet_buckets`'s derived twin test."""
+    return (
+        _quality_store(spark, sf_dir)
+        .signals()
+        .filter(F.col("n_bigrams").isNotNull())
+        .select(
+            "doc_id", "n_bigrams", "nll_kn_x1024", "bits_per_bigram_x100"
+        )
+    )
 
 
 def _lg1024(x: str) -> str:
