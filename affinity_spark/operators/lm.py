@@ -106,6 +106,88 @@ def train_bigram_model(ref_docs: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+def train_bigram_models_per_group(
+    ref_docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """One bigram model PER GROUP: ``(group, w1, w2, c)`` — the actual
+    CCNet construction (Wenzek et al. 2020 train one KenLM per language;
+    a cross-lingual model scores every non-reference language as noise).
+    Output is groups × vocabulary² — still model-sized and broadcastable
+    when the per-group reference slices are (the CCNet shape)."""
+    return (
+        doc_bigrams(ref_docs, [group_col], text_col)
+        .groupBy(group_col, "w1", "w2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def kn_score_bits_per_group(
+    docs: DataFrame,
+    models: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount_quarters: int = 3,
+) -> DataFrame:
+    """:func:`kn_score_bits` with one KN model per group: every document
+    scores against ITS OWN group's model (join keys grow the group
+    column; the math per group is identical, see kn_score_bits for the
+    exact-integer formulation). Documents whose group has no model (no
+    reference bigrams) produce no rows — same contract as the < 2-token
+    case. Plan shape unchanged: model-sized broadcast aggregates keyed
+    by group, map-side joins, ONE corpus-sized shuffle (groupBy doc)."""
+    d = int(discount_quarters)
+    if not 1 <= d <= 3:
+        raise ValueError("discount_quarters must be in 1..3 (D = d/4 in (0,1))")
+    c2 = models
+    ctx = c2.groupBy(group_col, "w1").agg(
+        F.sum("c").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    cont = c2.groupBy(group_col, "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("np_")
+    )
+    tot = c2.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("t_"),
+        F.countDistinct("w2").cast("long").alias("v_"),
+    )
+
+    db = doc_bigrams(docs, [id_col, group_col], text_col)
+    tv = F.col("t_") + F.col("v_")
+    npl = F.coalesce(F.col("np_"), F.lit(0)) + F.lit(1)
+    seen = F.col("c1").isNotNull()
+    num = F.when(
+        seen,
+        F.greatest(F.coalesce(F.col("c"), F.lit(0)) * 4 - F.lit(d), F.lit(0)) * tv
+        + F.lit(d) * F.col("n1f") * npl,
+    ).otherwise(npl)
+    den = F.when(seen, F.col("c1") * 4 * tv).otherwise(tv)
+    scored = (
+        db.join(F.broadcast(tot), [group_col])
+        .join(F.broadcast(c2), [group_col, "w1", "w2"], "left")
+        .join(F.broadcast(ctx), [group_col, "w1"], "left")
+        .join(F.broadcast(cont), [group_col, "w2"], "left")
+        .select(
+            id_col,
+            group_col,
+            (flog2_x1024(den) - flog2_x1024(num)).alias("bits_x1024"),
+        )
+    )
+    agg = scored.groupBy(id_col, group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("bits_x1024").cast("long").alias("nll_kn_x1024"),
+    )
+    return agg.select(
+        id_col,
+        group_col,
+        "n_bigrams",
+        "nll_kn_x1024",
+        _int_div(F.col("nll_kn_x1024") * 100, F.col("n_bigrams") * 1024).alias(
+            "bits_per_bigram_x100"
+        ),
+    )
+
+
 def lm_score_bits(
     docs: DataFrame,
     bigram_model: DataFrame,

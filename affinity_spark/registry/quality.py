@@ -358,6 +358,104 @@ LEFT JOIN buckets b ON q.doc_id = b.doc_id
 """
 
 
+def docs_ccnet_perlang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet tertile sharding with ONE KN MODEL PER LANGUAGE — the
+    construction the paper actually uses (Wenzek et al. 2020 train one
+    KenLM per language on that language's reference corpus; a
+    cross-lingual model scores every non-reference language as noise,
+    which is what `docs_ccnet_buckets`'s single-en-model variant shows).
+    Every document scores against its OWN language's bigram KN model
+    (here: the corpus's own per-language slices as the reference), then
+    head/middle/tail tertiles per language from the histogram cutoffs.
+    Same exact-integer discipline; models are groups × vocab² —
+    broadcastable exactly when the per-language reference slices are."""
+    from affinity_spark.operators.lm import (
+        kn_score_bits_per_group,
+        perplexity_buckets,
+        train_bigram_models_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    models = train_bigram_models_per_group(docs)
+    scored = kn_score_bits_per_group(docs, models)
+    out = perplexity_buckets(scored)
+    return out.select("doc_id", "lang", "bits_per_bigram_x100", "ppl_bucket")
+
+
+_KN_PERLANG_CTES = f"""t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+db AS (
+  SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
+  FROM t, unnest(range(1, len(toks))) AS r(i)
+),
+c2g AS (
+  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c FROM db GROUP BY 1, 2, 3
+),
+ctxg AS (
+  SELECT lang, w1, CAST(sum(c) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1f
+  FROM c2g GROUP BY 1, 2
+),
+contg AS (
+  SELECT lang, w2, CAST(count(*) AS BIGINT) AS np FROM c2g GROUP BY 1, 2
+),
+totg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS t_,
+         CAST(count(DISTINCT w2) AS BIGINT) AS v_
+  FROM c2g GROUP BY 1
+),
+scoredg AS (
+  SELECT db.doc_id, db.lang,
+         CASE WHEN ctxg.c1 IS NOT NULL
+              THEN greatest(COALESCE(c2g.c, 0)*4 - 3, 0)*(t_ + v_)
+                   + 3*ctxg.n1f*(COALESCE(contg.np, 0) + 1)
+              ELSE COALESCE(contg.np, 0) + 1 END AS num,
+         CASE WHEN ctxg.c1 IS NOT NULL THEN ctxg.c1*4*(t_ + v_)
+              ELSE t_ + v_ END AS den
+  FROM db
+  JOIN totg ON db.lang = totg.lang
+  LEFT JOIN c2g ON db.lang = c2g.lang AND db.w1 = c2g.w1 AND db.w2 = c2g.w2
+  LEFT JOIN ctxg ON db.lang = ctxg.lang AND db.w1 = ctxg.w1
+  LEFT JOIN contg ON db.lang = contg.lang AND db.w2 = contg.w2
+),
+kng AS (
+  SELECT doc_id, lang,
+         CAST(sum({_lg1024('den')} - {_lg1024('num')}) AS BIGINT) * 100
+           // (CAST(count(*) AS BIGINT) * 1024) AS s
+  FROM scoredg GROUP BY 1, 2
+),
+histg AS (
+  SELECT lang, s, CAST(count(*) AS BIGINT) AS n FROM kng GROUP BY 1, 2
+),
+cumg AS (
+  SELECT lang, s,
+         CAST(sum(n) OVER (PARTITION BY lang ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+         CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS tot
+  FROM histg
+),
+cutsg AS (
+  SELECT lang,
+         min(CASE WHEN c * 3 >= tot THEN s END) AS c1,
+         min(CASE WHEN c * 3 >= tot * 2 THEN s END) AS c2
+  FROM cumg GROUP BY lang
+)"""
+
+
+_CCNET_PERLANG_SQL = f"""
+WITH {_KN_PERLANG_CTES}
+SELECT kng.doc_id, kng.lang,
+       s AS bits_per_bigram_x100,
+       CASE WHEN s <= c1 THEN 'head'
+            WHEN s <= c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM kng JOIN cutsg ON kng.lang = cutsg.lang
+"""
+
+
 def docs_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintained QualityStore's committed per-document signal
     surface, read back verbatim: content fingerprint, the Gopher shape

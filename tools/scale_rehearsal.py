@@ -104,6 +104,7 @@ DEFAULT_QUERIES = [
     "docs_quality_signals",
     "docs_unigram_soft_em",
     "docs_unigram_soft_fertility",
+    "docs_ccnet_perlang",
 ]
 
 
