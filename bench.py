@@ -204,6 +204,7 @@ R10_SET = [
     "docs_quality_signals",
     "docs_unigram_soft_em",
     "docs_unigram_soft_fertility",
+    "docs_ccnet_perlang",
 ]
 
 

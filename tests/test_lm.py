@@ -285,3 +285,62 @@ def test_perplexity_buckets_cutoff_semantics(spark):
         4: "middle", 5: "tail", 6: "tail",
         7: "head", 8: "head", 9: "head",
     }
+
+
+def test_per_group_kn_reduces_to_single_model_on_one_group(spark):
+    """kn_score_bits_per_group with a single language == kn_score_bits
+    with the model trained on that slice — the grouped variant is the
+    same exact-integer math with join keys grown by the group column."""
+    from affinity_spark.operators.lm import (
+        kn_score_bits,
+        kn_score_bits_per_group,
+        train_bigram_model,
+        train_bigram_models_per_group,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {w} beta alpha", "en")
+         for i, w in enumerate(["delta", "beta", "epsilon", "alpha"])],
+        "doc_id long, text string, lang string",
+    )
+    single = kn_score_bits(docs, train_bigram_model(docs))
+    grouped = kn_score_bits_per_group(
+        docs, train_bigram_models_per_group(docs)
+    ).drop("lang")
+    s = {tuple(r) for r in single.collect()}
+    g = {tuple(r) for r in grouped.collect()}
+    assert s == g
+
+
+def test_per_group_kn_scores_each_doc_against_its_own_model(spark):
+    """A document fluent in ITS language scores low against its own
+    model even when the other language's model would score it as noise —
+    the reason CCNet trains per-language models."""
+    from affinity_spark.operators.lm import (
+        kn_score_bits,
+        kn_score_bits_per_group,
+        train_bigram_model,
+        train_bigram_models_per_group,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat sat", "en"),
+         (2, "le chat dort sur le tapis le chat dort", "fr"),
+         (3, "the cat sat on the mat again", "en"),
+         (4, "le chat dort sur le tapis encore", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    grouped = {
+        r["doc_id"]: r["bits_per_bigram_x100"]
+        for r in kn_score_bits_per_group(
+            docs, train_bigram_models_per_group(docs)
+        ).collect()
+    }
+    # against the en-only model, the fr docs read as noise
+    en_model = train_bigram_model(docs.filter(F.col("lang") == "en"))
+    cross = {
+        r["doc_id"]: r["bits_per_bigram_x100"]
+        for r in kn_score_bits(docs, en_model).collect()
+    }
+    assert grouped[2] < cross[2] and grouped[4] < cross[4]
