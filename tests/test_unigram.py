@@ -238,3 +238,26 @@ def test_soft_em_round_is_deterministic_and_fixed_vocab(spark):
     assert set(r1) == {r["piece"] for r in v0.collect()}
     # the dominant whole-word piece still wins after soft re-weighting
     assert r1["abab"] < r1["ab"]
+
+
+def test_pexp20_duckdb_replay_is_bit_exact():
+    """The oracle's SQL replay of pexp20 must agree with the python
+    kernel on every cost — property-checked across the whole domain the
+    lattice can produce (0 .. word_len * UNK)."""
+    import duckdb
+
+    from affinity_spark.operators.unigram import pexp20
+    from affinity_spark.registry.quality import _pexp
+
+    con = duckdb.connect()
+    cases = (
+        list(range(0, 4096, 37))
+        + [1023, 1024, 1025, 2047, 2048, 1 << 19, 1 << 20, 40 * (1 << 20)]
+        + [(i * 2654435761) % (50 << 20) for i in range(200)]
+    )
+    rows = con.sql(
+        "SELECT c, " + _pexp("c") + " AS v FROM (SELECT unnest($cases) AS c)",
+        params={"cases": cases},
+    ).fetchall()
+    for c, v in rows:
+        assert v == pexp20(c), (c, v, pexp20(c))
