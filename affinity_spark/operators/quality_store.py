@@ -82,6 +82,7 @@ class QualityStore:
         lang_col: str = "lang",
         ref_lang: str = "en",
         num_buckets: int = 8,
+        per_lang: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -89,12 +90,19 @@ class QualityStore:
         self.text_col = text_col
         self.lang_col = lang_col
         self.ref_lang = ref_lang
+        # per_lang: ONE KN model per language (the actual CCNet
+        # construction — every doc scores against its own language's
+        # model) instead of the single ref_lang model. The model table
+        # gains the lang key; every read/serve path is otherwise
+        # identical (scores live in the signals table either way).
+        self.per_lang = per_lang
         self._signals = KeyedTable(
             spark, os.path.join(path, "signals"), [id_col], ts_col="fp",
             num_buckets=num_buckets, partition_col="gen",
         )
+        model_keys = (["lang"] if per_lang else []) + ["w1", "w2"]
         self._model = KeyedTable(
-            spark, os.path.join(path, "model"), ["w1", "w2"], ts_col="c",
+            spark, os.path.join(path, "model"), model_keys, ts_col="c",
             num_buckets=1,
         )
         self._hist = KeyedTable(
@@ -120,12 +128,25 @@ class QualityStore:
             gopher_rule_struct(F.col(self.text_col)).alias("_g"),
             F.col(self.text_col).alias("_text"),
         )
-        scored = kn_score_bits(
-            base.select("doc_id", F.col("_text").alias(self.text_col)),
-            model,
-            id_col="doc_id",
-            text_col=self.text_col,
-        )
+        if self.per_lang:
+            from affinity_spark.operators.lm import kn_score_bits_per_group
+
+            scored = kn_score_bits_per_group(
+                base.select(
+                    "doc_id", "lang", F.col("_text").alias(self.text_col)
+                ),
+                model,
+                group_col="lang",
+                id_col="doc_id",
+                text_col=self.text_col,
+            ).drop("lang")
+        else:
+            scored = kn_score_bits(
+                base.select("doc_id", F.col("_text").alias(self.text_col)),
+                model,
+                id_col="doc_id",
+                text_col=self.text_col,
+            )
         return (
             base.join(scored, "doc_id", "left")
             .select(
@@ -194,13 +215,23 @@ class QualityStore:
     # --- build / maintain ---------------------------------------------------
 
     def build(self, docs: DataFrame) -> None:
-        """Full (re)build: train the KN model on the reference-language
-        slice, score and fingerprint every document, derive the histogram
-        and cutoffs, commit all four tables under ONE fresh lineage id."""
-        model = train_bigram_model(
-            docs.filter(F.col(self.lang_col) == self.ref_lang),
-            text_col=self.text_col,
-        )
+        """Full (re)build: train the KN model (on the reference-language
+        slice, or one per language with ``per_lang``), score and
+        fingerprint every document, derive the histogram and cutoffs,
+        commit all four tables under ONE fresh lineage id."""
+        if self.per_lang:
+            from affinity_spark.operators.lm import (
+                train_bigram_models_per_group,
+            )
+
+            model = train_bigram_models_per_group(
+                docs, group_col=self.lang_col, text_col=self.text_col
+            ).withColumnRenamed(self.lang_col, "lang")
+        else:
+            model = train_bigram_model(
+                docs.filter(F.col(self.lang_col) == self.ref_lang),
+                text_col=self.text_col,
+            )
         lineage = {
             "q_lineage": uuid.uuid4().hex,
             "q_gen": int(self._model.commit_meta().get("q_gen", -1)) + 1,
@@ -414,7 +445,8 @@ class QualityStore:
     # --- reads --------------------------------------------------------------
 
     def model(self) -> DataFrame:
-        return self._model.read().select("w1", "w2", "c")
+        cols = (["lang"] if self.per_lang else []) + ["w1", "w2", "c"]
+        return self._model.read().select(*cols)
 
     def signals(self) -> DataFrame:
         return self._signals.read()
@@ -499,6 +531,7 @@ def shared_quality(
     id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
+    per_lang: bool = False,
 ) -> QualityStore:
     """Build-once-per-process quality store over ``docs``, keyed by
     (application id, corpus_key) with the physical corpus fingerprint in
@@ -516,13 +549,14 @@ def shared_quality(
     cached = _SHARED.get(key)
     if cached is not None:
         cached_fp, store = cached
-        if cached_fp == fp and store.exists():
+        if cached_fp == fp and store.per_lang == per_lang and store.exists():
             return store
         del _SHARED[key]
         shutil.rmtree(store.path, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="affinity_quality_")
     store = QualityStore(
-        spark, root, id_col=id_col, text_col=text_col, lang_col=lang_col
+        spark, root, id_col=id_col, text_col=text_col, lang_col=lang_col,
+        per_lang=per_lang,
     )
     store.build(docs)
     _SHARED[key] = (fp, store)

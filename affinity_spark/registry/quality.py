@@ -368,7 +368,27 @@ def docs_ccnet_perlang(spark: SparkSession, sf_dir: str) -> DataFrame:
     (here: the corpus's own per-language slices as the reference), then
     head/middle/tail tertiles per language from the histogram cutoffs.
     Same exact-integer discipline; models are groups × vocab² —
-    broadcastable exactly when the per-language reference slices are."""
+    broadcastable exactly when the per-language reference slices are.
+    SERVED from a per-language QualityStore (``per_lang=True`` — the
+    store's sixth-family mechanics, per-group model): committed signals
+    scan + broadcast cutoff join, zero corpus-sized shuffles; derived
+    twin pinned equivalent by tests/test_quality_store.py."""
+    import os
+
+    from affinity_spark.operators.quality_store import shared_quality
+
+    store = shared_quality(
+        spark,
+        _t(spark, sf_dir, "documents"),
+        corpus_key=os.path.abspath(sf_dir) + "::perlang",
+        per_lang=True,
+    )
+    return store.buckets()
+
+
+def _derived_ccnet_perlang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The from-scratch per-language derivation (pre-store twin, kept as
+    the served==derived equivalence witness)."""
     from affinity_spark.operators.lm import (
         kn_score_bits_per_group,
         perplexity_buckets,

@@ -370,6 +370,7 @@ def test_quality_family_served_from_store_not_rederived(spark):
         ("docs_ccnet_buckets", 2),
         ("docs_quality_signals", 1),
         ("docs_lm_bits_kn", 1),
+        ("docs_ccnet_perlang", 2),
     ):
         df = e.queries()[q](spark, SF)
         df.collect()

@@ -292,3 +292,45 @@ def test_compact_generations_preserves_reads_and_fences(spark, tmp_path):
     assert st.signals().count() == n
     st.admit(_docs(spark, range(40, 42)), fence="r:2")  # new batches land
     assert st.signals().count() == n + 2
+
+
+def test_per_lang_store_served_buckets_match_derivation(spark, tmp_path):
+    """per_lang=True: one KN model per language committed under the same
+    store mechanics; served buckets == the from-scratch per-language
+    derivation (the docs_ccnet_perlang contract)."""
+    from affinity_spark.registry.quality import _derived_ccnet_perlang
+
+    sf_dir = "/root/testdata/sf0.001"
+    from affinity_spark.registry._shared import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    st = QualityStore(spark, str(tmp_path / "pl"), per_lang=True)
+    st.build(docs)
+    assert _rows_set(st.buckets()) == _rows_set(
+        _derived_ccnet_perlang(spark, sf_dir)
+    )
+
+
+def test_per_lang_admit_matches_rebuild_with_same_models(spark, tmp_path):
+    """per_lang admit scores the batch against the STANDING per-language
+    models and matches a rebuild pinned to the same models — including a
+    language the models have never seen (no score rows, NULL fields)."""
+    all_docs = _docs(spark, range(24)).unionByName(
+        spark.createDataFrame(
+            [(90, "ein brauner fuchs springt uber den hund", "de")],
+            "doc_id long, text string, lang string",
+        )
+    )
+    a = all_docs.filter(F.col("doc_id") < 16)
+    b = all_docs.filter(F.col("doc_id") >= 16)  # includes the de doc
+    st = QualityStore(spark, str(tmp_path / "pli"), per_lang=True)
+    st.build(a)
+    st.admit(b)
+    expected = QualityStore._with_canonical(
+        st._signals_delta(all_docs, st.model())
+    )
+    assert _sig_set(st.signals().drop("gen")) == _sig_set(expected)
+    assert _rows_set(st._hist.read()) == _rows_set(st._hist_of(expected))
+    # the unseen-language doc carries no fluency evidence
+    row = st.signals().filter(F.col("doc_id") == 90).collect()[0]
+    assert row["n_bigrams"] is None and row["lang"] == "de"
