@@ -1674,6 +1674,93 @@ FROM regs
 """
 
 
+_KMV_STORES: dict = {}
+
+
+def events_kmv_range_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range distinct-estimate AND cross-range overlap SERVED FROM THE
+    MAINTAINED KMV STORE (operators/sketch_store.py::KMVStore — the
+    seventh maintained family, completing the sketch-algebra triangle:
+    HLL max-merge / DD fenced-addition / KMV min-merge): per-day k-min
+    hash rows live in a day-partitioned KeyedTable; reads prune to the
+    in-range day partitions and take a bounded top-k — raw events are
+    never rescanned, and unlike HLL the sketches support SET ALGEBRA.
+    Output: one row with the Jan 08-15 estimate and the Jan 08-15 vs
+    Jan 16-23 user-overlap estimates (union merged from the two range
+    sketches alone, intersection by inclusion-exclusion). Per-day k-min
+    merging is EXACT vs raw-range sketching (every range-k-min hash is
+    within its own day's k smallest), so the oracle replays straight
+    from raw events."""
+    import tempfile
+
+    from affinity_spark.operators.postings import _corpus_fingerprint
+    from affinity_spark.operators.sketch_store import KMVStore
+
+    ev = _t(spark, sf_dir, "events")
+    key = (spark.sparkContext.applicationId, f"kmv:{sf_dir}")
+    fp = _corpus_fingerprint(ev)
+    cached = _KMV_STORES.get(key)
+    if cached is None or cached[0] != fp or not cached[1].exists():
+        st = KMVStore(spark, tempfile.mkdtemp(prefix="affinity_kmv_"))
+        st.build(ev, F.col("user_id").cast("string"))
+        _KMV_STORES[key] = (fp, st)
+    st = _KMV_STORES[key][1]
+    est = st.estimate_for_range("2024-01-08", "2024-01-15")
+    ovl = st.overlap_estimate(
+        "2024-01-08", "2024-01-15", "2024-01-16", "2024-01-23"
+    )
+    return est.crossJoin(F.broadcast(ovl))
+
+
+_KMV_RANGE_STORE_SQL = """
+WITH dh AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+  FROM events
+),
+ka AS (
+  SELECT list_sort(list(h)) AS kv FROM (
+    SELECT DISTINCT h FROM dh
+    WHERE day BETWEEN '2024-01-08' AND '2024-01-15'
+    ORDER BY h LIMIT 64)
+),
+kb AS (
+  SELECT list_sort(list(h)) AS kv FROM (
+    SELECT DISTINCT h FROM dh
+    WHERE day BETWEEN '2024-01-16' AND '2024-01-23'
+    ORDER BY h LIMIT 64)
+),
+pr AS (
+  SELECT ka.kv AS a, kb.kv AS b,
+         (list_sort(list_distinct(ka.kv || kb.kv)))[1:64] AS u
+  FROM ka, kb
+)
+SELECT CAST(len(a) AS BIGINT) AS n_in_sketch,
+  CAST(CASE WHEN len(a) < 64 THEN len(a)
+            ELSE (63 * 4294967296) // greatest(a[64], 1) END AS BIGINT)
+    AS est_distinct,
+  CAST(CASE WHEN len(a) < 64 THEN len(a)
+            ELSE (63 * 4294967296) // greatest(a[64], 1) END AS BIGINT)
+    AS est_a,
+  CAST(CASE WHEN len(b) < 64 THEN len(b)
+            ELSE (63 * 4294967296) // greatest(b[64], 1) END AS BIGINT)
+    AS est_b,
+  CAST(CASE WHEN len(u) < 64 THEN len(u)
+            ELSE (63 * 4294967296) // greatest(u[64], 1) END AS BIGINT)
+    AS est_union,
+  CAST(greatest(0,
+    (CASE WHEN len(a) < 64 THEN len(a)
+          ELSE (63 * 4294967296) // greatest(a[64], 1) END)
+  + (CASE WHEN len(b) < 64 THEN len(b)
+          ELSE (63 * 4294967296) // greatest(b[64], 1) END)
+  - (CASE WHEN len(u) < 64 THEN len(u)
+          ELSE (63 * 4294967296) // greatest(u[64], 1) END)) AS BIGINT)
+    AS est_intersect
+FROM pr
+"""
+
+
 _DD_STORES: dict = {}
 
 

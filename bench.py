@@ -205,6 +205,7 @@ R10_SET = [
     "docs_unigram_soft_em",
     "docs_unigram_soft_fertility",
     "docs_ccnet_perlang",
+    "events_kmv_range_store",
 ]
 
 

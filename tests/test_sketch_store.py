@@ -175,3 +175,152 @@ def test_estimate_state_is_exact_integers(spark, tmp_path):
     assert row["n_buckets"] == len(regs)
     assert row["sum_registers"] == sum(regs.values())
     assert row["harmonic_num"] == sum(1 << (53 - r) for r in regs.values())
+
+
+# --- KMVStore: the min-merge corner of the sketch-algebra triangle ----------
+
+
+def test_kmv_range_sketch_equals_direct_sketch(spark, tmp_path):
+    """Per-day k-min merging is EXACT vs sketching the raw range (every
+    range-k-min hash is within its own day's k smallest) — the
+    mergeability theorem the store's read path rests on."""
+    from affinity_spark.operators.sketch_store import KMVStore
+    from affinity_spark.operators.sketches import kmv_sketch
+
+    rows = _rows(600)
+    df = _df(spark, rows)
+    st = KMVStore(spark, str(tmp_path / "kmv"), k=16)
+    st.build(df, _key())
+    d0, d1 = "2024-01-02", "2024-01-04"
+    direct = kmv_sketch(
+        df.filter(F.date_format("ts", "yyyy-MM-dd").between(d0, d1))
+        .withColumn("_g", F.lit(1)),
+        ["_g"],
+        _key(),
+        k=16,
+    ).collect()[0]["kmv"]
+    got = [r["h"] for r in st.sketch_for_range(d0, d1).collect()]
+    assert got == list(direct)
+
+
+def test_kmv_admit_matches_build_and_replay_is_free(spark, tmp_path):
+    """Incremental admit == full build over the union, and re-admitting
+    the same batch changes nothing — min-merge idempotence BY ALGEBRA
+    (no fences, the HLL contract; contrast DDStore's fenced addition)."""
+    from affinity_spark.operators.sketch_store import KMVStore
+
+    rows = _rows(500)
+    base, batch = rows[:350], rows[350:]
+    st = KMVStore(spark, str(tmp_path / "inc"), k=16)
+    st.build(_df(spark, base), _key())
+    st.admit(_df(spark, batch), _key())
+    full = KMVStore(spark, str(tmp_path / "full"), k=16)
+    full.build(_df(spark, rows), _key())
+
+    def days(s):
+        return {(r["day"], r["h"]) for r in s.daily().collect()}
+
+    assert days(st) == days(full)
+    st.admit(_df(spark, batch), _key())  # replay: no markers needed
+    assert days(st) == days(full)
+
+
+def test_kmv_admit_hardlinks_untouched_days(spark, tmp_path):
+    """Delta-proportional IO: days the batch does not touch hardlink
+    forward (same inodes); touched days rewrite."""
+    from affinity_spark.operators.sketch_store import KMVStore
+
+    st = KMVStore(spark, str(tmp_path / "hl"), k=16)
+    st.build(_df(spark, _rows(400)), _key())
+    base_dir = st._table._current_version_dir()
+
+    def inodes(vdir, day):
+        d = os.path.join(vdir, f"day={day}")
+        if not os.path.isdir(d):
+            return set()
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    batch = _df(
+        spark,
+        [(9000 + i, dt.datetime(2024, 1, 3, 6), 100000 + i) for i in range(30)],
+    )
+    base = {
+        e.split("=")[1]: inodes(base_dir, e.split("=")[1])
+        for e in os.listdir(base_dir)
+        if e.startswith("day=")
+    }
+    st.admit(batch, _key())
+    new_dir = st._table._current_version_dir()
+    for day, ino in base.items():
+        if day == "2024-01-03":
+            assert inodes(new_dir, day).isdisjoint(ino)  # fresh rewrite
+        else:
+            assert inodes(new_dir, day) == ino  # hardlinked
+
+
+def test_kmv_overlap_estimate_matches_python_twin(spark, tmp_path):
+    """The served overlap row reproduces the inclusion-exclusion math
+    computed straight from the two range sketches in python."""
+    from affinity_spark.operators.sketch_store import KMVStore
+
+    KMV_M = 1 << 32
+    st = KMVStore(spark, str(tmp_path / "ov"), k=16)
+    st.build(_df(spark, _rows(600)), _key())
+    a0, a1, b0, b1 = "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-05"
+    ka = [r["h"] for r in st.sketch_for_range(a0, a1).collect()]
+    kb = [r["h"] for r in st.sketch_for_range(b0, b1).collect()]
+
+    def est(kv):
+        if len(kv) < 16:
+            return len(kv)
+        return (15 * KMV_M) // max(kv[15], 1)
+
+    union = sorted(set(ka) | set(kb))[:16]
+    want = (
+        est(ka),
+        est(kb),
+        est(union),
+        max(0, est(ka) + est(kb) - est(union)),
+    )
+    got = st.overlap_estimate(a0, a1, b0, b1).collect()[0]
+    assert (got["est_a"], got["est_b"], got["est_union"],
+            got["est_intersect"]) == want
+
+
+def test_kmv_streaming_maintainer_matches_direct_build(spark, tmp_path):
+    from affinity_spark.operators.sketch_store import KMVStore
+
+    rows = _rows(300)
+    st = KMVStore(spark, str(tmp_path / "m"), k=16)
+    st.build(_df(spark, rows[:150]), _key())
+    src = str(tmp_path / "in")
+    os.makedirs(src, exist_ok=True)
+    for i, chunk in enumerate([rows[150:220], rows[220:]]):
+        tmp = os.path.join(src, f".c{i}.tmp")
+        with open(tmp, "w") as f:
+            for eid, ts, uid in chunk:
+                f.write(json.dumps(
+                    {"event_id": eid, "ts": ts.isoformat(), "user_id": uid}
+                ) + "\n")
+        dest = os.path.join(src, f"c{i}.json")
+        os.rename(tmp, dest)
+        os.utime(dest, (1_700_000_000 + i,) * 2)
+    q = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(st.maintainer(_key()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    full = KMVStore(spark, str(tmp_path / "full"), k=16)
+    full.build(_df(spark, rows), _key())
+    assert {
+        (r["day"], r["h"]) for r in st.daily().collect()
+    } == {(r["day"], r["h"]) for r in full.daily().collect()}

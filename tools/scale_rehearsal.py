@@ -105,6 +105,7 @@ DEFAULT_QUERIES = [
     "docs_unigram_soft_em",
     "docs_unigram_soft_fertility",
     "docs_ccnet_perlang",
+    "events_kmv_range_store",
 ]
 
 
