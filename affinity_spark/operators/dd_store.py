@@ -51,6 +51,7 @@ class DDStore:
         num_buckets: int = 4,
     ) -> None:
         self.spark = spark
+        self.path = path
         self.value_col = value_col
         self.ts_col = ts_col
         self.m = m
@@ -80,7 +81,14 @@ class DDStore:
         partitions (hardlinked carry-over elsewhere). ``fence`` is the
         replay key ("run_id:batch_id" from the maintainer): a fence
         already in the applied ledger drops the batch WHOLE — addition
-        is not idempotent, so the fence is what makes replay safe."""
+        is not idempotent, so the fence is what makes replay safe.
+
+        CAVEAT — the ledger keeps only the trailing ``FENCE_WINDOW``
+        entries, sized for Structured Streaming's replay pattern (at most
+        the last uncommitted batches after a restart). A MANUAL re-admit
+        of a fence older than the window floor is silently re-applied and
+        double-counts; don't replay historical fences by hand — rebuild
+        instead."""
         applied = self._applied()
         if fence is not None and fence in applied:
             return

@@ -239,6 +239,7 @@ class QualityStore:
             "next_gen": 1,
             "q_applied": [],
         }
+        lineage["h_sync"] = self._sync_token(lineage)
         self._model.overwrite(model, meta=lineage)
         sig = self._with_canonical(
             self._signals_delta(docs, self.model())
@@ -267,14 +268,24 @@ class QualityStore:
         Matches a full rebuild against the same model exactly (pinned by
         tests/test_quality_store.py). ``fence`` is the replay key
         ("run_id:batch_id") — the DDStore additive-fence rule: histogram
-        addition is not idempotent, so a fenced batch is dropped WHOLE."""
+        addition is not idempotent, so a fenced batch is dropped WHOLE.
+        The ledger keeps only the trailing ``FENCE_WINDOW`` entries (sized
+        for streaming's trailing-batch replay); a manual re-admit of a
+        fence older than the window floor silently re-applies — see
+        DDStore.admit for the caveat."""
         # the signals table is the meta authority for admit state (it is
         # rewritten by every admit anyway); the model table keeps its
         # build-time meta — the model itself is immutable across admits
         meta = self._signals.commit_meta()
         applied = list(meta.get("q_applied") or [])
         if fence is not None and fence in applied:
+            # the batch's signal commit landed; make sure the DERIVED
+            # tables did too (a crash between the signals and hist
+            # commits would otherwise desync them forever, because the
+            # fence drops the replay whole — r10 ADVICE)
+            self._heal_if_torn(meta)
             return
+        self._heal_if_torn(meta)
         gen_no = int(meta.get("next_gen", 1))
         new_gen = f"g{gen_no}"
         lineage = {
@@ -286,6 +297,7 @@ class QualityStore:
         lineage["q_applied"] = (
             applied + ([fence] if fence else [])
         )[-self.FENCE_WINDOW :]
+        lineage["h_sync"] = self._sync_token(lineage)
 
         delta = self._signals_delta(docs, self.model())
         cur = self._signals.read()
@@ -382,6 +394,47 @@ class QualityStore:
         delta.unpersist()
         replaced.unpersist()
 
+    @staticmethod
+    def _sync_token(signals_meta: dict) -> str:
+        """Identity of a committed signals state: lineage + admit counter
+        (``next_gen`` increments on every content-changing signals commit,
+        so it doubles as the sync epoch for the derived tables)."""
+        return (
+            f"{signals_meta.get('q_lineage')}:"
+            f"{int(signals_meta.get('next_gen', 1))}"
+        )
+
+    def _heal_if_torn(self, signals_meta: dict) -> None:
+        """Admit is a multi-table commit (signals → hist → cutoffs); a
+        crash between the commits leaves the derived tables behind the
+        signals — and because the replay fence lives in the FIRST commit,
+        the maintainer's replay of that batch is dropped whole, so the
+        divergence would be permanent (r10 ADVICE). Rather than moving the
+        fence, treat hist/cutoffs as derived caches: each commit carries
+        the sync token of the signals state it was computed from, and any
+        mismatch — whatever the tear order — heals here with ONE
+        value-domain-sized rebuild from the committed signals (the source
+        of truth). Called at the top of every admit, including fenced
+        replays."""
+        tok = self._sync_token(signals_meta)
+        if (
+            self._hist.commit_meta().get("h_sync") == tok
+            and self._cutoffs.commit_meta().get("h_sync") == tok
+        ):
+            return
+        lineage = {
+            k: signals_meta[k]
+            for k in ("q_lineage", "q_gen", "n_at_build", "next_gen")
+            if k in signals_meta
+        }
+        lineage["h_sync"] = tok
+        self._hist.overwrite(
+            self._hist_of(self._signals.read()), meta=lineage
+        )
+        self._cutoffs.overwrite(
+            self._cutoffs_of(self._hist.read()), meta=lineage
+        )
+
     def retrain(self, docs: DataFrame) -> None:
         """Drift response: full rebuild with a FRESH model over the current
         corpus (the caller supplies the corpus frame — the store keeps
@@ -403,7 +456,14 @@ class QualityStore:
             .drop("gen")
             .withColumn("gen", F.lit("g0"))
         )
-        self._signals.overwrite(sig, meta={**meta, "next_gen": 1})
+        new_meta = {**meta, "next_gen": 1}
+        new_meta["h_sync"] = self._sync_token(new_meta)
+        self._signals.overwrite(sig, meta=new_meta)
+        # compaction restarts the gen counter, which changes the sync
+        # token; re-stamp the derived tables (content unchanged,
+        # value-domain-sized rewrite) so the next admit doesn't see a tear
+        self._hist.overwrite(self._hist.read(), meta=new_meta)
+        self._cutoffs.overwrite(self._cutoffs.read(), meta=new_meta)
 
     def maintainer(self, run_id: str):
         """foreachBatch maintenance: each micro-batch of documents is

@@ -48,6 +48,7 @@ class HLLStore:
         num_buckets: int = 4,
     ) -> None:
         self.spark = spark
+        self.path = path
         self.p = p
         self.ts_col = ts_col
         self._table = KeyedTable(
@@ -181,6 +182,7 @@ class KMVStore:
         num_buckets: int = 4,
     ) -> None:
         self.spark = spark
+        self.path = path
         self.k = k
         self.ts_col = ts_col
         self._table = KeyedTable(

@@ -1645,6 +1645,10 @@ def events_hll_range_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _corpus_fingerprint(ev)
     cached = _HLL_STORES.get(key)
     if cached is None or cached[0] != fp or not cached[1].exists():
+        if cached is not None:
+            import shutil
+
+            shutil.rmtree(cached[1].path, ignore_errors=True)
         st = HLLStore(spark, tempfile.mkdtemp(prefix="affinity_hll_"))
         st.build(ev, F.col("user_id").cast("string"))
         _HLL_STORES[key] = (fp, st)
@@ -1701,6 +1705,13 @@ def events_kmv_range_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _corpus_fingerprint(ev)
     cached = _KMV_STORES.get(key)
     if cached is None or cached[0] != fp or not cached[1].exists():
+        if cached is not None:
+            # evict the superseded store directory (testdata regenerated
+            # or torn state) — the shared_ivf/shared_quality contract;
+            # without this the tmpdirs leak across regenerations
+            import shutil
+
+            shutil.rmtree(cached[1].path, ignore_errors=True)
         st = KMVStore(spark, tempfile.mkdtemp(prefix="affinity_kmv_"))
         st.build(ev, F.col("user_id").cast("string"))
         _KMV_STORES[key] = (fp, st)
@@ -1787,6 +1798,10 @@ def events_dd_range_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = _corpus_fingerprint(ev)
     cached = _DD_STORES.get(key)
     if cached is None or cached[0] != fp or not cached[1].exists():
+        if cached is not None:
+            import shutil
+
+            shutil.rmtree(cached[1].path, ignore_errors=True)
         st = DDStore(
             spark, tempfile.mkdtemp(prefix="affinity_dd_"), value_col="cents"
         )

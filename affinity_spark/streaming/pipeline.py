@@ -390,9 +390,13 @@ def store_served_corpus_sink(
     2. gate + exact dedup read the store back: keep docs with
        ``n_words >= min_tokens AND is_canonical``. Canonicality is min-id
        per fingerprint — identical to first-arrival under the pipeline's
-       documented arrival-order contract (ids ascend across batches), and
-       CORPUS-WIDE with no state store: it survives a checkpoint reset
-       because it is table truth, not state truth;
+       arrival-order contract (ids ascend across batches), and CORPUS-WIDE
+       with no state store: it survives a checkpoint reset because it is
+       table truth, not state truth. The contract is ENFORCED, not just
+       documented: a smaller-id exact dup of an already-admitted fp is
+       rejected as a dup of the committed canonical doc and never
+       admitted (it would otherwise flip the committed doc's canonicality
+       while that doc stays in the survivors table — r10 ADVICE);
     3. near-dup verdicts + admits via :func:`indexed_corpus_sink`'s
        protocol against the maintained BandIndex.
 
@@ -408,6 +412,43 @@ def store_served_corpus_sink(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if quality_store.exists():
+            # enforce the ascending-id arrival contract instead of merely
+            # documenting it: a smaller-id exact dup arriving AFTER its fp
+            # was admitted would flip the committed doc's is_canonical
+            # while that doc stays in the survivors table — store truth
+            # and survivors would silently diverge (r10 ADVICE). Violators
+            # are rejected as exact dups of the committed canonical doc
+            # and excluded from admission. Replays are unaffected: a
+            # replayed row's id EQUALS its committed id, never undercuts.
+            from affinity_spark.functions.text import doc_fingerprint
+
+            with_fp = batch_df.withColumn(
+                "_fp", doc_fingerprint(F.col(text_col))
+            )
+            batch_fps = with_fp.select(F.col("_fp").alias("fp")).distinct()
+            committed_min = (
+                quality_store.signals()
+                .join(F.broadcast(batch_fps), "fp")
+                .groupBy("fp")
+                .agg(F.min("doc_id").alias("_committed_min"))
+                .withColumnRenamed("fp", "_fp")
+            )
+            flagged = with_fp.join(F.broadcast(committed_min), "_fp")
+            violators = flagged.filter(
+                F.col(id_col) < F.col("_committed_min")
+            )
+            if not violators.isEmpty():
+                rejected_table.upsert(
+                    violators.select(
+                        id_col, F.col("_committed_min").alias("dup_of")
+                    )
+                )
+                batch_df = batch_df.join(
+                    F.broadcast(violators.select(id_col)), id_col, "left_anti"
+                )
+                if batch_df.isEmpty():
+                    return
         quality_store.admit(batch_df, fence=f"{run_id}:{batch_id}")
         ids = batch_df.select(id_col).distinct()
         keep = (

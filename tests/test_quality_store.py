@@ -215,6 +215,40 @@ def test_needs_retrain_growth_trigger(spark, tmp_path):
     assert st.signals().count() == 18
 
 
+def test_torn_admit_heals_on_replay(spark, tmp_path):
+    """A crash between the signals and hist commits records the replay
+    fence (it rides the signals meta) while leaving the derived tables
+    behind — and the fenced replay is dropped whole, so without healing
+    the divergence would be permanent (r10 ADVICE). Every admit — fenced
+    replays included — now sync-checks hist/cutoffs against the signals
+    epoch and rebuilds them from the committed signals on mismatch."""
+    import pytest
+
+    st = QualityStore(spark, str(tmp_path / "tear"))
+    st.build(_docs(spark, range(10)))
+    batch = _docs(spark, range(40, 44))
+    real = st._hist.overwrite
+    st._hist.overwrite = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("crash between signals and hist commits")
+    )
+    try:
+        with pytest.raises(RuntimeError):
+            st.admit(batch, fence="runA:0")
+    finally:
+        st._hist.overwrite = real
+    # tear landed: signals advanced, hist did not
+    assert _rows_set(st._hist.read()) != _rows_set(st._hist_of(st.signals()))
+    # the maintainer's replay of the same batch is fence-dropped, but heals
+    st.admit(batch, fence="runA:0")
+    assert _rows_set(st._hist.read()) == _rows_set(st._hist_of(st.signals()))
+    assert _rows_set(st._cutoffs.read()) == _rows_set(
+        st._cutoffs_of(st._hist.read())
+    )
+    # and later batches keep the store in sync
+    st.admit(_docs(spark, range(50, 52)), fence="runA:1")
+    assert _rows_set(st._hist.read()) == _rows_set(st._hist_of(st.signals()))
+
+
 def test_torn_build_reads_as_absent(spark, tmp_path):
     st = QualityStore(spark, str(tmp_path / "torn"))
     assert not st.exists()

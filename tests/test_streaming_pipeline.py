@@ -438,6 +438,34 @@ def test_store_served_sink_matches_indexed_pipeline(spark, tmp_path):
     assert got == streamed
 
 
+def test_store_served_sink_enforces_ascending_id_contract(spark, tmp_path):
+    """A smaller-id exact dup arriving AFTER its fingerprint was admitted
+    (an ascending-id contract violation) must not flip the committed
+    doc's canonicality while that doc sits in the survivors table: the
+    sink rejects the violator as a dup of the committed canonical doc and
+    never admits it (r10 ADVICE — enforcement, not documentation)."""
+    from affinity_spark.streaming.pipeline import store_served_corpus_sink
+
+    surv, rej, bidx, store, qstore = _store_served_setup(spark, tmp_path)
+    src = str(tmp_path / "in")
+    # batch 3 violates the contract: doc 0 is an exact dup of doc 1's
+    # text but carries a SMALLER id and arrives after doc 1 was admitted
+    _feed_lang(src, _docs() + [[{"doc_id": 0, "text": BODY + " one ending"}]])
+    _run_store_served(
+        spark, src, str(tmp_path / "ckpt"),
+        store_served_corpus_sink(qstore, bidx, store, surv, rej, run_id="rA"),
+    )
+    rejected = {
+        (r["doc_id"], r["dup_of"]) for r in rej.read().collect()
+    }
+    assert (0, 1) in rejected
+    sig = {r["doc_id"]: r["is_canonical"] for r in qstore.signals().collect()}
+    assert sig[1] is True
+    assert 0 not in sig  # the violator was never admitted to the store
+    surv_ids = {r["doc_id"] for r in surv.read().collect()}
+    assert 1 in surv_ids and 0 not in surv_ids
+
+
 def test_store_served_sink_checkpoint_reset_idempotent(spark, tmp_path):
     """All truth lives in committed tables, so wiping the checkpoint and
     replaying the full source under a NEW run id changes NOTHING: signal
