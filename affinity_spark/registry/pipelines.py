@@ -14,6 +14,8 @@ from the original registry header — see ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from affinity_spark.cache import track as _track_cache
@@ -259,4 +261,184 @@ SELECT doc_id, n_tokens,
             ELSE 'test' END AS split,
        CAST(coalesce(dup_of, -1) AS BIGINT) AS dup_of
 FROM lab
+"""
+
+
+# --- store-served streaming ingest: the batch-replay twin -------------------
+
+#: app-scoped replay-state cache: (corpus fingerprint, tmpdir, stores).
+#: The replay DRIVES the maintained stores (QualityStore + BandIndex +
+#: verdict tables) — the returned frame reads from them lazily, so the
+#: tmpdir must outlive the call; eviction rmtrees the superseded dir
+#: (the events_kmv_range_store contract).
+_SSR_STATE: dict = {}
+
+
+def pipeline_store_served_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORE-SERVED streaming ingest replayed in batch as a driver
+    query — the oracle-paired twin of ``streaming/pipeline.py::
+    store_served_corpus_sink`` (r10 verdict "What's missing" #3): the
+    documents table is fed through the ACTUAL foreachBatch sink in four
+    id-ordered micro-batches (QualityStore admits → gate + exact dedup
+    read back committed signals/canonicality → BandIndex-served near-dup
+    verify → verdict tables), then every per-doc verdict is read back
+    from the committed tables: signals for the gate drops, survivors for
+    split labels, rejected for near-dup attributions.
+
+    Output (one row per document): doc_id, n_words, verdict
+    ('lowq' | 'exactdup' | 'neardup' | 'train' | 'val' | 'test'), dup_of
+    (canonical doc for exact dups, earliest matched doc for near dups,
+    -1 otherwise). Ids ascend across batches (the enforced arrival
+    contract), so the final table state is batch-expressible: canonicality
+    is global min-id per fingerprint and near-dup candidates are exactly
+    the uncapped band-sharing pairs a<b — what the DuckDB oracle replays.
+
+    Reference parity: the E2E ingest spine GatewayStream.scala:88-99 whose
+    golden tests anchor the reference's test strategy — here the goldens
+    are the oracle's SQL replay of the full ingest.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.bandindex import BandIndex
+    from affinity_spark.operators.postings import _corpus_fingerprint
+    from affinity_spark.operators.quality_store import QualityStore
+    from affinity_spark.sources.keyed_table import KeyedTable
+    from affinity_spark.streaming.pipeline import store_served_corpus_sink
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    key = (spark.sparkContext.applicationId, f"ssr:{sf_dir}")
+    fp = _corpus_fingerprint(docs)
+    cached = _SSR_STATE.get(key)
+    if cached is None or cached[0] != fp or not cached[2].exists():
+        if cached is not None:
+            shutil.rmtree(cached[1], ignore_errors=True)
+        base = tempfile.mkdtemp(prefix="affinity_ssr_")
+        qstore = QualityStore(spark, os.path.join(base, "quality"))
+        bidx = BandIndex(
+            spark, os.path.join(base, "bands"), num_buckets=2, doc_buckets=2
+        )
+        corpus = KeyedTable(
+            spark, os.path.join(base, "shingles"), ["doc_id"],
+            ts_col="n_shingles", num_buckets=2,
+        )
+        surv = KeyedTable(
+            spark, os.path.join(base, "survivors"), ["doc_id"],
+            ts_col="n_tokens", num_buckets=2,
+        )
+        rej = KeyedTable(
+            spark, os.path.join(base, "rejected"), ["doc_id"],
+            ts_col="dup_of", num_buckets=2,
+        )
+        # four id-ordered micro-batches (a replay harness batches by id
+        # ranges; ntile keeps it deterministic at any sf)
+        batched = docs.withColumn(
+            "_b", F.ntile(4).over(Window.orderBy("doc_id"))
+        ).persist()
+        # the standing model trains on the earliest-id slice BEFORE the
+        # stream (the CCNet shape); those docs then also flow through the
+        # sink, replacing their own signal rows idempotently
+        qstore.build(batched.filter(F.col("_b") == 1).drop("_b"))
+        sink = store_served_corpus_sink(
+            qstore, bidx, corpus, surv, rej, run_id="replay"
+        )
+        for i in range(1, 5):
+            sink(batched.filter(F.col("_b") == i).drop("_b"), i - 1)
+        batched.unpersist()
+        _SSR_STATE[key] = (fp, base, qstore, surv, rej)
+    _, _, qstore, surv, rej = _SSR_STATE[key]
+
+    sig = qstore.signals().select("doc_id", "fp", "n_words", "is_canonical")
+    mins = sig.groupBy("fp").agg(F.min("doc_id").alias("_fp_min"))
+    s = surv.read().select("doc_id", "split")
+    r = rej.read().select("doc_id", F.col("dup_of").alias("_nd_of"))
+    return (
+        sig.join(mins, "fp")
+        .join(s, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.when(F.col("n_words") < 10, F.lit("lowq"))
+            .when(~F.col("is_canonical"), F.lit("exactdup"))
+            .when(F.col("_nd_of").isNotNull(), F.lit("neardup"))
+            .otherwise(F.col("split"))
+            .alias("verdict"),
+            F.when(F.col("n_words") < 10, F.lit(-1))
+            .when(~F.col("is_canonical"), F.col("_fp_min"))
+            .otherwise(F.coalesce(F.col("_nd_of"), F.lit(-1)))
+            .cast("long")
+            .alias("dup_of"),
+        )
+    )
+
+
+def _store_served_replay_oracle_sql() -> str:
+    from affinity_spark.registry._shared import (
+        _duck_lsh_bands_cte,
+        _duck_shingles_cte,
+    )
+
+    shingles_over_gated = _duck_shingles_cte(3).replace(
+        "FROM documents", "FROM g"
+    )
+    return f"""
+WITH t0 AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '')) AS n_words,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+mn AS (SELECT fp, min(doc_id) AS fp_min FROM t0 GROUP BY fp),
+lab0 AS (
+  SELECT t0.doc_id, t0.text, t0.n_words, mn.fp_min,
+         (t0.n_words >= 10 AND t0.doc_id = mn.fp_min) AS gated
+  FROM t0 JOIN mn USING (fp)
+),
+g AS (SELECT doc_id, text FROM lab0 WHERE gated),
+{shingles_over_gated.lstrip().lstrip(chr(10))},
+{_duck_lsh_bands_cte()},
+bp AS (
+  SELECT DISTINCT a.doc_id AS dup_of, b.doc_id AS doc_id
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM h GROUP BY doc_id),
+common AS (
+  SELECT p.dup_of, p.doc_id, CAST(count(*) AS BIGINT) AS n_common
+  FROM bp p
+  JOIN h x ON x.doc_id = p.dup_of
+  JOIN h y ON y.doc_id = p.doc_id AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+matches AS (
+  SELECT c.doc_id, min(c.dup_of) AS nd_of
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.dup_of
+  JOIN sizes sb ON sb.doc_id = c.doc_id
+  WHERE 2 * c.n_common >= (sa.nsh + sb.nsh - c.n_common)
+  GROUP BY c.doc_id
+),
+fin AS (
+  SELECT l.doc_id, l.n_words, l.fp_min, m.nd_of,
+         CAST(('0x' || substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000 AS bucket
+  FROM lab0 l LEFT JOIN matches m USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CASE WHEN n_words < 10 THEN 'lowq'
+            WHEN doc_id <> fp_min THEN 'exactdup'
+            WHEN nd_of IS NOT NULL THEN 'neardup'
+            WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS verdict,
+       CAST(CASE WHEN n_words < 10 THEN -1
+                 WHEN doc_id <> fp_min THEN fp_min
+                 ELSE coalesce(nd_of, -1) END AS BIGINT) AS dup_of
+FROM fin
 """
