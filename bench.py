@@ -265,27 +265,30 @@ def classify_stderr(text: str) -> tuple[str, list[str]]:
     return ("benign", []) if blocks else ("clean", [])
 
 
+#: name -> query list; the per-set subprocess unit. Each set runs in its
+#: own fresh JVM: a 170-query run in ONE JVM measurably inflates late sets
+#: (accumulated plan/codegen/GC state — r8 A/B 15.9 vs 10.9 s; r10:
+#: docs_bm25_search 3.34 s in-set vs 1.11 s isolated), so set-position
+#: contamination was polluting the driver artifact. Subprocess isolation
+#: makes every set's numbers fresh-JVM comparable; JVM startup/warmup is
+#: paid outside the timed region exactly as before.
+SETS = {
+    "headline": HEADLINE,
+    "extended": EXTENDED,
+    "r3": R3_SET,
+    "r5": R5_SET,
+    "r8": R8_SET,
+    "r9": R9_SET,
+    "r10": R10_SET,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Capture fd-2 for the whole run (the JVM writes log4j + executor traces
-    # straight to it) so traces are classified, not silently interleaved.
-    import tempfile
-
-    saved_stderr = os.dup(2)
-    capture = tempfile.NamedTemporaryFile(
-        mode="w+", prefix="bench-stderr-", suffix=".log", delete=False
-    )
-    os.dup2(capture.fileno(), 2)
-    try:
-        payload = _run(sf_dir)
-    finally:
-        sys.stderr.flush()
-        os.dup2(saved_stderr, 2)
-        os.close(saved_stderr)
-    capture.seek(0)
-    text = capture.read()
-    capture.close()
-    verdict, lines = classify_stderr(text)
+    if len(sys.argv) >= 3 and sys.argv[1] == "--set":
+        _child(sys.argv[2], sf_dir)
+        return
+    payload, verdict, lines = _orchestrate(sf_dir)
     payload["stderr_classification"] = verdict
     print(json.dumps(payload))
     # Self-sufficient on-disk artifact (totals FIRST — readable even if the
@@ -322,17 +325,93 @@ def main() -> None:
         print("bench stderr: UNEXPECTED executor/scheduler errors:", file=sys.stderr)
         for line in lines:
             print(f"  {line}", file=sys.stderr)
-        print(f"full capture: {capture.name}", file=sys.stderr)
         sys.exit(2)
-    os.unlink(capture.name)
 
 
-def _run(sf_dir: str) -> dict:
+def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
+    """Run every bench set in its own subprocess (fresh JVM each) and
+    aggregate into the historical single-JSON payload shape. Child stderr
+    (log4j + executor traces) is captured per set and classified with the
+    same benign/unexpected taxonomy as the old in-process capture."""
+    import subprocess
+
+    results: dict[str, dict] = {}
+    verdicts: list[str] = []
+    bad: list[str] = []
+    for name in [*SETS, "write_path"]:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--set", name],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-4000:])
+            print(f"bench set {name} FAILED rc={p.returncode}", file=sys.stderr)
+            sys.exit(2)
+        line = next(
+            (
+                l
+                for l in reversed(p.stdout.splitlines())
+                if l.startswith('{"bench_set"')
+            ),
+            None,
+        )
+        if line is None:
+            sys.stderr.write(p.stderr[-4000:])
+            print(f"bench set {name}: no result line on stdout", file=sys.stderr)
+            sys.exit(2)
+        results[name] = json.loads(line)
+        v, lines = classify_stderr(p.stderr)
+        verdicts.append(v)
+        bad.extend(lines)
+
+    work: dict[str, dict] = {}
+    for r in results.values():
+        work.update(r.get("work") or {})
+    timings = results["headline"]["timings"]
+    extended = results["extended"]["timings"]
+    r3 = results["r3"]["timings"]
+    r5 = results["r5"]["timings"]
+    r8 = results["r8"]["timings"]
+    r9 = results["r9"]["timings"]
+    r10 = results["r10"]["timings"]
+    payload = {
+        "work": work,
+        "queries": timings,
+        "extended": extended,
+        "r3": r3,
+        "r5": r5,
+        "r8": r8,
+        "r9": r9,
+        "r10": r10,
+        "write_path": results["write_path"]["write_path"],
+        "postings_index_build_sec": results["r5"]["postings_index_build_sec"],
+        "sf": sf_of(sf_dir),
+        "extended_total": round(sum(extended.values()), 3),
+        "r3_total": round(sum(r3.values()), 3),
+        "r5_total": round(sum(r5.values()), 3),
+        "r8_total": round(sum(r8.values()), 3),
+        "r9_total": round(sum(r9.values()), 3),
+        "r10_total": round(sum(r10.values()), 3),
+        "metric": "headline_queries_total",
+        "unit": "sec",
+        "value": round(sum(timings.values()), 3),
+    }
+    verdict = (
+        "unexpected"
+        if "unexpected" in verdicts
+        else ("benign" if "benign" in verdicts else "clean")
+    )
+    return payload, verdict, bad[:20]
+
+
+def _child(set_name: str, sf_dir: str) -> None:
     spark = get_spark(
-        app_name="affinity-spark-bench",
+        app_name=f"affinity-spark-bench-{set_name}",
         # UI on for the work-volume REST capture; retention high enough
-        # that a full 170-query run cannot evict a stage between the
-        # before/after snapshots of a single query.
+        # that a full set cannot evict a stage between the before/after
+        # snapshots of a single query.
         conf={"spark.ui.enabled": "true", "spark.ui.retainedStages": "40000"},
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -360,23 +439,9 @@ def _run(sf_dir: str) -> dict:
     def consume(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    def set_boundary() -> None:
-        # 174 queries' accumulated plan/codegen state measurably inflates
-        # LATE sets inside one JVM (r9 A/B: the r8 set reads 15.9 s as the
-        # 5th set of a full run vs 10.9 s in a fresh JVM on the same host
-        # minutes apart). Dropping cached relations and nudging a full GC
-        # at set boundaries keeps per-set numbers comparable to their
-        # isolated anchors without paying a JVM restart per set.
-        try:
-            spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
-
     work: dict[str, dict] = {}
 
     def time_set(names: list[str]) -> dict[str, float]:
-        set_boundary()
         out: dict[str, float] = {}
         for name in names:
             fn = queries[name]
@@ -397,52 +462,30 @@ def _run(sf_dir: str) -> dict:
             release_shared()
         return out
 
-    timings = time_set(HEADLINE)
-    extended = time_set(EXTENDED)
-    # r5: the retrieval family (docs_phrase_search here; bm25/tfidf in the
-    # registry) reads the materialized postings index. Build it ONCE and
-    # report the build as its own metric — a deployment maintains the
-    # index incrementally; folding a full build into one query's time
-    # would misstate both the build and the query.
-    t0 = time.perf_counter()
-    from affinity_spark.registry import docs as _registry_docs
+    result: dict = {"bench_set": set_name}
+    if set_name == "write_path":
+        result["write_path"] = _write_path_bench(spark, sf_dir)
+        result["timings"] = {}
+    else:
+        if set_name in ("r3", "r5"):
+            # the retrieval family (docs_phrase_search in r3; bm25/tfidf
+            # in r5) reads the materialized postings index. Build it
+            # eagerly and report the build as its own metric — a
+            # deployment maintains the index incrementally; folding a
+            # full build into one query's time would misstate both.
+            t0 = time.perf_counter()
+            from affinity_spark.registry import docs as _registry_docs
 
-    _registry_docs._postings(spark, sf_dir)
-    index_build_sec = round(time.perf_counter() - t0, 3)
-    r3 = time_set(R3_SET)
-    r5 = time_set(R5_SET)
-    r8 = time_set(R8_SET)
-    r9 = time_set(R9_SET)
-    r10 = time_set(R10_SET)
-    write_path = _write_path_bench(spark, sf_dir)
-
-    total = round(sum(timings.values()), 3)
-    # Key order matters for the recorded artifact: the driver's tail-capture
-    # clips the FRONT of this (long) line, so the bulky per-query maps go
-    # first and every total goes LAST — the clipped artifact still shows
-    # the headline number (the BENCH_r07 truncation lesson).
-    return {
-        "work": work,
-        "queries": timings,
-        "extended": extended,
-        "r3": r3,
-        "r5": r5,
-        "r8": r8,
-        "r9": r9,
-        "r10": r10,
-        "write_path": write_path,
-        "postings_index_build_sec": index_build_sec,
-        "sf": sf_of(sf_dir),
-        "extended_total": round(sum(extended.values()), 3),
-        "r3_total": round(sum(r3.values()), 3),
-        "r5_total": round(sum(r5.values()), 3),
-        "r8_total": round(sum(r8.values()), 3),
-        "r9_total": round(sum(r9.values()), 3),
-        "r10_total": round(sum(r10.values()), 3),
-        "metric": "headline_queries_total",
-        "unit": "sec",
-        "value": total,
-    }
+            _registry_docs._postings(spark, sf_dir)
+            if set_name == "r5":
+                result["postings_index_build_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+        result["timings"] = time_set(SETS[set_name])
+    result["work"] = work
+    # one machine-readable line, newline-guarded against interleaved logs
+    sys.stdout.flush()
+    print("\n" + json.dumps(result), flush=True)
 
 
 def _write_path_bench(spark, sf_dir: str) -> dict:
