@@ -1,0 +1,253 @@
+"""Maintained PPJoin prefix index — the maintained-index (X1) treatment
+applied to EXACT all-pairs Jaccard.
+
+``operators/dedup.py::ppjoin_pairs`` re-derives the whole pruning
+scaffold per run: explode the corpus shingles, count document frequency,
+rank every doc's shingles under the global (df, shingle) order, cut the
+prefixes — only THEN does the candidate join start. At 100 TB that
+derivation is a corpus-sized explode + two shuffles paid on every query.
+This module commits the scaffold once (the reference's maintained
+secondary-index discipline, ``core/src/main/scala/io/amient/affinity/
+core/state/KVStoreLocal.scala:195-248``) into three KeyedTables:
+
+- ``df``      (shingle, df) — the global order key, FROZEN at build time;
+- ``prefix``  (shingle, doc_id, rn, n) — each doc's prefix entries under
+  that order (rn = the doc-local rank, n = the doc's shingle count);
+- ``arrays``  (doc_id, shingles, n_shingles) — the verify side.
+
+The serving read (:meth:`pairs`) is then index-sized: a self-join of the
+committed prefix entries (length + positional filters in the same
+shuffle) and the exact ``array_intersect`` verify against the committed
+arrays — no explode, no df aggregation, no per-doc rank window anywhere
+in the plan (pinned by tests/test_prefix_index.py).
+
+FROZEN-ORDER EXACTNESS (the IVF codebook discipline): PPJoin's prefix
+theorem needs *some* global total order shared by all compared docs —
+df-ascending is only the pruning heuristic, not a correctness
+requirement. Admits therefore rank new docs under the order frozen at
+build time (``(coalesce(df, 0), shingle)``; a shingle unseen at build
+ranks as rarest, which is also the right heuristic for it). Results stay
+bit-identical to the exhaustive join at any drift; only pruning power
+decays, and :meth:`needs_reorder` is the growth trigger for a fresh
+build — exactly how the IVF index treats its codebook.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from affinity_spark.operators.dedup import jaccard_verify_arrays
+from affinity_spark.sources.keyed_table import KeyedTable
+
+
+class PrefixIndex:
+    """Committed PPJoin prefix scaffold with a frozen global order."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        t_num: int = 1,
+        t_den: int = 2,
+        num_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.t_num = t_num
+        self.t_den = t_den
+        self._df = KeyedTable(
+            spark, os.path.join(path, "df"), ["shingle"], ts_col="df",
+            num_buckets=num_buckets,
+        )
+        self._prefix = KeyedTable(
+            spark, os.path.join(path, "prefix"), ["shingle", id_col],
+            ts_col="rn", num_buckets=num_buckets,
+        )
+        self._arrays = KeyedTable(
+            spark, os.path.join(path, "arrays"), [id_col],
+            ts_col="n_shingles", num_buckets=num_buckets,
+        )
+        # memoized serving DataFrame: the pairs() plan is ~2 s of
+        # analysis/optimization at sf0.1 — twice the execution — and a
+        # serving system compiles its read once. Invalidated by
+        # build/admit (the reads pin version dirs at analysis time).
+        self._pairs_df: DataFrame | None = None
+
+    # --- derivation ---------------------------------------------------------
+
+    def _prefix_entries(
+        self, docs_arr: DataFrame, dfc: DataFrame
+    ) -> DataFrame:
+        """Each doc's prefix entries under the (df, shingle) order:
+        rn <= n - ceil(t*n) + 1. ``dfc`` supplies the order key; docs'
+        shingles absent from it rank as df=0 (rarest-first, and exact —
+        see the module docstring)."""
+        from pyspark.sql import Window
+
+        sh = docs_arr.select(
+            F.col(self.id_col),
+            F.col("n_shingles").alias("n"),
+            F.explode("shingles").alias("shingle"),
+        )
+        ranked = sh.join(dfc, "shingle", "left").withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(self.id_col).orderBy(
+                    F.asc(F.coalesce(F.col("df"), F.lit(0))),
+                    F.asc("shingle"),
+                )
+            ),
+        )
+        t_num, t_den = self.t_num, self.t_den
+        return ranked.filter(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({t_num} * n + {t_den} - 1) div {t_den}")
+            + F.lit(1)
+        ).select("shingle", self.id_col, "rn", "n")
+
+    def build(self, docs_arr: DataFrame) -> None:
+        """Full build from an (id, shingles, n_shingles) frame: freeze the
+        df order, commit prefixes and verify arrays."""
+        docs_arr = docs_arr.persist()
+        dfc = (
+            docs_arr.select(F.explode("shingles").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        )
+        self._df.overwrite(dfc, meta={"n_at_build": docs_arr.count()})
+        self._prefix.overwrite(
+            self._prefix_entries(docs_arr, self._df.read())
+        )
+        self._arrays.overwrite(
+            docs_arr.select(self.id_col, "shingles", "n_shingles")
+        )
+        docs_arr.unpersist()
+        self._pairs_df = None
+
+    def exists(self) -> bool:
+        return (
+            self._df.exists()
+            and self._prefix.exists()
+            and self._arrays.exists()
+        )
+
+    def admit(self, docs_arr: DataFrame) -> None:
+        """Incremental admit of NEW/REPLACED docs: rank the batch under
+        the FROZEN order and upsert its prefix entries and arrays —
+        batch-sized IO, the corpus is never re-derived. Exact at any
+        drift (frozen-order property); re-freeze via :meth:`build` when
+        :meth:`needs_reorder` fires."""
+        docs_arr = docs_arr.persist()
+        entries = self._prefix_entries(docs_arr, self._df.read())
+        self._prefix.upsert(entries)
+        self._arrays.upsert(
+            docs_arr.select(self.id_col, "shingles", "n_shingles")
+        )
+        docs_arr.unpersist()
+        self._pairs_df = None
+
+    def needs_reorder(self, max_growth: float = 0.5) -> bool:
+        """True when the corpus grew past ``max_growth`` of the build-time
+        size — the frozen df order's pruning power decays with drift."""
+        n0 = int(self._df.commit_meta().get("n_at_build", 0))
+        if n0 <= 0:
+            return False
+        return self._arrays.read().count() > n0 * (1.0 + max_growth)
+
+    # --- serving reads ------------------------------------------------------
+
+    def pairs(self) -> DataFrame:
+        """Exact all-pairs Jaccard >= t over the indexed corpus, served
+        entirely from the committed tables: prefix self-join (length +
+        positional filters in the candidate shuffle) + array verify.
+        Bit-identical to the exhaustive inverted join. The DataFrame is
+        memoized until the next build/admit — plan compilation is paid
+        once, not per read."""
+        if self._pairs_df is not None:
+            return self._pairs_df
+        prefix = self._prefix.read()
+        a = prefix.select(
+            F.col(self.id_col).alias("id_a"), "shingle",
+            F.col("n").alias("n_a"), F.col("rn").alias("rn_a"),
+        )
+        b = prefix.select(
+            F.col(self.id_col).alias("id_b"), "shingle",
+            F.col("n").alias("n_b"), F.col("rn").alias("rn_b"),
+        )
+        t_num, t_den = self.t_num, self.t_den
+        cand = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.lit(t_den) * F.least("n_a", "n_b")
+                >= F.lit(t_num) * F.greatest("n_a", "n_b")
+            )
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.count(F.lit(1)).alias("_npp"),
+                F.max("rn_a").alias("_ia"),
+                F.max("rn_b").alias("_jb"),
+                F.first("n_a").alias("_na"),
+                F.first("n_b").alias("_nb"),
+            )
+            .filter(
+                F.col("_npp")
+                + F.least(
+                    F.col("_na") - F.col("_ia"), F.col("_nb") - F.col("_jb")
+                )
+                >= F.expr(
+                    f"({t_num} * (_na + _nb) + {t_num} + {t_den} - 1) "
+                    f"div ({t_num} + {t_den})"
+                )
+            )
+            .select("id_a", "id_b")
+        )
+        self._pairs_df = jaccard_verify_arrays(
+            cand, self._arrays.read(), self.id_col, t_num, t_den
+        )
+        return self._pairs_df
+
+
+#: (application id, corpus key) -> (corpus fingerprint, PrefixIndex)
+_SHARED: dict = {}
+
+
+def shared_prefix_index(
+    spark: SparkSession,
+    docs_arr: DataFrame,
+    corpus_key: str,
+    id_col: str = "doc_id",
+    t_num: int = 1,
+    t_den: int = 2,
+) -> PrefixIndex:
+    """Build-once-per-process prefix index over ``docs_arr``, keyed by
+    (application id, corpus_key); the corpus fingerprint lives in the
+    VALUE, so a regenerated corpus at the same path rebuilds AND rmtrees
+    the superseded index (the shared_postings contract)."""
+    import shutil
+    import tempfile
+
+    from affinity_spark.operators.postings import _corpus_fingerprint
+
+    key = (spark.sparkContext.applicationId, corpus_key, t_num, t_den)
+    fp = _corpus_fingerprint(docs_arr.select(id_col))
+    cached = _SHARED.get(key)
+    if cached is not None:
+        cached_fp, idx = cached
+        if cached_fp == fp and idx.exists():
+            return idx
+        del _SHARED[key]
+        shutil.rmtree(idx.path, ignore_errors=True)
+    idx = PrefixIndex(
+        spark, tempfile.mkdtemp(prefix="affinity_prefix_"),
+        id_col=id_col, t_num=t_num, t_den=t_den,
+    )
+    idx.build(docs_arr)
+    _SHARED[key] = (fp, idx)
+    return idx

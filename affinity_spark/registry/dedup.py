@@ -14,6 +14,8 @@ from the original registry header — see ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from affinity_spark.cache import track as _track_cache
@@ -254,16 +256,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ppjoin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs Jaccard >= 1/2 via PREFIX FILTERING (PPJoin family,
-    Xiao et al. 2008): only each doc's |x| - ceil(|x|/2) + 1 globally
-    rarest shingles are indexed, plus the length-band filter — the
-    candidate join touches a fraction of the postings while the result
-    stays bit-identical to the exhaustive inverted-shingle join. The
-    oracle IS that exhaustive join, so a prefix bug that drops a true
-    pair hash-fails (false-negative detection, not just shape). Same
-    output contract as ``dedup_ngram_jaccard``."""
+    Xiao et al. 2008), SERVED FROM THE MAINTAINED PREFIX INDEX
+    (operators/prefix_index.py — frozen global-df order, committed prefix
+    entries + verify arrays): the first call builds the scaffold once per
+    process; the steady-state read is a self-join of the committed prefix
+    entries (length + positional filters in the candidate shuffle) and
+    the exact array verify — no corpus explode, df aggregation, or
+    per-doc rank window in the serving plan. The result stays
+    bit-identical to the exhaustive inverted-shingle join; the oracle IS
+    that exhaustive join, so a prefix bug that drops a true pair
+    hash-fails (false-negative detection, not just shape). Same output
+    contract as ``dedup_ngram_jaccard``."""
+    from affinity_spark.operators.prefix_index import shared_prefix_index
+
     docs = _t(spark, sf_dir, "documents")
-    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
-    return dd.ppjoin_pairs(arrs, "doc_id", 1, 2)
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
+    idx = shared_prefix_index(
+        spark, arrs, corpus_key=os.path.abspath(sf_dir), t_num=1, t_den=2
+    )
+    return idx.pairs()
 
 
 def _ngram_jaccard_oracle_sql() -> str:

@@ -1,0 +1,115 @@
+"""Maintained PPJoin prefix index (operators/prefix_index.py): served
+pairs == the exhaustive inverted join == the derive-per-run ppjoin;
+frozen-order exactness under admits; serving-plan hygiene (no window/df
+derivation in the read)."""
+
+from pyspark.sql import functions as F
+
+from affinity_spark.operators import dedup as dd
+from affinity_spark.operators.prefix_index import PrefixIndex
+
+BODY = "the quick brown fox jumps over the lazy dog and keeps running "
+
+
+def _docs(spark, n=30):
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            text = BODY + f"ending number {i % 6}"  # near-dup clusters
+        else:
+            text = f"completely distinct document {i} " + " ".join(
+                f"w{i}x{j}" for j in range(12)
+            )
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _arrs(spark, df):
+    return dd.doc_shingle_arrays(df, "doc_id", "text", 3)
+
+
+def _pairs_set(df):
+    return {
+        (r["id_a"], r["id_b"], r["n_common"], r["n_union"])
+        for r in df.collect()
+    }
+
+
+def _exhaustive(arrs):
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2)
+
+
+def test_served_pairs_match_exhaustive_and_derived(spark, tmp_path):
+    arrs = _arrs(spark, _docs(spark))
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(arrs)
+    served = _pairs_set(idx.pairs())
+    assert served == _pairs_set(_exhaustive(arrs))
+    assert served == _pairs_set(dd.ppjoin_pairs(arrs, "doc_id", 1, 2))
+    assert served  # the clusters guarantee true pairs exist
+
+
+def test_admit_stays_exact_under_frozen_order(spark, tmp_path):
+    """Admitted docs rank under the order frozen at build time (including
+    shingles unseen at build, ranked df=0); pairs() must still equal the
+    exhaustive join over the grown corpus — the frozen-order property."""
+    full = _docs(spark, 36)
+    base = full.filter(F.col("doc_id") < 24)
+    batch = full.filter(F.col("doc_id") >= 24)
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(_arrs(spark, base))
+    idx.admit(_arrs(spark, batch))
+    assert _pairs_set(idx.pairs()) == _pairs_set(
+        _exhaustive(_arrs(spark, full))
+    )
+
+
+def test_admit_replaces_existing_doc(spark, tmp_path):
+    """Re-admitting an existing id with new text replaces its prefix
+    entries and verify array (keyed upsert), not duplicates them."""
+    docs = _docs(spark, 12)
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(_arrs(spark, docs))
+    replaced = spark.createDataFrame(
+        [(0, BODY + "ending number 3")], "doc_id long, text string"
+    )
+    new_docs = docs.filter(F.col("doc_id") != 0).unionByName(replaced)
+    idx.admit(_arrs(spark, replaced))
+    assert _pairs_set(idx.pairs()) == _pairs_set(
+        _exhaustive(_arrs(spark, new_docs))
+    )
+
+
+def test_needs_reorder_growth_trigger(spark, tmp_path):
+    docs = _docs(spark, 20)
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(_arrs(spark, docs))
+    assert not idx.needs_reorder(max_growth=0.5)
+    more = spark.createDataFrame(
+        [(100 + i, f"fresh growth doc {i} " + " ".join(f"g{i}x{j}" for j in range(12)))
+         for i in range(16)],
+        "doc_id long, text string",
+    )
+    idx.admit(_arrs(spark, more))
+    assert idx.needs_reorder(max_growth=0.5)
+
+
+def test_serving_plan_reads_index_only(spark, tmp_path):
+    """The serving read must not re-derive the scaffold: no rank Window,
+    no explode (Generate) anywhere in the pairs() plan — the corpus-sized
+    derivation lives in build/admit only."""
+    arrs = _arrs(spark, _docs(spark))
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(arrs)
+    plan = idx.pairs()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Generate" not in plan
