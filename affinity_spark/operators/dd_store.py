@@ -116,17 +116,28 @@ class DDStore:
             merged, days, expected_base=base_version, meta=meta
         )
 
-    def maintainer(self, run_id: str):
+    def maintainer(self, run_id: str, compact_every: int = 32):
         """foreachBatch maintenance. ``run_id`` scopes the fence: a fresh
         checkpoint restarts batch ids at 0, and an UNscoped marker would
         silently drop every post-reset batch (worse than the replay
         double-count it prevents) — the caller passes a new run_id per
-        stream start, so post-reset batches fence under new keys."""
+        stream start, so post-reset batches fence under new keys.
+
+        Every ``compact_every`` admits (per stream run) the table is
+        physically compacted: each admit rewrites its touched day
+        partitions at shuffle-partition granularity, so a long-running
+        stream decays into tens of tiny files per day (the small-files
+        problem); compaction squashes them to ~one file per day dir, same
+        rows, fences carried in the commit meta. 0 disables."""
+        state = {"n": 0}
 
         def apply(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             self.admit(batch_df, fence=f"{run_id}:{batch_id}")
+            state["n"] += 1
+            if compact_every and state["n"] % compact_every == 0:
+                self._table.compact()
 
         return apply
 

@@ -465,16 +465,26 @@ class QualityStore:
         self._hist.overwrite(self._hist.read(), meta=new_meta)
         self._cutoffs.overwrite(self._cutoffs.read(), meta=new_meta)
 
-    def maintainer(self, run_id: str):
+    def maintainer(self, run_id: str, max_generations: int = 16):
         """foreachBatch maintenance: each micro-batch of documents is
         admitted incrementally under a run-scoped replay fence (the DDStore
         additive-state rule — batch ids restart at 0 on a fresh
-        checkpoint, so the fence is scoped by the caller's run id)."""
+        checkpoint, so the fence is scoped by the caller's run id).
+
+        When the admit-generation count reaches ``max_generations`` the
+        signals table is squashed to one generation (each admit writes a
+        new tiny hive dir; a long-running stream would otherwise
+        accumulate one per micro-batch — file-count pressure and planner
+        overhead). Fences and lineage carry through compaction. 0
+        disables."""
 
         def apply(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             self.admit(batch_df, fence=f"{run_id}:{batch_id}")
+            gens = int(self._signals.commit_meta().get("next_gen", 1))
+            if max_generations and gens >= max_generations:
+                self.compact_generations()
 
         return apply
 

@@ -99,15 +99,23 @@ class HLLStore:
             merged, days, expected_base=base_version
         )
 
-    def maintainer(self, key: Column):
+    def maintainer(self, key: Column, compact_every: int = 32):
         """foreachBatch streaming maintenance — the PostingsIndex/
         BandIndex/IVFIndex contract for sketch state. No batch-id
-        bookkeeping: max-merge is idempotent under replay."""
+        bookkeeping: max-merge is idempotent under replay. Every
+        ``compact_every`` admits the table is physically compacted
+        (admits rewrite touched days at shuffle-partition granularity;
+        a long stream otherwise decays into tiny files — see
+        DDStore.maintainer). 0 disables."""
+        state = {"n": 0}
 
         def apply(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             self.admit(batch_df, key)
+            state["n"] += 1
+            if compact_every and state["n"] % compact_every == 0:
+                self._table.compact()
 
         return apply
 
@@ -244,14 +252,20 @@ class KMVStore:
             merged, days, expected_base=base_version
         )
 
-    def maintainer(self, key: Column):
+    def maintainer(self, key: Column, compact_every: int = 32):
         """foreachBatch streaming maintenance; no batch-id bookkeeping —
-        min-merge is idempotent under replay (the HLL contract)."""
+        min-merge is idempotent under replay (the HLL contract). Every
+        ``compact_every`` admits the table compacts to ~one file per day
+        dir (see DDStore.maintainer). 0 disables."""
+        state = {"n": 0}
 
         def apply(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             self.admit(batch_df, key)
+            state["n"] += 1
+            if compact_every and state["n"] % compact_every == 0:
+                self._table.compact()
 
         return apply
 

@@ -148,3 +148,35 @@ def test_fence_ledger_is_bounded(spark, tmp_path, monkeypatch):
     n = st.daily().agg(F.sum("n")).collect()[0][0]
     st.admit(batches[-1], fence="run:4")  # recent fence still blocks
     assert st.daily().agg(F.sum("n")).collect()[0][0] == n
+
+
+def test_maintainer_scheduled_compaction_bounds_files(spark, tmp_path):
+    """Maintainer-driven compaction (r10 verdict #5): each admit rewrites
+    its touched day partitions at shuffle-partition granularity, so file
+    count grows with batches; the maintainer's scheduled compact squashes
+    to ~one file per day dir while reads and fences are preserved."""
+    rows = _rows(240)
+    st = DDStore(spark, str(tmp_path / "mc"))
+    st.build(_df(spark, rows[:40]))
+    apply = st.maintainer(run_id="runC", compact_every=4)
+    chunks = [rows[40 + 25 * i : 40 + 25 * (i + 1)] for i in range(8)]
+    for i, chunk in enumerate(chunks):
+        apply(_df(spark, chunk), i)
+    stats = st._table.file_stats()
+    n_days = st.daily().select("day").distinct().count()
+    # one compacted file per day dir (compaction ran on batches 3 and 7)
+    assert stats["n_files"] == n_days
+    # reads identical to a direct full build
+    full = DDStore(spark, str(tmp_path / "mcfull"))
+    full.build(_df(spark, rows))
+    assert {
+        (r["day"], r["bucket"], r["n"]) for r in st.daily().collect()
+    } == {
+        (r["day"], r["bucket"], r["n"]) for r in full.daily().collect()
+    }
+    # the fence ledger survives compaction: a replayed batch still drops
+    before = {(r["day"], r["bucket"], r["n"]) for r in st.daily().collect()}
+    apply(_df(spark, chunks[-1]), len(chunks) - 1)
+    assert {
+        (r["day"], r["bucket"], r["n"]) for r in st.daily().collect()
+    } == before

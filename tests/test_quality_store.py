@@ -368,3 +368,24 @@ def test_per_lang_admit_matches_rebuild_with_same_models(spark, tmp_path):
     # the unseen-language doc carries no fluency evidence
     row = st.signals().filter(F.col("doc_id") == 90).collect()[0]
     assert row["n_bigrams"] is None and row["lang"] == "de"
+
+
+def test_maintainer_compacts_generations_on_schedule(spark, tmp_path):
+    """Maintainer-driven generation squash (r10 verdict #5): the gen
+    count is bounded across N micro-batches, reads are unchanged, and
+    fences carry through compaction (a replayed batch still drops)."""
+    st = QualityStore(spark, str(tmp_path / "mg"))
+    st.build(_docs(spark, range(8)))
+    apply = st.maintainer(run_id="runG", max_generations=3)
+    for i in range(6):
+        apply(_docs(spark, range(100 + 4 * i, 104 + 4 * i)), i)
+    gens = {r["gen"] for r in st._signals.read().select("gen").distinct().collect()}
+    # squashed at least once: far fewer generation dirs than admits
+    assert len(gens) < 4
+    assert st.signals().count() == 8 + 24
+    # fences survived the squash: replaying the last batch is a no-op
+    before = _sig_set(st.signals())
+    h_before = _rows_set(st._hist.read())
+    apply(_docs(spark, range(120, 124)), 5)
+    assert _sig_set(st.signals()) == before
+    assert _rows_set(st._hist.read()) == h_before

@@ -324,3 +324,25 @@ def test_kmv_streaming_maintainer_matches_direct_build(spark, tmp_path):
     assert {
         (r["day"], r["h"]) for r in st.daily().collect()
     } == {(r["day"], r["h"]) for r in full.daily().collect()}
+
+
+def test_kmv_maintainer_scheduled_compaction_bounds_files(spark, tmp_path):
+    """Scheduled maintainer compaction (r10 verdict #5): file count stays
+    ~one per day dir across N batches; range reads unchanged (min-merge
+    replay safety needs no fences, so only the physical layout moves)."""
+    from affinity_spark.operators.sketch_store import KMVStore
+
+    rows = _rows(300)
+    st = KMVStore(spark, str(tmp_path / "kmc"), k=32)
+    st.build(_df(spark, rows[:60]), _key())
+    apply = st.maintainer(_key(), compact_every=4)
+    for i in range(8):
+        apply(_df(spark, rows[60 + 30 * i : 60 + 30 * (i + 1)]), i)
+    stats = st._table.file_stats()
+    n_days = st.daily().select("day").distinct().count()
+    assert stats["n_files"] == n_days
+    full = KMVStore(spark, str(tmp_path / "kmcfull"), k=32)
+    full.build(_df(spark, rows), _key())
+    assert {
+        (r["day"], r["h"]) for r in st.daily().collect()
+    } == {(r["day"], r["h"]) for r in full.daily().collect()}
