@@ -866,3 +866,23 @@ def encode_jpeg_baseline(
                     k += 1
     wtr.flush()
     return (b"\xff\xd8" + dqt + sof + tables + sos + bytes(wtr.out) + b"\xff\xd9")
+
+
+def dhash_bits(pixels: bytes, width: int, height: int) -> int:
+    """Difference hash (dHash) of a grayscale image: one bit per pair of
+    horizontally adjacent pixels, set when the right pixel is brighter —
+    the classic perceptual image fingerprint (gradient signs survive
+    re-encoding and brightness shifts). Bits are numbered row-major over
+    (height x (width-1)) comparisons, CAPPED AT 63 so the fingerprint is
+    a non-negative int64 in every engine (DuckDB refuses 1 << 63); a 9x8
+    input gives the standard 8x8-comparison dHash minus its last bit."""
+    h = 0
+    bit = 0
+    for r in range(height):
+        for c in range(width - 1):
+            if bit >= 63:
+                return h
+            if pixels[r * width + c + 1] > pixels[r * width + c]:
+                h |= 1 << bit
+            bit += 1
+    return h

@@ -562,6 +562,56 @@ def simhash_near_pairs(
     )
 
 
+def hamming_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str,
+    fp_col: str,
+    bits: int,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Generalized pigeonhole near-dup pairs over ``bits``-wide integer
+    fingerprints (the :func:`simhash_near_pairs` machinery for any
+    fingerprint column — perceptual image hashes included): split the
+    bits into (max_hamming+1) disjoint chunks, any pair within the radius
+    agrees on >= 1 full chunk, join per chunk, verify with
+    bit_count(xor). ``bits`` must stay <= 63 so the fingerprint is
+    non-negative in every engine (DuckDB refuses 1<<63)."""
+    if not 0 < bits <= 63:
+        raise ValueError("bits must be in (0, 63]")
+    chunks = max_hamming + 1
+    width = -(-bits // chunks)  # ceil: last chunk may be narrower
+    parts = [
+        F.struct(
+            F.lit(c).alias("chunk_id"),
+            (
+                F.shiftright(F.col(fp_col), c * width)
+                % F.lit(1 << min(width, bits - c * width))
+            ).alias("chunk_val"),
+        )
+        for c in range(chunks)
+    ]
+    chunked = fingerprints.select(
+        F.col(id_col), F.col(fp_col), F.explode(F.array(*parts)).alias("c")
+    ).select(id_col, fp_col, "c.chunk_id", "c.chunk_val")
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col(fp_col).alias("fp_a"),
+        "chunk_id", "chunk_val",
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col(fp_col).alias("fp_b"),
+        "chunk_id", "chunk_val",
+    )
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("fp_a ^ fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # --- corpus-level line (boilerplate) dedup ----------------------------------
 
 

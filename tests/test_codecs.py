@@ -175,3 +175,25 @@ def test_wav_roundtrip_property(rate, samples):
     wav = decode_wav(encode_wav_pcm16(rate, 1, samples))
     assert wav.sample_rate == rate
     assert wav.samples == samples
+
+
+def test_dhash_bits_gradient_semantics():
+    """dHash: one bit per horizontal neighbor pair, set when the right
+    pixel is brighter; row-major bit order; capped at 63 bits (bit 63
+    would overflow DuckDB's BIGINT shift); brightness-invariant."""
+    from affinity_spark.functions.codecs import dhash_bits
+
+    # 3x2 image: rows [1,2,0] (bits: 1 then 0), [5,5,9] (0 then 1)
+    h = dhash_bits(bytes([1, 2, 0, 5, 5, 9]), 3, 2)
+    assert h == 0b1001
+    # brightness shift leaves the hash unchanged
+    assert dhash_bits(bytes(v + 40 for v in [1, 2, 0, 5, 5, 9]), 3, 2) == h
+    # 9x8 = 64 comparisons -> capped to 63: an image whose LAST comparison
+    # is the only ascending pair hashes to 0
+    px = bytearray(range(72, 0, -1))  # strictly descending everywhere
+    px[70], px[71] = 1, 2  # ...except the final (dropped) comparison
+    assert dhash_bits(bytes(px), 9, 8) == 0
+    # and the bit just below the cap is reachable
+    px2 = bytearray(range(72, 0, -1))
+    px2[69], px2[70] = 1, 2  # comparison r=7,c=6 -> bit 62
+    assert dhash_bits(bytes(px2), 9, 8) == 1 << 62
