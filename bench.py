@@ -209,6 +209,16 @@ R10_SET = [
 ]
 
 
+# Round-11 surface: the store-served ingest replay (first call drives the
+# full micro-batched ingest through the maintained stores; best-of-2 keeps
+# the committed-table audit read — the store-served precedent) and the
+# perceptual-hash image near-dup. Eighth set.
+R11_SET = [
+    "pipeline_store_served_replay",
+    "docs_image_near_dup",
+]
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -280,6 +290,7 @@ SETS = {
     "r8": R8_SET,
     "r9": R9_SET,
     "r10": R10_SET,
+    "r11": R11_SET,
 }
 
 
@@ -303,6 +314,7 @@ def main() -> None:
         "r5_total": payload["r5_total"],
         "r8_total": payload["r8_total"],
         "r10_total": payload["r10_total"],
+        "r11_total": payload["r11_total"],
         "stderr_classification": verdict,
         **payload,
     }
@@ -376,6 +388,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
     r8 = results["r8"]["timings"]
     r9 = results["r9"]["timings"]
     r10 = results["r10"]["timings"]
+    r11 = results["r11"]["timings"]
     payload = {
         "work": work,
         "queries": timings,
@@ -385,6 +398,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
         "r8": r8,
         "r9": r9,
         "r10": r10,
+        "r11": r11,
         "write_path": results["write_path"]["write_path"],
         "postings_index_build_sec": results["r5"]["postings_index_build_sec"],
         "sf": sf_of(sf_dir),
@@ -394,6 +408,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
         "r8_total": round(sum(r8.values()), 3),
         "r9_total": round(sum(r9.values()), 3),
         "r10_total": round(sum(r10.values()), 3),
+        "r11_total": round(sum(r11.values()), 3),
         "metric": "headline_queries_total",
         "unit": "sec",
         "value": round(sum(timings.values()), 3),
