@@ -87,13 +87,17 @@ class PrefixIndex:
         rn <= n - ceil(t*n) + 1. ``dfc`` supplies the order key; docs'
         shingles absent from it rank as df=0 (rarest-first, and exact —
         see the module docstring)."""
-        from pyspark.sql import Window
-
         sh = docs_arr.select(
             F.col(self.id_col),
             F.col("n_shingles").alias("n"),
             F.explode("shingles").alias("shingle"),
         )
+        return self._prefix_entries_from(sh, dfc)
+
+    def _prefix_entries_from(self, sh: DataFrame, dfc: DataFrame) -> DataFrame:
+        """Prefix entries from an already-exploded (id, n, shingle) frame."""
+        from pyspark.sql import Window
+
         ranked = sh.join(dfc, "shingle", "left").withColumn(
             "rn",
             F.row_number().over(
@@ -160,7 +164,106 @@ class PrefixIndex:
             return False
         return self._arrays.read().count() > n0 * (1.0 + max_growth)
 
+    def maintainer(self):
+        """foreachBatch streaming maintenance — the maintained-family
+        contract: each micro-batch of (id, shingles, n_shingles) rows is
+        admitted under the frozen order. Keyed upsert makes replay
+        idempotent (a replayed batch rewrites its own rows); no fence
+        needed — nothing here is additive."""
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.admit(batch_df)
+
+        return apply
+
     # --- serving reads ------------------------------------------------------
+
+    def probe(self, batch_arr: DataFrame) -> DataFrame:
+        """EXACT Jaccard >= t pairs of an UNADMITTED batch against the
+        indexed corpus — (new x existing) only, never corpus x corpus,
+        and the corpus side is NEVER shuffled: the batch's prefix entries
+        (ranked under the frozen order; df rows pruned to the batch's own
+        shingles via broadcast before the left join, so the
+        shingle-domain table is map-side) broadcast into the committed
+        prefix table, length + positional filters ride the
+        candidate-sized aggregate, and the verify joins committed + batch
+        arrays. The exactness tier of ``dedup_incremental_batch``'s
+        LSH probe: the prefix filter is lossless where banding is
+        recall-bounded. Output: (new_id, dup_of, n_common, n_union)."""
+        batch_sh = batch_arr.select(
+            F.col(self.id_col),
+            F.col("n_shingles").alias("n"),
+            F.explode("shingles").alias("shingle"),
+        )
+        dfc_pruned = self._df.read().join(
+            F.broadcast(batch_sh.select("shingle").distinct()), "shingle"
+        )
+        bp = self._prefix_entries_from(batch_sh, F.broadcast(dfc_pruned))
+        t_num, t_den = self.t_num, self.t_den
+        a = self._prefix.read().select(
+            F.col(self.id_col).alias("dup_of"), "shingle",
+            F.col("n").alias("n_a"), F.col("rn").alias("rn_a"),
+        )
+        b = F.broadcast(
+            bp.select(
+                F.col(self.id_col).alias("new_id"), "shingle",
+                F.col("n").alias("n_b"), F.col("rn").alias("rn_b"),
+            )
+        )
+        cand = (
+            a.join(b, "shingle")
+            .filter(
+                F.lit(t_den) * F.least("n_a", "n_b")
+                >= F.lit(t_num) * F.greatest("n_a", "n_b")
+            )
+            .groupBy("dup_of", "new_id")
+            .agg(
+                F.count(F.lit(1)).alias("_npp"),
+                F.max("rn_a").alias("_ia"),
+                F.max("rn_b").alias("_jb"),
+                F.first("n_a").alias("_na"),
+                F.first("n_b").alias("_nb"),
+            )
+            .filter(
+                F.col("_npp")
+                + F.least(
+                    F.col("_na") - F.col("_ia"), F.col("_nb") - F.col("_jb")
+                )
+                >= F.expr(
+                    f"({t_num} * (_na + _nb) + {t_num} + {t_den} - 1) "
+                    f"div ({t_num} + {t_den})"
+                )
+            )
+            .select("new_id", "dup_of")
+        )
+        x = self._arrays.read().select(
+            F.col(self.id_col).alias("dup_of"),
+            F.col("shingles").alias("sh_a"),
+            F.col("n_shingles").alias("n_a"),
+        )
+        y = batch_arr.select(
+            F.col(self.id_col).alias("new_id"),
+            F.col("shingles").alias("sh_b"),
+            F.col("n_shingles").alias("n_b"),
+        )
+        out = (
+            cand.join(x, "dup_of")
+            .join(F.broadcast(y), "new_id")
+            .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+            .withColumn(
+                "n_union", F.col("n_a") + F.col("n_b") - F.col("n_common")
+            )
+            .filter(
+                F.lit(t_den) * F.col("n_common")
+                >= F.lit(t_num) * F.col("n_union")
+            )
+            .select("new_id", "dup_of", "n_common", "n_union")
+        )
+        return out
+
+    # --- serving reads (corpus-wide) ----------------------------------------
 
     def pairs(self) -> DataFrame:
         """Exact all-pairs Jaccard >= t over the indexed corpus, served

@@ -760,3 +760,53 @@ SELECT c.doc_id, st.n_spans, st.removed_chars,
 FROM clean c JOIN stats st USING (doc_id)
 ORDER BY doc_id
 """
+
+
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT incremental batch-vs-corpus dedup — the exactness tier of
+    ``dedup_incremental_batch``'s LSH probe, served from the maintained
+    PrefixIndex (r11): the existing corpus (doc_id % 10 != 0) is indexed
+    once (frozen df order, committed prefix entries + arrays); the new
+    batch's prefix entries rank under the frozen order and BROADCAST into
+    the committed prefix table — candidates are (new x existing) only,
+    the corpus side is never shuffled, and unlike banding the prefix
+    filter is LOSSLESS: every true Jaccard >= 1/2 pair is returned. The
+    oracle is the exhaustive (new x existing) inverted join, so a dropped
+    true pair hash-fails."""
+    from affinity_spark.operators.prefix_index import shared_prefix_index
+
+    docs = _t(spark, sf_dir, "documents")
+    arrs = dd.doc_shingle_arrays(docs, "doc_id", "text", 3)
+    idx = shared_prefix_index(
+        spark,
+        arrs.filter(F.col("doc_id") % 10 != 0),
+        corpus_key=os.path.abspath(sf_dir) + "#existing90",
+        t_num=1,
+        t_den=2,
+    )
+    return idx.probe(arrs.filter(F.col("doc_id") % 10 == 0))
+
+
+def _dedup_incremental_exact_oracle_sql() -> str:
+    return f"""
+WITH {_duck_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS dup_of
+  FROM h a JOIN h b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.new_id, c.dup_of, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.new_id
+  JOIN h y ON y.doc_id = c.dup_of AND y.shingle = x.shingle
+  GROUP BY c.new_id, c.dup_of
+)
+SELECT new_id, dup_of, n_common,
+       (sa.n + sb.n - n_common) AS n_union
+FROM common
+JOIN sizes sa ON sa.doc_id = new_id
+JOIN sizes sb ON sb.doc_id = dup_of
+WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+"""

@@ -113,3 +113,51 @@ def test_serving_plan_reads_index_only(spark, tmp_path):
     plan = idx.pairs()._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Generate" not in plan
+
+
+def test_probe_matches_exhaustive_new_vs_existing(spark, tmp_path):
+    """probe(batch) == the exhaustive (new x existing) inverted join —
+    the prefix filter is LOSSLESS where LSH banding is recall-bounded."""
+    full = _docs(spark, 36)
+    # range split so the i%3==0 near-dup clusters SPAN the slices
+    existing = _arrs(spark, full.filter(F.col("doc_id") < 24))
+    batch = _arrs(spark, full.filter(F.col("doc_id") >= 24))
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(existing)
+
+    sh_e = existing.select(F.col("doc_id").alias("dup_of"),
+                           F.explode("shingles").alias("shingle"))
+    sh_b = batch.select(F.col("doc_id").alias("new_id"),
+                        F.explode("shingles").alias("shingle"))
+    cand = sh_e.join(sh_b, "shingle").select("new_id", "dup_of").distinct()
+    both = existing.unionByName(batch)
+    a = both.select(F.col("doc_id").alias("dup_of"),
+                    F.col("shingles").alias("sh_a"),
+                    F.col("n_shingles").alias("n_a"))
+    b = both.select(F.col("doc_id").alias("new_id"),
+                    F.col("shingles").alias("sh_b"),
+                    F.col("n_shingles").alias("n_b"))
+    expected = (
+        cand.join(a, "dup_of").join(b, "new_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        .filter(2 * F.col("n_common") >= F.col("n_union"))
+        .select("new_id", "dup_of", "n_common", "n_union")
+    )
+    got = {tuple(r) for r in idx.probe(batch).collect()}
+    assert got == {tuple(r) for r in expected.collect()}
+    assert got  # clusters guarantee cross-slice matches exist
+
+
+def test_streaming_maintainer_admits_batches(spark, tmp_path):
+    """foreachBatch maintenance: sequential micro-batch admits leave
+    pairs() exactly where a full build would."""
+    full = _docs(spark, 30)
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(_arrs(spark, full.filter(F.col("doc_id") < 10)))
+    apply = idx.maintainer()
+    apply(_arrs(spark, full.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))), 0)
+    apply(_arrs(spark, full.filter(F.col("doc_id") >= 20)), 1)
+    # replay of the last batch is idempotent (keyed upsert)
+    apply(_arrs(spark, full.filter(F.col("doc_id") >= 20)), 1)
+    assert _pairs_set(idx.pairs()) == _pairs_set(_exhaustive(_arrs(spark, full)))
