@@ -94,6 +94,21 @@ class PrefixIndex:
         )
         return self._prefix_entries_from(sh, dfc)
 
+    def _with_hashes(self, docs_arr: DataFrame) -> DataFrame:
+        """The committed verify row: (id, shingles, n_shingles, hashes)
+        where hashes = xxhash64 per shingle. The hash arrays drive the
+        PRE-verify (an intersect upper bound on primitive longs — array
+        ops on primitives ride codegen fast paths where string arrays pay
+        per-element UTF8 compares); the string arrays remain the exact
+        final verify, so collisions can only ADD a pair to the exact
+        stage, never drop one."""
+        return docs_arr.select(
+            self.id_col,
+            "shingles",
+            "n_shingles",
+            F.transform("shingles", lambda s: F.xxhash64(s)).alias("hashes"),
+        )
+
     def _prefix_entries_from(self, sh: DataFrame, dfc: DataFrame) -> DataFrame:
         """Prefix entries from an already-exploded (id, n, shingle) frame."""
         from pyspark.sql import Window
@@ -128,9 +143,7 @@ class PrefixIndex:
         self._prefix.overwrite(
             self._prefix_entries(docs_arr, self._df.read())
         )
-        self._arrays.overwrite(
-            docs_arr.select(self.id_col, "shingles", "n_shingles")
-        )
+        self._arrays.overwrite(self._with_hashes(docs_arr))
         docs_arr.unpersist()
         self._pairs_df = None
 
@@ -150,9 +163,7 @@ class PrefixIndex:
         docs_arr = docs_arr.persist()
         entries = self._prefix_entries(docs_arr, self._df.read())
         self._prefix.upsert(entries)
-        self._arrays.upsert(
-            docs_arr.select(self.id_col, "shingles", "n_shingles")
-        )
+        self._arrays.upsert(self._with_hashes(docs_arr))
         docs_arr.unpersist()
         self._pairs_df = None
 
@@ -238,7 +249,31 @@ class PrefixIndex:
             )
             .select("new_id", "dup_of")
         )
-        x = self._arrays.read().select(
+        # staged verify (see _staged_verify): hash pre-verify rejects the
+        # candidate overshoot on primitive longs, strings confirm exactly
+        arrays = self._arrays.read()
+        hashed_batch = self._with_hashes(batch_arr)
+        hx = arrays.select(
+            F.col(self.id_col).alias("dup_of"),
+            F.col("hashes").alias("h_a"),
+            F.col("n_shingles").alias("na"),
+        )
+        hy = hashed_batch.select(
+            F.col(self.id_col).alias("new_id"),
+            F.col("hashes").alias("h_b"),
+            F.col("n_shingles").alias("nb"),
+        )
+        pre = (
+            cand.join(hx, "dup_of")
+            .join(F.broadcast(hy), "new_id")
+            .withColumn("_ub", F.size(F.array_intersect("h_a", "h_b")))
+            .filter(
+                F.lit(t_den) * F.col("_ub")
+                >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("_ub"))
+            )
+            .select("new_id", "dup_of")
+        )
+        x = arrays.select(
             F.col(self.id_col).alias("dup_of"),
             F.col("shingles").alias("sh_a"),
             F.col("n_shingles").alias("n_a"),
@@ -249,7 +284,7 @@ class PrefixIndex:
             F.col("n_shingles").alias("n_b"),
         )
         out = (
-            cand.join(x, "dup_of")
+            pre.join(x, "dup_of")
             .join(F.broadcast(y), "new_id")
             .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
             .withColumn(
@@ -311,10 +346,50 @@ class PrefixIndex:
             )
             .select("id_a", "id_b")
         )
-        self._pairs_df = jaccard_verify_arrays(
-            cand, self._arrays.read(), self.id_col, t_num, t_den
-        )
+        self._pairs_df = self._staged_verify(cand)
         return self._pairs_df
+
+    def _staged_verify(self, cand: DataFrame) -> DataFrame:
+        """Two-stage exact verify: (1) PRE-verify on the committed
+        xxhash64 arrays — |H_a ∩ H_b| is an UPPER bound on the true
+        overlap (every common shingle contributes a common hash; a
+        collision can only inflate it), and J(x,y) = c/(n_a+n_b-c) is
+        increasing in c, so filtering on the bound never drops a true
+        pair; (2) exact string-array verify on the survivors only. The
+        candidate set typically overshoots true pairs by orders of
+        magnitude (sf0.1: 119,907 → 256), and stage 1 does the rejection
+        on primitive-long intersects instead of attaching string arrays
+        to every candidate — the r8 primitive-fast-path rule applied to
+        the verify tier."""
+        arrays = self._arrays.read()
+        t_num, t_den = self.t_num, self.t_den
+        ha = arrays.select(
+            F.col(self.id_col).alias("id_a"),
+            F.col("hashes").alias("h_a"),
+            F.col("n_shingles").alias("na"),
+        )
+        hb = arrays.select(
+            F.col(self.id_col).alias("id_b"),
+            F.col("hashes").alias("h_b"),
+            F.col("n_shingles").alias("nb"),
+        )
+        pre = (
+            cand.join(ha, "id_a")
+            .join(hb, "id_b")
+            .withColumn("_ub", F.size(F.array_intersect("h_a", "h_b")))
+            .filter(
+                F.lit(t_den) * F.col("_ub")
+                >= F.lit(t_num) * (F.col("na") + F.col("nb") - F.col("_ub"))
+            )
+            .select("id_a", "id_b")
+        )
+        return jaccard_verify_arrays(
+            pre,
+            arrays.select(self.id_col, "shingles", "n_shingles"),
+            self.id_col,
+            t_num,
+            t_den,
+        )
 
 
 #: (application id, corpus key) -> (corpus fingerprint, PrefixIndex)

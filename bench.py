@@ -216,6 +216,7 @@ R10_SET = [
 R11_SET = [
     "pipeline_store_served_replay",
     "docs_image_near_dup",
+    "dedup_incremental_exact",
 ]
 
 
