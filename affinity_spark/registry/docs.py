@@ -2175,3 +2175,96 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
 """
+
+
+def docs_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup pairs via acoustic fingerprinting — the audio
+    modality of the perceptual-dedup family (docs_image_near_dup's
+    machinery over the WAV codec): every doc row becomes a genuine
+    256-sample 16-bit PCM WAV (encode_wav_pcm16; content a deterministic
+    function of doc_id with triplet near-dup groups — one energy-bumped
+    window per member), the REAL RIFF/PCM decoder recovers the samples
+    executor-side, and the fingerprint is the chromaprint SHAPE on
+    integer energies: 64 windows of 4 samples, one bit per adjacent
+    window pair set when energy rises (63 bits — non-negative int64 in
+    every engine). Pairs within hamming<=3 come from the generalized
+    pigeonhole bucket join (never all-pairs). The oracle replays samples,
+    window energies (lead() over window index), fingerprint, and the
+    EXHAUSTIVE hamming join — codec, energy, or bucketing bugs that drop
+    a true pair hash-fail."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from affinity_spark.functions.codecs import decode_wav, encode_wav_pcm16
+    from affinity_spark.operators.dedup import hamming_near_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
+    schema = "doc_id long, afp long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, m = did // 3, did % 3
+                pos_w = (g + m * 17) % 63
+                pert = (1 + m) * 9
+                samples = [
+                    ((((g * 2654435761) ^ ((i + 1) * 2246822519))
+                      % 2147483648) * 2654435761 >> 13) % 2048 - 1024
+                    + (pert if i // 4 == pos_w else 0)
+                    for i in range(256)
+                ]
+                wav = decode_wav(encode_wav_pcm16(8000, 1, samples))
+                e = [
+                    sum(abs(s) for s in wav.samples[w * 4 : (w + 1) * 4])
+                    for w in range(64)
+                ]
+                h = 0
+                for w in range(63):
+                    if e[w + 1] > e[w]:
+                        h |= 1 << w
+                ids.append(did)
+                hs.append(h)
+            yield pd.DataFrame({"doc_id": ids, "afp": hs})
+
+    fps = docs.mapInPandas(run, schema)
+    return hamming_near_pairs(
+        fps, "doc_id", "afp", bits=63, max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+_AUDIO_NEAR_DUP_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS m FROM documents
+),
+s AS (
+  SELECT doc_id, i // 4 AS wi,
+         (((xor(g * 2654435761, (i + 1) * 2246822519))
+           % 2147483648) * 2654435761 >> 13) % 2048 - 1024
+         + (CASE WHEN i // 4 = (g + m * 17) % 63 THEN (1 + m) * 9 ELSE 0 END)
+           AS samp
+  FROM d, unnest(range(0, 256)) AS r(i)
+),
+e AS (
+  SELECT doc_id, wi, CAST(sum(abs(samp)) AS BIGINT) AS energy
+  FROM s GROUP BY doc_id, wi
+),
+bits AS (
+  SELECT doc_id, wi, energy,
+         lead(energy) OVER (PARTITION BY doc_id ORDER BY wi) AS nxt
+  FROM e
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN nxt > energy THEN (1::BIGINT << wi) ELSE 0 END)
+              AS BIGINT) AS afp
+  FROM bits WHERE wi < 63
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""

@@ -217,6 +217,7 @@ R11_SET = [
     "pipeline_store_served_replay",
     "docs_image_near_dup",
     "dedup_incremental_exact",
+    "docs_audio_near_dup",
 ]
 
 
