@@ -218,6 +218,7 @@ R11_SET = [
     "docs_image_near_dup",
     "dedup_incremental_exact",
     "docs_audio_near_dup",
+    "docs_video_near_dup",
 ]
 
 
