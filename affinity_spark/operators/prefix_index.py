@@ -54,23 +54,37 @@ class PrefixIndex:
         t_num: int = 1,
         t_den: int = 2,
         num_buckets: int = 8,
+        doc_buckets: int = 8,
     ) -> None:
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.t_num = t_num
         self.t_den = t_den
+        self.doc_buckets = doc_buckets
         self._df = KeyedTable(
             spark, os.path.join(path, "df"), ["shingle"], ts_col="df",
             num_buckets=num_buckets,
         )
+        # prefix + arrays are hive-partitioned by a doc-id bucket so an
+        # admit rewrites ONLY the batch's buckets (hardlinked carry-over
+        # elsewhere) — the BandIndex delta-IO contract
         self._prefix = KeyedTable(
             spark, os.path.join(path, "prefix"), ["shingle", id_col],
-            ts_col="rn", num_buckets=num_buckets,
+            ts_col="rn", num_buckets=num_buckets, partition_col="_bucket",
         )
         self._arrays = KeyedTable(
             spark, os.path.join(path, "arrays"), [id_col],
             ts_col="n_shingles", num_buckets=num_buckets,
+            partition_col="_bucket",
+        )
+        self._bucket_col = F.pmod(
+            # string-canonical hash: murmur3 of int32 vs int64 DIFFER for
+            # the same value, so a batch arriving at a different numeric
+            # width would bucket inconsistently and the pruned merge would
+            # rewrite the wrong partition (the r5 BandIndex rule)
+            F.hash(F.col(self.id_col).cast("string")),
+            F.lit(doc_buckets),
         )
         # memoized serving DataFrame: the pairs() plan is ~2 s of
         # analysis/optimization at sf0.1 — twice the execution — and a
@@ -141,9 +155,13 @@ class PrefixIndex:
         )
         self._df.overwrite(dfc, meta={"n_at_build": docs_arr.count()})
         self._prefix.overwrite(
-            self._prefix_entries(docs_arr, self._df.read())
+            self._prefix_entries(docs_arr, self._df.read()).withColumn(
+                "_bucket", self._bucket_col
+            )
         )
-        self._arrays.overwrite(self._with_hashes(docs_arr))
+        self._arrays.overwrite(
+            self._with_hashes(docs_arr).withColumn("_bucket", self._bucket_col)
+        )
         docs_arr.unpersist()
         self._pairs_df = None
 
@@ -156,14 +174,46 @@ class PrefixIndex:
 
     def admit(self, docs_arr: DataFrame) -> None:
         """Incremental admit of NEW/REPLACED docs: rank the batch under
-        the FROZEN order and upsert its prefix entries and arrays —
-        batch-sized IO, the corpus is never re-derived. Exact at any
+        the FROZEN order and MERGE its prefix entries and arrays into the
+        touched doc-id buckets only (partition-pruned scan + hardlinked
+        carry-over elsewhere — the BandIndex delta-IO contract; IO ∝
+        batch, the corpus is never re-derived or rewritten). Exact at any
         drift (frozen-order property); re-freeze via :meth:`build` when
         :meth:`needs_reorder` fires."""
         docs_arr = docs_arr.persist()
-        entries = self._prefix_entries(docs_arr, self._df.read())
-        self._prefix.upsert(entries)
-        self._arrays.upsert(self._with_hashes(docs_arr))
+        touched = docs_arr.select(self.id_col).distinct().persist()
+        buckets = [
+            r[0]
+            for r in touched.select(
+                self._bucket_col.alias("_bucket")
+            ).distinct().collect()
+        ]
+        entries = self._prefix_entries(docs_arr, self._df.read()).withColumn(
+            "_bucket", self._bucket_col
+        )
+        arrays_delta = self._with_hashes(docs_arr).withColumn(
+            "_bucket", self._bucket_col
+        )
+        for table, delta in ((self._prefix, entries), (self._arrays, arrays_delta)):
+            base_version = table._current_version_dir()
+            cur = table.read()
+            kept = (
+                cur.filter(F.col("_bucket").isin(buckets))
+                .join(F.broadcast(touched), self.id_col, "left_anti")
+                .select(*cur.columns)
+            )
+            # snapshot-width cast: a delta at a different numeric width
+            # would write mixed physical parquet types into one table
+            delta = delta.select(
+                *[
+                    F.col(c).cast(cur.schema[c].dataType).alias(c)
+                    for c in cur.columns
+                ]
+            )
+            table.overwrite_partitions(
+                kept.unionByName(delta), buckets, expected_base=base_version
+            )
+        touched.unpersist()
         docs_arr.unpersist()
         self._pairs_df = None
 
@@ -175,17 +225,25 @@ class PrefixIndex:
             return False
         return self._arrays.read().count() > n0 * (1.0 + max_growth)
 
-    def maintainer(self):
+    def maintainer(self, compact_every: int = 32):
         """foreachBatch streaming maintenance — the maintained-family
         contract: each micro-batch of (id, shingles, n_shingles) rows is
-        admitted under the frozen order. Keyed upsert makes replay
-        idempotent (a replayed batch rewrites its own rows); no fence
-        needed — nothing here is additive."""
+        admitted under the frozen order. The keyed partition merge makes
+        replay idempotent (a replayed batch rewrites its own rows); no
+        fence needed — nothing here is additive. Every ``compact_every``
+        admits both partitioned tables compact (admits rewrite touched
+        buckets at shuffle-partition granularity — the small-files rule,
+        see DDStore.maintainer). 0 disables."""
+        state = {"n": 0}
 
         def apply(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             self.admit(batch_df)
+            state["n"] += 1
+            if compact_every and state["n"] % compact_every == 0:
+                self._prefix.compact()
+                self._arrays.compact()
 
         return apply
 

@@ -161,3 +161,48 @@ def test_streaming_maintainer_admits_batches(spark, tmp_path):
     # replay of the last batch is idempotent (keyed upsert)
     apply(_arrs(spark, full.filter(F.col("doc_id") >= 20)), 1)
     assert _pairs_set(idx.pairs()) == _pairs_set(_exhaustive(_arrs(spark, full)))
+
+
+def test_admit_hardlinks_untouched_buckets(spark, tmp_path):
+    """An admit rewrites ONLY the batch's doc-id buckets; every other
+    bucket partition hardlinks forward (same inodes) — merge IO ∝ batch,
+    never ∝ corpus (the BandIndex delta-IO contract)."""
+    import os
+
+    full = _docs(spark, 40)
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(_arrs(spark, full.filter(F.col("doc_id") < 36)))
+    base = idx._arrays._current_version_dir()
+    batch = full.filter(F.col("doc_id") >= 36)
+    idx.admit(_arrs(spark, batch))
+    new = idx._arrays._current_version_dir()
+    assert new != base
+    touched = {
+        r[0]
+        for r in batch.select(
+            F.pmod(F.hash(F.col("doc_id").cast("string")), F.lit(8))
+        ).distinct().collect()
+    }
+    assert len(touched) < 8  # the batch must not touch every bucket
+
+    def inodes(vdir, b):
+        d = os.path.join(vdir, f"_bucket={b}")
+        if not os.path.isdir(d):
+            return set()
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    carried = rewritten = 0
+    for b in range(8):
+        old = inodes(base, b)
+        if not old:
+            continue
+        if b in touched:
+            rewritten += 1
+        else:
+            assert inodes(new, b) == old  # hardlinked forward
+            carried += 1
+    assert carried > 0 and rewritten > 0
