@@ -1,0 +1,263 @@
+"""Maintained near-dup cluster store — the NINTH maintained-index family:
+INCREMENTAL connected components over committed tables.
+
+``dedup_cluster_canonical`` recomputes connected components over the
+whole verified-pair graph on every run; at 100 TB of continuously
+arriving documents that is a corpus-sized iterative job per batch. This
+store keeps the dedup endgame — the transitive cluster assignment —
+as TABLE TRUTH (the reference's maintained secondary-index discipline,
+``core/src/main/scala/io/amient/affinity/core/state/
+KVStoreLocal.scala:195-248``): one committed (doc_id, cluster_id) row
+per document, cluster id = min doc id of the component (the reference's
+component-id convention, ``AnalyticsSystemSpec.scala:50-52``).
+
+Admit protocol (the incremental-CC argument):
+
+1. the batch's near-dup edges arrive from any pair source — the
+   PrefixIndex ``probe`` (exact) or the BandIndex probe+verify (LSH
+   tier): (new x corpus) + (new x new) pairs only;
+2. the touched frontier is BOUNDED BY THE BATCH: new doc ids + the
+   committed cluster ids of their matched partners (a broadcast
+   semi-join read of the store — the corpus is never scanned);
+3. a driver-side union-find over that bounded frontier merges
+   components, keeping the MIN id as the label (ids ascend across
+   batches, so min-label is stable: an admitted batch can never create
+   a smaller id than an existing member — the same arrival contract the
+   ingest pipeline enforces);
+4. the rewrite is partition-pruned: new rows land in their cluster
+   buckets, and ONLY rows of clusters that MERGED relabel (bucket-
+   hashed on cluster_id; source and destination buckets both rewrite,
+   everything else hardlinks forward).
+
+Every pair (a, b) with a < b is discovered exactly once — when b's
+batch arrives (a is already committed, or same-batch) — so the
+incremental assignment equals one-shot connected components over the
+full pair graph (pinned by tests and the driver oracle).
+
+Why driver-side union-find is safe at 100 TB: its input is the batch's
+edges plus one committed row per matched partner — batch-sized, not
+corpus-sized (the bounded-``collect()`` class the plan audit allows:
+codebooks, touched-partition lists). The corpus-sized object — the
+assignment table itself — never leaves the executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from affinity_spark.sources.keyed_table import KeyedTable
+
+
+class ClusterStore:
+    """Committed (doc_id, cluster_id) assignments with incremental merge."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        num_buckets: int = 4,
+        cluster_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.cluster_buckets = cluster_buckets
+        self._table = KeyedTable(
+            spark, os.path.join(path, "clusters"), [id_col],
+            ts_col="cluster_id", num_buckets=num_buckets,
+            partition_col="_bucket",
+        )
+
+    def _bucket_of(self, col: F.Column) -> F.Column:
+        # string-canonical hash (the BandIndex width rule)
+        return F.pmod(F.hash(col.cast("string")), F.lit(self.cluster_buckets))
+
+    # --- build / maintain -----------------------------------------------
+
+    def build(self, doc_ids: DataFrame, pairs: DataFrame) -> None:
+        """Full build: assignments from one-shot connected components over
+        ``pairs`` (id_a, id_b); unmatched docs are singletons
+        (cluster_id = own id)."""
+        from affinity_spark.operators.graph import connected_components
+
+        cc = connected_components(
+            pairs.select("id_a", "id_b"), "id_a", "id_b"
+        )
+        rows = (
+            doc_ids.select(self.id_col)
+            .join(
+                cc.select(
+                    F.col("vertex").alias(self.id_col),
+                    F.col("component").alias("cluster_id"),
+                ),
+                self.id_col,
+                "left",
+            )
+            .select(
+                self.id_col,
+                F.coalesce("cluster_id", F.col(self.id_col))
+                .cast("long")
+                .alias("cluster_id"),
+            )
+        )
+        self._table.overwrite(
+            rows.withColumn("_bucket", self._bucket_of(F.col("cluster_id")))
+        )
+
+    def exists(self) -> bool:
+        return self._table.exists()
+
+    def admit(self, batch_ids: DataFrame, batch_pairs: DataFrame) -> None:
+        """Incremental merge of a batch: ``batch_pairs`` are the batch's
+        verified near-dup edges — (new x corpus) + (new x new), e.g.
+        ``PrefixIndex.probe`` output renamed to (id_a, id_b). Bounded
+        frontier, partition-pruned relabel (see module docstring).
+        Replay-idempotent: a replayed batch re-derives the same merges
+        and rewrites the same rows."""
+        new_ids = [
+            int(r[0]) for r in batch_ids.select(self.id_col).distinct().collect()
+        ]
+        edges = [
+            (int(r[0]), int(r[1]))
+            for r in batch_pairs.select("id_a", "id_b").collect()
+        ]
+        # committed cluster of every matched partner (batch-sized read;
+        # broadcast semi-join keeps the store scan pruned to matches)
+        partner_ids = sorted(
+            ({a for a, _ in edges} | {b for _, b in edges}) - set(new_ids)
+        )
+        partner_cluster: dict[int, int] = {}
+        if partner_ids and self.exists():
+            pid_df = self.spark.createDataFrame(
+                [(p,) for p in partner_ids], f"{self.id_col} long"
+            )
+            partner_cluster = {
+                int(r[0]): int(r[1])
+                for r in self._table.read()
+                .join(F.broadcast(pid_df), self.id_col)
+                .select(self.id_col, "cluster_id")
+                .collect()
+            }
+        # union-find over the bounded frontier: new ids + partner clusters
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(x: int, y: int) -> None:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                # min id wins — the component-label convention
+                lo, hi = (rx, ry) if rx < ry else (ry, rx)
+                parent[hi] = lo
+
+        for n in new_ids:
+            find(n)
+        for a, b in edges:
+            ca = partner_cluster.get(a, a)
+            cb = partner_cluster.get(b, b)
+            union(ca, cb)
+        new_rows = [(n, find(n)) for n in new_ids]
+        # committed clusters whose label CHANGED (two old clusters merged
+        # through the batch, or an old cluster absorbed a smaller... ids
+        # ascend, so labels only ever move DOWN to an older min)
+        relabels = {
+            c: find(c)
+            for c in set(partner_cluster.values())
+            if find(c) != c
+        }
+        if not self.exists():
+            rows = self.spark.createDataFrame(
+                new_rows, f"{self.id_col} long, cluster_id long"
+            )
+            self._table.overwrite(
+                rows.withColumn(
+                    "_bucket", self._bucket_of(F.col("cluster_id"))
+                )
+            )
+            return
+        # touched buckets: new rows' destination buckets + merged
+        # clusters' source AND destination buckets
+        touched_ids = (
+            {cid for _, cid in new_rows}
+            | set(relabels)
+            | set(relabels.values())
+        )
+        if not touched_ids:
+            return
+        touched_buckets = sorted(
+            {
+                int(r[0])
+                for r in self.spark.createDataFrame(
+                    [(c,) for c in touched_ids], "c long"
+                )
+                .select(self._bucket_of(F.col("c")))
+                .collect()
+            }
+        )
+        base_version = self._table._current_version_dir()
+        cur = self._table.read()
+        kept = cur.filter(F.col("_bucket").isin(sorted(touched_buckets)))
+        if relabels:
+            mapping = self.spark.createDataFrame(
+                [(old, new) for old, new in relabels.items()],
+                "cluster_id long, _new long",
+            )
+            kept = (
+                kept.join(F.broadcast(mapping), "cluster_id", "left")
+                .select(
+                    self.id_col,
+                    F.coalesce("_new", "cluster_id").alias("cluster_id"),
+                )
+                .withColumn("_bucket", self._bucket_of(F.col("cluster_id")))
+            )
+        else:
+            kept = kept.select(self.id_col, "cluster_id", "_bucket")
+        delta = self.spark.createDataFrame(
+            new_rows, f"{self.id_col} long, cluster_id long"
+        ).withColumn("_bucket", self._bucket_of(F.col("cluster_id")))
+        self._table.overwrite_partitions(
+            kept.unionByName(delta).select(
+                *[
+                    F.col(c).cast(cur.schema[c].dataType).alias(c)
+                    for c in cur.columns
+                ]
+            ),
+            touched_buckets,
+            expected_base=base_version,
+        )
+
+    # --- reads ------------------------------------------------------------
+
+    def assignments(self) -> DataFrame:
+        """(doc_id, cluster_id, is_canonical) — canonical = the member
+        whose id IS the cluster label (the min, by the merge rule)."""
+        t = self._table.read()
+        return t.select(
+            self.id_col,
+            "cluster_id",
+            (F.col(self.id_col) == F.col("cluster_id")).alias("is_canonical"),
+        )
+
+    def maintainer(self, pair_source, compact_every: int = 32):
+        """foreachBatch maintenance: ``pair_source(batch_df)`` returns the
+        batch's verified (id_a, id_b) edges (e.g. a PrefixIndex probe);
+        replay-idempotent (same batch -> same merges -> same rows)."""
+        state = {"n": 0}
+
+        def apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.admit(batch_df, pair_source(batch_df))
+            state["n"] += 1
+            if compact_every and state["n"] % compact_every == 0:
+                self._table.compact()
+
+        return apply

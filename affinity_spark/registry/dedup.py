@@ -810,3 +810,106 @@ JOIN sizes sa ON sa.doc_id = new_id
 JOIN sizes sb ON sb.doc_id = dup_of
 WHERE 2 * n_common >= (sa.n + sb.n - n_common)
 """
+
+
+#: app-scoped incremental-cluster state (PrefixIndex + ClusterStore in a
+#: tempdir; the returned frame reads the tables lazily — the _SSR/_KMV
+#: contract: fingerprint-keyed, rmtree on eviction).
+_CLUSTER_STATE: dict = {}
+
+
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTALLY MAINTAINED near-dup clusters — the dedup endgame as
+    table truth (ClusterStore, the NINTH maintained family): documents
+    arrive in four id-ordered batches; each batch's exact near-dup edges
+    come from the maintained PrefixIndex (``probe``: new x corpus, the
+    corpus never shuffled; ``ppjoin_pairs``: new x new), and the
+    ClusterStore folds them in with a bounded-frontier union-find +
+    partition-pruned relabel — connected components are never recomputed
+    over the corpus. Every (a, b) pair is discovered exactly once (when
+    b's batch arrives), so the final assignment equals one-shot CC over
+    the full exact-Jaccard >= 1/2 pair graph — which is precisely what
+    the DuckDB oracle replays (recursive-CTE components + singletons).
+    Output: (doc_id, cluster_id, is_canonical), cluster_id = min member
+    id."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.cluster_store import ClusterStore
+    from affinity_spark.operators.postings import _corpus_fingerprint
+    from affinity_spark.operators.prefix_index import PrefixIndex
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    key = (spark.sparkContext.applicationId, f"csr:{sf_dir}")
+    fp = _corpus_fingerprint(docs)
+    cached = _CLUSTER_STATE.get(key)
+    if cached is None or cached[0] != fp or not cached[2].exists():
+        if cached is not None:
+            shutil.rmtree(cached[1], ignore_errors=True)
+        base = tempfile.mkdtemp(prefix="affinity_csr_")
+        pfx = PrefixIndex(spark, os.path.join(base, "pfx"))
+        cs = ClusterStore(spark, os.path.join(base, "cs"))
+        batched = docs.withColumn(
+            "_b", F.ntile(4).over(Window.orderBy("doc_id"))
+        ).persist()
+        for i in range(1, 5):
+            b = batched.filter(F.col("_b") == i).drop("_b")
+            arrs = dd.doc_shingle_arrays(b, "doc_id", "text", 3)
+            intra = dd.ppjoin_pairs(arrs, "doc_id", 1, 2).select(
+                "id_a", "id_b"
+            )
+            if not pfx.exists():
+                pfx.build(arrs)
+                cs.build(b.select("doc_id"), intra)
+            else:
+                cross = pfx.probe(arrs).select(
+                    F.col("dup_of").alias("id_a"),
+                    F.col("new_id").alias("id_b"),
+                )
+                cs.admit(b.select("doc_id"), cross.unionByName(intra))
+                pfx.admit(arrs)
+        batched.unpersist()
+        _CLUSTER_STATE[key] = (fp, base, cs)
+    return _CLUSTER_STATE[key][2].assignments().select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+def _dedup_incremental_clusters_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_shingles_cte(3)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+walk AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT w.v, e.b AS r FROM walk w JOIN edges e ON e.a = w.r
+),
+comp AS (SELECT v AS doc_id, min(r) AS cid FROM walk GROUP BY v)
+SELECT d.doc_id,
+       CAST(coalesce(c.cid, d.doc_id) AS BIGINT) AS cluster_id,
+       d.doc_id = coalesce(c.cid, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""

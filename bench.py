@@ -219,6 +219,7 @@ R11_SET = [
     "dedup_incremental_exact",
     "docs_audio_near_dup",
     "docs_video_near_dup",
+    "dedup_incremental_clusters",
 ]
 
 

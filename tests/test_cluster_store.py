@@ -1,0 +1,203 @@
+"""Maintained near-dup cluster store (operators/cluster_store.py — the
+ninth maintained family): incremental admits == one-shot connected
+components, cross-batch cluster MERGE relabels, partition-pruned
+rewrites (hardlinked untouched buckets), replay idempotence, streaming
+maintenance via a PrefixIndex pair source."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from affinity_spark.operators import dedup as dd
+from affinity_spark.operators.cluster_store import ClusterStore
+from affinity_spark.operators.prefix_index import PrefixIndex
+
+BODY = "the quick brown fox jumps over the lazy dog and keeps running "
+
+
+def _docs(spark, ids):
+    """Near-dup clusters keyed by (i % 4) for i % 2 == 0; odd ids unique."""
+    rows = []
+    for i in ids:
+        if i % 2 == 0:
+            text = BODY + f"cluster tag {i % 4}"
+        else:
+            text = f"unique document {i} " + " ".join(
+                f"u{i}w{j}" for j in range(12)
+            )
+        rows.append((i, text))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _arrs(spark, df):
+    return dd.doc_shingle_arrays(df, "doc_id", "text", 3)
+
+
+def _exact_pairs(spark, df):
+    arrs = _arrs(spark, df)
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    cand = (
+        sa.join(sb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
+        "id_a", "id_b"
+    )
+
+
+def _assign(st):
+    return {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in st.assignments().collect()
+    }
+
+
+def _expected(spark, df):
+    from affinity_spark.operators.graph import connected_components
+
+    cc = connected_components(_exact_pairs(spark, df), "id_a", "id_b")
+    rows = df.select("doc_id").join(
+        cc.select(F.col("vertex").alias("doc_id"),
+                  F.col("component").alias("cluster_id")),
+        "doc_id", "left",
+    ).select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    return {
+        (r["doc_id"], r["cluster_id"], r["doc_id"] == r["cluster_id"])
+        for r in rows.collect()
+    }
+
+
+def test_incremental_admits_equal_one_shot_cc(spark, tmp_path):
+    full = _docs(spark, range(24))
+    st = ClusterStore(spark, str(tmp_path / "cs"))
+    b0 = full.filter(F.col("doc_id") < 8)
+    st.build(b0.select("doc_id"), _exact_pairs(spark, b0))
+    for lo, hi in ((8, 16), (16, 24)):
+        batch = full.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        upto = full.filter(F.col("doc_id") < hi)
+        # edges visible to this batch: (new x committed) + (new x new)
+        edges = _exact_pairs(spark, upto).filter(
+            (F.col("id_b") >= lo) | (F.col("id_a") >= lo)
+        )
+        st.admit(batch.select("doc_id"), edges)
+    assert _assign(st) == _expected(spark, full)
+
+
+def test_cross_batch_cluster_merge_relabels(spark, tmp_path):
+    """Two committed clusters joined by a later doc must merge to the min
+    label — the relabel cascade the one-shot CC gets for free. admit()
+    is pair-source-agnostic, so the bridge edges are fed directly
+    (Jaccard geometry can't make one doc >=1/2-similar to two disjoint
+    texts; LSH/embedding pair sources can)."""
+
+    def ids(vals):
+        return spark.createDataFrame([(v,) for v in vals], "doc_id long")
+
+    def edges(pairs):
+        return spark.createDataFrame(
+            list(pairs) or [(None, None)], "id_a long, id_b long"
+        ).filter(F.col("id_a").isNotNull())
+
+    st = ClusterStore(spark, str(tmp_path / "cs"))
+    st.build(ids([0, 1]), edges([(0, 1)]))
+    st.admit(ids([10, 11]), edges([(10, 11)]))
+    got = {r["doc_id"]: r["cluster_id"] for r in st.assignments().collect()}
+    assert got == {0: 0, 1: 0, 10: 10, 11: 10}
+    # the bridge: one later doc adjacent to BOTH committed clusters
+    st.admit(ids([100]), edges([(1, 100), (11, 100)]))
+    got = {
+        (r["doc_id"], r["cluster_id"], r["is_canonical"])
+        for r in st.assignments().collect()
+    }
+    assert got == {
+        (0, 0, True), (1, 0, False), (10, 0, False), (11, 0, False),
+        (100, 0, False),
+    }
+
+
+def test_admit_is_replay_idempotent_and_prunes_buckets(spark, tmp_path):
+    full = _docs(spark, range(20))
+    st = ClusterStore(spark, str(tmp_path / "cs"))
+    b0 = full.filter(F.col("doc_id") < 16)
+    st.build(b0.select("doc_id"), _exact_pairs(spark, b0))
+    batch = full.filter(F.col("doc_id") >= 16)
+    edges = _exact_pairs(spark, full).filter(F.col("id_b") >= 16)
+    st.admit(batch.select("doc_id"), edges)
+    after = _assign(st)
+
+    def inodes(vdir, bkt):
+        d = os.path.join(vdir, f"_bucket={bkt}")
+        if not os.path.isdir(d):
+            return set()
+        return {
+            os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    # snapshot NOW: older version dirs are reclaimed by later commits
+    mid = st._table._current_version_dir()
+    mid_inodes = {bkt: inodes(mid, bkt) for bkt in range(8)}
+    # replay: same rows, no drift
+    st.admit(batch.select("doc_id"), edges)
+    assert _assign(st) == after
+    # the replay rewrote only the batch's cluster buckets; every other
+    # bucket hardlinked forward (same inodes)
+    new = st._table._current_version_dir()
+    touched = {
+        int(r[0])
+        for r in st.spark.createDataFrame(
+            [(c,) for c in
+             {r["cluster_id"]
+              for r in st.assignments().collect()
+              if r["doc_id"] >= 16}],
+            "c long",
+        ).select(st._bucket_of(F.col("c"))).collect()
+    }
+    carried = rewritten = 0
+    for bkt in range(8):
+        old = mid_inodes[bkt]
+        if not old:
+            continue
+        if bkt in touched:
+            rewritten += 1
+        else:
+            assert inodes(new, bkt) == old
+            carried += 1
+    assert carried > 0 and rewritten > 0
+
+
+def test_streaming_maintainer_with_prefix_pair_source(spark, tmp_path):
+    """The composed maintained pipeline: PrefixIndex supplies exact
+    (new x corpus) edges, ClusterStore folds them in, both admit the
+    batch — micro-batched ingest equals one-shot CC at the end."""
+    full = _docs(spark, range(24))
+    pfx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    cs = ClusterStore(spark, str(tmp_path / "cs"))
+    b0 = full.filter(F.col("doc_id") < 8)
+    pfx.build(_arrs(spark, b0))
+    cs.build(b0.select("doc_id"), _exact_pairs(spark, b0))
+
+    def pair_source(batch_df):
+        arrs = _arrs(spark, batch_df)
+        cross = pfx.probe(arrs).select(
+            F.col("dup_of").alias("id_a"), F.col("new_id").alias("id_b")
+        )
+        intra = _exact_pairs(spark, batch_df)
+        out = cross.unionByName(intra)
+        pfx.admit(arrs)  # corpus memory grows batch by batch
+        return out
+
+    apply = cs.maintainer(pair_source)
+    for lo, hi in ((8, 16), (16, 24)):
+        apply(
+            full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+            lo // 8,
+        )
+    assert _assign(cs) == _expected(spark, full)
