@@ -142,6 +142,17 @@ class ClusterStore:
                 .select(self.id_col, "cluster_id")
                 .collect()
             }
+        unknown = set(partner_ids) - set(partner_cluster)
+        if unknown:
+            # an edge endpoint that is neither in the batch nor committed
+            # would become a dangling cluster label with no member row —
+            # the pair-source contract (probe against the committed corpus
+            # + within-batch pairs) is violated; fail loudly, don't desync
+            raise ValueError(
+                f"pair source referenced {len(unknown)} ids absent from both "
+                f"the batch and the committed store (e.g. {sorted(unknown)[:5]}); "
+                "edges must be (new x committed) + (new x new)"
+            )
         # union-find over the bounded frontier: new ids + partner clusters
         parent: dict[int, int] = {}
 
@@ -204,7 +215,14 @@ class ClusterStore:
         )
         base_version = self._table._current_version_dir()
         cur = self._table.read()
-        kept = cur.filter(F.col("_bucket").isin(sorted(touched_buckets)))
+        # a REPLAYED batch's rows are already committed in these buckets:
+        # drop any committed row for a batch id before unioning the fresh
+        # delta, or the replay doubles every batch row (KeyedTable.read is
+        # a raw snapshot read — nothing downstream dedups by key)
+        kept = cur.filter(
+            F.col("_bucket").isin(sorted(touched_buckets))
+            & ~F.col(self.id_col).isin(new_ids)
+        )
         if relabels:
             mapping = self.spark.createDataFrame(
                 [(old, new) for old, new in relabels.items()],

@@ -144,9 +144,11 @@ def test_admit_is_replay_idempotent_and_prunes_buckets(spark, tmp_path):
     # snapshot NOW: older version dirs are reclaimed by later commits
     mid = st._table._current_version_dir()
     mid_inodes = {bkt: inodes(mid, bkt) for bkt in range(8)}
-    # replay: same rows, no drift
+    # replay: same rows, no drift — and no DUPLICATES (the set compare
+    # alone would mask a replayed batch doubling its rows in the bucket)
     st.admit(batch.select("doc_id"), edges)
     assert _assign(st) == after
+    assert st.assignments().count() == 20
     # the replay rewrote only the batch's cluster buckets; every other
     # bucket hardlinked forward (same inodes)
     new = st._table._current_version_dir()
@@ -171,6 +173,26 @@ def test_admit_is_replay_idempotent_and_prunes_buckets(spark, tmp_path):
             assert inodes(new, bkt) == old
             carried += 1
     assert carried > 0 and rewritten > 0
+
+
+def test_admit_rejects_edges_to_unknown_ids(spark, tmp_path):
+    """An edge endpoint neither in the batch nor committed is a pair-source
+    contract violation — it must fail loudly, not commit a dangling
+    cluster label with no member row."""
+    import pytest
+
+    def ids(vals):
+        return spark.createDataFrame([(v,) for v in vals], "doc_id long")
+
+    def edges(pairs):
+        return spark.createDataFrame(list(pairs), "id_a long, id_b long")
+
+    st = ClusterStore(spark, str(tmp_path / "cs"))
+    st.build(ids([0, 1]), edges([(0, 1)]))
+    with pytest.raises(ValueError, match="absent from both"):
+        st.admit(ids([10]), edges([(7, 10)]))  # 7 was never admitted
+    # the store is untouched by the rejected admit
+    assert {r["doc_id"] for r in st.assignments().collect()} == {0, 1}
 
 
 def test_streaming_maintainer_with_prefix_pair_source(spark, tmp_path):
