@@ -146,24 +146,52 @@ class PrefixIndex:
 
     def build(self, docs_arr: DataFrame) -> None:
         """Full build from an (id, shingles, n_shingles) frame: freeze the
-        df order, commit prefixes and verify arrays."""
+        df order, commit prefixes and verify arrays. All three tables are
+        stamped with one ``sync`` token; the serving reads assert the
+        prefix and arrays tokens MATCH, so a crash mid-rebuild (new arrays,
+        old prefix or vice versa) reads as a loud error instead of
+        silently dropped pairs (the QualityStore torn-commit discipline)."""
+        import uuid
+
+        sync = uuid.uuid4().hex
         docs_arr = docs_arr.persist()
         dfc = (
             docs_arr.select(F.explode("shingles").alias("shingle"))
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).cast("long").alias("df"))
         )
-        self._df.overwrite(dfc, meta={"n_at_build": docs_arr.count()})
+        self._df.overwrite(
+            dfc, meta={"n_at_build": docs_arr.count(), "sync": sync}
+        )
+        # arrays BEFORE prefix: candidates are driven by prefix rows, so a
+        # tear after this commit leaves extra (unused) verify rows — never
+        # a candidate whose verify side is missing
+        self._arrays.overwrite(
+            self._with_hashes(docs_arr).withColumn("_bucket", self._bucket_col),
+            meta={"sync": sync},
+        )
         self._prefix.overwrite(
             self._prefix_entries(docs_arr, self._df.read()).withColumn(
                 "_bucket", self._bucket_col
-            )
-        )
-        self._arrays.overwrite(
-            self._with_hashes(docs_arr).withColumn("_bucket", self._bucket_col)
+            ),
+            meta={"sync": sync},
         )
         docs_arr.unpersist()
         self._pairs_df = None
+
+    def _check_sync(self) -> None:
+        """Raise if the prefix and arrays tables were not committed by the
+        same completed build/admit — a torn multi-table commit would
+        otherwise DROP true pairs silently (candidates verify via an inner
+        join on the arrays table)."""
+        ps = self._prefix.commit_meta().get("sync")
+        as_ = self._arrays.commit_meta().get("sync")
+        if ps != as_:
+            raise RuntimeError(
+                f"prefix/arrays sync tokens diverge ({ps} != {as_}): a "
+                "build or admit was torn mid-commit; replay the last batch "
+                "(admits are replay-idempotent) or rebuild"
+            )
 
     def exists(self) -> bool:
         return (
@@ -194,7 +222,15 @@ class PrefixIndex:
         arrays_delta = self._with_hashes(docs_arr).withColumn(
             "_bucket", self._bucket_col
         )
-        for table, delta in ((self._prefix, entries), (self._arrays, arrays_delta)):
+        # arrays BEFORE prefix (the build-order rule): a crash between the
+        # two commits then reads as "batch not yet admitted" — extra verify
+        # rows are unused, whereas committed prefix entries without their
+        # verify arrays would drop true pairs silently. One shared sync
+        # token marks the pair of commits; _check_sync makes a tear loud.
+        import uuid
+
+        sync = uuid.uuid4().hex
+        for table, delta in ((self._arrays, arrays_delta), (self._prefix, entries)):
             base_version = table._current_version_dir()
             cur = table.read()
             kept = (
@@ -211,7 +247,10 @@ class PrefixIndex:
                 ]
             )
             table.overwrite_partitions(
-                kept.unionByName(delta), buckets, expected_base=base_version
+                kept.unionByName(delta),
+                buckets,
+                expected_base=base_version,
+                meta={**table.commit_meta(), "sync": sync},
             )
         touched.unpersist()
         docs_arr.unpersist()
@@ -261,6 +300,7 @@ class PrefixIndex:
         arrays. The exactness tier of ``dedup_incremental_batch``'s
         LSH probe: the prefix filter is lossless where banding is
         recall-bounded. Output: (new_id, dup_of, n_common, n_union)."""
+        self._check_sync()
         batch_sh = batch_arr.select(
             F.col(self.id_col),
             F.col("n_shingles").alias("n"),
@@ -367,6 +407,7 @@ class PrefixIndex:
         once, not per read."""
         if self._pairs_df is not None:
             return self._pairs_df
+        self._check_sync()
         prefix = self._prefix.read()
         a = prefix.select(
             F.col(self.id_col).alias("id_a"), "shingle",

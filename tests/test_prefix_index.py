@@ -3,6 +3,8 @@ pairs == the exhaustive inverted join == the derive-per-run ppjoin;
 frozen-order exactness under admits; serving-plan hygiene (no window/df
 derivation in the read)."""
 
+import os
+
 from pyspark.sql import functions as F
 
 from affinity_spark.operators import dedup as dd
@@ -86,6 +88,42 @@ def test_admit_replaces_existing_doc(spark, tmp_path):
     idx.admit(_arrs(spark, replaced))
     assert _pairs_set(idx.pairs()) == _pairs_set(
         _exhaustive(_arrs(spark, new_docs))
+    )
+
+
+def test_torn_admit_is_loud_not_silent(spark, tmp_path):
+    """A crash between the arrays and prefix commits of one admit leaves
+    the two tables at different sync tokens; the serving reads must
+    REFUSE (candidates verify via an inner join on arrays, so a torn
+    state would otherwise drop true pairs silently). Re-admitting the
+    same batch (streaming trailing-batch replay) heals it."""
+    import pytest
+
+    full = _docs(spark, 18)
+    base = full.filter(F.col("doc_id") < 12)
+    batch = full.filter(F.col("doc_id") >= 12)
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(_arrs(spark, base))
+
+    # inject the tear: admit, then roll the PREFIX table back one version
+    # (as if the process died after the arrays commit)
+    before = idx._prefix._current_version_dir()
+    before_meta = idx._prefix.commit_meta()
+    idx.admit(_arrs(spark, batch))
+    idx._prefix._commit_version(
+        os.path.basename(before),
+        idx._prefix._current_version_dir(),
+        before_meta,
+    )
+    idx._pairs_df = None
+    with pytest.raises(RuntimeError, match="sync tokens diverge"):
+        idx.pairs()
+    with pytest.raises(RuntimeError, match="sync tokens diverge"):
+        idx.probe(_arrs(spark, batch))
+    # replaying the batch heals both tables to one token
+    idx.admit(_arrs(spark, batch))
+    assert _pairs_set(idx.pairs()) == _pairs_set(
+        _exhaustive(_arrs(spark, full))
     )
 
 
