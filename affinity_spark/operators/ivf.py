@@ -195,3 +195,132 @@ def batch_search(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+# --- engine-exact integer k-means -------------------------------------------
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero (sign-explicit so the same
+    rule is expressible in any engine's non-negative integer division)."""
+    return -((-s) // n) if s < 0 else s // n
+
+
+def quantize_int(vec_col, scale: int = 10_000):
+    """Fixed-point quantization of a float vector: component ->
+    floor(x * scale + 0.5) as BIGINT. float->double widening and one
+    double multiply are IEEE-identical across engines (the integer-cents
+    rule applied to vectors)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>") if isinstance(vec_col, str) else vec_col,
+        lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+    )
+
+
+def _sq_dist_int(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_int(
+    emb: DataFrame,
+    k: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Lloyd's k-means whose every step is ENGINE-EXACT integer
+    arithmetic — the iterative-training algorithm as a reproducible
+    DataFrame program (train_centroids above is the float production
+    variant; this one is bit-reproducible in ANSI SQL, so the driver's
+    DuckDB oracle can replay the whole training loop).
+
+    Semantics, shared with the oracle twin:
+    - vectors quantized via :func:`quantize_int` (floor(x*scale + 0.5));
+    - seeds = the k lowest-id quantized vectors, cell = seed rank;
+    - assignment = argmin of integer squared distance, ties to the
+      lowest cell;
+    - update = component-wise trunc-toward-zero division of the cell sum
+      by the cell count; a cell with no members keeps its centroid;
+    - after ``n_iter`` updates, one final assignment produces the stats.
+
+    Scale shape: the codebook is driver-side (k*dim ints, broadcast as
+    ONE nested literal per iteration); each iteration is one map-side
+    assignment + one groupBy(cell, pos) whose group count is k*dim —
+    partial aggregation makes the shuffle k*dim rows per task, so cost
+    per iteration is one corpus scan regardless of corpus size. The
+    collect is the codebook, never data.
+
+    Returns one row per non-empty cell:
+    (cell, n, inertia, centroid_csv)."""
+    from affinity_spark.functions.text import let_bound
+
+    q = emb.select(
+        F.col(id_col).alias("_id"), quantize_int(vec_col, scale).alias("_q")
+    )
+    centroids = [
+        [int(x) for x in r._q]
+        for r in q.orderBy("_id").limit(k).collect()
+    ]
+    q = q.persist()
+    try:
+        for _ in range(n_iter):
+            cents = F.lit(centroids)
+            assigned = q.withColumn(
+                "cell",
+                let_bound(
+                    F.transform(cents, lambda c: _sq_dist_int(F.col("_q"), c)),
+                    lambda d: F.array_position(d, F.array_min(d)) - 1,
+                ).cast("int"),
+            )
+            rows = (
+                assigned.select("cell", F.posexplode("_q").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new_c = [list(c) for c in centroids]
+            for row in rows:
+                new_c[row.cell][row.pos] = _trunc_div(int(row.s), int(row.n))
+            centroids = new_c
+        cents = F.lit(centroids)
+        # ONE distance evaluation per row: min and argmin ride one bound
+        # struct (the let_bound discipline — unbound, the k*dim distance
+        # transform would evaluate once per referencing column)
+        final = q.withColumn(
+            "_da",
+            let_bound(
+                F.transform(cents, lambda c: _sq_dist_int(F.col("_q"), c)),
+                lambda d: F.struct(
+                    F.array_min(d).alias("d"),
+                    (F.array_position(d, F.array_min(d)) - 1)
+                    .cast("int")
+                    .alias("cell"),
+                ),
+            ),
+        ).select(
+            F.col("_da.cell").alias("cell"), F.col("_da.d").alias("_d")
+        )
+        stats = (
+            final.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("_d").alias("inertia"),
+            )
+        )
+        cent_df = final.sparkSession.createDataFrame(
+            [
+                (i, ",".join(str(x) for x in c))
+                for i, c in enumerate(centroids)
+            ],
+            "cell int, centroid_csv string",
+        )
+        return stats.join(F.broadcast(cent_df), "cell").select(
+            "cell", "n", "inertia", "centroid_csv"
+        )
+    finally:
+        q.unpersist()

@@ -1414,3 +1414,78 @@ h AS (
 SELECT k.qid, k.k_ivf, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
 FROM k LEFT JOIN h ON h.qid = k.qid
 """
+
+
+def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means TRAINING as an oracle-replayable query:
+    two full iterations of assign + integer-centroid update over the
+    corpus (k=4, fixed-point 1e4 quantization), then the final
+    assignment's per-cell stats. The production float trainer is
+    operators/ivf.py::train_centroids; this integer twin proves the
+    iterative loop itself — every prior IVF query pinned only the
+    0-iteration seed codebook. Each iteration = one map-side broadcast
+    assignment + one k*dim-group aggregate; the only collect is the
+    codebook (reference parity: custom aggregation pipelines,
+    avro/.../AvroRecordSpec-style derived stats; iterative refinement has
+    no reference twin — Spark-first extension)."""
+    from affinity_spark.operators.ivf import kmeans_int
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_int(emb, k=4, n_iter=2)
+
+
+def _km_assign_sql(cents: str, idx: int, dim: int = 64) -> str:
+    return f"""
+d{idx} AS (
+  SELECT q.vec_id, c.cell,
+         CAST(list_sum(list_transform(range(1, {dim}+1),
+              i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) AS BIGINT) AS d
+  FROM q CROSS JOIN {cents} c
+),
+a{idx} AS (
+  SELECT vec_id, cell, d FROM (
+    SELECT vec_id, cell, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+    FROM d{idx}
+  ) WHERE rn = 1
+)"""
+
+
+def _km_update_sql(prev_assign: str, prev_cents: str, idx: int, dim: int = 64) -> str:
+    # trunc-toward-zero division spelled sign-explicitly: DuckDB's // on
+    # non-negative ints is exact; an empty cell keeps its previous centroid
+    return f"""
+sums{idx} AS (
+  SELECT a.cell, t.i,
+         CAST(sum(q.v[t.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM {prev_assign} a JOIN q USING (vec_id) CROSS JOIN range(1, {dim}+1) t(i)
+  GROUP BY a.cell, t.i
+),
+c{idx} AS (
+  SELECT p.cell, coalesce(u.cv, p.cv) AS cv
+  FROM {prev_cents} p LEFT JOIN (
+    SELECT cell,
+           list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END ORDER BY i) AS cv
+    FROM sums{idx} GROUP BY cell
+  ) u ON p.cell = u.cell
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 4)
+),{_km_assign_sql('seeds', 0)},{_km_update_sql('a0', 'seeds', 1)},{_km_assign_sql('c1', 1)},{_km_update_sql('a1', 'c1', 2)},{_km_assign_sql('c2', 2)}
+SELECT a2.cell AS cell, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(a2.d) AS BIGINT) AS inertia,
+       list_aggregate(list_transform(c2.cv, x -> CAST(x AS VARCHAR)),
+                      'string_agg', ',') AS centroid_csv
+FROM a2 JOIN c2 ON a2.cell = c2.cell
+GROUP BY a2.cell, c2.cv
+"""

@@ -220,6 +220,7 @@ R11_SET = [
     "docs_audio_near_dup",
     "docs_video_near_dup",
     "dedup_incremental_clusters",
+    "emb_kmeans_train",
 ]
 
 

@@ -177,3 +177,75 @@ def test_cell_partitioned_layout_prunes_unprobed_cells(spark, tmp_path):
     }
     assert n_probed == per_cell.get(0, 0) + per_cell.get(3, 0)
     assert 0 < n_probed < sum(per_cell.values())
+
+
+def test_kmeans_int_matches_python_reference(spark):
+    """The engine-exact integer Lloyd loop (quantize -> argmin ->
+    trunc-div update, ties to the lowest cell) against a pure-python
+    replay, including inertia and the final centroids."""
+    import random
+
+    from affinity_spark.operators.ivf import kmeans_int
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(80)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # python replay of the documented semantics
+    import math
+
+    def quant(v):
+        return [math.floor(x * 10000 + 0.5) for x in v]
+
+    def tdiv(s, n):
+        return -((-s) // n) if s < 0 else s // n
+
+    q = {i: quant(v) for i, v in rows}
+    cents = [q[i] for i in sorted(q)[:3]]
+    for _ in range(2):
+        sums = [[0] * 6 for _ in cents]
+        counts = [0] * len(cents)
+        for i in sorted(q):
+            d = [sum((a - b) ** 2 for a, b in zip(q[i], c)) for c in cents]
+            cell = d.index(min(d))
+            counts[cell] += 1
+            for p, x in enumerate(q[i]):
+                sums[cell][p] += x
+        cents = [
+            [tdiv(s, n) for s in row] if n else list(old)
+            for row, n, old in zip(sums, counts, cents)
+        ]
+    stats = {}
+    for i in sorted(q):
+        d = [sum((a - b) ** 2 for a, b in zip(q[i], c)) for c in cents]
+        cell = d.index(min(d))
+        n, inertia = stats.get(cell, (0, 0))
+        stats[cell] = (n + 1, inertia + min(d))
+    expected = {
+        (cell, n, inertia, ",".join(str(x) for x in cents[cell]))
+        for cell, (n, inertia) in stats.items()
+    }
+
+    got = {
+        (r["cell"], r["n"], r["inertia"], r["centroid_csv"])
+        for r in kmeans_int(emb, k=3, n_iter=2).collect()
+    }
+    assert got == expected
+
+
+def test_kmeans_int_empty_cell_keeps_centroid(spark):
+    """A seed whose cell empties after the first update must keep its
+    centroid (both engines define the update as a left join back to the
+    previous codebook)."""
+    from affinity_spark.operators.ivf import kmeans_int
+
+    # seeds are ids 0 and 1; every vector is far closer to seed 0's
+    # region, so cell 1 empties after its own seed migrates
+    rows = [(0, [0.0, 0.0]), (1, [0.001, 0.001])] + [
+        (i, [0.0002 * i, 0.0001]) for i in range(2, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cell"]: r for r in kmeans_int(emb, k=2, n_iter=2).collect()}
+    assert sum(r["n"] for r in out.values()) == 12
