@@ -221,6 +221,7 @@ R11_SET = [
     "docs_video_near_dup",
     "dedup_incremental_clusters",
     "emb_kmeans_train",
+    "emb_incremental_clusters",
 ]
 
 
