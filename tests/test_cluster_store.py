@@ -223,3 +223,110 @@ def test_streaming_maintainer_with_prefix_pair_source(spark, tmp_path):
             lo // 8,
         )
     assert _assign(cs) == _expected(spark, full)
+
+
+def test_streaming_maintainer_with_ivf_pair_source(spark, tmp_path):
+    """The embedding twin of the prefix-source test: the maintained IVF
+    assignment table supplies (new x committed) cell-confined cosine
+    edges, ClusterStore folds them in — micro-batched ingest equals
+    one-shot within-cell CC (the emb_incremental_clusters contract)."""
+    import random
+
+    from affinity_spark.functions.vectors import cosine_similarity
+    from affinity_spark.operators.ivf import assign
+    from affinity_spark.operators.ivf_index import IVFIndex
+    from affinity_spark.operators.similarity import cosine_join_within
+
+    rng = random.Random(7)
+    # 3 well-separated directions; members of a direction are near-dups
+    base = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    rows = []
+    for i in range(24):
+        d = base[i % 3]
+        rows.append(
+            (i, [x + rng.uniform(-0.05, 0.05) for x in d])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds = [v for _, v in rows[:3]]
+
+    ivf = IVFIndex(spark, str(tmp_path / "ivf"), id_col="vec_id")
+    cs = ClusterStore(spark, str(tmp_path / "cs"), id_col="vec_id")
+
+    def pairs_within(df):
+        ab = assign(df, seeds)
+        return cosine_join_within(ab, "cell", 0.9, "vec_id", "embedding").select(
+            "id_a", "id_b"
+        )
+
+    b0 = emb.filter(F.col("vec_id") < 8)
+    ivf.build(b0, codebook=seeds)
+    cs.build(b0.select("vec_id"), pairs_within(b0))
+
+    def pair_source(batch_df):
+        ab = assign(batch_df, seeds)
+        cells = sorted(r[0] for r in ab.select("cell").distinct().collect())
+        cross = (
+            ivf.vectors()
+            .filter(F.col("cell").isin(cells))
+            .select(
+                F.col("vec_id").alias("id_a"),
+                F.col("embedding").alias("v_a"),
+                "cell",
+            )
+            .join(
+                F.broadcast(
+                    ab.select(
+                        F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("v_b"),
+                        "cell",
+                    )
+                ),
+                "cell",
+            )
+            .select(
+                "id_a", "id_b",
+                cosine_similarity(F.col("v_a"), F.col("v_b")).alias("c"),
+            )
+            .filter(F.col("c") >= 0.9)
+            .select("id_a", "id_b")
+        )
+        out = cross.unionByName(pairs_within(batch_df))
+        ivf.admit(batch_df)
+        return out
+
+    apply = cs.maintainer(pair_source)
+    for lo, hi in ((8, 16), (16, 24)):
+        apply(
+            emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi)), lo
+        )
+
+    # expected: one-shot within-cell cosine>=0.9 CC over the full corpus
+    from affinity_spark.operators.graph import connected_components
+
+    all_assigned = assign(emb, seeds)
+    pairs = cosine_join_within(
+        all_assigned, "cell", 0.9, "vec_id", "embedding"
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, "id_a", "id_b")
+    expected = {
+        (r["vec_id"], r["cluster_id"])
+        for r in emb.select("vec_id")
+        .join(
+            cc.select(
+                F.col("vertex").alias("vec_id"),
+                F.col("component").alias("cluster_id"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id")
+        )
+        .collect()
+    }
+    got = {
+        (r["vec_id"], r["cluster_id"]) for r in cs.assignments().collect()
+    }
+    assert got == expected
+    # the near-dup geometry actually formed multi-member clusters
+    assert len({c for _, c in got}) < 24
