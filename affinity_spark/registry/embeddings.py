@@ -1621,9 +1621,13 @@ n AS (
   FROM embeddings e JOIN acell a USING (vec_id)
 ),
 pairs AS (
+  -- nrm guard: Spark's cosine_similarity is NULL (dropped) for a
+  -- zero-norm vector; without it DuckDB would keep dot/0 = inf pairs
+  -- if a regenerated corpus ever ships a zero vector
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+  WHERE a.nrm * b.nrm > 0
+    AND list_sum(list_transform(range(1, len(a.embedding) + 1),
         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
         / (a.nrm * b.nrm) >= 0.35
 ),
