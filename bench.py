@@ -222,6 +222,7 @@ R11_SET = [
     "dedup_incremental_clusters",
     "emb_kmeans_train",
     "emb_incremental_clusters",
+    "events_series_knn",
 ]
 
 
