@@ -381,3 +381,24 @@ def test_quality_family_served_from_store_not_rederived(spark):
         # every scan in the plan reads the committed store, nothing else
         files = df.inputFiles()
         assert files and all("affinity_quality_" in f for f in files), q
+
+
+def test_series_knn_is_broadcast_topk(spark):
+    """events_series_knn's search stage must be a 1-row broadcast of the
+    query series + TakeOrderedAndProject — never a shuffle of the corpus
+    series for the distance/top-k itself. The only exchanges are the
+    (user, bin) aggregate chain that derives the series."""
+    from affinity_spark.plans.introspect import formatted_plan
+
+    df = e.events_series_knn(spark, SF)
+    df.collect()
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the 1-row query-series join broadcasts (nested-loop on purpose:
+    # there is no join key — it's a scalar-vector attach)
+    assert "BroadcastNestedLoopJoin" in plan
+    # no exchange AFTER the broadcast attach (formatted plans print root
+    # first, so text above the join line is everything executed after
+    # it): distances + top-k are map-side, TakeOrderedAndProject does
+    # the global k-merge without a shuffle
+    assert "Exchange" not in plan.split("BroadcastNestedLoopJoin", 1)[0]
