@@ -2319,90 +2319,3 @@ GROUP BY event_type, n
 HAVING count(*) * 11 > n
 """
 
-
-def events_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series similarity search (the distributed-series-search family,
-    e.g. EDBT'19 streaming-series search): each user's 2024 activity as a
-    64-bin integer count series (bin = integer time quantization of the
-    event timestamp), then the 10 users most similar to the LOWEST-id
-    user's series by exact integer L1 distance, ties to the lower id.
-    Scale shape = emb_batch_search over derived vectors: one map-side
-    partial-agg groupBy to (user, bin) counts, a per-user fold to the
-    dense series, the query series broadcast (1 row), distances map-side,
-    TakeOrderedAndProject for the top-k — the corpus series never
-    shuffle for the search itself."""
-    ev = _t(spark, sf_dir, "events")
-    # integer 64-way quantization of 2024 (366 days), clamped; pure
-    # integer arithmetic so DuckDB reproduces bins bit-for-bit
-    bin_ = F.expr(
-        "least(greatest(((unix_micros(ts) - 1704067200000000) * 64)"
-        " div 31622400000000, 0), 63)"
-    )
-    counts = (
-        ev.select("user_id", bin_.alias("bin"))
-        .groupBy("user_id", "bin")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    series = (
-        counts.groupBy("user_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("bin", "c"))
-            ).alias("m")
-        )
-        .select(
-            "user_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.coalesce(
-                    F.element_at(F.col("m"), b.cast("long")),
-                    F.lit(0).cast("long"),
-                ),
-            ).alias("v"),
-        )
-    )
-    mn = int(ev.agg(F.min("user_id")).collect()[0][0])  # 1 value, bounded
-    q = series.filter(F.col("user_id") == mn).select(F.col("v").alias("qv"))
-    return (
-        series.filter(F.col("user_id") != mn)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "user_id",
-            F.aggregate(
-                F.zip_with("v", F.col("qv"), lambda a, b: F.abs(a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("l1_dist"),
-        )
-        .orderBy(F.col("l1_dist").asc(), F.col("user_id").asc())
-        .limit(10)
-    )
-
-
-_SERIES_KNN_SQL = """
-WITH b AS (
-  SELECT user_id,
-         least(greatest(((epoch_us(ts) - 1704067200000000) * 64)
-               // 31622400000000, 0), 63) AS bin
-  FROM events
-),
-c AS (SELECT user_id, bin, CAST(count(*) AS BIGINT) AS c
-      FROM b GROUP BY user_id, bin),
-users AS (SELECT DISTINCT user_id FROM b),
-spine AS (SELECT u.user_id, t.i AS bin
-          FROM users u CROSS JOIN range(0, 64) t(i)),
-v AS (SELECT s.user_id, s.bin, coalesce(c.c, 0) AS val
-      FROM spine s LEFT JOIN c ON c.user_id = s.user_id AND c.bin = s.bin),
-qu AS (SELECT min(user_id) AS q FROM b),
-d AS (
-  SELECT a.user_id, CAST(sum(abs(a.val - qv.val)) AS BIGINT) AS l1_dist
-  FROM v a JOIN v qv ON qv.user_id = (SELECT q FROM qu) AND qv.bin = a.bin
-  WHERE a.user_id != (SELECT q FROM qu)
-  GROUP BY a.user_id
-)
-SELECT user_id, l1_dist FROM (
-  SELECT user_id, l1_dist,
-         row_number() OVER (ORDER BY l1_dist ASC, user_id ASC) AS rn
-  FROM d
-) WHERE rn <= 10
-"""

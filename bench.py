@@ -223,6 +223,7 @@ R11_SET = [
     "emb_kmeans_train",
     "emb_incremental_clusters",
     "events_series_knn",
+    "events_series_motif",
 ]
 
 
