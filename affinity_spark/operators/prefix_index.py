@@ -165,16 +165,20 @@ class PrefixIndex:
         )
         # arrays BEFORE prefix: candidates are driven by prefix rows, so a
         # tear after this commit leaves extra (unused) verify rows — never
-        # a candidate whose verify side is missing
+        # a candidate whose verify side is missing. Both carry df_sync =
+        # the ORDER they were ranked under: a crash right after the df
+        # commit above leaves old prefix/arrays (mutually consistent)
+        # under a NEW order — their own sync tokens still match, so only
+        # the df_sync tie makes that tear loud (r11 ADVICE).
         self._arrays.overwrite(
             self._with_hashes(docs_arr).withColumn("_bucket", self._bucket_col),
-            meta={"sync": sync},
+            meta={"sync": sync, "df_sync": sync},
         )
         self._prefix.overwrite(
             self._prefix_entries(docs_arr, self._df.read()).withColumn(
                 "_bucket", self._bucket_col
             ),
-            meta={"sync": sync},
+            meta={"sync": sync, "df_sync": sync},
         )
         docs_arr.unpersist()
         self._pairs_df = None
@@ -184,13 +188,34 @@ class PrefixIndex:
         same completed build/admit — a torn multi-table commit would
         otherwise DROP true pairs silently (candidates verify via an inner
         join on the arrays table)."""
-        ps = self._prefix.commit_meta().get("sync")
-        as_ = self._arrays.commit_meta().get("sync")
-        if ps != as_:
+        pm = self._prefix.commit_meta()
+        am = self._arrays.commit_meta()
+        if pm.get("sync") != am.get("sync"):
             raise RuntimeError(
-                f"prefix/arrays sync tokens diverge ({ps} != {as_}): a "
-                "build or admit was torn mid-commit; replay the last batch "
-                "(admits are replay-idempotent) or rebuild"
+                f"prefix/arrays sync tokens diverge ({pm.get('sync')} != "
+                f"{am.get('sync')}): a build or admit was torn mid-commit; "
+                "replay the last batch (admits are replay-idempotent) or "
+                "rebuild"
+            )
+        self._check_order()
+
+    def _check_order(self) -> None:
+        """Raise if the df (frozen order) table is not the one the
+        committed prefix/arrays rows were ranked under — build() commits
+        df FIRST, so a crash right after it leaves old prefix/arrays
+        (mutually consistent, their own sync tokens MATCH) beneath a NEW
+        order; probe() would then rank batches under the new order against
+        rows ranked under the old one and silently drop true pairs (r11
+        ADVICE). Unlike a prefix/arrays tear, batch replay cannot heal an
+        order tear — only a rebuild re-freezes."""
+        df_sync = self._df.commit_meta().get("sync")
+        pm = self._prefix.commit_meta()
+        ranked_under = pm.get("df_sync", self._arrays.commit_meta().get("df_sync"))
+        if ranked_under is not None and df_sync != ranked_under:
+            raise RuntimeError(
+                f"df order token ({df_sync}) does not match the order the "
+                f"prefix/arrays rows were ranked under ({ranked_under}): a "
+                "build was torn after the df commit; rebuild to re-freeze"
             )
 
     def exists(self) -> bool:
@@ -208,6 +233,10 @@ class PrefixIndex:
         batch, the corpus is never re-derived or rewritten). Exact at any
         drift (frozen-order property); re-freeze via :meth:`build` when
         :meth:`needs_reorder` fires."""
+        # never rank a batch under a torn ORDER (replay can't heal that);
+        # a prefix/arrays sync tear is fine here — replaying the batch via
+        # this very admit is the documented healing path
+        self._check_order()
         docs_arr = docs_arr.persist()
         touched = docs_arr.select(self.id_col).distinct().persist()
         buckets = [

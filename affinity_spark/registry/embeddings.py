@@ -1434,11 +1434,14 @@ def emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_int(emb, k=4, n_iter=2)
 
 
-def _km_assign_sql(cents: str, idx: int, dim: int = 64) -> str:
+def _km_assign_sql(cents: str, idx: int) -> str:
+    # dim derived per-row (len(q.v)) like _EMB_CLUSTERS_SQL — a hardcoded
+    # dim silently computes prefix-only distances if the regenerated
+    # corpus drifts its embedding width (r11 ADVICE)
     return f"""
 d{idx} AS (
   SELECT q.vec_id, c.cell,
-         CAST(list_sum(list_transform(range(1, {dim}+1),
+         CAST(list_sum(list_transform(range(1, len(q.v)+1),
               i -> (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]))) AS BIGINT) AS d
   FROM q CROSS JOIN {cents} c
 ),
@@ -1451,15 +1454,19 @@ a{idx} AS (
 )"""
 
 
-def _km_update_sql(prev_assign: str, prev_cents: str, idx: int, dim: int = 64) -> str:
+def _km_update_sql(prev_assign: str, prev_cents: str, idx: int) -> str:
     # trunc-toward-zero division spelled sign-explicitly: DuckDB's // on
-    # non-negative ints is exact; an empty cell keeps its previous centroid
+    # non-negative ints is exact; an empty cell keeps its previous centroid.
+    # dim is derived from the corpus itself (not hardcoded — r11 ADVICE):
+    # unnest each row's own index range so a width drift can't silently
+    # truncate the update to a prefix.
     return f"""
 sums{idx} AS (
-  SELECT a.cell, t.i,
-         CAST(sum(q.v[t.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
-  FROM {prev_assign} a JOIN q USING (vec_id) CROSS JOIN range(1, {dim}+1) t(i)
-  GROUP BY a.cell, t.i
+  SELECT a.cell, u.i,
+         CAST(sum(q.v[u.i]) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM {prev_assign} a JOIN q USING (vec_id),
+       LATERAL unnest(range(1, len(q.v)+1)) AS u(i)
+  GROUP BY a.cell, u.i
 ),
 c{idx} AS (
   SELECT p.cell, coalesce(u.cv, p.cv) AS cv

@@ -30,8 +30,12 @@ def events_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer 64-way quantization of 2024 (366 days), clamped; pure
     # integer arithmetic so DuckDB reproduces bins bit-for-bit
     bin_ = F.expr(
-        "least(greatest(((unix_micros(ts) - 1704067200000000) * 64)"
-        " div 31622400000000, 0), 63)"
+        # clamp the microsecond delta BEFORE the *64: a far-from-2024 ts
+        # (regenerated-corpus drift) would overflow int64 under ANSI mode
+        # while DuckDB promotes to HUGEINT — clamping first keeps the
+        # product < 2^51 in both engines (r11 ADVICE)
+        "(least(greatest(unix_micros(ts) - 1704067200000000, 0),"
+        " 31622399999999) * 64) div 31622400000000"
     )
     counts = (
         ev.select("user_id", bin_.alias("bin"))
@@ -77,8 +81,8 @@ def events_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SERIES_KNN_SQL = """
 WITH b AS (
   SELECT user_id,
-         least(greatest(((epoch_us(ts) - 1704067200000000) * 64)
-               // 31622400000000, 0), 63) AS bin
+         (least(greatest(epoch_us(ts) - 1704067200000000, 0),
+               31622399999999) * 64) // 31622400000000 AS bin
   FROM events
 ),
 c AS (SELECT user_id, bin, CAST(count(*) AS BIGINT) AS c
@@ -117,8 +121,12 @@ def events_series_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (user_id, w_i, w_j, l1_dist)."""
     ev = _t(spark, sf_dir, "events")
     bin_ = F.expr(
-        "least(greatest(((unix_micros(ts) - 1704067200000000) * 64)"
-        " div 31622400000000, 0), 63)"
+        # clamp the microsecond delta BEFORE the *64: a far-from-2024 ts
+        # (regenerated-corpus drift) would overflow int64 under ANSI mode
+        # while DuckDB promotes to HUGEINT — clamping first keeps the
+        # product < 2^51 in both engines (r11 ADVICE)
+        "(least(greatest(unix_micros(ts) - 1704067200000000, 0),"
+        " 31622399999999) * 64) div 31622400000000"
     )
     counts = (
         ev.select("user_id", bin_.alias("bin"))
@@ -152,8 +160,8 @@ def events_series_motif(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SERIES_MOTIF_SQL = """
 WITH b AS (
   SELECT user_id,
-         least(greatest(((epoch_us(ts) - 1704067200000000) * 64)
-               // 31622400000000, 0), 63) AS bin
+         (least(greatest(epoch_us(ts) - 1704067200000000, 0),
+               31622399999999) * 64) // 31622400000000 AS bin
   FROM events
 ),
 c AS (SELECT user_id, bin, CAST(count(*) AS BIGINT) AS c

@@ -127,6 +127,46 @@ def test_torn_admit_is_loud_not_silent(spark, tmp_path):
     )
 
 
+def test_torn_df_commit_is_loud_not_silent(spark, tmp_path):
+    """build() commits the df (frozen order) table FIRST: a crash right
+    after it leaves OLD prefix/arrays — mutually consistent, their own
+    sync tokens match — beneath a NEW order. probe() would rank the batch
+    under the new order against prefix rows ranked under the old one and
+    silently drop true pairs; the df_sync tie must make this REFUSE
+    (r11 ADVICE, medium). Replay cannot heal an order tear: admit() must
+    refuse too. A rebuild re-freezes and heals."""
+    import pytest
+
+    docs = _docs(spark, 18)
+    arrs = _arrs(spark, docs)
+    idx = PrefixIndex(spark, str(tmp_path / "pfx"))
+    idx.build(arrs)
+
+    # inject the tear: rebuild, then roll BOTH prefix and arrays back one
+    # version (as if the process died right after the df commit of the
+    # second build) — their sync tokens still match each other
+    torn_tables = [idx._prefix, idx._arrays]
+    before = [
+        (t, os.path.basename(t._current_version_dir()), t.commit_meta())
+        for t in torn_tables
+    ]
+    idx.build(arrs)
+    for t, ver, meta in before:
+        t._commit_version(ver, t._current_version_dir(), meta)
+    idx._pairs_df = None
+    assert (
+        idx._prefix.commit_meta()["sync"] == idx._arrays.commit_meta()["sync"]
+    )  # the pair-check alone would PASS — the df tie is what must catch it
+    with pytest.raises(RuntimeError, match="df order token"):
+        idx.pairs()
+    with pytest.raises(RuntimeError, match="df order token"):
+        idx.probe(arrs)
+    with pytest.raises(RuntimeError, match="df order token"):
+        idx.admit(arrs)
+    idx.build(arrs)  # re-freeze heals
+    assert _pairs_set(idx.pairs()) == _pairs_set(_exhaustive(arrs))
+
+
 def test_needs_reorder_growth_trigger(spark, tmp_path):
     docs = _docs(spark, 20)
     idx = PrefixIndex(spark, str(tmp_path / "pfx"))
