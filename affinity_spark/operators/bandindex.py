@@ -48,15 +48,63 @@ class BandIndex:
         path: str,
         id_col: str = "doc_id",
         num_buckets: int = 8,
-        doc_buckets: int = 8,
+        doc_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.id_col = id_col
-        self.doc_buckets = doc_buckets
+        # None = AUTO: build() sizes the lever ∝ corpus and COMMITS it;
+        # later operations resolve the committed count (operators/bucketing)
+        self._explicit_buckets = doc_buckets
+        self._effective: int | None = None
         self._table = KeyedTable(
             spark, os.path.join(path, "bands"), ["band_hash"], ts_col="band_id",
             num_buckets=num_buckets, partition_col="_bucket",
+            single_file_partitions=True,
         )
+
+    def _effective_buckets(self) -> int:
+        if self._effective is None:
+            from affinity_spark.operators.bucketing import committed_buckets
+
+            self._effective = committed_buckets(
+                self._table, "doc_buckets", self._explicit_buckets
+            )
+        return self._effective
+
+    @property
+    def doc_buckets(self) -> int:
+        return self._effective_buckets()
+
+    def needs_rebucket(self, factor: float = 4.0) -> bool:
+        """Growth trigger for the bucket lever (the IVF ``needs_retrain``
+        discipline): the corpus outgrew the committed count ``factor``×."""
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        n_docs = (
+            self._table.read().select(self.id_col).distinct().count()
+        )
+        return auto_bucket_count(n_docs) >= factor * self._effective_buckets()
+
+    def rebucket(self, doc_buckets: int | None = None) -> int:
+        """Re-place the band table under a fresh bucket count (auto ∝
+        current corpus unless given) — the amortized full rewrite that
+        keeps admits delta-IO as the corpus grows. Pure physical
+        placement: bands/probes are bit-identical across it."""
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        cur = self._table.read()
+        new = doc_buckets or auto_bucket_count(
+            cur.select(self.id_col).distinct().count()
+        )
+        self._table.overwrite(
+            cur.withColumn(
+                "_bucket",
+                F.pmod(F.hash(F.col(self.id_col).cast("string")), F.lit(new)),
+            ),
+            meta={**self._table.commit_meta(), "doc_buckets": new},
+        )
+        self._effective = new
+        return new
 
     def _bucket(self) -> F.Column:
         # hash the STRING form: murmur3 of int32 and int64 differ for the
@@ -66,7 +114,8 @@ class BandIndex:
         # the wrong partition — string canonicalization makes the bucket a
         # function of the VALUE
         return F.pmod(
-            F.hash(F.col(self.id_col).cast("string")), F.lit(self.doc_buckets)
+            F.hash(F.col(self.id_col).cast("string")),
+            F.lit(self._effective_buckets()),
         )
 
     def _bands_delta(self, docs_arr: DataFrame) -> DataFrame:
@@ -78,8 +127,22 @@ class BandIndex:
 
     def build(self, docs_arr: DataFrame) -> None:
         """Full (re)build from a (id, shingles, n_shingles) frame
-        (``dedup.doc_shingle_arrays``)."""
-        self._table.overwrite(self._bands_delta(docs_arr))
+        (``dedup.doc_shingle_arrays``). Sizes the bucket lever ∝ corpus
+        (no manual knob) unless the constructor pinned it, and commits
+        the count so every later admit agrees."""
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        docs_arr = docs_arr.persist()
+        self._effective = (
+            self._explicit_buckets
+            if self._explicit_buckets is not None
+            else auto_bucket_count(docs_arr.count())
+        )
+        self._table.overwrite(
+            self._bands_delta(docs_arr),
+            meta={"doc_buckets": self._effective},
+        )
+        docs_arr.unpersist()
 
     def admit(
         self, new_arr: DataFrame, deleted_ids: Iterable[object] = ()

@@ -60,21 +60,67 @@ class ClusterStore:
         path: str,
         id_col: str = "doc_id",
         num_buckets: int = 4,
-        cluster_buckets: int = 8,
+        cluster_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.id_col = id_col
-        self.cluster_buckets = cluster_buckets
+        # None = AUTO: build()/first-admit size the lever ∝ corpus and
+        # COMMIT it; later admits resolve the committed count
+        # (operators/bucketing — bucket placement must match the rows)
+        self._explicit_buckets = cluster_buckets
+        self._effective: int | None = None
         self._table = KeyedTable(
             spark, os.path.join(path, "clusters"), [id_col],
             ts_col="cluster_id", num_buckets=num_buckets,
-            partition_col="_bucket",
+            partition_col="_bucket", single_file_partitions=True,
         )
+
+    def _effective_buckets(self) -> int:
+        if self._effective is None:
+            from affinity_spark.operators.bucketing import committed_buckets
+
+            self._effective = committed_buckets(
+                self._table, "cluster_buckets", self._explicit_buckets
+            )
+        return self._effective
+
+    @property
+    def cluster_buckets(self) -> int:
+        return self._effective_buckets()
+
+    def needs_rebucket(self, factor: float = 4.0) -> bool:
+        """Growth trigger for the bucket lever (the IVF ``needs_retrain``
+        discipline): the store outgrew the committed count ``factor``×."""
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        ideal = auto_bucket_count(self._table.read().count())
+        return ideal >= factor * self._effective_buckets()
+
+    def rebucket(self, cluster_buckets: int | None = None) -> int:
+        """Re-place the assignment table under a fresh bucket count (auto
+        ∝ current store unless given) — the amortized full rewrite that
+        keeps admits delta-IO as the corpus grows. Pure physical
+        placement: assignments are identical across it."""
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        cur = self._table.read()
+        new = cluster_buckets or auto_bucket_count(cur.count())
+        self._table.overwrite(
+            cur.withColumn(
+                "_bucket",
+                F.pmod(F.hash(F.col("cluster_id").cast("string")), F.lit(new)),
+            ),
+            meta={**self._table.commit_meta(), "cluster_buckets": new},
+        )
+        self._effective = new
+        return new
 
     def _bucket_of(self, col: F.Column) -> F.Column:
         # string-canonical hash (the BandIndex width rule)
-        return F.pmod(F.hash(col.cast("string")), F.lit(self.cluster_buckets))
+        return F.pmod(
+            F.hash(col.cast("string")), F.lit(self._effective_buckets())
+        )
 
     # --- build / maintain -----------------------------------------------
 
@@ -104,27 +150,112 @@ class ClusterStore:
                 .alias("cluster_id"),
             )
         )
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        self._effective = (
+            self._explicit_buckets
+            if self._explicit_buckets is not None
+            else auto_bucket_count(doc_ids.count())
+        )
         self._table.overwrite(
-            rows.withColumn("_bucket", self._bucket_of(F.col("cluster_id")))
+            rows.withColumn("_bucket", self._bucket_of(F.col("cluster_id"))),
+            meta={"cluster_buckets": self._effective},
         )
 
     def exists(self) -> bool:
         return self._table.exists()
 
-    def admit(self, batch_ids: DataFrame, batch_pairs: DataFrame) -> None:
+    def _coarsen_edges(
+        self, batch_ids: DataFrame, batch_pairs: DataFrame
+    ) -> tuple[DataFrame, dict[int, int]]:
+        """Distributed pre-coarsening of a DENSE batch's edges before the
+        driver fold: one connected-components round over the (new x new)
+        subgraph collapses each batch component to its min-id
+        representative, then every NEW endpoint in the edge set is
+        replaced by its representative and the set deduped. A batch where
+        every doc matches every other — O(batch²) edges — collapses to
+        one representative and at most one edge per distinct committed
+        partner, so the driver sees O(components + partners) edges, never
+        O(batch²). Label-exact: min-label union-find is order-independent,
+        so folding representative edges yields the same final labels as
+        folding the raw edges (pinned by the dense-batch test). Returns
+        (coarse edges, new_id -> representative map — batch-sized, the
+        same collect class as the batch ids themselves)."""
+        from affinity_spark.operators.graph import connected_components
+
+        ids = batch_ids.select(self.id_col).distinct()
+        inner = (
+            batch_pairs.join(
+                ids.withColumnRenamed(self.id_col, "id_a"), "id_a", "left_semi"
+            ).join(
+                ids.withColumnRenamed(self.id_col, "id_b"), "id_b", "left_semi"
+            )
+        )
+        cc = connected_components(inner, "id_a", "id_b").persist()
+        rep_of = {int(r[0]): int(r[1]) for r in cc.collect()}
+        e = batch_pairs.select("id_a", "id_b")
+        for side in ("id_a", "id_b"):
+            rep = F.broadcast(
+                cc.select(
+                    F.col("vertex").alias(side),
+                    F.col("component").alias(f"_rep_{side}"),
+                )
+            )
+            e = (
+                e.join(rep, side, "left")
+                .withColumn(
+                    side,
+                    F.coalesce(F.col(f"_rep_{side}"), F.col(side)).cast("long"),
+                )
+                .drop(f"_rep_{side}")
+            )
+        coarse = e.filter(F.col("id_a") != F.col("id_b")).distinct()
+        cc.unpersist()
+        return coarse, rep_of
+
+    def admit(
+        self,
+        batch_ids: DataFrame,
+        batch_pairs: DataFrame,
+        max_driver_edges: int = 200_000,
+    ) -> None:
         """Incremental merge of a batch: ``batch_pairs`` are the batch's
         verified near-dup edges — (new x corpus) + (new x new), e.g.
         ``PrefixIndex.probe`` output renamed to (id_a, id_b). Bounded
         frontier, partition-pruned relabel (see module docstring).
         Replay-idempotent: a replayed batch re-derives the same merges
-        and rewrites the same rows."""
+        and rewrites the same rows.
+
+        The driver fold is CAPPED (r11 verdict #4): a batch whose edge
+        set exceeds ``max_driver_edges`` (a pathological all-pairs batch
+        is O(batch²) rows) is first pre-coarsened with a distributed CC
+        round over the batch-only subgraph (:meth:`_coarsen_edges`) so
+        only component representatives reach the driver; if even the
+        coarsened set exceeds the cap (≈ that many distinct committed
+        partners), the admit REFUSES loudly rather than OOM the driver."""
         new_ids = [
             int(r[0]) for r in batch_ids.select(self.id_col).distinct().collect()
         ]
-        edges = [
-            (int(r[0]), int(r[1]))
-            for r in batch_pairs.select("id_a", "id_b").collect()
-        ]
+        # fetch at most cap+1 edge rows — one job, and the common sparse
+        # batch never pays a separate count() of the (often probe-derived,
+        # nontrivial) pair plan
+        edge_rows = (
+            batch_pairs.select("id_a", "id_b")
+            .limit(max_driver_edges + 1)
+            .collect()
+        )
+        rep_of: dict[int, int] = {}
+        if len(edge_rows) > max_driver_edges:
+            coarse, rep_of = self._coarsen_edges(batch_ids, batch_pairs)
+            edge_rows = coarse.limit(max_driver_edges + 1).collect()
+            if len(edge_rows) > max_driver_edges:
+                raise ValueError(
+                    f"batch edge set still exceeds max_driver_edges="
+                    f"{max_driver_edges} after representative coarsening "
+                    "(that many DISTINCT committed partners are matched); "
+                    "split the batch or raise the cap"
+                )
+        edges = [(int(r[0]), int(r[1])) for r in edge_rows]
         # committed cluster of every matched partner (batch-sized read;
         # broadcast semi-join keeps the store scan pruned to matches)
         partner_ids = sorted(
@@ -169,13 +300,17 @@ class ClusterStore:
                 lo, hi = (rx, ry) if rx < ry else (ry, rx)
                 parent[hi] = lo
 
+        # under coarsening a new id's node is its batch-component
+        # representative (min member id — itself when not coarsened);
+        # min-label union-find over representatives yields the same final
+        # labels as over the raw edges (order-independent closure)
         for n in new_ids:
-            find(n)
+            find(rep_of.get(n, n))
         for a, b in edges:
             ca = partner_cluster.get(a, a)
             cb = partner_cluster.get(b, b)
             union(ca, cb)
-        new_rows = [(n, find(n)) for n in new_ids]
+        new_rows = [(n, find(rep_of.get(n, n))) for n in new_ids]
         # committed clusters whose label CHANGED (two old clusters merged
         # through the batch, or an old cluster absorbed a smaller... ids
         # ascend, so labels only ever move DOWN to an older min)
@@ -185,13 +320,23 @@ class ClusterStore:
             if find(c) != c
         }
         if not self.exists():
+            from affinity_spark.operators.bucketing import auto_bucket_count
+
+            # first commit IS the corpus so far — size the lever from it;
+            # needs_rebucket()/rebucket() re-freeze as the store grows
+            self._effective = (
+                self._explicit_buckets
+                if self._explicit_buckets is not None
+                else auto_bucket_count(len(new_rows))
+            )
             rows = self.spark.createDataFrame(
                 new_rows, f"{self.id_col} long, cluster_id long"
             )
             self._table.overwrite(
                 rows.withColumn(
                     "_bucket", self._bucket_of(F.col("cluster_id"))
-                )
+                ),
+                meta={"cluster_buckets": self._effective},
             )
             return
         # touched buckets: new rows' destination buckets + merged

@@ -70,7 +70,7 @@ class PostingsIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         num_buckets: int = 8,
-        doc_buckets: int = 8,
+        doc_buckets: int | None = None,
     ) -> None:
         if 1 not in grams:
             grams = (1, *grams)  # doclen/positional always derive from unigrams
@@ -83,12 +83,15 @@ class PostingsIndex:
         # pmod(hash(doc_id), doc_buckets) so refresh() rewrites ONLY the
         # buckets holding changed docs and hardlinks the rest (IO scales
         # with min(changed_docs, doc_buckets)/doc_buckets of the index, not
-        # the index). doc_buckets scales with the corpus at cluster size,
-        # keeping per-bucket rewrite cost a constant.
-        self.doc_buckets = doc_buckets
+        # the index). None = AUTO: build() sizes the lever ∝ corpus and
+        # COMMITS the count (operators/bucketing) — per-bucket rewrite
+        # cost stays a constant with no manual knob.
+        self._explicit_buckets = doc_buckets
+        self._effective: int | None = None
         self._doclen = KeyedTable(
             spark, os.path.join(path, "doclen"), [id_col], ts_col="dl",
             num_buckets=num_buckets, partition_col="_bucket",
+            single_file_partitions=True,
         )
         # postings tables use KeyedTable for snapshots/CAS/clustering only
         # (never upsert/get - a term is not a per-row primary key): keying
@@ -104,8 +107,52 @@ class PostingsIndex:
             self._tables[n] = KeyedTable(
                 spark, os.path.join(path, f"post{n}"), ["term"],
                 ts_col="pos" if n == 1 else "tf", num_buckets=num_buckets,
-                partition_col="_bucket",
+                partition_col="_bucket", single_file_partitions=True,
             )
+
+    def _effective_buckets(self) -> int:
+        if self._effective is None:
+            from affinity_spark.operators.bucketing import committed_buckets
+
+            self._effective = committed_buckets(
+                self._doclen, "doc_buckets", self._explicit_buckets
+            )
+        return self._effective
+
+    @property
+    def doc_buckets(self) -> int:
+        return self._effective_buckets()
+
+    def needs_rebucket(self, factor: float = 4.0) -> bool:
+        """Growth trigger for the bucket lever (the IVF ``needs_retrain``
+        discipline): the corpus outgrew the committed count ``factor``×,
+        so refreshes are sliding toward the fixed-bucket anti-pattern
+        regime (BASELINE r11k)."""
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        ideal = auto_bucket_count(self._doclen.read().count())
+        return ideal >= factor * self._effective_buckets()
+
+    def rebucket(self, doc_buckets: int | None = None) -> int:
+        """Re-place every table under a fresh bucket count (auto ∝
+        current corpus unless given) — the amortized full rewrite that
+        keeps refreshes delta-IO as the corpus grows. Pure physical
+        placement: reads are identical across it; one shared lineage id
+        marks the multi-table commit like any build/refresh."""
+        import uuid
+
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        self.check_consistent()
+        new = doc_buckets or auto_bucket_count(self._doclen.read().count())
+        col = F.pmod(F.hash(F.col(self.id_col).cast("string")), F.lit(new))
+        lineage = {"postings_lineage": uuid.uuid4().hex, "doc_buckets": new}
+        for table in [self._doclen, *self._tables.values()]:
+            table.overwrite(
+                table.read().withColumn("_bucket", col), meta=lineage
+            )
+        self._effective = new
+        return new
 
     def _bucket(self) -> F.Column:
         # murmur3 (F.hash) is seed-stable across sessions, so bucket
@@ -116,7 +163,8 @@ class PostingsIndex:
         # would bucket inconsistently and the merge would rewrite the
         # wrong partition while hardlinking the stale one
         return F.pmod(
-            F.hash(F.col(self.id_col).cast("string")), F.lit(self.doc_buckets)
+            F.hash(F.col(self.id_col).cast("string")),
+            F.lit(self._effective_buckets()),
         )
 
     # --- build / maintain ------------------------------------------------
@@ -166,8 +214,20 @@ class PostingsIndex:
         # logical index, but commit independently — a crash mid-loop would
         # otherwise leave doclen updated with stale postings and silently
         # skew every bm25/tfidf score. exists() verifies the id agrees.
-        lineage = {"postings_lineage": uuid.uuid4().hex}
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
         toks = self._tokenized(docs).persist()
+        # the lever, chosen ∝ corpus (no manual knob) unless pinned by the
+        # constructor; committed in the lineage meta so refreshes agree
+        self._effective = (
+            self._explicit_buckets
+            if self._explicit_buckets is not None
+            else auto_bucket_count(toks.count())
+        )
+        lineage = {
+            "postings_lineage": uuid.uuid4().hex,
+            "doc_buckets": self._effective,
+        }
         try:
             self._doclen.overwrite(self._doclen_delta(toks), meta=lineage)
             for n in self.grams:
@@ -204,8 +264,12 @@ class PostingsIndex:
         deleted = list(deleted_ids)
         # shared lineage id across the three per-table CAS commits (see
         # build()): a crash between merges must be DETECTABLE, not a
-        # silently skewed index
-        lineage = {"postings_lineage": uuid.uuid4().hex}
+        # silently skewed index. The committed bucket count rides along —
+        # refresh never resizes the lever (rebucket() does).
+        lineage = {
+            "postings_lineage": uuid.uuid4().hex,
+            "doc_buckets": self._effective_buckets(),
+        }
         toks = self._tokenized(changed_docs).persist()
         try:
             touched = toks.select(self.id_col).distinct()

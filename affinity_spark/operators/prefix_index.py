@@ -54,43 +54,101 @@ class PrefixIndex:
         t_num: int = 1,
         t_den: int = 2,
         num_buckets: int = 8,
-        doc_buckets: int = 8,
+        doc_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.id_col = id_col
         self.t_num = t_num
         self.t_den = t_den
-        self.doc_buckets = doc_buckets
+        # None = AUTO: build() sizes buckets ∝ corpus (operators/bucketing)
+        # and commits the count; every later operation resolves the
+        # COMMITTED count, so an attaching constructor can't misplace rows
+        self._explicit_buckets = doc_buckets
+        self._effective: int | None = None
         self._df = KeyedTable(
             spark, os.path.join(path, "df"), ["shingle"], ts_col="df",
             num_buckets=num_buckets,
         )
         # prefix + arrays are hive-partitioned by a doc-id bucket so an
         # admit rewrites ONLY the batch's buckets (hardlinked carry-over
-        # elsewhere) — the BandIndex delta-IO contract
+        # elsewhere) — the BandIndex delta-IO contract; single-file dirs
+        # keep file count == bucket count under the ∝-corpus lever
         self._prefix = KeyedTable(
             spark, os.path.join(path, "prefix"), ["shingle", id_col],
             ts_col="rn", num_buckets=num_buckets, partition_col="_bucket",
+            single_file_partitions=True,
         )
         self._arrays = KeyedTable(
             spark, os.path.join(path, "arrays"), [id_col],
             ts_col="n_shingles", num_buckets=num_buckets,
-            partition_col="_bucket",
-        )
-        self._bucket_col = F.pmod(
-            # string-canonical hash: murmur3 of int32 vs int64 DIFFER for
-            # the same value, so a batch arriving at a different numeric
-            # width would bucket inconsistently and the pruned merge would
-            # rewrite the wrong partition (the r5 BandIndex rule)
-            F.hash(F.col(self.id_col).cast("string")),
-            F.lit(doc_buckets),
+            partition_col="_bucket", single_file_partitions=True,
         )
         # memoized serving DataFrame: the pairs() plan is ~2 s of
         # analysis/optimization at sf0.1 — twice the execution — and a
         # serving system compiles its read once. Invalidated by
         # build/admit (the reads pin version dirs at analysis time).
         self._pairs_df: DataFrame | None = None
+
+    # --- bucket lever (auto, committed-wins) ----------------------------------
+
+    def _effective_buckets(self) -> int:
+        """The committed doc-bucket count (build() stamps it; admits carry
+        it forward). Cached until build/rebucket invalidates."""
+        if self._effective is None:
+            from affinity_spark.operators.bucketing import committed_buckets
+
+            self._effective = committed_buckets(
+                self._prefix, "doc_buckets", self._explicit_buckets
+            )
+        return self._effective
+
+    @property
+    def doc_buckets(self) -> int:
+        return self._effective_buckets()
+
+    def _bucket_col(self, n_buckets: int | None = None) -> F.Column:
+        # string-canonical hash: murmur3 of int32 vs int64 DIFFER for
+        # the same value, so a batch arriving at a different numeric
+        # width would bucket inconsistently and the pruned merge would
+        # rewrite the wrong partition (the r5 BandIndex rule)
+        return F.pmod(
+            F.hash(F.col(self.id_col).cast("string")),
+            F.lit(n_buckets if n_buckets is not None else self._effective_buckets()),
+        )
+
+    def needs_rebucket(self, factor: float = 4.0) -> bool:
+        """True when the corpus has outgrown the committed bucket count —
+        the auto size for the CURRENT corpus is ≥ ``factor`` × the
+        committed count, i.e. per-bucket rows grew ~factor× past the
+        target and admits are sliding toward the fixed-bucket
+        anti-pattern regime (BASELINE r11k). The growth trigger of the
+        IVFIndex ``needs_retrain`` discipline applied to the lever."""
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        ideal = auto_bucket_count(self._arrays.read().count())
+        return ideal >= factor * self._effective_buckets()
+
+    def rebucket(self, doc_buckets: int | None = None) -> int:
+        """Re-place both partitioned tables under a fresh bucket count
+        (auto ∝ current corpus unless given) — the amortized full rewrite
+        that keeps admits delta-IO as the corpus grows (IVF ``retrain()``
+        discipline). The frozen df ORDER is untouched: bucketing is pure
+        physical placement, so served pairs are bit-identical before and
+        after (pinned by tests). Returns the new count."""
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
+        self._check_sync()
+        new = doc_buckets or auto_bucket_count(self._arrays.read().count())
+        for table in (self._arrays, self._prefix):
+            cur = table.read()
+            table.overwrite(
+                cur.withColumn("_bucket", self._bucket_col(new)),
+                meta={**table.commit_meta(), "doc_buckets": new},
+            )
+        self._effective = new
+        self._pairs_df = None
+        return new
 
     # --- derivation ---------------------------------------------------------
 
@@ -153,15 +211,25 @@ class PrefixIndex:
         silently dropped pairs (the QualityStore torn-commit discipline)."""
         import uuid
 
+        from affinity_spark.operators.bucketing import auto_bucket_count
+
         sync = uuid.uuid4().hex
         docs_arr = docs_arr.persist()
+        n_docs = docs_arr.count()
+        # the lever, chosen ∝ corpus (no manual knob) unless pinned by the
+        # constructor; committed below so every later operation agrees
+        self._effective = (
+            self._explicit_buckets
+            if self._explicit_buckets is not None
+            else auto_bucket_count(n_docs)
+        )
         dfc = (
             docs_arr.select(F.explode("shingles").alias("shingle"))
             .groupBy("shingle")
             .agg(F.count(F.lit(1)).cast("long").alias("df"))
         )
         self._df.overwrite(
-            dfc, meta={"n_at_build": docs_arr.count(), "sync": sync}
+            dfc, meta={"n_at_build": n_docs, "sync": sync}
         )
         # arrays BEFORE prefix: candidates are driven by prefix rows, so a
         # tear after this commit leaves extra (unused) verify rows — never
@@ -171,14 +239,14 @@ class PrefixIndex:
         # under a NEW order — their own sync tokens still match, so only
         # the df_sync tie makes that tear loud (r11 ADVICE).
         self._arrays.overwrite(
-            self._with_hashes(docs_arr).withColumn("_bucket", self._bucket_col),
-            meta={"sync": sync, "df_sync": sync},
+            self._with_hashes(docs_arr).withColumn("_bucket", self._bucket_col()),
+            meta={"sync": sync, "df_sync": sync, "doc_buckets": self._effective},
         )
         self._prefix.overwrite(
             self._prefix_entries(docs_arr, self._df.read()).withColumn(
-                "_bucket", self._bucket_col
+                "_bucket", self._bucket_col()
             ),
-            meta={"sync": sync, "df_sync": sync},
+            meta={"sync": sync, "df_sync": sync, "doc_buckets": self._effective},
         )
         docs_arr.unpersist()
         self._pairs_df = None
@@ -242,14 +310,14 @@ class PrefixIndex:
         buckets = [
             r[0]
             for r in touched.select(
-                self._bucket_col.alias("_bucket")
+                self._bucket_col().alias("_bucket")
             ).distinct().collect()
         ]
         entries = self._prefix_entries(docs_arr, self._df.read()).withColumn(
-            "_bucket", self._bucket_col
+            "_bucket", self._bucket_col()
         )
         arrays_delta = self._with_hashes(docs_arr).withColumn(
-            "_bucket", self._bucket_col
+            "_bucket", self._bucket_col()
         )
         # arrays BEFORE prefix (the build-order rule): a crash between the
         # two commits then reads as "batch not yet admitted" — extra verify

@@ -59,6 +59,7 @@ class KeyedTable:
         retain_versions: int = 2,
         lock_timeout_s: float = 10.0,
         partition_col: str | None = None,
+        single_file_partitions: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -75,6 +76,14 @@ class KeyedTable:
         # delta-proportional-IO merge the lakehouse formats do with file
         # manifests, built from plain directories + the same CAS pointer.
         self.partition_col = partition_col
+        # one parquet file per partition dir: snapshots repartition BY the
+        # partition column (not into num_buckets write tasks), so a store
+        # whose bucket count scales with the corpus (operators/bucketing)
+        # keeps file count == dir count instead of num_buckets x dirs —
+        # the many-tiny-files failure of partitionBy under a wide lever.
+        # Rows sort by (partition, key) within each task, so key-equality
+        # scans still skip via parquet ROW-GROUP min/max stats.
+        self.single_file_partitions = single_file_partitions and partition_col
         self.retain_versions = max(1, retain_versions)
         self.lock_timeout_s = lock_timeout_s
         # external = populated by another system; reads only (the
@@ -254,6 +263,18 @@ class KeyedTable:
         self._reclaim_versions()
 
     def _write_snapshot(self, df: DataFrame, out: str) -> None:
+        if self.single_file_partitions:
+            # one file per partition dir: shuffle BY the partition column
+            # (several dirs per task is fine — a task emits one file per
+            # dir it holds), key-sorted within so row-group stats prune
+            w = (
+                df.repartition(F.col(self.partition_col))
+                .sortWithinPartitions(self.partition_col, *self.key_cols)
+                .write.mode("overwrite")
+                .partitionBy(self.partition_col)
+            )
+            w.parquet(out)
+            return
         # cluster by key so key-equality scans skip files via min/max stats;
         # with a partition column the key clustering holds WITHIN each
         # partition dir (each write task emits one file per partition it
@@ -544,6 +565,12 @@ class KeyedTable:
             raise PermissionError(f"table at {self.path} is external/read-only")
         base_version = self._current_version_dir()
         stats = self.file_stats()
+        if self.single_file_partitions:
+            # layout is already one file per partition dir, and admits
+            # REPLACE whole dirs (overwrite_partitions) — there is no
+            # small-file decay to repair, and a rewrite here would churn a
+            # new version per maintainer tick for nothing
+            return {**stats, "compacted": False, "n_files_after": stats["n_files"]}
         n_target = max(1, -(-stats["total_bytes"] // max(1, target_file_bytes)))
         if stats["n_files"] <= n_target:
             return {**stats, "compacted": False, "n_files_after": stats["n_files"]}

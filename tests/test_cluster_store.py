@@ -195,6 +195,66 @@ def test_admit_rejects_edges_to_unknown_ids(spark, tmp_path):
     assert {r["doc_id"] for r in st.assignments().collect()} == {0, 1}
 
 
+def test_dense_batch_coarsens_before_driver_fold(spark, tmp_path):
+    """A pathological all-pairs batch (every doc a near-dup of every
+    other: O(batch²) edges) must NOT reach the driver raw (r11 verdict
+    #4): with the cap forced below the edge count, admit pre-coarsens
+    with a distributed CC round and the resulting assignments are
+    IDENTICAL to the uncapped fold — including merges through committed
+    partners."""
+
+    def ids(vals):
+        return spark.createDataFrame([(v,) for v in vals], "doc_id long")
+
+    def edges(pairs):
+        return spark.createDataFrame(list(pairs), "id_a long, id_b long")
+
+    committed = [0, 1, 2, 3]
+    batch = list(range(10, 40))
+    # all-pairs within the batch (435 edges) + two partner edges that
+    # must pull the whole blob into committed cluster 0's component
+    dense = [(a, b) for a in batch for b in batch if a < b]
+    partnered = dense + [(0, 10), (2, 25)]
+
+    big = ClusterStore(spark, str(tmp_path / "big"))
+    big.build(ids(committed), edges([(0, 2)]))
+    big.admit(ids(batch), edges(partnered))  # uncapped: raw driver fold
+    expected = _assign(big)
+
+    capped = ClusterStore(spark, str(tmp_path / "capped"))
+    capped.build(ids(committed), edges([(0, 2)]))
+    capped.admit(ids(batch), edges(partnered), max_driver_edges=50)
+    assigned = _assign(capped)
+    assert assigned == expected
+    # the partner edges pulled the whole dense blob into cluster 0
+    assert {c for d, c, _ in assigned if d in batch} == {0}
+
+
+def test_dense_batch_refuses_above_cap_after_coarsening(spark, tmp_path):
+    """If even the COARSENED edge set exceeds the cap (that many distinct
+    committed partners), admit refuses loudly instead of OOMing the
+    driver — and leaves the store untouched."""
+    import pytest
+
+    def ids(vals):
+        return spark.createDataFrame([(v,) for v in vals], "doc_id long")
+
+    def edges(pairs):
+        return spark.createDataFrame(list(pairs), "id_a long, id_b long")
+
+    st = ClusterStore(spark, str(tmp_path / "cs"))
+    committed = list(range(8))
+    st.build(ids(committed), edges([]))
+    before = _assign(st)
+    # a 3-doc batch matching 6 DISTINCT committed partners: coarsening
+    # cannot reduce below 6 edges (distinct partners survive dedup)
+    batch = [100, 101, 102]
+    pairs = [(p, 100 + (p % 3)) for p in range(6)]
+    with pytest.raises(ValueError, match="after representative coarsening"):
+        st.admit(ids(batch), edges(pairs), max_driver_edges=4)
+    assert _assign(st) == before
+
+
 def test_streaming_maintainer_with_prefix_pair_source(spark, tmp_path):
     """The composed maintained pipeline: PrefixIndex supplies exact
     (new x corpus) edges, ClusterStore folds them in, both admit the
