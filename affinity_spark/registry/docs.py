@@ -2083,281 +2083,3 @@ fold AS (
 )
 SELECT doc_id, source, pack_id FROM fold WHERE doc_id IS NOT NULL
 """
-
-
-def docs_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IMAGE near-dup pairs via perceptual hashing — the multimodal dedup
-    modality (corpora dedup images too; r10 verdict #6): every doc row
-    becomes a genuine 9x8 grayscale PNG (encode_png_gray; pixel content a
-    deterministic function of doc_id with triplet near-dup groups — one
-    perturbed pixel per group member), the REAL pure-python PNG decoder
-    recovers the pixels executor-side inside Arrow-batched mapInPandas,
-    dHash (63-bit horizontal-gradient fingerprint, codecs.dhash_bits)
-    fingerprints each image, and pairs within hamming<=3 come from the
-    PIGEONHOLE bucket join (operators/dedup.py::hamming_near_pairs — 4
-    disjoint 16-bit chunks, any pair in radius agrees on one; NEVER
-    all-pairs). The oracle replays the pixel formula + dHash + EXHAUSTIVE
-    hamming join in closed form, so a codec, hash, or bucketing bug that
-    drops a true pair hash-fails (false-negative detection)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from affinity_spark.functions.codecs import (
-        decode_png,
-        dhash_bits,
-        encode_png_gray,
-    )
-    from affinity_spark.operators.dedup import hamming_near_pairs
-
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
-    schema = "doc_id long, dhash long"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hs = [], []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                g, m = did // 3, did % 3
-                px = bytearray(
-                    ((((g * 2654435761) ^ ((p + 1) * 2654445111))
-                      % 2147483648) * 2654435761 >> 13) % 256
-                    for p in range(72)
-                )
-                pos = (m * 29 + g) % 72
-                px[pos] = (px[pos] + 1 + m * 31) % 256
-                img = decode_png(encode_png_gray(9, 8, bytes(px)))
-                ids.append(did)
-                hs.append(dhash_bits(img.pixels, img.width, img.height))
-            yield pd.DataFrame({"doc_id": ids, "dhash": hs})
-
-    fps = docs.mapInPandas(run, schema)
-    return hamming_near_pairs(
-        fps, "doc_id", "dhash", bits=63, max_hamming=3
-    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-
-
-def _image_near_dup_oracle_sql() -> str:
-    """Closed-form replay: the pixel mix, the single-pixel perturbation,
-    the 63-bit dHash, and the EXHAUSTIVE hamming join (a Spark bucketing
-    bug that drops a true pair hash-fails)."""
-
-    def px(p: int) -> str:
-        return (
-            f"(CASE WHEN pos = {p} THEN pval ELSE "
-            f"((xor(g * 2654435761, {(p + 1) * 2654445111}) % 2147483648)"
-            f" * 2654435761 >> 13) % 256 END)"
-        )
-
-    bits = "\n         + ".join(
-        f"(CASE WHEN {px(r * 9 + c + 1)} > {px(r * 9 + c)} "
-        f"THEN (1::BIGINT << {r * 8 + c}) ELSE 0 END)"
-        for r in range(8)
-        for c in range(8)
-        if r * 8 + c < 63
-    )
-    return f"""
-WITH p0 AS (
-  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS m FROM documents
-),
-p1 AS (
-  SELECT doc_id, g, m, ((m * 29 + g) % 72) AS pos FROM p0
-),
-pp AS (
-  SELECT doc_id, g, pos,
-         (((xor(g * 2654435761, (pos + 1) * 2654445111) % 2147483648)
-           * 2654435761 >> 13) % 256 + 1 + m * 31) % 256 AS pval
-  FROM p1
-),
-fp AS (SELECT doc_id, CAST({bits} AS BIGINT) AS dhash FROM pp)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
-"""
-
-
-def docs_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AUDIO near-dup pairs via acoustic fingerprinting — the audio
-    modality of the perceptual-dedup family (docs_image_near_dup's
-    machinery over the WAV codec): every doc row becomes a genuine
-    256-sample 16-bit PCM WAV (encode_wav_pcm16; content a deterministic
-    function of doc_id with triplet near-dup groups — one energy-bumped
-    window per member), the REAL RIFF/PCM decoder recovers the samples
-    executor-side, and the fingerprint is the chromaprint SHAPE on
-    integer energies: 64 windows of 4 samples, one bit per adjacent
-    window pair set when energy rises (63 bits — non-negative int64 in
-    every engine). Pairs within hamming<=3 come from the generalized
-    pigeonhole bucket join (never all-pairs). The oracle replays samples,
-    window energies (lead() over window index), fingerprint, and the
-    EXHAUSTIVE hamming join — codec, energy, or bucketing bugs that drop
-    a true pair hash-fail."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from affinity_spark.functions.codecs import decode_wav, encode_wav_pcm16
-    from affinity_spark.operators.dedup import hamming_near_pairs
-
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
-    schema = "doc_id long, afp long"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hs = [], []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                g, m = did // 3, did % 3
-                pos_w = (g + m * 17) % 63
-                pert = (1 + m) * 9
-                samples = [
-                    ((((g * 2654435761) ^ ((i + 1) * 2246822519))
-                      % 2147483648) * 2654435761 >> 13) % 2048 - 1024
-                    + (pert if i // 4 == pos_w else 0)
-                    for i in range(256)
-                ]
-                wav = decode_wav(encode_wav_pcm16(8000, 1, samples))
-                e = [
-                    sum(abs(s) for s in wav.samples[w * 4 : (w + 1) * 4])
-                    for w in range(64)
-                ]
-                h = 0
-                for w in range(63):
-                    if e[w + 1] > e[w]:
-                        h |= 1 << w
-                ids.append(did)
-                hs.append(h)
-            yield pd.DataFrame({"doc_id": ids, "afp": hs})
-
-    fps = docs.mapInPandas(run, schema)
-    return hamming_near_pairs(
-        fps, "doc_id", "afp", bits=63, max_hamming=3
-    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-
-
-_AUDIO_NEAR_DUP_SQL = """
-WITH d AS (
-  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS m FROM documents
-),
-s AS (
-  SELECT doc_id, i // 4 AS wi,
-         (((xor(g * 2654435761, (i + 1) * 2246822519))
-           % 2147483648) * 2654435761 >> 13) % 2048 - 1024
-         + (CASE WHEN i // 4 = (g + m * 17) % 63 THEN (1 + m) * 9 ELSE 0 END)
-           AS samp
-  FROM d, unnest(range(0, 256)) AS r(i)
-),
-e AS (
-  SELECT doc_id, wi, CAST(sum(abs(samp)) AS BIGINT) AS energy
-  FROM s GROUP BY doc_id, wi
-),
-bits AS (
-  SELECT doc_id, wi, energy,
-         lead(energy) OVER (PARTITION BY doc_id ORDER BY wi) AS nxt
-  FROM e
-),
-fp AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN nxt > energy THEN (1::BIGINT << wi) ELSE 0 END)
-              AS BIGINT) AS afp
-  FROM bits WHERE wi < 63
-  GROUP BY doc_id
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.afp, b.afp)) <= 3
-"""
-
-
-def docs_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VIDEO near-dup pairs via frame sampling + temporal fingerprinting —
-    the third perceptual-dedup modality (image dHash, audio energy bits,
-    now video): every doc row becomes a genuine 128-frame 2x2
-    V_UNCOMPRESSED Matroska file (encode_mkv — EBML header, track entry,
-    SimpleBlock cluster per RFC 8794; frame pixels a deterministic
-    function of doc_id with triplet near-dup groups), the REAL MKV
-    decoder walks it back executor-side, every SECOND frame is sampled
-    (the frame-sample op on real container data), each sampled frame
-    reduces to an integer pixel-sum signature, and the temporal
-    fingerprint is 63 rise/fall bits over the 64 sampled signatures.
-    Pairs within hamming<=3 ride the same generalized pigeonhole join as
-    image/audio — one pair machinery, three modalities. Oracle: frames,
-    sampled signatures (lead() over sample index), fingerprint, and the
-    EXHAUSTIVE hamming join in closed form."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from affinity_spark.functions.codecs import decode_mkv, encode_mkv
-    from affinity_spark.operators.dedup import hamming_near_pairs
-
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long"))
-    schema = "doc_id long, vfp long"
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, hs = [], []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                g, m = did // 3, did % 3
-                pos_w = (g * 7 + m * 13) % 63
-                frames = []
-                for f in range(128):
-                    px = [
-                        ((((g * 2654435761) ^ ((f * 4 + p + 1) * 3266489917))
-                          % 2147483648) * 2654435761 >> 13) % 256
-                        for p in range(4)
-                    ]
-                    if f % 2 == 0 and f // 2 == pos_w:
-                        px = [(v + (1 + m) * 5) % 256 for v in px]
-                    frames.append((f, f == 0, bytes(px)))
-                vid = decode_mkv(encode_mkv(2, 2, frames))
-                sampled = [vid.frames[2 * w].data for w in range(64)]
-                sig = [sum(fr) for fr in sampled]
-                h = 0
-                for w in range(63):
-                    if sig[w + 1] > sig[w]:
-                        h |= 1 << w
-                ids.append(did)
-                hs.append(h)
-            yield pd.DataFrame({"doc_id": ids, "vfp": hs})
-
-    fps = docs.mapInPandas(run, schema)
-    return hamming_near_pairs(
-        fps, "doc_id", "vfp", bits=63, max_hamming=3
-    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
-
-
-_VIDEO_NEAR_DUP_SQL = """
-WITH d AS (
-  SELECT doc_id, doc_id // 3 AS g, doc_id % 3 AS m FROM documents
-),
-s AS (
-  SELECT doc_id, w,
-         CAST(sum(
-           ((((xor(g * 2654435761, (2 * w * 4 + p + 1) * 3266489917))
-              % 2147483648) * 2654435761 >> 13) % 256
-            + CASE WHEN w = (g * 7 + m * 13) % 63 THEN (1 + m) * 5 ELSE 0 END)
-           % 256
-         ) AS BIGINT) AS sig
-  FROM d, unnest(range(0, 64)) AS rw(w), unnest(range(0, 4)) AS rp(p)
-  GROUP BY doc_id, w
-),
-bits AS (
-  SELECT doc_id, w, sig,
-         lead(sig) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
-  FROM s
-),
-fp AS (
-  SELECT doc_id,
-         CAST(sum(CASE WHEN nxt > sig THEN (1::BIGINT << w) ELSE 0 END)
-              AS BIGINT) AS vfp
-  FROM bits WHERE w < 63
-  GROUP BY doc_id
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.vfp, b.vfp)) AS INTEGER) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.vfp, b.vfp)) <= 3
-"""
