@@ -60,10 +60,20 @@ def events_series_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
     )
-    mn = int(ev.agg(F.min("user_id")).collect()[0][0])  # 1 value, bounded
-    q = series.filter(F.col("user_id") == mn).select(F.col("v").alias("qv"))
+    # the query-user selection is IN the plan (a 1-row broadcast agg of
+    # the column-pruned events scan) — no separate driver job per call
+    # (r11 verdict #7; the serving-latency discipline the store-served
+    # reads follow)
+    mn1 = ev.agg(F.min("user_id").alias("_mn"))
+    q = (
+        series.crossJoin(F.broadcast(mn1))
+        .filter(F.col("user_id") == F.col("_mn"))
+        .select(F.col("v").alias("qv"))
+    )
     return (
-        series.filter(F.col("user_id") != mn)
+        series.crossJoin(F.broadcast(mn1))
+        .filter(F.col("user_id") != F.col("_mn"))
+        .drop("_mn")
         .crossJoin(F.broadcast(q))
         .select(
             "user_id",
@@ -265,3 +275,152 @@ def _motif_expression_level(series: DataFrame) -> DataFrame:
         F.expr("_k % 64").alias("w_j"),
         F.expr("_k div 4096").alias("l1_dist"),
     )
+
+
+_MATCHED_TYPE = StructType([
+    StructField("w_i", LongType()),
+    StructField("match_user", LongType()),
+    StructField("w_j", LongType()),
+    StructField("l1_dist", LongType()),
+])
+
+
+@F.pandas_udf(_MATCHED_TYPE)
+def _matched_window_kernel(
+    user_id: pd.Series, v: pd.Series, pack: pd.Series
+) -> pd.DataFrame:
+    """Cross-user matrix-profile AB-join kernel: for one user's 64-bin
+    series, the most similar length-8 window in ANY OTHER cohort user's
+    series by exact integer L1 — all 57x57 window distances per user
+    pair via numpy broadcasting (Arrow-batched; the motif kernel's
+    machinery across series). Tie-break lexicographic on
+    (l1, i, match_user, j); per-pair np.argmin over the row-major flat
+    array yields smallest (i, j) first, and the explicit tuple compare
+    carries the match_user rank."""
+    rows = []
+    for uid, arr, pk in zip(user_id, v, pack):
+        a = np.asarray(arr, dtype=np.int64)
+        wa = np.lib.stride_tricks.sliding_window_view(a, 8)  # 57 x 8
+        best = None
+        for entry in pk:
+            b_uid = int(entry["user_id"])
+            if b_uid == int(uid):
+                continue
+            wb = np.lib.stride_tricks.sliding_window_view(
+                np.asarray(entry["v"], dtype=np.int64), 8
+            )
+            d = np.abs(wa[:, None, :] - wb[None, :, :]).sum(axis=2)
+            flat = int(np.argmin(d))
+            i, j = divmod(flat, d.shape[1])
+            cand = (int(d[i, j]), i, b_uid, j)
+            if best is None or cand < best:
+                best = cand
+        rows.append((best[1], best[2], best[3], best[0]))
+    return pd.DataFrame(
+        rows, columns=["w_i", "match_user", "w_j", "l1_dist"]
+    )
+
+
+def events_series_matched_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user matched windows — the matrix-profile AB-JOIN
+    (``events_series_motif`` finds each series' best pair WITHIN itself;
+    this finds each cohort user's best length-8 window match in ANY
+    OTHER cohort user's series, exact integer L1, ties
+    (l1, i, match_user, j)-lexicographic). Cohort = the 12 most active
+    users (count desc, id asc — the bounded-cohort lever: at 100 TB the
+    AB-join runs per cohort, the series derivation stays the same
+    map-side aggregate over everyone). The 12 series pack into ONE 1-row
+    broadcast (12x64 ints — codebook-sized) and every user's 57x11x57
+    window distances run inside one Arrow kernel: zero shuffles beyond
+    the series aggregate and the cohort top-k. Output:
+    (user_id, w_i, match_user, w_j, l1_dist)."""
+    ev = _t(spark, sf_dir, "events")
+    bin_ = F.expr(
+        "(least(greatest(unix_micros(ts) - 1704067200000000, 0),"
+        " 31622399999999) * 64) div 31622400000000"
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(12)
+        .select("user_id")
+    )
+    counts = (
+        ev.select("user_id", bin_.alias("bin"))
+        .join(F.broadcast(top), "user_id")
+        .groupBy("user_id", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    series = (
+        counts.groupBy("user_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("bin", "c"))).alias("m")
+        )
+        .select(
+            "user_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.coalesce(
+                    F.element_at(F.col("m"), b.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("v"),
+        )
+    )
+    pack = series.agg(
+        F.array_sort(F.collect_list(F.struct("user_id", "v"))).alias("pack")
+    )
+    return (
+        series.crossJoin(F.broadcast(pack))
+        .select(
+            "user_id",
+            _matched_window_kernel(
+                F.col("user_id"), F.col("v"), F.col("pack")
+            ).alias("_m"),
+        )
+        .select("user_id", "_m.w_i", "_m.match_user", "_m.w_j", "_m.l1_dist")
+    )
+
+
+_SERIES_MATCHED_SQL = """
+WITH b AS (
+  SELECT user_id,
+         (least(greatest(epoch_us(ts) - 1704067200000000, 0),
+               31622399999999) * 64) // 31622400000000 AS bin
+  FROM events
+),
+act AS (SELECT user_id, count(*) AS n FROM b GROUP BY user_id),
+top AS (
+  SELECT user_id FROM (
+    SELECT user_id, row_number() OVER (ORDER BY n DESC, user_id ASC) AS rn
+    FROM act
+  ) WHERE rn <= 12
+),
+c AS (SELECT b.user_id, bin, CAST(count(*) AS BIGINT) AS c
+      FROM b JOIN top USING (user_id) GROUP BY b.user_id, bin),
+spine AS (SELECT t.user_id, i.i AS bin
+          FROM top t CROSS JOIN range(0, 64) i(i)),
+v AS (SELECT s.user_id, s.bin, coalesce(c.c, 0) AS val
+      FROM spine s LEFT JOIN c ON c.user_id = s.user_id AND c.bin = s.bin),
+pairs AS (
+  SELECT ua.user_id, wi.i, ub.user_id AS u2, wj.j,
+         CAST(sum(abs(a.val - bb.val)) AS BIGINT) AS l1
+  FROM top ua
+  JOIN top ub ON ub.user_id <> ua.user_id
+  CROSS JOIN range(0, 57) wi(i)
+  CROSS JOIN range(0, 57) wj(j)
+  CROSS JOIN range(0, 8) k(k)
+  JOIN v a  ON a.user_id = ua.user_id AND a.bin = wi.i + k.k
+  JOIN v bb ON bb.user_id = ub.user_id AND bb.bin = wj.j + k.k
+  GROUP BY ua.user_id, wi.i, ub.user_id, wj.j
+)
+SELECT user_id, CAST(i AS BIGINT) AS w_i, u2 AS match_user,
+       CAST(j AS BIGINT) AS w_j, l1 AS l1_dist
+FROM (
+  SELECT user_id, i, u2, j, l1,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY l1 ASC, i ASC, u2 ASC, j ASC) AS rn
+  FROM pairs
+) WHERE rn = 1
+"""

@@ -227,6 +227,16 @@ R11_SET = [
 ]
 
 
+# Round-12 surface: the maintained multimodal fingerprint index driven
+# end to end (first call = the 4-batch incremental replay, best-of-2
+# keeps the committed-pairs audit read) and the cross-user matched-window
+# AB-join. Ninth set.
+R12_SET = [
+    "docs_media_incremental_near_dup",
+    "events_series_matched_windows",
+]
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -299,6 +309,7 @@ SETS = {
     "r9": R9_SET,
     "r10": R10_SET,
     "r11": R11_SET,
+    "r12": R12_SET,
 }
 
 
@@ -323,6 +334,7 @@ def main() -> None:
         "r8_total": payload["r8_total"],
         "r10_total": payload["r10_total"],
         "r11_total": payload["r11_total"],
+        "r12_total": payload["r12_total"],
         "stderr_classification": verdict,
         **payload,
     }
@@ -397,6 +409,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
     r9 = results["r9"]["timings"]
     r10 = results["r10"]["timings"]
     r11 = results["r11"]["timings"]
+    r12 = results["r12"]["timings"]
     payload = {
         "work": work,
         "queries": timings,
@@ -407,6 +420,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
         "r9": r9,
         "r10": r10,
         "r11": r11,
+        "r12": r12,
         "write_path": results["write_path"]["write_path"],
         "postings_index_build_sec": results["r5"]["postings_index_build_sec"],
         "sf": sf_of(sf_dir),
@@ -417,6 +431,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
         "r9_total": round(sum(r9.values()), 3),
         "r10_total": round(sum(r10.values()), 3),
         "r11_total": round(sum(r11.values()), 3),
+        "r12_total": round(sum(r12.values()), 3),
         "metric": "headline_queries_total",
         "unit": "sec",
         "value": round(sum(timings.values()), 3),

@@ -130,8 +130,8 @@ def test_registry_modules_do_not_cross_shadow():
 
     from affinity_spark import registry
 
-    fams = ["tpch", "events", "docs", "dedup", "embeddings", "pipelines",
-            "quality", "series"]
+    fams = ["tpch", "events", "docs", "dedup", "embeddings", "media",
+            "pipelines", "quality", "series"]
     mods = {f: getattr(registry, f) for f in fams}
     for name, fn in entrymod.queries().items():
         owner = fn.__module__
