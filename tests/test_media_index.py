@@ -157,6 +157,54 @@ def test_auto_bucket_lever_and_rebucket(spark, tmp_path):
     assert not idx.needs_rebucket()
 
 
+def test_streaming_maintainer_admits_batches(spark, tmp_path):
+    """The maintained-family streaming contract: micro-batches of doc ids
+    flow through maintainer()'s foreachBatch, each fingerprinted ONCE
+    (the decode kernel runs per batch) and admitted; the final index
+    equals a fresh full build."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    idx = MediaIndex(spark, str(tmp_path / "mi"), doc_buckets=4)
+    idx.build(_fps(spark, range(12)))
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src, exist_ok=True)
+    for i, batch_ids in enumerate([[12, 13], [14, 15, 16]]):
+        tmp = _os.path.join(src, f".b{i}.tmp")
+        with open(tmp, "w") as f:
+            for d in batch_ids:
+                f.write(_json.dumps({"doc_id": d}) + "\n")
+        dest = _os.path.join(src, f"b{i}.json")
+        _os.rename(tmp, dest)
+        _os.utime(dest, (1_700_000_000 + i,) * 2)
+
+    def fp_source(batch_df):
+        ids = [int(r.doc_id) for r in batch_df.collect()]
+        return _fps(spark, ids)
+
+    q = (
+        spark.readStream.schema(
+            StructType([StructField("doc_id", LongType())])
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .writeStream.foreachBatch(idx.maintainer(fp_source))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    fresh = MediaIndex(spark, str(tmp_path / "fresh"))
+    fresh.build(_fps(spark, range(17)))
+    assert _pairs_set(idx.pairs()) == _pairs_set(fresh.pairs())
+
+
 def test_bits_bounds():
     with pytest.raises(ValueError):
         hamming_pairs_multimodal(None, "doc_id", 64, 3)
