@@ -55,12 +55,15 @@ def _coercers(schema: T.StructType) -> dict:
 
 
 class _Route:
-    def __init__(self, gateway, schema: T.StructType):
+    def __init__(self, gateway, schema: T.StructType, proof=None):
         self.gateway = gateway
         self.coerce = _coercers(schema)
         self.columns = set(self.coerce)
         # subscription binding (optional): (streaming changes DF, ckpt dir)
         self.stream = None
+        # optional TimeCryptoProof guard (the reference's GatewayHttp auth:
+        # the request path is signed with a time-based salted proof)
+        self.proof = proof
 
 
 class HttpGateway:
@@ -71,11 +74,14 @@ class HttpGateway:
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
-    def register(self, name: str, gateway, schema) -> None:
+    def register(self, name: str, gateway, schema, proof=None) -> None:
         """Mount ``gateway`` (a serving.ServingGateway) at /kv/{name} and
         /scan/{name}; ``schema`` is the table's Spark schema (drives query
-        parameter coercion)."""
-        self._routes[name] = _Route(gateway, schema)
+        parameter coercion). ``proof`` (a functions.crypto
+        TimeCryptoProofSHA256) makes the route require
+        ``auth=<sign(path)>`` — the reference's F8 crypto-proof guard
+        (``GatewayHttp.scala``; proofs accept ±1 minute of skew)."""
+        self._routes[name] = _Route(gateway, schema, proof=proof)
 
     def register_stream(self, name: str, changes, checkpoint_dir: str) -> None:
         """Enable /subscribe/{name}: ``changes`` is the streaming changelog
@@ -116,6 +122,11 @@ class HttpGateway:
                 if route is None:
                     return self._send(404, {"error": f"unknown table {name!r}"})
                 params = dict(parse_qsl(url.query))
+                auth = params.pop("auth", None)
+                if route.proof is not None and not (
+                    auth and route.proof.verify(auth, url.path)
+                ):
+                    return self._send(401, {"error": "invalid or missing proof"})
                 frm = params.pop("from", None)
                 until = params.pop("until", None)
                 bad = set(params) - route.columns

@@ -120,3 +120,74 @@ def test_sse_per_key_subscription(spark, tmp_path):
     finally:
         conn.close()
         hg.stop()
+
+
+def test_crypto_proof_guard(spark):
+    """F8: a route registered with a TimeCryptoProof requires
+    auth=<sign(path)>; proofs from the previous minute window still
+    verify (the reference's ±1 tolerance), stale ones don't."""
+    from affinity_spark.functions.crypto import (
+        TimeCryptoProofSHA256,
+        generate_salt,
+    )
+
+    salt = generate_salt()
+    proof = TimeCryptoProofSHA256(salt)
+    df = spark.createDataFrame(BATCH_1, SCHEMA)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(df=df, ts_col="ts"), df.schema, proof=proof)
+    port = hg.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=1003")
+        assert e.value.code == 401
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(port, "/kv/bank?sortcode=11-10-30&auth=DEADBEEF")
+        assert e.value.code == 401
+        sig = proof.sign("/kv/bank")
+        status, rows = _get(
+            port,
+            f"/kv/bank?sortcode=11-10-30&account=10233321&txn=1003&auth={sig}",
+        )
+        assert status == 200 and len(rows) == 1
+        # adjacent-window proof verifies (±1 tolerance); NEXT window is
+        # the tick-proof choice — it stays within tolerance even if a
+        # minute boundary crosses between sign and verify (a previous-
+        # window proof would flake exactly then). Three-windows-stale
+        # fails under any tick.
+        import time as _t
+
+        status, _ = _get(
+            port,
+            "/kv/bank?sortcode=11-10-30&account=10233321&txn=1003"
+            f"&auth={proof.sign('/kv/bank', 1)}",
+        )
+        assert status == 200
+        stale = TimeCryptoProofSHA256(salt, clock=lambda: _t.time() - 180)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(
+                port,
+                "/kv/bank?sortcode=11-10-30&auth=" + stale.sign("/kv/bank"),
+            )
+        assert e.value.code == 401
+    finally:
+        hg.stop()
+
+
+def test_crypto_proof_unit():
+    """The proof primitive itself: deterministic hash, window-offset
+    signing, case-insensitive hex verify, ±1 acceptance at a fixed
+    clock (no sleeping across minute boundaries)."""
+    from affinity_spark.functions.crypto import TimeCryptoProofSHA256
+
+    fixed = 1_700_000_123.4
+    p = TimeCryptoProofSHA256(b"\x01" * 16, clock=lambda: fixed)
+    assert p.hash("x") == p.hash("x") and p.hash("x") != p.hash("y")
+    sig = p.sign("/route")
+    assert p.verify(sig, "/route") and p.verify(sig.lower(), "/route")
+    assert not p.verify(sig, "/other")
+    assert p.sign("/route", -1) != sig and p.verify(p.sign("/route", -1), "/route")
+    assert p.verify(p.sign("/route", 1), "/route")
+    assert not p.verify(p.sign("/route", 2), "/route")
+    other = TimeCryptoProofSHA256(b"\x02" * 16, clock=lambda: fixed)
+    assert not other.verify(sig, "/route")  # different salt
