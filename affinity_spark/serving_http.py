@@ -108,6 +108,14 @@ class HttpGateway:
                 )
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
+                # F9: gzip response encoding when the client accepts it
+                # (the reference's http/Encoder.scala content negotiation)
+                accept = self.headers.get("Accept-Encoding", "")
+                if "gzip" in accept and len(body) > 0:
+                    import gzip
+
+                    body = gzip.compress(body)
+                    self.send_header("Content-Encoding", "gzip")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)

@@ -191,3 +191,21 @@ def test_crypto_proof_unit():
     assert not p.verify(p.sign("/route", 2), "/route")
     other = TimeCryptoProofSHA256(b"\x02" * 16, clock=lambda: fixed)
     assert not other.verify(sig, "/route")  # different salt
+
+
+def test_gzip_response_encoding(http_bank):
+    """F9: a client sending Accept-Encoding: gzip gets a gzip body with
+    Content-Encoding set; the decoded payload equals the plain one."""
+    import gzip
+
+    port, _ = http_bank
+    path = "/scan/bank?sortcode=11-10-30"
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        headers={"Accept-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers.get("Content-Encoding") == "gzip"
+        rows = json.loads(gzip.decompress(r.read()))
+    _, plain = _get(port, path)
+    assert rows == plain and len(rows) == 5
