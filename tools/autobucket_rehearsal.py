@@ -107,12 +107,61 @@ def main() -> None:
     grown["needs_rebucket_after"] = idx.needs_rebucket()
     print(json.dumps({"store": "grow", **grown}), flush=True)
 
+    # --- part 3: PostingsIndex, same no-knob contract ---------------------
+    from affinity_spark.operators.postings import PostingsIndex
+
+    def docs_frame(start: int, n: int):
+        return spark.range(n).selectExpr(
+            f"id + {start} AS doc_id",
+            "concat('alpha w', CAST(id % 977 AS STRING), ' beta w',"
+            " CAST(id % 499 AS STRING), ' gamma w', CAST(id % 211 AS STRING))"
+            " AS text",
+        )
+
+    post_results = {}
+    for tag, n_rows in (("P_2k", 2_000), ("P_20k", 20_000)):
+        ix = PostingsIndex(spark, os.path.join(root, tag), grams=(1,))  # no knob
+        ix.build(docs_frame(0, n_rows))
+        base = {
+            t: bucket_bytes_and_inodes(tbl._current_version_dir())
+            for t, tbl in (("doclen", ix._doclen), ("post1", ix._tables[1]))
+        }
+        t0 = time.perf_counter()
+        ix.refresh(docs_frame(1_000_000_000, 10))
+        t_refresh = time.perf_counter() - t0
+        rewritten = linked = 0
+        for t, tbl in (("doclen", ix._doclen), ("post1", ix._tables[1])):
+            new = bucket_bytes_and_inodes(tbl._current_version_dir())
+            for b, (nbytes, inodes) in new.items():
+                if b in base[t] and inodes == base[t][b][1]:
+                    linked += nbytes
+                else:
+                    rewritten += nbytes
+        post_results[tag] = {
+            "corpus_rows": n_rows,
+            "doc_buckets": ix.doc_buckets,
+            "refresh_sec": round(t_refresh, 3),
+            "rewritten_bytes": rewritten,
+            "hardlinked_bytes": linked,
+            "rewrite_fraction_bp": round(
+                10000 * rewritten / (rewritten + linked)
+            ),
+        }
+        print(json.dumps({"store": tag, **post_results[tag]}), flush=True)
+    post_ratio = round(
+        post_results["P_20k"]["rewritten_bytes"]
+        / post_results["P_2k"]["rewritten_bytes"],
+        2,
+    )
+
     print(
         json.dumps(
             {
                 "metric": "autobucket_rehearsal",
                 "rewritten_bytes_ratio_10x_corpus_default": ratio,
+                "postings_ratio_10x_default": post_ratio,
                 "ok": ratio <= 1.25
+                and post_ratio <= 1.25
                 and grown["needs_rebucket_at_10x"]
                 and not grown["needs_rebucket_after"]
                 and post["rewrite_fraction_bp"]
