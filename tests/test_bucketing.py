@@ -173,6 +173,35 @@ def test_cluster_store_auto_size_and_rebucket(spark, tmp_path):
     assert before == after
 
 
+def test_single_file_partitions_layout_and_compact_noop(spark, tmp_path):
+    """The wide-lever layout guard: with single_file_partitions, a
+    snapshot holds exactly one parquet file per partition dir (file
+    count == dir count, not num_buckets x dirs), and compact() is a
+    structural no-op — admits replace whole dirs, so there is no
+    small-file decay, and a rewrite would churn a version per
+    maintainer tick for nothing."""
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    t = KeyedTable(
+        spark, str(tmp_path / "t"), ["k"], ts_col="v", num_buckets=8,
+        partition_col="_bucket", single_file_partitions=True,
+    )
+    df = spark.range(200).selectExpr(
+        "id AS k", "id * 2 AS v", "CAST(id % 16 AS INT) AS _bucket"
+    )
+    t.overwrite(df)
+    vdir = t._current_version_dir()
+    for entry in os.listdir(vdir):
+        d = os.path.join(vdir, entry)
+        if entry.startswith("_bucket=") and os.path.isdir(d):
+            files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            assert len(files) == 1, f"{entry}: {len(files)} files"
+    stats = t.compact(target_file_bytes=1)  # would force a rewrite otherwise
+    assert stats["compacted"] is False
+    assert t._current_version_dir() == vdir  # no version churn
+    assert t.read().count() == 200
+
+
 def test_bandindex_auto_size_commit(spark, tmp_path):
     from affinity_spark.operators.bandindex import BandIndex
 
