@@ -11,12 +11,14 @@ actor/GatewayHttp.scala:50-111,220-330``): a pure-stdlib
 - ``GET /scan/{table}?col=val[&from=ms][&until=ms]``    → prefix/range scan
 - ``GET /subscribe/{table}?col=val[&col=val...]``       → per-key push stream
 
-Deliberate divergence, documented: the reference pushes per-key updates
-over WebSocket (``ws-client/``); here the push channel is Server-Sent
-Events (``text/event-stream``, one ``data:`` line per update) — the
-stdlib-clean one-directional equivalent of the ws-client's
-key-subscription mode (initial state first, then every change in
-arrival order), carrying the same rows ``serving.Subscription`` yields.
+The push channel speaks BOTH protocols: a client sending ``Upgrade:
+websocket`` gets a real RFC 6455 WebSocket (server handshake +
+unmasked text frames — the reference's ``ws-client/`` channel; we never
+read client frames, a close surfaces as a write failure), any other
+client gets Server-Sent Events (``text/event-stream``, one ``data:``
+line per update). Either way the events are the rows
+``serving.Subscription`` yields — initial state first, then every
+change to the key in arrival order.
 Binds 127.0.0.1 only; query parameters are coerced to the table's own
 column types from its Spark schema, and unknown tables / unknown key
 columns answer 404 / 400 like the reference's route rejections.
@@ -38,6 +40,32 @@ from urllib.parse import parse_qsl, urlparse
 from pyspark.sql import types as T
 
 from affinity_spark.timerange import TimeRange
+
+#: RFC 6455 §1.3 — the fixed GUID concatenated to the client key
+_WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+
+def _ws_accept(key: str) -> str:
+    import base64
+    import hashlib
+
+    return base64.b64encode(
+        hashlib.sha1((key + _WS_GUID).encode()).digest()
+    ).decode()
+
+
+def _ws_text_frame(payload: bytes) -> bytes:
+    """One FIN text frame, server→client (unmasked, RFC 6455 §5.2):
+    opcode 0x1, length in the 7-bit field or the 16/64-bit extensions."""
+    n = len(payload)
+    head = b"\x81"
+    if n < 126:
+        head += bytes([n])
+    elif n < (1 << 16):
+        head += bytes([126]) + n.to_bytes(2, "big")
+    else:
+        head += bytes([127]) + n.to_bytes(8, "big")
+    return head + payload
 
 
 def _coercers(schema: T.StructType) -> dict:
@@ -169,15 +197,41 @@ class HttpGateway:
                     changes, key,
                     os.path.join(ckpt_root, uuid.uuid4().hex),
                 )
+                ws_key = (
+                    self.headers.get("Sec-WebSocket-Key")
+                    if (self.headers.get("Upgrade") or "").lower() == "websocket"
+                    else None
+                )
                 try:
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/event-stream")
-                    self.send_header("Cache-Control", "no-cache")
-                    self.end_headers()
-                    for event in sub.events():
-                        data = json.dumps(event, default=str)
-                        self.wfile.write(f"data: {data}\n\n".encode())
+                    if ws_key:
+                        # RFC 6455 handshake, then one text frame per event
+                        # — the reference's ws-client channel
+                        self.wfile.write(
+                            (
+                                "HTTP/1.1 101 Switching Protocols\r\n"
+                                "Upgrade: websocket\r\n"
+                                "Connection: Upgrade\r\n"
+                                f"Sec-WebSocket-Accept: {_ws_accept(ws_key)}\r\n"
+                                "\r\n"
+                            ).encode()
+                        )
                         self.wfile.flush()
+                        for event in sub.events():
+                            self.wfile.write(
+                                _ws_text_frame(
+                                    json.dumps(event, default=str).encode()
+                                )
+                            )
+                            self.wfile.flush()
+                    else:
+                        self.send_response(200)
+                        self.send_header("Content-Type", "text/event-stream")
+                        self.send_header("Cache-Control", "no-cache")
+                        self.end_headers()
+                        for event in sub.events():
+                            data = json.dumps(event, default=str)
+                            self.wfile.write(f"data: {data}\n\n".encode())
+                            self.wfile.flush()
                 except (BrokenPipeError, ConnectionResetError, TimeoutError):
                     pass  # client went away or stream drained — tear down
                 finally:

@@ -209,3 +209,83 @@ def test_gzip_response_encoding(http_bank):
         rows = json.loads(gzip.decompress(r.read()))
     _, plain = _get(port, path)
     assert rows == plain and len(rows) == 5
+
+
+def test_websocket_per_key_subscription(spark, tmp_path):
+    """The reference's actual push channel: a client upgrading with
+    Sec-WebSocket-Key gets an RFC 6455 handshake (accept =
+    b64(sha1(key+GUID))) and one unmasked text frame per event — initial
+    state, then this key's changes as they arrive."""
+    import base64
+    import hashlib
+    import socket
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def feed(name, rows):
+        tmp = os.path.join(src, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, os.path.join(src, name))
+
+    snapshot = spark.createDataFrame(BATCH_1, SCHEMA)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(df=snapshot, ts_col="ts"), snapshot.schema)
+    hg.register_stream(
+        "bank",
+        spark.readStream.schema(SCHEMA).json(src),
+        str(tmp_path / "ckpt"),
+    )
+    port = hg.start()
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+    try:
+        sock.sendall(
+            (
+                "GET /subscribe/bank?sortcode=11-10-30&account=10233321"
+                " HTTP/1.1\r\n"
+                "Host: 127.0.0.1\r\n"
+                "Upgrade: websocket\r\n"
+                "Connection: Upgrade\r\n"
+                f"Sec-WebSocket-Key: {key}\r\n"
+                "Sec-WebSocket-Version: 13\r\n\r\n"
+            ).encode()
+        )
+        f = sock.makefile("rb")
+        status = f.readline().decode()
+        assert "101" in status, status
+        headers = {}
+        while True:
+            line = f.readline().decode().strip()
+            if not line:
+                break
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        want = base64.b64encode(
+            hashlib.sha1(
+                (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()
+            ).digest()
+        ).decode()
+        assert headers["sec-websocket-accept"] == want
+        assert headers["upgrade"].lower() == "websocket"
+
+        def next_frame():
+            b0, b1 = f.read(1)[0], f.read(1)[0]
+            assert b0 == 0x81  # FIN text frame
+            n = b1 & 0x7F
+            assert not (b1 & 0x80)  # server frames are unmasked
+            if n == 126:
+                n = int.from_bytes(f.read(2), "big")
+            elif n == 127:
+                n = int.from_bytes(f.read(8), "big")
+            return json.loads(f.read(n))
+
+        initial = sorted(next_frame()["txn"] for _ in range(2))
+        assert initial == [1001, 1003]
+        feed("b2.json", BATCH_2)
+        assert next_frame()["txn"] == 1005
+    finally:
+        sock.close()
+        hg.stop()
