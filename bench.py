@@ -245,6 +245,60 @@ def sf_of(sf_dir: str) -> float:
         return -1.0
 
 
+# --- host-contention canary -------------------------------------------------
+# The r12 driver artifact read 2.44x the record with IDENTICAL input rows,
+# bytes, and shuffle bytes on every query — pure host contention (a second
+# JVM on the box inflates walls 2-2.5x, CLAUDE.md), but the gate only saw
+# the headline number. Every set subprocess now times q1 (3 stages, ~0.25 s
+# of task time quiet) as a canary BEFORE its set; the orchestrator compares
+# the canary's task_time at identical work against the committed quiet band
+# below. Inflated sets are re-run (bounded), and the final artifact carries
+# a machine-readable `contention` block — canary ratios per set + load
+# averages — so the artifact itself proves whether inflation is host or code
+# without consulting BASELINE.md.
+#
+# Anchor: the quiet committed full run (commit 9f83044, 13.777 s headline).
+CANARY_QUERY = "q1_pricing_summary"
+CANARY_ANCHOR = {
+    "sf": 0.1,
+    "wall_sec": 0.656,
+    "task_time_ms": 257,
+    "input_rows": 600_000,
+    "input_bytes": 17_841,
+}
+# task_time is the primary signal (executor CPU at constant work — the host
+# signature); wall alone schedules noisier. 1.3x task OR 1.8x wall trips.
+CANARY_TASK_RATIO = 1.3
+CANARY_WALL_RATIO = 1.8
+MAX_SET_ATTEMPTS = 2  # one retry per contended set...
+GLOBAL_RETRY_BUDGET = 4  # ...from a shared budget (bounds total wall)
+
+
+def _canary_disposition(canary: dict | None, sf: float) -> dict:
+    """Classify one set's canary reading against the committed anchor.
+
+    Returns {"ratio": float|None, "contended": bool, ...} — ratio is None
+    (and contended False) when no comparison is possible: wrong sf, UI
+    capture unavailable, or the canary's work volume no longer matches the
+    anchor (testdata regeneration changed row counts — a ratio at different
+    work would be meaningless)."""
+    if canary is None or sf != CANARY_ANCHOR["sf"]:
+        return {"ratio": None, "contended": False, "reason": "no_anchor"}
+    rows, ref_rows = canary.get("input_rows"), CANARY_ANCHOR["input_rows"]
+    if not rows or abs(rows - ref_rows) > 0.2 * ref_rows:
+        return {"ratio": None, "contended": False, "reason": "work_mismatch"}
+    task_ratio = canary["task_time_ms"] / CANARY_ANCHOR["task_time_ms"]
+    wall_ratio = canary["wall_sec"] / CANARY_ANCHOR["wall_sec"]
+    contended = task_ratio > CANARY_TASK_RATIO or wall_ratio > CANARY_WALL_RATIO
+    return {
+        "ratio": round(max(task_ratio, wall_ratio), 2),
+        "task_ratio": round(task_ratio, 2),
+        "wall_ratio": round(wall_ratio, 2),
+        "contended": contended,
+        "reason": "measured",
+    }
+
+
 # Executor/scheduler noise that is known-benign in this harness: accumulator
 # updates arriving from stages AQE already cancelled/replanned race the
 # DAGScheduler and print a stack trace without affecting any result (the
@@ -367,10 +421,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
     same benign/unexpected taxonomy as the old in-process capture."""
     import subprocess
 
-    results: dict[str, dict] = {}
-    verdicts: list[str] = []
-    bad: list[str] = []
-    for name in [*SETS, "write_path"]:
+    def run_once(name: str) -> tuple[dict, str, list[str]]:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--set", name],
             capture_output=True,
@@ -393,10 +444,42 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
             sys.stderr.write(p.stderr[-4000:])
             print(f"bench set {name}: no result line on stdout", file=sys.stderr)
             sys.exit(2)
-        results[name] = json.loads(line)
         v, lines = classify_stderr(p.stderr)
+        return json.loads(line), v, lines
+
+    sf = sf_of(sf_dir)
+    results: dict[str, dict] = {}
+    verdicts: list[str] = []
+    bad: list[str] = []
+    contention_sets: dict[str, dict] = {}
+    retry_budget = GLOBAL_RETRY_BUDGET
+    for name in [*SETS, "write_path"]:
+        attempts: list[tuple[dict, dict, str, list[str]]] = []
+        while True:
+            res, v, lines = run_once(name)
+            disp = _canary_disposition(res.get("canary"), sf)
+            try:
+                disp["load_avg"] = [round(x, 2) for x in os.getloadavg()]
+            except OSError:
+                pass
+            attempts.append((disp, res, v, lines))
+            if not disp["contended"]:
+                break
+            if len(attempts) >= MAX_SET_ATTEMPTS or retry_budget <= 0:
+                break
+            retry_budget -= 1
+            print(
+                f"bench set {name}: canary inflated x{disp['ratio']} at "
+                f"identical work — re-running (host contention)",
+                file=sys.stderr,
+            )
+        disp, res, v, lines = min(
+            attempts, key=lambda a: a[0]["ratio"] if a[0]["ratio"] else 0.0
+        )
+        results[name] = res
         verdicts.append(v)
         bad.extend(lines)
+        contention_sets[name] = {**disp, "attempts": len(attempts)}
 
     work: dict[str, dict] = {}
     for r in results.values():
@@ -435,6 +518,24 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
         "metric": "headline_queries_total",
         "unit": "sec",
         "value": round(sum(timings.values()), 3),
+    }
+    ratios = [d["ratio"] for d in contention_sets.values() if d.get("ratio")]
+    measured = [d for d in contention_sets.values() if d["reason"] == "measured"]
+    payload["contention"] = {
+        "anchor": CANARY_ANCHOR,
+        "canary_query": CANARY_QUERY,
+        "thresholds": {"task": CANARY_TASK_RATIO, "wall": CANARY_WALL_RATIO},
+        "sets": contention_sets,
+        "max_canary_ratio": max(ratios) if ratios else None,
+        "retries_used": GLOBAL_RETRY_BUDGET - retry_budget,
+        # host_contention = a set still shows inflated canary CPU at
+        # identical rows/bytes after its retry: wall numbers in that set are
+        # host-inflated by ~the canary ratio, not plan/data growth.
+        "disposition": (
+            "host_contention"
+            if any(d["contended"] for d in contention_sets.values())
+            else ("quiet" if measured else "no_anchor")
+        ),
     }
     verdict = (
         "unexpected"
@@ -501,6 +602,31 @@ def _child(set_name: str, sf_dir: str) -> None:
         return out
 
     result: dict = {"bench_set": set_name}
+
+    # Canary: best-of-2 q1 with work capture, before the set. Cheap (~0.7 s
+    # quiet), constant work (600k rows / 3 stages at sf0.1), and its
+    # task_time at identical rows/bytes is the host-contention instrument
+    # the orchestrator gates on (see CANARY_ANCHOR).
+    canary_fn = queries.get(CANARY_QUERY)
+    if canary_fn is not None:
+        c_wall = float("inf")
+        c_work: dict | None = None
+        for i in range(2):
+            before = _stage_snapshot(spark) if i == 1 else None
+            t0 = time.perf_counter()
+            consume(canary_fn(spark, sf_dir))
+            c_wall = min(c_wall, time.perf_counter() - t0)
+            if i == 1:
+                c_work = _work_delta(before, _stage_snapshot(spark))
+        release_shared()
+        if c_work is not None:
+            result["canary"] = {
+                "wall_sec": round(c_wall, 3),
+                "task_time_ms": c_work["task_time_ms"],
+                "input_rows": c_work["input_rows"],
+                "input_bytes": c_work["input_bytes"],
+            }
+
     if set_name == "write_path":
         result["write_path"] = _write_path_bench(spark, sf_dir)
         result["timings"] = {}
