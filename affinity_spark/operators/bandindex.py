@@ -156,6 +156,12 @@ class BandIndex:
         # materialize first: a generator is truthy even when empty and
         # can't be consumed twice — branch on the list's length
         deleted = list(deleted_ids)
+        # CAS base FIRST, then re-resolve the committed lever: never admit
+        # under a bucket count cached before another instance's rebucket()
+        # (stale-modulus placement = the r5 silent-corruption class); a
+        # rebucket landing after this read fails the CAS loudly (r12 ADVICE)
+        base_version = self._table._current_version_dir()
+        self._effective = None
         touched = new_arr.select(self.id_col).distinct()
         if len(deleted) > 0:
             gone = self.spark.createDataFrame(
@@ -169,7 +175,6 @@ class BandIndex:
                 self._bucket().alias("_bucket")
             ).distinct().collect()
         ]
-        base_version = self._table._current_version_dir()
         cur = self._table.read()
         kept = (
             cur.filter(F.col("_bucket").isin(buckets))

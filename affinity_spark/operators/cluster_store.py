@@ -339,6 +339,12 @@ class ClusterStore:
                 meta={"cluster_buckets": self._effective},
             )
             return
+        # CAS base FIRST, then re-resolve the committed lever: never place
+        # under a bucket count cached before another instance's rebucket()
+        # (stale-modulus placement = the r5 silent-corruption class); a
+        # rebucket landing after this read fails the CAS loudly (r12 ADVICE)
+        base_version = self._table._current_version_dir()
+        self._effective = None
         # touched buckets: new rows' destination buckets + merged
         # clusters' source AND destination buckets
         touched_ids = (
@@ -358,7 +364,6 @@ class ClusterStore:
                 .collect()
             }
         )
-        base_version = self._table._current_version_dir()
         cur = self._table.read()
         # a REPLAYED batch's rows are already committed in these buckets:
         # drop any committed row for a batch id before unioning the fresh

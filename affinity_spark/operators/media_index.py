@@ -213,6 +213,21 @@ class MediaIndex:
         Replay-idempotent — a replayed batch rewrites its own rows."""
         deleted = list(deleted_ids)  # generators are truthy when empty
         new_fps = self._normalized(new_fps)
+        if not self.exists():
+            # first write: size and COMMIT the lever from the batch (the
+            # ClusterStore discipline) — the overwrite fall-through never
+            # stamped doc_buckets, silently pinning the auto lever to the
+            # legacy default 8 (r12 ADVICE)
+            self.build(new_fps)
+            return
+        # CAS base FIRST, then re-resolve the committed lever: a long-lived
+        # instance must not cache across another instance's rebucket()
+        # (placement is a function of the COMMITTED count — an admit under
+        # a stale modulus merges wrong dirs while hardlinking stale ones,
+        # the r5 silent-corruption class). A rebucket landing after this
+        # read fails the CAS loudly instead.
+        base_version = self._table._current_version_dir()
+        self._effective = None
         touched = new_fps.select(self.id_col).distinct()
         if len(deleted) > 0:
             gone = self.spark.createDataFrame(
@@ -226,7 +241,6 @@ class MediaIndex:
                 self._bucket().alias("_bucket")
             ).distinct().collect()
         ]
-        base_version = self._table._current_version_dir()
         cur = self._table.read()
         kept = (
             cur.filter(F.col("_bucket").isin(buckets))

@@ -266,6 +266,9 @@ class PostingsIndex:
         # build()): a crash between merges must be DETECTABLE, not a
         # silently skewed index. The committed bucket count rides along —
         # refresh never resizes the lever (rebucket() does).
+        # re-resolve the committed lever: never merge under a bucket count
+        # cached before another instance's rebucket() (r12 ADVICE)
+        self._effective = None
         lineage = {
             "postings_lineage": uuid.uuid4().hex,
             "doc_buckets": self._effective_buckets(),

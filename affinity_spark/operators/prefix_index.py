@@ -305,6 +305,9 @@ class PrefixIndex:
         # a prefix/arrays sync tear is fine here — replaying the batch via
         # this very admit is the documented healing path
         self._check_order()
+        # re-resolve the committed lever: never rank/merge under a bucket
+        # count cached before another instance's rebucket() (r12 ADVICE)
+        self._effective = None
         docs_arr = docs_arr.persist()
         touched = docs_arr.select(self.id_col).distinct().persist()
         buckets = [
