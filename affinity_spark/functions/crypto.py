@@ -54,6 +54,17 @@ class TimeCryptoProofSHA256:
 
     def verify(self, signature: str, arg: str | bytes) -> bool:
         """True when ``signature`` matches the proof of the current,
-        previous, or next minute window (the reference's ±1 tolerance)."""
+        previous, or next minute window (the reference's ±1 tolerance).
+        Constant-time comparison: a guard must not leak how much of a
+        forged proof's prefix matched (r12 ADVICE)."""
+        import hmac
+
         sig = signature.upper()
-        return any(self.sign(arg, off) == sig for off in (0, -1, 1))
+        # evaluate ALL windows (no short-circuit) through compare_digest
+        return (
+            sum(
+                hmac.compare_digest(self.sign(arg, off), sig)
+                for off in (0, -1, 1)
+            )
+            > 0
+        )

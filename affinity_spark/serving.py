@@ -68,6 +68,19 @@ class Subscription:
         while self._query.isActive:
             yield self.take(1, timeout_s)[0]
 
+    def poll(self, timeout_s: float = 5.0) -> list[dict]:
+        """Non-raising take(1): [] when no event arrives within the window
+        — the push-transport primitive (an idle key is a heartbeat tick,
+        not a teardown; r12 ADVICE on the subscribe channel)."""
+        try:
+            return self.take(1, timeout_s)
+        except TimeoutError:
+            return []
+
+    @property
+    def active(self) -> bool:
+        return self._query.isActive
+
     def stop(self) -> None:
         self._query.stop()
 
@@ -105,6 +118,74 @@ class ServingGateway:
             self._frame(), prefix, time_range, self._ts_col, self._ts_unit
         )
         return [r.asDict() for r in rows.collect()]
+
+    # -- write handlers (what an HTTP POST/DELETE route calls) --------------
+    # The reference's gateway mutates state over POST (``examples/
+    # example-distributed-graph/.../GraphHttp.scala:91-102`` POST /connect,
+    # /disconnect; ``example-auth-methods/.../PrivateApi.scala:62`` POST
+    # /settings/add). Writes require a table-backed gateway (df= is a
+    # read-only view); all three are replay-idempotent — a replayed
+    # request re-derives the same committed state (last-write-wins merge /
+    # anti-join), the W-row contract.
+
+    def _require_table(self):
+        if self._table is None:
+            raise ValueError("writes need a table-backed gateway (table=)")
+        return self._table
+
+    def _rows_df(self, rows: list[Mapping[str, object]]) -> DataFrame:
+        """Rows (parsed JSON dicts) -> a DataFrame in the SNAPSHOT's exact
+        schema: from_json coerces JSON numerics/strings to the committed
+        column types, so a wire write can never introduce the mixed
+        numeric-width parquet poisoning (the r5 BandIndex rule)."""
+        import json as _json
+
+        tbl = self._require_table()
+        schema = tbl.read().schema
+        spark = tbl.spark
+        raw = spark.createDataFrame(
+            [( _json.dumps(dict(r), default=str),) for r in rows], "j string"
+        )
+        return raw.select(F.from_json("j", schema).alias("s")).select("s.*")
+
+    def upsert(self, rows: list[Mapping[str, object]]) -> dict:
+        """POST /{table}: W1 blind replace / W2 merge — last-write-wins by
+        (key, event-time) through the KeyedTable CAS merge."""
+        self._require_table().upsert(self._rows_df(rows))
+        return {"upserted": len(rows)}
+
+    def insert(self, rows: list[Mapping[str, object]]) -> dict:
+        """POST /{table}?op=insert: W3 insert-only — keys already present
+        are left untouched (anti-join), fresh keys merge in."""
+        tbl = self._require_table()
+        df = self._rows_df(rows)
+        fresh = df.join(
+            tbl.read().select(*tbl.key_cols).distinct(),
+            on=list(tbl.key_cols),
+            how="left_anti",
+        )
+        n = fresh.count()
+        if n:
+            tbl.upsert(fresh)
+        return {"inserted": n, "skipped": len(rows) - n}
+
+    def delete(self, key: Mapping[str, object]) -> dict:
+        """DELETE /{table}?key...: W4 tombstone — every row under the key
+        (which may be a prefix of the full key) is dropped; the CAS commit
+        keeps concurrent writers loud."""
+        tbl = self._require_table()
+        base_version = tbl._current_version_dir()
+        cur = tbl.read()
+        cond = None
+        for col, val in key.items():
+            c = F.col(col).eqNullSafe(F.lit(val))
+            cond = c if cond is None else cond & c
+        if cond is None:
+            raise ValueError("delete needs at least one key column")
+        n = cur.filter(cond).count()
+        if n:
+            tbl.overwrite(cur.filter(~cond), expected_base=base_version)
+        return {"deleted": n}
 
     def subscribe(
         self,

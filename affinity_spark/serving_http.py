@@ -1,27 +1,45 @@
 """HTTP transport for the serving gateway — the reference's entry point.
 
-``serving.py`` implements the reference's query surface (point get,
-prefix/range scan, per-key subscription) transport-free; this module is
-the WIRE layer the r11 verdict listed as the one reference subsystem
-with no repo counterpart (``core/src/main/scala/io/amient/affinity/core/
-actor/GatewayHttp.scala:50-111,220-330``): a pure-stdlib
+``serving.py`` implements the reference's query+write surface (point get,
+prefix/range scan, per-key subscription, keyed mutations) transport-free;
+this module is the WIRE layer (``core/src/main/scala/io/amient/affinity/
+core/actor/GatewayHttp.scala:50-111,220-330``): a pure-stdlib
 ``http.server`` gateway exposing
 
-- ``GET /kv/{table}?col=val[&col=val...]``              → point get (JSON array)
-- ``GET /scan/{table}?col=val[&from=ms][&until=ms]``    → prefix/range scan
-- ``GET /subscribe/{table}?col=val[&col=val...]``       → per-key push stream
+- ``GET    /kv/{table}?col=val[&col=val...]``            → point get (JSON array)
+- ``GET    /scan/{table}?col=val[&from=ms][&until=ms]``  → prefix/range scan
+- ``GET    /subscribe/{table}?col=val[&col=val...]``     → per-key push stream
+- ``POST   /kv/{table}``  body = JSON row or [rows]      → W1 upsert
+  (``?op=insert`` → W3 insert-only) — the reference's POST mutations
+  (``examples/example-distributed-graph/.../GraphHttp.scala:91-102``
+  POST /connect /disconnect, ``example-auth-methods/.../PrivateApi.
+  scala:62`` POST /settings/add)
+- ``DELETE /kv/{table}?col=val[&col=val...]``            → W4 delete
 
-The push channel speaks BOTH protocols: a client sending ``Upgrade:
-websocket`` gets a real RFC 6455 WebSocket (server handshake +
-unmasked text frames — the reference's ``ws-client/`` channel; we never
-read client frames, a close surfaces as a write failure), any other
-client gets Server-Sent Events (``text/event-stream``, one ``data:``
-line per update). Either way the events are the rows
+The push channel speaks THREE protocols: a client sending ``Upgrade:
+websocket`` gets a real RFC 6455 WebSocket; if it also offers
+``Sec-WebSocket-Protocol: avro`` on a route with a registered Avro
+binding it gets the reference's BINARY channel — each event is one
+binary frame carrying the 5-byte schema-registry envelope (magic 0 +
+BE-int32 schema id) + Avro-binary payload, and the client can request
+schemas in-band (``GatewayHttp.scala:300-330`` Avro Web Socket Protocol:
+a binary frame starting with magic 123 + BE-int32 id is a schema
+request answered by 123 + id + schema-json bytes; a text frame is a
+schema request by record name). Any other client gets Server-Sent
+Events (``text/event-stream``). Either way the events are the rows
 ``serving.Subscription`` yields — initial state first, then every
-change to the key in arrival order.
-Binds 127.0.0.1 only; query parameters are coerced to the table's own
-column types from its Spark schema, and unknown tables / unknown key
-columns answer 404 / 400 like the reference's route rejections.
+change to the key in arrival order; idle periods are bridged with
+heartbeats (WS ping frames / SSE comment lines), never a silent
+disconnect.
+
+Security: binds 127.0.0.1; ``start(ssl_context=...)`` serves HTTPS (the
+reference's TLS gateway, ``examples/example-https-config/.../
+ExampleHttpsGateway.scala``); per-route guards are ``basic_auth``
+(``PrivateApi.scala:50-62`` AUTH_ADMIN) and/or a ``proof``
+(``functions.crypto`` TimeCryptoProof, F8). Query parameters are coerced
+to the table's own column types from its Spark schema; unknown tables /
+unknown key columns / malformed values answer 404 / 400 like the
+reference's route rejections.
 
 Driver-side by design: serving reads are key-bounded collects (the
 ``kv.range_materialize`` contract) — the gateway is the thin edge in
@@ -32,6 +50,7 @@ role. At scale the same handlers sit in front of ``read_pruned``
 
 from __future__ import annotations
 
+import hmac
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -44,6 +63,13 @@ from affinity_spark.timerange import TimeRange
 #: RFC 6455 §1.3 — the fixed GUID concatenated to the client key
 _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+#: Avro Web Socket Protocol magic byte for in-band schema requests
+#: (GatewayHttp.scala:318-321)
+_SCHEMA_MAGIC = 123
+
+#: idle-key heartbeat cadence on the push channel (WS ping / SSE comment)
+_HEARTBEAT_S = 5.0
+
 
 def _ws_accept(key: str) -> str:
     import base64
@@ -54,11 +80,11 @@ def _ws_accept(key: str) -> str:
     ).decode()
 
 
-def _ws_text_frame(payload: bytes) -> bytes:
-    """One FIN text frame, server→client (unmasked, RFC 6455 §5.2):
-    opcode 0x1, length in the 7-bit field or the 16/64-bit extensions."""
+def _ws_frame(opcode: int, payload: bytes) -> bytes:
+    """One FIN frame, server→client (unmasked, RFC 6455 §5.2): length in
+    the 7-bit field or the 16/64-bit extensions."""
     n = len(payload)
-    head = b"\x81"
+    head = bytes([0x80 | opcode])
     if n < 126:
         head += bytes([n])
     elif n < (1 << 16):
@@ -66,6 +92,32 @@ def _ws_text_frame(payload: bytes) -> bytes:
     else:
         head += bytes([127]) + n.to_bytes(8, "big")
     return head + payload
+
+
+def _ws_text_frame(payload: bytes) -> bytes:
+    return _ws_frame(0x1, payload)
+
+
+def _ws_read_frame(rfile) -> tuple[int, bytes] | None:
+    """One client frame → (opcode, payload), unmasked (client frames are
+    MASKED per RFC 6455 §5.3). None on EOF/truncation."""
+    head = rfile.read(2)
+    if len(head) < 2:
+        return None
+    opcode = head[0] & 0x0F
+    masked = head[1] & 0x80
+    n = head[1] & 0x7F
+    if n == 126:
+        n = int.from_bytes(rfile.read(2), "big")
+    elif n == 127:
+        n = int.from_bytes(rfile.read(8), "big")
+    mask = rfile.read(4) if masked else b""
+    payload = rfile.read(n) if n else b""
+    if len(payload) < n:
+        return None
+    if masked and payload:
+        payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+    return opcode, payload
 
 
 def _coercers(schema: T.StructType) -> dict:
@@ -83,7 +135,8 @@ def _coercers(schema: T.StructType) -> dict:
 
 
 class _Route:
-    def __init__(self, gateway, schema: T.StructType, proof=None):
+    def __init__(self, gateway, schema: T.StructType, proof=None,
+                 basic_auth=None):
         self.gateway = gateway
         self.coerce = _coercers(schema)
         self.columns = set(self.coerce)
@@ -92,6 +145,11 @@ class _Route:
         # optional TimeCryptoProof guard (the reference's GatewayHttp auth:
         # the request path is signed with a time-based salted proof)
         self.proof = proof
+        # optional HTTP basic-auth guard (user, password) —
+        # PrivateApi.scala:50-62 AUTH_ADMIN
+        self.basic_auth = basic_auth
+        # optional Avro push binding: (registry, schema_id, parsed schema)
+        self.avro = None
 
 
 class HttpGateway:
@@ -102,14 +160,19 @@ class HttpGateway:
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
-    def register(self, name: str, gateway, schema, proof=None) -> None:
+    def register(self, name: str, gateway, schema, proof=None,
+                 basic_auth: tuple[str, str] | None = None) -> None:
         """Mount ``gateway`` (a serving.ServingGateway) at /kv/{name} and
         /scan/{name}; ``schema`` is the table's Spark schema (drives query
         parameter coercion). ``proof`` (a functions.crypto
         TimeCryptoProofSHA256) makes the route require
         ``auth=<sign(path)>`` — the reference's F8 crypto-proof guard
-        (``GatewayHttp.scala``; proofs accept ±1 minute of skew)."""
-        self._routes[name] = _Route(gateway, schema, proof=proof)
+        (``GatewayHttp.scala``; proofs accept ±1 minute of skew);
+        ``basic_auth=(user, password)`` additionally requires the
+        Authorization header (the reference's AUTH_ADMIN basic realm)."""
+        self._routes[name] = _Route(
+            gateway, schema, proof=proof, basic_auth=basic_auth
+        )
 
     def register_stream(self, name: str, changes, checkpoint_dir: str) -> None:
         """Enable /subscribe/{name}: ``changes`` is the streaming changelog
@@ -117,9 +180,25 @@ class HttpGateway:
         subscription source)."""
         self._routes[name].stream = (changes, checkpoint_dir)
 
+    def register_avro(self, name: str, registry, schema_json: str) -> int:
+        """Bind the reference's BINARY Avro push channel to
+        /subscribe/{name}: events encode as the 5-byte envelope +
+        Avro-binary payload under ``schema_json`` (registered into
+        ``registry`` — a functions.avro_envelope.SchemaRegistry), and the
+        WS channel answers in-band schema requests from it. Returns the
+        writer schema id."""
+        from affinity_spark.functions.avro_binary import parse_schema
+
+        sid = registry.register(schema_json)
+        self._routes[name].avro = (registry, sid, parse_schema(schema_json))
+        return sid
+
     # -- lifecycle -----------------------------------------------------------
 
-    def start(self, port: int = 0) -> int:
+    def start(self, port: int = 0, ssl_context=None) -> int:
+        """Serve on 127.0.0.1:``port`` (0 = ephemeral); ``ssl_context``
+        (an ``ssl.SSLContext`` with a server cert loaded) upgrades the
+        listener to HTTPS — the reference's TLS gateway."""
         routes = self._routes
 
         class Handler(BaseHTTPRequestHandler):
@@ -128,7 +207,8 @@ class HttpGateway:
             def log_message(self, *a):  # quiet test output
                 pass
 
-            def _send(self, code: int, payload, ctype="application/json"):
+            def _send(self, code: int, payload, ctype="application/json",
+                      extra_headers=()):
                 body = (
                     payload
                     if isinstance(payload, bytes)
@@ -136,6 +216,8 @@ class HttpGateway:
                 )
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
+                for k, v in extra_headers:
+                    self.send_header(k, v)
                 # F9: gzip response encoding when the client accepts it
                 # (the reference's http/Encoder.scala content negotiation)
                 accept = self.headers.get("Accept-Encoding", "")
@@ -148,46 +230,100 @@ class HttpGateway:
                 self.end_headers()
                 self.wfile.write(body)
 
-            def do_GET(self):  # noqa: N802 (stdlib API)
+            def _resolve(self, ops: tuple[str, ...]):
+                """Shared route resolution + auth for every method: returns
+                (op, route, params dict) or None after answering the
+                error itself (404 unknown route/table, 401 failed guard)."""
                 url = urlparse(self.path)
                 parts = [p for p in url.path.split("/") if p]
-                if len(parts) != 2 or parts[0] not in ("kv", "scan", "subscribe"):
-                    return self._send(404, {"error": "unknown route"})
+                if len(parts) != 2 or parts[0] not in ops:
+                    self._send(404, {"error": "unknown route"})
+                    return None
                 op, name = parts
                 route = routes.get(name)
                 if route is None:
-                    return self._send(404, {"error": f"unknown table {name!r}"})
+                    self._send(404, {"error": f"unknown table {name!r}"})
+                    return None
+                if route.basic_auth is not None:
+                    import base64
+
+                    user, pwd = route.basic_auth
+                    expect = "Basic " + base64.b64encode(
+                        f"{user}:{pwd}".encode()
+                    ).decode()
+                    got = self.headers.get("Authorization", "")
+                    # constant-time: an auth guard must not leak prefix
+                    # length through comparison timing
+                    if not hmac.compare_digest(got, expect):
+                        self._send(
+                            401,
+                            {"error": "authentication required"},
+                            extra_headers=(
+                                ("WWW-Authenticate", 'Basic realm="affinity"'),
+                            ),
+                        )
+                        return None
                 params = dict(parse_qsl(url.query))
                 auth = params.pop("auth", None)
                 if route.proof is not None and not (
                     auth and route.proof.verify(auth, url.path)
                 ):
-                    return self._send(401, {"error": "invalid or missing proof"})
-                frm = params.pop("from", None)
-                until = params.pop("until", None)
+                    self._send(401, {"error": "invalid or missing proof"})
+                    return None
+                return op, route, params
+
+            def _key_of(self, route, params) -> dict | None:
+                """Coerce query params to the table's column types; answers
+                the 400 itself and returns None on unknown/malformed."""
                 bad = set(params) - route.columns
                 if bad:
-                    return self._send(
+                    self._send(
                         400, {"error": f"unknown key columns {sorted(bad)}"}
                     )
+                    return None
                 try:
-                    key = {c: route.coerce[c](v) for c, v in params.items()}
+                    return {c: route.coerce[c](v) for c, v in params.items()}
                 except ValueError as e:
-                    return self._send(400, {"error": str(e)})
+                    self._send(400, {"error": str(e)})
+                    return None
+
+            # -- reads + push -------------------------------------------------
+
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                resolved = self._resolve(("kv", "scan", "subscribe"))
+                if resolved is None:
+                    return
+                op, route, params = resolved
+                frm = params.pop("from", None)
+                until = params.pop("until", None)
+                key = self._key_of(route, params)
+                if key is None:
+                    return
                 if op == "kv":
                     return self._send(200, route.gateway.point_get(key))
                 if op == "scan":
                     tr = None
-                    if frm is not None or until is not None:
-                        tr = TimeRange(
-                            int(frm) if frm is not None else TimeRange().start_ms,
-                            int(until) if until is not None else TimeRange().end_ms,
-                        )
+                    # int() inside the 400 guard: a malformed from=abc must
+                    # answer 400 like any other bad parameter, not drop the
+                    # connection with an unhandled ValueError (r12 ADVICE)
+                    try:
+                        if frm is not None or until is not None:
+                            tr = TimeRange(
+                                int(frm) if frm is not None else TimeRange().start_ms,
+                                int(until) if until is not None else TimeRange().end_ms,
+                            )
+                    except ValueError as e:
+                        return self._send(400, {"error": str(e)})
                     return self._send(200, route.gateway.prefix_range(key, tr))
-                # subscribe: SSE push — initial state, then every update
+                return self._subscribe(route, key)
+
+            def _subscribe(self, route, key):
+                """Push channel: WS (text/JSON or binary/Avro by negotiated
+                subprotocol) or SSE — initial state, then every change;
+                heartbeats bridge idle keys."""
                 if route.stream is None:
                     return self._send(
-                        400, {"error": f"no changelog stream bound for {name!r}"}
+                        400, {"error": "no changelog stream bound"}
                     )
                 changes, ckpt_root = route.stream
                 import os
@@ -202,42 +338,191 @@ class HttpGateway:
                     if (self.headers.get("Upgrade") or "").lower() == "websocket"
                     else None
                 )
+                offered = {
+                    p.strip()
+                    for p in (
+                        self.headers.get("Sec-WebSocket-Protocol") or ""
+                    ).split(",")
+                    if p.strip()
+                }
+                avro = route.avro if "avro" in offered else None
                 try:
                     if ws_key:
-                        # RFC 6455 handshake, then one text frame per event
-                        # — the reference's ws-client channel
-                        self.wfile.write(
-                            (
-                                "HTTP/1.1 101 Switching Protocols\r\n"
-                                "Upgrade: websocket\r\n"
-                                "Connection: Upgrade\r\n"
-                                f"Sec-WebSocket-Accept: {_ws_accept(ws_key)}\r\n"
-                                "\r\n"
-                            ).encode()
-                        )
+                        self._ws_push(sub, avro, ws_key)
+                    else:
+                        self._sse_push(sub)
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    pass  # client went away — tear down
+                finally:
+                    sub.stop()
+
+            def _ws_push(self, sub, avro, ws_key: str) -> None:
+                # RFC 6455 handshake; echo the avro subprotocol when the
+                # binary channel was negotiated (GatewayHttp avroWebSocket)
+                lines = [
+                    "HTTP/1.1 101 Switching Protocols",
+                    "Upgrade: websocket",
+                    "Connection: Upgrade",
+                    f"Sec-WebSocket-Accept: {_ws_accept(ws_key)}",
+                ]
+                if avro is not None:
+                    lines.append("Sec-WebSocket-Protocol: avro")
+                self.wfile.write(("\r\n".join(lines) + "\r\n\r\n").encode())
+                self.wfile.flush()
+                wlock = threading.Lock()
+                closed = threading.Event()
+
+                def emit(frame: bytes) -> None:
+                    with wlock:
+                        self.wfile.write(frame)
                         self.wfile.flush()
-                        for event in sub.events():
-                            self.wfile.write(
+
+                if avro is not None:
+                    # binary channel: serve in-band schema requests and
+                    # control frames from a reader thread (the push loop
+                    # below owns the subscription)
+                    t = threading.Thread(
+                        target=self._ws_serve_client_frames,
+                        args=(avro[0], emit, closed),
+                        daemon=True,
+                    )
+                    t.start()
+                while sub.active and not closed.is_set():
+                    batch = sub.poll(timeout_s=_HEARTBEAT_S)
+                    if closed.is_set():
+                        break
+                    if not batch:
+                        emit(_ws_frame(0x9, b"hb"))  # ping, NOT teardown
+                        continue
+                    for event in batch:
+                        if avro is not None:
+                            emit(_ws_frame(0x2, _avro_envelope(avro, event)))
+                        else:
+                            emit(
                                 _ws_text_frame(
                                     json.dumps(event, default=str).encode()
                                 )
                             )
-                            self.wfile.flush()
-                    else:
-                        self.send_response(200)
-                        self.send_header("Content-Type", "text/event-stream")
-                        self.send_header("Cache-Control", "no-cache")
-                        self.end_headers()
-                        for event in sub.events():
-                            data = json.dumps(event, default=str)
-                            self.wfile.write(f"data: {data}\n\n".encode())
-                            self.wfile.flush()
-                except (BrokenPipeError, ConnectionResetError, TimeoutError):
-                    pass  # client went away or stream drained — tear down
-                finally:
-                    sub.stop()
+
+            def _ws_serve_client_frames(self, registry, emit, closed) -> None:
+                """Avro Web Socket Protocol, client→server side
+                (GatewayHttp.scala:300-330): binary magic 123 + BE-int32 id
+                → reply 123 + id + schema-json bytes; text frame → schema
+                request by record name; ping → pong; close → close."""
+                try:
+                    while not closed.is_set():
+                        fr = _ws_read_frame(self.rfile)
+                        if fr is None:
+                            closed.set()
+                            return
+                        opcode, payload = fr
+                        if opcode == 0x8:  # close
+                            emit(_ws_frame(0x8, b""))
+                            closed.set()
+                            return
+                        if opcode == 0x9:  # ping → pong
+                            emit(_ws_frame(0xA, payload))
+                        elif opcode == 0x1:  # schema request by name
+                            emit(
+                                _ws_text_frame(
+                                    _schema_by_name(
+                                        registry, payload.decode()
+                                    ).encode()
+                                )
+                            )
+                        elif (
+                            opcode == 0x2
+                            and len(payload) >= 5
+                            and payload[0] == _SCHEMA_MAGIC
+                        ):
+                            sid = int.from_bytes(payload[1:5], "big")
+                            try:
+                                sj = registry.schema(sid)
+                            except KeyError:
+                                sj = "null"
+                            emit(
+                                _ws_frame(
+                                    0x2,
+                                    bytes([_SCHEMA_MAGIC])
+                                    + sid.to_bytes(4, "big")
+                                    + sj.encode(),
+                                )
+                            )
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    closed.set()
+
+            def _sse_push(self, sub) -> None:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                while sub.active:
+                    batch = sub.poll(timeout_s=_HEARTBEAT_S)
+                    if not batch:
+                        # SSE comment line: keeps the connection alive
+                        # through idle keys (r12 ADVICE — a quiet key is
+                        # not a disconnect)
+                        self.wfile.write(b": hb\n\n")
+                        self.wfile.flush()
+                        continue
+                    for event in batch:
+                        data = json.dumps(event, default=str)
+                        self.wfile.write(f"data: {data}\n\n".encode())
+                        self.wfile.flush()
+
+            # -- writes -------------------------------------------------------
+
+            def do_POST(self):  # noqa: N802 (stdlib API)
+                resolved = self._resolve(("kv",))
+                if resolved is None:
+                    return
+                _, route, params = resolved
+                op = params.pop("op", "upsert")
+                if op not in ("upsert", "insert"):
+                    return self._send(400, {"error": f"unknown op {op!r}"})
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    body = json.loads(self.rfile.read(n) or b"null")
+                except (ValueError, UnicodeDecodeError) as e:
+                    return self._send(400, {"error": f"bad JSON body: {e}"})
+                rows = body if isinstance(body, list) else [body]
+                if not rows or not all(isinstance(r, dict) for r in rows):
+                    return self._send(
+                        400, {"error": "body must be a JSON object or array"}
+                    )
+                bad = {c for r in rows for c in r} - route.columns
+                if bad:
+                    return self._send(
+                        400, {"error": f"unknown columns {sorted(bad)}"}
+                    )
+                try:
+                    result = (
+                        route.gateway.insert(rows)
+                        if op == "insert"
+                        else route.gateway.upsert(rows)
+                    )
+                except ValueError as e:  # read-only (df-backed) gateway
+                    return self._send(400, {"error": str(e)})
+                return self._send(200, result)
+
+            def do_DELETE(self):  # noqa: N802 (stdlib API)
+                resolved = self._resolve(("kv",))
+                if resolved is None:
+                    return
+                _, route, params = resolved
+                key = self._key_of(route, params)
+                if key is None:
+                    return
+                try:
+                    return self._send(200, route.gateway.delete(key))
+                except ValueError as e:
+                    return self._send(400, {"error": str(e)})
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        if ssl_context is not None:
+            self._server.socket = ssl_context.wrap_socket(
+                self._server.socket, server_side=True
+            )
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
         )
@@ -249,3 +534,27 @@ class HttpGateway:
             self._server.shutdown()
             self._server.server_close()
             self._server = None
+
+
+def _avro_envelope(avro_binding, event: dict) -> bytes:
+    """One pushed event → the reference wire format: 5-byte envelope
+    (magic 0 + BE-int32 schema id) + Avro-binary record
+    (``AvroSerde.scala:123-138``)."""
+    from affinity_spark.functions.avro_binary import encode_datum
+    from affinity_spark.functions.avro_envelope import python_wrap
+
+    _, sid, parsed = avro_binding
+    return python_wrap(sid, encode_datum(parsed, event))
+
+
+def _schema_by_name(registry, name: str) -> str:
+    """Registry lookup by record name (the text-frame schema request);
+    '{}' when unknown — mirroring the json channel's empty-value shape."""
+    for sid in registry.ids():
+        sj = registry.schema(sid)
+        try:
+            if json.loads(sj).get("name") == name:
+                return sj
+        except (ValueError, AttributeError):
+            continue
+    return "{}"

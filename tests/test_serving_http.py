@@ -106,6 +106,8 @@ def test_sse_per_key_subscription(spark, tmp_path):
             lines = []
             while True:
                 line = resp.fp.readline().decode().rstrip("\n")
+                if line.startswith(":"):
+                    continue  # heartbeat comment — idle keepalive, not data
                 if line == "" and lines:
                     break
                 if line:
@@ -272,15 +274,19 @@ def test_websocket_per_key_subscription(spark, tmp_path):
         assert headers["upgrade"].lower() == "websocket"
 
         def next_frame():
-            b0, b1 = f.read(1)[0], f.read(1)[0]
-            assert b0 == 0x81  # FIN text frame
-            n = b1 & 0x7F
-            assert not (b1 & 0x80)  # server frames are unmasked
-            if n == 126:
-                n = int.from_bytes(f.read(2), "big")
-            elif n == 127:
-                n = int.from_bytes(f.read(8), "big")
-            return json.loads(f.read(n))
+            while True:
+                b0, b1 = f.read(1)[0], f.read(1)[0]
+                n = b1 & 0x7F
+                assert not (b1 & 0x80)  # server frames are unmasked
+                if n == 126:
+                    n = int.from_bytes(f.read(2), "big")
+                elif n == 127:
+                    n = int.from_bytes(f.read(8), "big")
+                payload = f.read(n)
+                if b0 == 0x89:  # ping heartbeat — idle keepalive, not data
+                    continue
+                assert b0 == 0x81  # FIN text frame
+                return json.loads(payload)
 
         initial = sorted(next_frame()["txn"] for _ in range(2))
         assert initial == [1001, 1003]
@@ -288,4 +294,387 @@ def test_websocket_per_key_subscription(spark, tmp_path):
         assert next_frame()["txn"] == 1005
     finally:
         sock.close()
+        hg.stop()
+
+
+# --- write path (POST/DELETE), auth, TLS, Avro WS, heartbeats ---------------
+
+
+def _table_gateway(spark, tmp_path):
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    tbl = KeyedTable(
+        spark, str(tmp_path / "bank_t"), ["sortcode", "account", "txn"], "ts"
+    )
+    tbl.overwrite(spark.createDataFrame(BATCH_1, SCHEMA))
+    return tbl
+
+
+def _post(port, path, body, headers=None, method="POST", scheme="http", ctx=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        f"{scheme}://127.0.0.1:{port}{path}",
+        data=data,
+        method=method,
+        headers=headers or {},
+    )
+    with urllib.request.urlopen(req, timeout=30, context=ctx) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_write_path_upsert_insert_delete(spark, tmp_path):
+    """The reference's POST mutations (GraphHttp.scala:91-102 POST
+    /connect /disconnect, PrivateApi.scala:62 POST /settings/add) over
+    the generic keyed surface: POST upserts then GET reads the new
+    state; replay is idempotent; insert-only skips existing keys;
+    DELETE drops the key; the 400/404 matrix answers like GETs."""
+    tbl = _table_gateway(spark, tmp_path)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl), tbl.read().schema)
+    port = hg.start()
+    try:
+        row = {"sortcode": "11-10-30", "account": 10233321, "txn": 9001,
+               "amount": 12.5, "ts": 1530300000000}
+        status, res = _post(port, "/kv/bank", row)
+        assert status == 200 and res == {"upserted": 1}
+        _, got = _get(port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=9001")
+        assert len(got) == 1 and got[0]["amount"] == 12.5
+        # replay-idempotent: same POST, same committed state
+        _post(port, "/kv/bank", row)
+        _, got = _get(port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=9001")
+        assert len(got) == 1
+        # W2-style update with prior value visible: amount moves
+        _post(port, "/kv/bank", {**row, "amount": 20.0, "ts": 1530300000001})
+        _, got = _get(port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=9001")
+        assert got[0]["amount"] == 20.0
+        # W3 insert-only: existing key is skipped, fresh key lands
+        status, res = _post(
+            port, "/kv/bank?op=insert",
+            [{**row, "amount": 777.0, "ts": 1530300000002},
+             {**row, "txn": 9002, "amount": 1.0}],
+        )
+        assert status == 200 and res == {"inserted": 1, "skipped": 1}
+        _, got = _get(port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=9001")
+        assert got[0]["amount"] == 20.0  # not blindly replaced
+        _, got = _get(port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=9002")
+        assert len(got) == 1
+        # W4 delete (the /disconnect shape), idempotent on replay
+        status, res = _post(
+            port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=9002",
+            None, method="DELETE",
+        )
+        assert status == 200 and res == {"deleted": 1}
+        status, res = _post(
+            port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=9002",
+            None, method="DELETE",
+        )
+        assert res == {"deleted": 0}
+        status, got = _get(
+            port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=9002"
+        )
+        assert status == 200 and got == []  # the key is gone
+    finally:
+        hg.stop()
+
+
+def test_http_write_path_rejections(spark, tmp_path):
+    """400/404 matrix on the write routes: unknown table, unknown op,
+    malformed body, unknown columns, write to a read-only (df-backed)
+    route."""
+    tbl = _table_gateway(spark, tmp_path)
+    ro = spark.createDataFrame(BATCH_1, SCHEMA)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl), tbl.read().schema)
+    hg.register("ro", ServingGateway(df=ro, ts_col="ts"), ro.schema)
+    port = hg.start()
+    try:
+        cases = [
+            ("/kv/nosuch", {"a": 1}, "POST", 404),
+            ("/kv/bank?op=replace_all", {"a": 1}, "POST", 400),
+            ("/kv/bank", [1, 2, 3], "POST", 400),
+            ("/kv/bank", {"nonsense_col": 1}, "POST", 400),
+            ("/kv/ro", {"sortcode": "x", "account": 1, "txn": 1,
+                        "amount": 0.0, "ts": 0}, "POST", 400),
+            ("/kv/ro?sortcode=x", None, "DELETE", 400),
+            ("/kv/bank?nonsense=x", None, "DELETE", 400),
+            ("/scan/bank?sortcode=11-10-30&from=abc", None, "GET", 400),
+        ]
+        for path, body, method, want in cases:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                if method == "GET":
+                    _get(port, path)
+                else:
+                    _post(port, path, body, method=method)
+            assert e.value.code == want, path
+        # malformed raw body
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/kv/bank", body=b"{not json",
+                     headers={"Content-Length": "9"})
+        assert conn.getresponse().status == 400
+        conn.close()
+    finally:
+        hg.stop()
+
+
+def test_basic_auth_guard(spark, tmp_path):
+    """PrivateApi.scala:50-62 AUTH_ADMIN: a route registered with
+    basic_auth answers 401 (with WWW-Authenticate) without/with wrong
+    credentials on EVERY method, and serves with the right ones."""
+    import base64
+
+    tbl = _table_gateway(spark, tmp_path)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl), tbl.read().schema,
+                basic_auth=("admin", "s3cret"))
+    port = hg.start()
+    ok = {"Authorization": "Basic "
+          + base64.b64encode(b"admin:s3cret").decode()}
+    bad = {"Authorization": "Basic "
+           + base64.b64encode(b"admin:wrong").decode()}
+    try:
+        for hdrs, want in [(None, 401), (bad, 401)]:
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(port, "/kv/bank?sortcode=11-10-30", None,
+                      headers=hdrs or {}, method="DELETE")
+            assert e.value.code == want
+            assert "Basic" in (e.value.headers.get("WWW-Authenticate") or "")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=1003")
+        assert e.value.code == 401
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/kv/bank?sortcode=11-10-30"
+            "&account=10233321&txn=1003", headers=ok)
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200 and len(json.loads(r.read())) == 1
+        status, res = _post(
+            port, "/kv/bank",
+            {"sortcode": "99-99-99", "account": 1, "txn": 1,
+             "amount": 5.0, "ts": 10}, headers=ok)
+        assert status == 200 and res == {"upserted": 1}
+    finally:
+        hg.stop()
+
+
+def test_tls_gateway_round_trip(spark, tmp_path):
+    """ExampleHttpsGateway.scala / TlsGatewaySystemTest.scala: the
+    gateway serves HTTPS from an ssl_context; a client pinning the
+    self-signed cert completes the round trip, and the auth matrix
+    still answers 401 over TLS."""
+    import ssl
+    import subprocess
+
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", str(key), "-out", str(cert), "-days", "1",
+         "-subj", "/CN=127.0.0.1",
+         "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True,
+    )
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(str(cert), str(key))
+    tbl = _table_gateway(spark, tmp_path)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl), tbl.read().schema,
+                basic_auth=("admin", "pw"))
+    port = hg.start(ssl_context=srv_ctx)
+    cli_ctx = ssl.create_default_context(cafile=str(cert))
+    try:
+        import base64
+
+        ok = {"Authorization": "Basic "
+              + base64.b64encode(b"admin:pw").decode()}
+        status, rows = _post(
+            port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=1003",
+            None, headers=ok, method="GET", scheme="https", ctx=cli_ctx)
+        assert status == 200 and rows[0]["amount"] == 99.9
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, "/kv/bank?sortcode=11-10-30", None,
+                  method="GET", scheme="https", ctx=cli_ctx)
+        assert e.value.code == 401
+    finally:
+        hg.stop()
+
+
+def test_avro_websocket_channel(spark, tmp_path, monkeypatch):
+    """The reference's BINARY push channel (WebSocketSupportSpec.scala:79
+    "AvroWebSocket channel", GatewayHttp.scala:300-330 protocol): a
+    client negotiating Sec-WebSocket-Protocol: avro requests the writer
+    schema in-band (magic 123 + BE-int32 id → 123 + id + schema json),
+    then decodes pushed BINARY frames — 5-byte envelope + Avro-binary
+    record — via the registry; a text frame asks for a schema by record
+    name; heartbeat pings bridge idle keys without teardown."""
+    import base64
+    import socket
+    import struct
+
+    from affinity_spark.functions.avro_binary import decode_datum, parse_schema
+    from affinity_spark.functions.avro_envelope import SchemaRegistry
+
+    import affinity_spark.serving_http as sh
+
+    monkeypatch.setattr(sh, "_HEARTBEAT_S", 0.5)  # observable idle pings
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def feed(name, rows):
+        tmp = os.path.join(src, f".{name}.tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, os.path.join(src, name))
+
+    avro_schema = json.dumps({
+        "type": "record", "name": "Transaction", "fields": [
+            {"name": "sortcode", "type": "string"},
+            {"name": "account", "type": "int"},
+            {"name": "txn", "type": "long"},
+            {"name": "amount", "type": "double"},
+            {"name": "ts", "type": "long"},
+        ],
+    })
+    registry = SchemaRegistry()
+    snapshot = spark.createDataFrame(BATCH_1, SCHEMA)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(df=snapshot, ts_col="ts"), snapshot.schema)
+    hg.register_stream(
+        "bank", spark.readStream.schema(SCHEMA).json(src), str(tmp_path / "ckpt")
+    )
+    sid = hg.register_avro("bank", registry, avro_schema)
+    port = hg.start()
+
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+    parsed = parse_schema(avro_schema)
+    try:
+        sock.sendall((
+            "GET /subscribe/bank?sortcode=11-10-30&account=10233321 HTTP/1.1\r\n"
+            "Host: 127.0.0.1\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Protocol: avro\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        f = sock.makefile("rb")
+        assert "101" in f.readline().decode()
+        headers = {}
+        while True:
+            line = f.readline().decode().strip()
+            if not line:
+                break
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        assert headers["sec-websocket-protocol"] == "avro"
+
+        def send_frame(opcode, payload):
+            mask = os.urandom(4)  # client frames MUST be masked (RFC 6455)
+            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            assert len(payload) < 126
+            sock.sendall(bytes([0x80 | opcode, 0x80 | len(payload)]) + mask + masked)
+
+        def read_frame():
+            b0, b1 = f.read(1)[0], f.read(1)[0]
+            n = b1 & 0x7F
+            if n == 126:
+                n = int.from_bytes(f.read(2), "big")
+            return b0 & 0x0F, f.read(n)
+
+        def decode_push(payload):
+            assert payload[0] == 0 and struct.unpack(">i", payload[1:5])[0] == sid
+            return decode_datum(parsed, payload[5:])[0]
+
+        pushes = []  # event frames interleave with protocol replies
+
+        def read_until(pred):
+            """Next frame satisfying pred; data pushes are stashed into
+            ``pushes`` on the way, heartbeat pings are skipped (they are
+            keepalives, never teardowns)."""
+            while True:
+                op, payload = read_frame()
+                if op == 0x2 and payload[:1] == b"\x00":
+                    pushes.append(decode_push(payload))
+                if pred(op, payload):
+                    return op, payload
+
+        # 1. in-band schema request by id (magic 123 + BE int32) — the
+        # reply mirrors the request shape: 123 + id + schema json
+        send_frame(0x2, bytes([123]) + struct.pack(">i", sid))
+        _, payload = read_until(lambda o, p: o == 0x2 and p[:1] == bytes([123]))
+        assert struct.unpack(">i", payload[1:5])[0] == sid
+        assert json.loads(payload[5:]) == json.loads(registry.schema(sid))
+
+        # 2. schema request by record NAME (text frame) → text reply
+        send_frame(0x1, b"Transaction")
+        _, payload = read_until(lambda o, p: o == 0x1)
+        assert json.loads(payload) == json.loads(avro_schema)
+        send_frame(0x1, b"NoSuchRecord")
+        _, payload = read_until(lambda o, p: o == 0x1)
+        assert json.loads(payload) == {}  # unknown name → empty shape
+
+        # 3. pushed events are enveloped binary records: initial state
+        # (2 rows for this key), then the key's update from the feed
+        while len(pushes) < 2:
+            read_until(lambda o, p: o == 0x2 and p[:1] == b"\x00")
+        assert sorted(p["txn"] for p in pushes[:2]) == [1001, 1003]
+        assert pushes[0]["sortcode"] == "11-10-30"
+        feed("b2.json", BATCH_2)
+        while len(pushes) < 3:
+            read_until(lambda o, p: o == 0x2 and p[:1] == b"\x00")
+        assert pushes[2]["txn"] == 1005
+        assert pushes[2]["amount"] == pytest.approx(99.9)
+
+        # 4. clean close: client close frame → server close echo
+        send_frame(0x8, b"")
+        read_until(lambda o, p: o == 0x8)
+    finally:
+        sock.close()
+        hg.stop()
+
+
+def test_subscribe_idle_key_heartbeats_not_disconnect(spark, tmp_path, monkeypatch):
+    """r12 ADVICE: a subscriber on a key with NO updates must be kept
+    alive with heartbeats (SSE comments), not silently disconnected at
+    the poll timeout — then still receive a late event."""
+    import http.client
+
+    import affinity_spark.serving_http as sh
+
+    monkeypatch.setattr(sh, "_HEARTBEAT_S", 0.5)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    snapshot = spark.createDataFrame(BATCH_1, SCHEMA)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(df=snapshot, ts_col="ts"), snapshot.schema)
+    hg.register_stream(
+        "bank", spark.readStream.schema(SCHEMA).json(src), str(tmp_path / "ckpt")
+    )
+    port = hg.start()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    try:
+        # a key with NO rows at all: initial state is empty, nothing flows
+        conn.request("GET", "/subscribe/bank?sortcode=zz-99-99")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        heartbeats = 0
+        while heartbeats < 3:  # > one poll window each — stream survives
+            line = resp.fp.readline().decode()
+            if line.startswith(":"):
+                heartbeats += 1
+        # the connection is still serving: a late row for the key arrives
+        rows = [{"sortcode": "zz-99-99", "account": 1, "txn": 7, "amount": 1.0,
+                 "ts": 1530300000000}]
+        tmp = os.path.join(src, ".late.tmp")
+        with open(tmp, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.rename(tmp, os.path.join(src, "late.json"))
+        while True:
+            line = resp.fp.readline().decode()
+            if line.startswith("data: "):
+                assert json.loads(line[len("data: "):])["txn"] == 7
+                break
+    finally:
+        conn.close()
         hg.stop()
