@@ -82,7 +82,14 @@ def srp_project(vec: Column, signs: list[list[int]], scale: int = 1 << 20) -> Co
 
     # let-bind the quantized vector: quantization runs once, not once per
     # output dimension
-    return F.transform(F.array(q), project).getItem(0)
+    proj = F.transform(F.array(q), project).getItem(0)
+    # loud dim guard: the sign matrix is FIXED d-wide — a drifted corpus
+    # width would otherwise project a prefix silently (zip_with pads with
+    # NULL; r12 verdict #5: assert fixed-matrix dims at query build)
+    d = len(signs[0]) if signs else 0
+    return F.when(F.size(vec) == d, proj).otherwise(
+        F.raise_error(F.lit(f"srp_project: input dim != sign-matrix dim {d}"))
+    )
 
 
 def dot_int(a: Column, b: Column) -> Column:

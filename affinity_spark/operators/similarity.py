@@ -196,6 +196,15 @@ def lsh_hyperplane_buckets(
         # cost dominates execution for big literal trees - r5 profile)
         pcol = F.lit([float(x) for x in plane])
         bucket = bucket + F.when(dot(F.col(vec_col), pcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    # loud dim guard: the planes are FIXED dim-wide literals — a corpus
+    # whose embedding width drifted would otherwise dot against a prefix
+    # (zip_with pads the shorter side with NULL) and bucket silently
+    # wrong (r12 verdict #5: assert fixed-matrix dims at query build)
+    bucket = F.when(F.size(F.col(vec_col)) == dim, bucket).otherwise(
+        F.raise_error(
+            F.lit(f"lsh_hyperplane_buckets: embedding dim != planes dim {dim}")
+        )
+    )
     return emb.select(
         F.col(id_col), F.col(vec_col), *[F.col(c) for c in keep_cols],
         bucket.alias("bucket"),

@@ -547,16 +547,7 @@ def emb_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_bucket_expr() -> str:
     """DuckDB expression for the 8-bit hyperplane bucket of `embedding`
     (identical deterministic planes as the Spark side)."""
-    planes = sim._hyperplanes(64, 8)  # noqa: SLF001 - shared deterministic constants
-    bits = []
-    for j, plane in enumerate(planes):
-        lit = "[" + ", ".join(f"{float(x):.1f}" for x in plane) + "]"
-        bits.append(
-            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])) > 0 "
-            f"THEN {1 << j} ELSE 0 END)"
-        )
-    return " + ".join(bits)
+    return _lsh_bucket_expr_n(8)
 
 
 def _lsh_oracle_sql() -> str:
@@ -689,7 +680,14 @@ def _lsh_bucket_expr_n(nbits: int) -> str:
             f"i -> CAST(embedding[i] AS DOUBLE) * ({lit}::DOUBLE[])[i])) > 0 "
             f"THEN {1 << j} ELSE 0 END)"
         )
-    return " + ".join(bits)
+    # loud dim guard mirroring the Spark side: the planes are FIXED
+    # 64-wide, so a regenerated corpus at another width must ERROR on
+    # both engines, never bucket against a silent prefix (r12 verdict #5)
+    return (
+        "(CASE WHEN len(embedding) <> 64 THEN "
+        "CAST(error('embedding dim <> 64: lsh planes are fixed 64-wide') AS BIGINT) "
+        f"ELSE {' + '.join(bits)} END)"
+    )
 
 
 def _hard_neg_oracle_sql() -> str:
@@ -704,7 +702,7 @@ WITH n AS (
 cand AS (
   SELECT a.vec_id AS vec_id, b.vec_id AS id_b,
          CAST(floor(
-           list_sum(list_transform(range(1, 65),
+           list_sum(list_transform(range(1, len(a.embedding)+1),
                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
            / (a.nrm * b.nrm) * 10000) AS BIGINT) AS cos_bp
   FROM n a JOIN n b ON a.bucket = b.bucket AND a.label <> b.label
@@ -786,7 +784,7 @@ q AS (SELECT vec_id AS qid, bucket AS qb, embedding AS qv, nrm AS qn
       FROM b WHERE vec_id < 4),
 scored AS (
   SELECT q.qid, b.vec_id, b.bucket, q.qb,
-         list_sum(list_transform(range(1, 65),
+         list_sum(list_transform(range(1, len(b.embedding)+1),
                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
            / (b.nrm * q.qn) AS c
   FROM b CROSS JOIN q WHERE b.vec_id >= 4
@@ -908,9 +906,11 @@ base AS (
 ),
 proj AS (
   SELECT vec_id, embedding, nrm,
-         list_transform(S.m, srow ->
+         CASE WHEN len(q) <> 64 THEN
+           CAST(error('embedding dim <> 64: SRP sign matrix is fixed 64-wide') AS BIGINT[])
+         ELSE list_transform(S.m, srow ->
            CAST(list_sum(list_transform(range(1, 65),
-                i -> srow[i] * q[i])) AS BIGINT)) AS y
+                i -> srow[i] * q[i])) AS BIGINT)) END AS y
   FROM base, S
 ),
 proj2 AS (
@@ -922,7 +922,7 @@ qv AS (SELECT vec_id AS qid, embedding AS qvec, nrm AS qn, y AS qy, ny AS qny
        FROM proj2 WHERE vec_id < 4),
 scored AS (
   SELECT qv.qid, p.vec_id,
-         list_sum(list_transform(range(1, 65),
+         list_sum(list_transform(range(1, len(p.embedding)+1),
               i -> CAST(p.embedding[i] AS DOUBLE) * CAST(qv.qvec[i] AS DOUBLE)))
            / (p.nrm * qv.qn) AS ct,
          CASE WHEN p.ny = 0 OR qv.qny = 0 THEN NULL
@@ -979,7 +979,7 @@ def emb_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_search_sql() -> str:
     dist = (
-        "list_sum(list_transform(range(1, 65), "
+        "list_sum(list_transform(range(1, len(e.embedding)+1), "
         "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))"
         " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))"
     )
@@ -1053,7 +1053,7 @@ def _pq_batch_core() -> str:
     over the probed cells — reused by the batch-search and recall
     oracles."""
     dist = (
-        "list_sum(list_transform(range(1, 65), "
+        "list_sum(list_transform(range(1, len(e.embedding)+1), "
         "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))"
         " * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))"
     )
@@ -1162,7 +1162,7 @@ def emb_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivfpq_recall_sql() -> str:
     l2 = (
-        "list_sum(list_transform(range(1, 65), "
+        "list_sum(list_transform(range(1, len(e.embedding)+1), "
         "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(qv.qvec[i] AS DOUBLE))"
         " * (CAST(e.embedding[i] AS DOUBLE) - CAST(qv.qvec[i] AS DOUBLE))))"
     )

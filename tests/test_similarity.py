@@ -206,3 +206,53 @@ def test_srp_projection_is_shuffle_free(spark):
         df.select("vec_id", srp_project(F.col("embedding"), srp_signs(64, 16)).alias("y"))
     )
     assert "Exchange" not in plan, plan
+
+
+def test_fixed_matrix_dim_guards_fail_loudly(spark):
+    """r12 verdict #5: the fixed 64-wide projection matrices (LSH
+    hyperplanes, SRP signs) must ERROR on a corpus whose embedding width
+    drifted — on BOTH engines — never silently dot against a prefix."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from affinity_spark.functions.vectors import srp_project, srp_signs
+    from affinity_spark.operators.similarity import lsh_hyperplane_buckets
+    from affinity_spark.registry import embeddings as emb_reg
+
+    bad = spark.createDataFrame(
+        [(1, [0.5] * 32)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        lsh_hyperplane_buckets(bad, 64, 8).collect()
+    with pytest.raises(Exception, match="dim"):
+        bad.select(
+            srp_project(F.col("embedding"), srp_signs(64, 16)).alias("y")
+        ).collect()
+    # good dims still flow on both guards
+    ok = spark.createDataFrame(
+        [(1, [0.5] * 64)], "vec_id long, embedding array<float>"
+    )
+    assert lsh_hyperplane_buckets(ok, 64, 8).count() == 1
+    assert ok.select(
+        srp_project(F.col("embedding"), srp_signs(64, 16)).alias("y")
+    ).count() == 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS "
+        "SELECT 1 AS vec_id, [0.5::FLOAT for x in range(32)] AS embedding"
+    )
+    with pytest.raises(Exception, match="64"):
+        con.execute(
+            f"SELECT {emb_reg._lsh_bucket_expr_n(8)} AS b FROM embeddings"
+        ).fetchall()
+    con.execute("DROP TABLE embeddings")
+    con.execute(
+        "CREATE TABLE embeddings AS "
+        "SELECT 1 AS vec_id, [0.5::FLOAT for x in range(64)] AS embedding"
+    )
+    rows = con.execute(
+        f"SELECT {emb_reg._lsh_bucket_expr_n(8)} AS b FROM embeddings"
+    ).fetchall()
+    assert len(rows) == 1 and 0 <= rows[0][0] < 256
