@@ -130,13 +130,19 @@ class BandIndex:
         (``dedup.doc_shingle_arrays``). Sizes the bucket lever ∝ corpus
         (no manual knob) unless the constructor pinned it, and commits
         the count so every later admit agrees."""
-        from affinity_spark.operators.bucketing import auto_bucket_count
+        from affinity_spark.operators.bucketing import (
+            auto_bucket_count,
+            bytes_floor_cap,
+        )
 
         docs_arr = docs_arr.persist()
+        n_docs = docs_arr.count()
+        # bytes floor: ~16 band rows/doc at ~16 B on disk — buckets below
+        # a row group only multiply probe-side file opens (r13)
         self._effective = (
             self._explicit_buckets
             if self._explicit_buckets is not None
-            else auto_bucket_count(docs_arr.count())
+            else min(auto_bucket_count(n_docs), bytes_floor_cap(n_docs * 256))
         )
         self._table.overwrite(
             self._bands_delta(docs_arr),

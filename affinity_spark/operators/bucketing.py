@@ -49,6 +49,26 @@ def auto_bucket_count(
     return max(min_buckets, min(max_buckets, 1 << (need - 1).bit_length()))
 
 
+def bytes_floor_cap(
+    n_bytes: int, min_bucket_bytes: int = 256 << 10, min_buckets: int = 8
+) -> int:
+    """Upper bound on a USEFUL bucket count for a table of ``n_bytes``.
+
+    Rewrite granularity is a parquet file: below ~``min_bucket_bytes``
+    per bucket a finer split cannot reduce real admit IO (each bucket is
+    already a single tiny file) — it only multiplies per-read file opens
+    and footer parses. The r12 auto lever sized the sf0.1 postings index
+    into 128 × 5–15 KB files and DOUBLED the retrieval family's read
+    walls (bm25 1.4 → 2.8 s measured, r13); the ∝-corpus growth law is
+    kept ABOVE this floor, where buckets are at least row-group-sized and
+    the delta-IO contract is physically real. pow2 floor so the cap
+    composes with :func:`auto_bucket_count`'s pow2 steps."""
+    if n_bytes <= min_bucket_bytes * min_buckets:
+        return min_buckets
+    need = max(1, n_bytes // min_bucket_bytes)
+    return max(min_buckets, 1 << (need.bit_length() - 1))
+
+
 def committed_buckets(table, meta_key: str, explicit: int | None) -> int:
     """The effective bucket count for operations on an EXISTING store.
 

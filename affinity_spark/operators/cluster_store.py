@@ -89,12 +89,22 @@ class ClusterStore:
     def cluster_buckets(self) -> int:
         return self._effective_buckets()
 
+    @staticmethod
+    def _capped_auto(n_rows: int) -> int:
+        """Auto lever for this family: one ~16 B (id, cluster) row per
+        doc; bytes-floored so buckets stay at least row-group-sized
+        (finer splits only multiply read-side file opens — r13)."""
+        from affinity_spark.operators.bucketing import (
+            auto_bucket_count,
+            bytes_floor_cap,
+        )
+
+        return min(auto_bucket_count(n_rows), bytes_floor_cap(n_rows * 16))
+
     def needs_rebucket(self, factor: float = 4.0) -> bool:
         """Growth trigger for the bucket lever (the IVF ``needs_retrain``
         discipline): the store outgrew the committed count ``factor``×."""
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
-        ideal = auto_bucket_count(self._table.read().count())
+        ideal = self._capped_auto(self._table.read().count())
         return ideal >= factor * self._effective_buckets()
 
     def rebucket(self, cluster_buckets: int | None = None) -> int:
@@ -102,10 +112,8 @@ class ClusterStore:
         ∝ current store unless given) — the amortized full rewrite that
         keeps admits delta-IO as the corpus grows. Pure physical
         placement: assignments are identical across it."""
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
         cur = self._table.read()
-        new = cluster_buckets or auto_bucket_count(cur.count())
+        new = cluster_buckets or self._capped_auto(cur.count())
         self._table.overwrite(
             cur.withColumn(
                 "_bucket",
@@ -150,12 +158,10 @@ class ClusterStore:
                 .alias("cluster_id"),
             )
         )
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
         self._effective = (
             self._explicit_buckets
             if self._explicit_buckets is not None
-            else auto_bucket_count(doc_ids.count())
+            else self._capped_auto(doc_ids.count())
         )
         self._table.overwrite(
             rows.withColumn("_bucket", self._bucket_of(F.col("cluster_id"))),
@@ -320,14 +326,12 @@ class ClusterStore:
             if find(c) != c
         }
         if not self.exists():
-            from affinity_spark.operators.bucketing import auto_bucket_count
-
             # first commit IS the corpus so far — size the lever from it;
             # needs_rebucket()/rebucket() re-freeze as the store grows
             self._effective = (
                 self._explicit_buckets
                 if self._explicit_buckets is not None
-                else auto_bucket_count(len(new_rows))
+                else self._capped_auto(len(new_rows))
             )
             rows = self.spark.createDataFrame(
                 new_rows, f"{self.id_col} long, cluster_id long"

@@ -145,21 +145,28 @@ class MediaIndex:
             F.lit(self._effective_buckets()),
         )
 
+    @staticmethod
+    def _capped_auto(n_docs: int) -> int:
+        """Auto lever for this family: three ~20 B modality rows per doc;
+        bytes-floored so buckets stay at least row-group-sized (r13)."""
+        from affinity_spark.operators.bucketing import (
+            auto_bucket_count,
+            bytes_floor_cap,
+        )
+
+        return min(auto_bucket_count(n_docs), bytes_floor_cap(n_docs * 64))
+
     def needs_rebucket(self, factor: float = 4.0) -> bool:
         """Growth trigger (IVF ``needs_retrain`` discipline): distinct
         docs outgrew the committed count ``factor``×."""
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
         n_docs = self._table.read().select(self.id_col).distinct().count()
-        return auto_bucket_count(n_docs) >= factor * self._effective_buckets()
+        return self._capped_auto(n_docs) >= factor * self._effective_buckets()
 
     def rebucket(self, doc_buckets: int | None = None) -> int:
         """Amortized physical re-placement under a fresh (auto unless
         given) bucket count; fingerprints and served pairs identical."""
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
         cur = self._table.read()
-        new = doc_buckets or auto_bucket_count(
+        new = doc_buckets or self._capped_auto(
             cur.select(self.id_col).distinct().count()
         )
         self._table.overwrite(
@@ -186,13 +193,11 @@ class MediaIndex:
         decode/fingerprint kernel runs once over the corpus here and
         never again (admits fingerprint only their batch). Sizes the
         bucket lever ∝ distinct docs (no manual knob) unless pinned."""
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
         fps = self._normalized(fps).persist()
         self._effective = (
             self._explicit_buckets
             if self._explicit_buckets is not None
-            else auto_bucket_count(fps.select(self.id_col).distinct().count())
+            else self._capped_auto(fps.select(self.id_col).distinct().count())
         )
         self._table.overwrite(
             fps.withColumn("_bucket", self._bucket()),

@@ -123,15 +123,29 @@ class PostingsIndex:
     def doc_buckets(self) -> int:
         return self._effective_buckets()
 
+    @staticmethod
+    def _capped_auto(n_docs: int, total_tokens: int) -> int:
+        """The auto lever for THIS family: ∝ docs, bytes-floor-capped at
+        ~8 B/posting-row of the largest gram table."""
+        from affinity_spark.operators.bucketing import (
+            auto_bucket_count,
+            bytes_floor_cap,
+        )
+
+        return min(auto_bucket_count(n_docs), bytes_floor_cap(total_tokens * 8))
+
+    def _auto_count(self) -> int:
+        row = self._doclen.read().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("tok")
+        ).collect()[0]
+        return self._capped_auto(int(row["n"]), int(row["tok"] or 0))
+
     def needs_rebucket(self, factor: float = 4.0) -> bool:
         """Growth trigger for the bucket lever (the IVF ``needs_retrain``
         discipline): the corpus outgrew the committed count ``factor``×,
         so refreshes are sliding toward the fixed-bucket anti-pattern
         regime (BASELINE r11k)."""
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
-        ideal = auto_bucket_count(self._doclen.read().count())
-        return ideal >= factor * self._effective_buckets()
+        return self._auto_count() >= factor * self._effective_buckets()
 
     def rebucket(self, doc_buckets: int | None = None) -> int:
         """Re-place every table under a fresh bucket count (auto ∝
@@ -141,10 +155,8 @@ class PostingsIndex:
         marks the multi-table commit like any build/refresh."""
         import uuid
 
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
         self.check_consistent()
-        new = doc_buckets or auto_bucket_count(self._doclen.read().count())
+        new = doc_buckets or self._auto_count()
         col = F.pmod(F.hash(F.col(self.id_col).cast("string")), F.lit(new))
         lineage = {"postings_lineage": uuid.uuid4().hex, "doc_buckets": new}
         for table in [self._doclen, *self._tables.values()]:
@@ -218,11 +230,19 @@ class PostingsIndex:
 
         toks = self._tokenized(docs).persist()
         # the lever, chosen ∝ corpus (no manual knob) unless pinned by the
-        # constructor; committed in the lineage meta so refreshes agree
+        # constructor; committed in the lineage meta so refreshes agree.
+        # Capped by the BYTES floor: a doc fans into ~tokens postings rows
+        # of ~8 B on disk, and buckets smaller than a row group only
+        # multiply read-side file opens (bytes_floor_cap — the r13 bm25
+        # 2× read regression) without reducing real admit IO.
+        row = toks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.size("_toks")).alias("tok"),
+        ).collect()[0]
         self._effective = (
             self._explicit_buckets
             if self._explicit_buckets is not None
-            else auto_bucket_count(toks.count())
+            else self._capped_auto(int(row["n"]), int(row["tok"] or 0))
         )
         lineage = {
             "postings_lineage": uuid.uuid4().hex,

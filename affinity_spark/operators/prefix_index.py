@@ -124,10 +124,29 @@ class PrefixIndex:
         target and admits are sliding toward the fixed-bucket
         anti-pattern regime (BASELINE r11k). The growth trigger of the
         IVFIndex ``needs_retrain`` discipline applied to the lever."""
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
-        ideal = auto_bucket_count(self._arrays.read().count())
+        ideal = self._capped_auto_from_arrays()
         return ideal >= factor * self._effective_buckets()
+
+    @staticmethod
+    def _capped_auto(n_docs: int, total_shingles: int) -> int:
+        """Auto lever for this family: a doc fans into ~n_shingles hash
+        rows (~10 B on disk, arrays table dominant); bytes-floored so
+        buckets stay at least row-group-sized — finer splits only
+        multiply probe-side file opens (r13)."""
+        from affinity_spark.operators.bucketing import (
+            auto_bucket_count,
+            bytes_floor_cap,
+        )
+
+        return min(
+            auto_bucket_count(n_docs), bytes_floor_cap(total_shingles * 10)
+        )
+
+    def _capped_auto_from_arrays(self) -> int:
+        row = self._arrays.read().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_shingles").alias("sh")
+        ).collect()[0]
+        return self._capped_auto(int(row["n"]), int(row["sh"] or 0))
 
     def rebucket(self, doc_buckets: int | None = None) -> int:
         """Re-place both partitioned tables under a fresh bucket count
@@ -136,10 +155,8 @@ class PrefixIndex:
         discipline). The frozen df ORDER is untouched: bucketing is pure
         physical placement, so served pairs are bit-identical before and
         after (pinned by tests). Returns the new count."""
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
         self._check_sync()
-        new = doc_buckets or auto_bucket_count(self._arrays.read().count())
+        new = doc_buckets or self._capped_auto_from_arrays()
         for table in (self._arrays, self._prefix):
             cur = table.read()
             table.overwrite(
@@ -211,17 +228,18 @@ class PrefixIndex:
         silently dropped pairs (the QualityStore torn-commit discipline)."""
         import uuid
 
-        from affinity_spark.operators.bucketing import auto_bucket_count
-
         sync = uuid.uuid4().hex
         docs_arr = docs_arr.persist()
-        n_docs = docs_arr.count()
+        row = docs_arr.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_shingles").alias("sh")
+        ).collect()[0]
+        n_docs = int(row["n"])
         # the lever, chosen ∝ corpus (no manual knob) unless pinned by the
         # constructor; committed below so every later operation agrees
         self._effective = (
             self._explicit_buckets
             if self._explicit_buckets is not None
-            else auto_bucket_count(n_docs)
+            else self._capped_auto(n_docs, int(row["sh"] or 0))
         )
         dfc = (
             docs_arr.select(F.explode("shingles").alias("shingle"))

@@ -108,10 +108,14 @@ def bm25_topk_postings(
     of the documents table; bit-identical scores.
 
     Plan shape: the query-term filter prunes the postings scan to the
-    terms' file clusters; per-term df and the 1-row (N, L) stats broadcast
-    back; the hits frame (docs containing >= 1 query term - the only rows
-    that can score > 0, exactly the rows `bm25_topk` keeps) broadcasts
-    into the doclen join; top-k stays TakeOrderedAndProject.
+    terms' file clusters; per-term df rides the SAME scan as a window
+    count over the tf aggregation (a second scan branch for the df
+    groupBy was the r13 work-volume finding: the postings table was read
+    twice per query — exchange reuse does not survive the broadcast
+    conversion); the 1-row (N, L) stats broadcast back; the hits frame
+    (docs containing >= 1 query term - the only rows that can score > 0,
+    exactly the rows `bm25_topk` keeps) broadcasts into the doclen join;
+    top-k stays TakeOrderedAndProject.
 
     The broadcast hint assumes query terms with bounded posting lists
     (retrieval queries are selective by construction - a corpus-majority
@@ -119,11 +123,16 @@ def bm25_topk_postings(
     term over a 100 TB corpus, drop the hint and let AQE pick the
     doc_id-shuffled join; results are identical.
     """
+    from pyspark.sql import Window
+
     term_list = list(terms)
-    hits = index.tf_postings(1).filter(F.col("term").isin(term_list))
-    dfs = hits.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    hits = (
+        index.tf_postings(1)
+        .filter(F.col("term").isin(term_list))
+        .withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    )
     scored = (
-        F.broadcast(hits.join(F.broadcast(dfs), "term"))
+        F.broadcast(hits)
         .join(index.doclens().withColumnRenamed("dl", "_dl"), id_col)
         .crossJoin(
             F.broadcast(

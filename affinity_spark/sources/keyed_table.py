@@ -205,7 +205,17 @@ class KeyedTable:
         vdir = self._current_version_dir()
         if vdir is None:
             raise FileNotFoundError(f"table at {self.path} has no committed version")
-        return self.spark.read.parquet(vdir)
+        # memoize the snapshot schema per version dir: without it every
+        # read() launches a distributed footer/partition-inference job
+        # over the snapshot's files (~160 ms per scan of a 128-dir table
+        # locally; at cluster scale a real job over thousands of footers).
+        # Snapshot dirs are immutable, so the memo can never go stale;
+        # only the latest version is kept (older dirs get reclaimed).
+        cached = getattr(self, "_schema_memo", None)
+        if cached is None or cached[0] != vdir:
+            cached = (vdir, self.spark.read.parquet(vdir).schema)
+            self._schema_memo = cached
+        return self.spark.read.schema(cached[1]).parquet(vdir)
 
     def versions(self) -> list[str]:
         """Retained snapshot version names, oldest first (bounded by the
