@@ -257,19 +257,27 @@ def sf_of(sf_dir: str) -> float:
 # averages — so the artifact itself proves whether inflation is host or code
 # without consulting BASELINE.md.
 #
-# Anchor: the quiet committed full run (commit 9f83044, 13.777 s headline).
+# Anchor: the DEDICATED canary's quiet band (r13 calibration run, quiet
+# host: task 288-378 ms / wall 0.73-0.97 s across ten fresh JVMs). A
+# dedicated early-in-JVM canary reads ~1.1-1.5x hotter than the same
+# query mid-set in a deep-warmed JVM (the 9f83044 in-set reading was
+# 257 ms task), so the anchor must be canary-calibrated, not set-
+# calibrated — the first threshold choice (1.3x over the in-set anchor)
+# tripped on quiet day-band variance and burned the retry budget.
 CANARY_QUERY = "q1_pricing_summary"
 CANARY_ANCHOR = {
     "sf": 0.1,
-    "wall_sec": 0.656,
-    "task_time_ms": 257,
+    "wall_sec": 0.78,
+    "task_time_ms": 300,
     "input_rows": 600_000,
     "input_bytes": 17_841,
 }
 # task_time is the primary signal (executor CPU at constant work — the host
-# signature); wall alone schedules noisier. 1.3x task OR 1.8x wall trips.
-CANARY_TASK_RATIO = 1.3
-CANARY_WALL_RATIO = 1.8
+# signature); wall alone schedules noisier. The r12 contended-driver
+# signature was task x3.9 over this anchor; quiet day-band variance stays
+# under ~1.3x. 1.6x task OR 2.0x wall trips.
+CANARY_TASK_RATIO = 1.6
+CANARY_WALL_RATIO = 2.0
 MAX_SET_ATTEMPTS = 2  # one retry per contended set...
 GLOBAL_RETRY_BUDGET = 4  # ...from a shared budget (bounds total wall)
 
