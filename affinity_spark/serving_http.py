@@ -120,6 +120,68 @@ def _ws_read_frame(rfile) -> tuple[int, bytes] | None:
     return opcode, payload
 
 
+#: the gateway's browser client (the reference serves its compiled
+#: affinity_node.js at GET /affinity.js — GatewayHttp.scala
+#: WebSocketSupport; this is a from-scratch minimal equivalent over the
+#: same routes: point get, scan, and per-key subscribe over SSE or a
+#: JSON WebSocket). Served gzip-encoded on Accept-Encoding like every
+#: other response.
+_AFFINITY_JS = """\
+// affinity.js — minimal browser client for the affinity_spark gateway.
+// Routes: GET /kv/{t}?k=v  GET /scan/{t}?k=v&from=&until=
+//         GET /subscribe/{t}?k=v  (SSE via EventSource, WS via subscribeWS)
+//         POST /kv/{t} (rows)     DELETE /kv/{t}?k=v
+(function (global) {
+  'use strict';
+  function qs(params) {
+    var u = new URLSearchParams();
+    Object.keys(params || {}).forEach(function (k) { u.append(k, params[k]); });
+    var s = u.toString();
+    return s ? '?' + s : '';
+  }
+  function Affinity(base) { this.base = base || ''; }
+  Affinity.prototype.get = function (table, key) {
+    return fetch(this.base + '/kv/' + table + qs(key))
+      .then(function (r) { if (!r.ok) throw new Error(r.status); return r.json(); });
+  };
+  Affinity.prototype.scan = function (table, key, fromMs, untilMs) {
+    var p = Object.assign({}, key);
+    if (fromMs != null) p['from'] = fromMs;
+    if (untilMs != null) p['until'] = untilMs;
+    return fetch(this.base + '/scan/' + table + qs(p))
+      .then(function (r) { if (!r.ok) throw new Error(r.status); return r.json(); });
+  };
+  Affinity.prototype.upsert = function (table, rows) {
+    return fetch(this.base + '/kv/' + table, {
+      method: 'POST', body: JSON.stringify(rows),
+      headers: { 'Content-Type': 'application/json' }
+    }).then(function (r) { if (!r.ok) throw new Error(r.status); return r.json(); });
+  };
+  Affinity.prototype.remove = function (table, key) {
+    return fetch(this.base + '/kv/' + table + qs(key), { method: 'DELETE' })
+      .then(function (r) { if (!r.ok) throw new Error(r.status); return r.json(); });
+  };
+  // SSE subscription: onEvent(row) per update; heartbeats are handled by
+  // the EventSource transport (comment lines are dropped automatically).
+  Affinity.prototype.subscribe = function (table, key, onEvent) {
+    var es = new EventSource(this.base + '/subscribe/' + table + qs(key));
+    es.onmessage = function (m) { onEvent(JSON.parse(m.data)); };
+    return es; // caller closes with es.close()
+  };
+  // JSON WebSocket subscription (the reference's jsonWebSocket channel).
+  Affinity.prototype.subscribeWS = function (table, key, onEvent) {
+    var proto = global.location && global.location.protocol === 'https:' ? 'wss' : 'ws';
+    var host = this.base || (global.location ? '//' + global.location.host : '');
+    var ws = new WebSocket(proto + ':' + host.replace(/^https?:/, '') +
+      '/subscribe/' + table + qs(key));
+    ws.onmessage = function (m) { onEvent(JSON.parse(m.data)); };
+    return ws; // caller closes with ws.close()
+  };
+  global.Affinity = Affinity;
+})(typeof window !== 'undefined' ? window : this);
+"""
+
+
 def _coercers(schema: T.StructType) -> dict:
     out = {}
     for f in schema.fields:
@@ -290,6 +352,14 @@ class HttpGateway:
             # -- reads + push -------------------------------------------------
 
             def do_GET(self):  # noqa: N802 (stdlib API)
+                # the browser client, served like the reference's
+                # GET /affinity.js (WebSocketSupport) — before route
+                # resolution, no auth (it is static public code)
+                if urlparse(self.path).path == "/affinity.js":
+                    return self._send(
+                        200, _AFFINITY_JS.encode(),
+                        ctype="application/javascript",
+                    )
                 resolved = self._resolve(("kv", "scan", "subscribe"))
                 if resolved is None:
                     return

@@ -678,3 +678,26 @@ def test_subscribe_idle_key_heartbeats_not_disconnect(spark, tmp_path, monkeypat
     finally:
         conn.close()
         hg.stop()
+
+
+def test_affinity_js_client_served(http_bank):
+    """GET /affinity.js serves the browser client (the reference's
+    WebSocketSupport static route), gzip on Accept-Encoding, no auth."""
+    import gzip
+
+    port, _ = http_bank
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/affinity.js", timeout=30
+    ) as r:
+        assert r.status == 200
+        assert "javascript" in r.headers.get("Content-Type", "")
+        body = r.read().decode()
+    assert "Affinity.prototype.subscribe" in body
+    assert "/kv/" in body and "EventSource" in body
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/affinity.js",
+        headers={"Accept-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.headers.get("Content-Encoding") == "gzip"
+        assert gzip.decompress(r.read()).decode() == body
