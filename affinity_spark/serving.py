@@ -89,13 +89,18 @@ class ServingGateway:
     """Point-get + prefix/range + per-key subscribe over keyed state."""
 
     def __init__(self, table=None, df: DataFrame | None = None, ts_col: str | None = None,
-                 ts_unit: str = "millis"):
+                 ts_unit: str = "millis", schema=None):
         if (table is None) == (df is None):
             raise ValueError("exactly one of table= or df= is required")
         self._table = table
         self._df = df
         self._ts_col = ts_col if table is None else table.ts_col
         self._ts_unit = ts_unit
+        # declared row schema (StructType): used to coerce writes when the
+        # table has no committed snapshot yet — the FIRST write through the
+        # gateway defines the physical schema, so it must come from a
+        # declaration, not from reading the (absent) snapshot
+        self._schema = schema
 
     def _frame(self) -> DataFrame:
         return self._df if self._table is None else self._table.read()
@@ -141,7 +146,12 @@ class ServingGateway:
         import json as _json
 
         tbl = self._require_table()
-        schema = tbl.read().schema
+        try:
+            schema = tbl.read().schema
+        except FileNotFoundError:
+            if self._schema is None:
+                raise
+            schema = self._schema  # first write defines the table
         spark = tbl.spark
         raw = spark.createDataFrame(
             [( _json.dumps(dict(r), default=str),) for r in rows], "j string"

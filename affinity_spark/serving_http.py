@@ -212,6 +212,10 @@ class _Route:
         self.basic_auth = basic_auth
         # optional Avro push binding: (registry, schema_id, parsed schema)
         self.avro = None
+        # writes serialize per table: the gateway is the single writer
+        # front (the reference's partition-master role); without it two
+        # concurrent POSTs race the CAS and one always burns a 409
+        self.write_lock = threading.Lock()
 
 
 class HttpGateway:
@@ -565,15 +569,33 @@ class HttpGateway:
                     return self._send(
                         400, {"error": f"unknown columns {sorted(bad)}"}
                     )
-                try:
-                    result = (
+                return self._write(
+                    route,
+                    lambda: (
                         route.gateway.insert(rows)
                         if op == "insert"
                         else route.gateway.upsert(rows)
-                    )
+                    ),
+                )
+
+            def _write(self, route, fn):
+                """Run a mutation with the reference's error mapping
+                (GatewayHttp.scala handleException: IllegalState → 409
+                Conflict, NoSuchElement → 404) instead of dropping the
+                connection on a handler-thread exception."""
+                from affinity_spark.sources.keyed_table import (
+                    ConcurrentWriteError,
+                )
+
+                try:
+                    with route.write_lock:
+                        return self._send(200, fn())
                 except ValueError as e:  # read-only (df-backed) gateway
                     return self._send(400, {"error": str(e)})
-                return self._send(200, result)
+                except ConcurrentWriteError as e:  # CAS loser
+                    return self._send(409, {"error": str(e)})
+                except FileNotFoundError as e:  # table not built yet
+                    return self._send(404, {"error": str(e)})
 
             def do_DELETE(self):  # noqa: N802 (stdlib API)
                 resolved = self._resolve(("kv",))
@@ -583,10 +605,7 @@ class HttpGateway:
                 key = self._key_of(route, params)
                 if key is None:
                     return
-                try:
-                    return self._send(200, route.gateway.delete(key))
-                except ValueError as e:
-                    return self._send(400, {"error": str(e)})
+                return self._write(route, lambda: route.gateway.delete(key))
 
         self._server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         if ssl_context is not None:

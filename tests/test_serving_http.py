@@ -701,3 +701,50 @@ def test_affinity_js_client_served(http_bank):
     with urllib.request.urlopen(req, timeout=30) as r:
         assert r.headers.get("Content-Encoding") == "gzip"
         assert gzip.decompress(r.read()).decode() == body
+
+
+def test_write_error_mapping_and_concurrent_posts(spark, tmp_path):
+    """The reference's handleException mapping on the write path
+    (GatewayHttp.scala: IllegalState → 409 Conflict): mutations on an
+    unbuilt table answer 404, and CONCURRENT POSTs serialize through the
+    per-route write lock — all succeed, final state is the merge of all
+    of them (no dropped connections, no lost updates)."""
+    import threading as _t
+
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    tbl = KeyedTable(
+        spark, str(tmp_path / "t"), ["sortcode", "account", "txn"], "ts"
+    )
+    hg = HttpGateway()
+    # schema= declares the row shape so the FIRST write can define the
+    # physical table (there is no snapshot to coerce against yet)
+    hg.register("bank", ServingGateway(table=tbl, schema=SCHEMA), SCHEMA)
+    port = hg.start()
+    try:
+        # unbuilt table: DELETE answers 404, not a dropped connection
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(port, "/kv/bank?sortcode=x", None, method="DELETE")
+        assert e.value.code == 404
+        # concurrent POSTs: all 200, union lands
+        results, errs = [], []
+
+        def post(i):
+            try:
+                results.append(_post(port, "/kv/bank", {
+                    "sortcode": "11-10-30", "account": 1, "txn": 100 + i,
+                    "amount": float(i), "ts": 1_530_000_000_000 + i,
+                })[0])
+            except Exception as ex:  # noqa: BLE001 - recorded for assert
+                errs.append(ex)
+
+        threads = [_t.Thread(target=post, args=(i,)) for i in range(4)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errs and results == [200, 200, 200, 200]
+        _, rows = _get(port, "/scan/bank?sortcode=11-10-30&account=1")
+        assert sorted(r["txn"] for r in rows) == [100, 101, 102, 103]
+    finally:
+        hg.stop()
