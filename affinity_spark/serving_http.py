@@ -422,7 +422,7 @@ class HttpGateway:
                 avro = route.avro if "avro" in offered else None
                 try:
                     if ws_key:
-                        self._ws_push(sub, avro, ws_key)
+                        self._ws_push(route, sub, avro, ws_key)
                     else:
                         self._sse_push(sub)
                 except (BrokenPipeError, ConnectionResetError, OSError):
@@ -430,7 +430,7 @@ class HttpGateway:
                 finally:
                     sub.stop()
 
-            def _ws_push(self, sub, avro, ws_key: str) -> None:
+            def _ws_push(self, route, sub, avro, ws_key: str) -> None:
                 # RFC 6455 handshake; echo the avro subprotocol when the
                 # binary channel was negotiated (GatewayHttp avroWebSocket)
                 lines = [
@@ -452,12 +452,15 @@ class HttpGateway:
                         self.wfile.flush()
 
                 if avro is not None:
-                    # binary channel: serve in-band schema requests and
-                    # control frames from a reader thread (the push loop
-                    # below owns the subscription)
+                    # binary channel: serve in-band schema requests,
+                    # control frames, AND client-sent avro records (the
+                    # reference forwards them to the keyspace as writes —
+                    # WebSocketSupportSpec "forward ... objects to and
+                    # from the keyspace") from a reader thread (the push
+                    # loop below owns the subscription)
                     t = threading.Thread(
                         target=self._ws_serve_client_frames,
-                        args=(avro[0], emit, closed),
+                        args=(route, avro[0], emit, closed),
                         daemon=True,
                     )
                     t.start()
@@ -478,11 +481,15 @@ class HttpGateway:
                                 )
                             )
 
-            def _ws_serve_client_frames(self, registry, emit, closed) -> None:
+            def _ws_serve_client_frames(self, route, registry, emit, closed) -> None:
                 """Avro Web Socket Protocol, client→server side
                 (GatewayHttp.scala:300-330): binary magic 123 + BE-int32 id
-                → reply 123 + id + schema-json bytes; text frame → schema
-                request by record name; ping → pong; close → close."""
+                → reply 123 + id + schema-json bytes; binary magic 0 is an
+                ENVELOPED AVRO RECORD the client writes INTO the keyspace
+                (applied as a keyed upsert, serialized with the HTTP write
+                routes; decode/apply failures answer a text error frame);
+                text frame → schema request by record name; ping → pong;
+                close → close."""
                 try:
                     while not closed.is_set():
                         fr = _ws_read_frame(self.rfile)
@@ -522,6 +529,21 @@ class HttpGateway:
                                     + sj.encode(),
                                 )
                             )
+                        elif (
+                            opcode == 0x2
+                            and len(payload) >= 5
+                            and payload[0] == 0
+                        ):
+                            try:
+                                row = _decode_client_record(registry, payload)
+                                with route.write_lock:
+                                    route.gateway.upsert([row])
+                            except Exception as e:  # noqa: BLE001 - wire error reply
+                                emit(
+                                    _ws_text_frame(
+                                        json.dumps({"error": str(e)}).encode()
+                                    )
+                                )
                 except (BrokenPipeError, ConnectionResetError, OSError):
                     closed.set()
 
@@ -634,6 +656,20 @@ def _avro_envelope(avro_binding, event: dict) -> bytes:
 
     _, sid, parsed = avro_binding
     return python_wrap(sid, encode_datum(parsed, event))
+
+
+def _decode_client_record(registry, payload: bytes) -> dict:
+    """A client-sent enveloped record → row dict: BE-int32 schema id at
+    bytes 1-5 resolves the WRITER schema in the registry, the remainder
+    decodes as one Avro-binary record."""
+    from affinity_spark.functions.avro_binary import decode_datum, parse_schema
+
+    sid = int.from_bytes(payload[1:5], "big")
+    schema = parse_schema(registry.schema(sid))  # KeyError = unknown id
+    value, _ = decode_datum(schema, payload[5:])
+    if not isinstance(value, dict):
+        raise ValueError("client record must decode to an Avro record")
+    return value
 
 
 def _schema_by_name(registry, name: str) -> str:

@@ -748,3 +748,96 @@ def test_write_error_mapping_and_concurrent_posts(spark, tmp_path):
         assert sorted(r["txn"] for r in rows) == [100, 101, 102, 103]
     finally:
         hg.stop()
+
+
+def test_avro_websocket_client_writes_keyspace(spark, tmp_path):
+    """The other half of WebSocketSupportSpec's 'forward ... objects to
+    and from the keyspace': a client-sent BINARY enveloped record on the
+    avro channel applies as a keyed upsert (table-backed route); a write
+    to a read-only (df-backed) route answers a text error frame instead
+    of dropping the connection."""
+    import base64
+    import socket
+    import struct
+
+    from affinity_spark.functions.avro_binary import encode_datum, parse_schema
+    from affinity_spark.functions.avro_envelope import SchemaRegistry, python_wrap
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    avro_schema = json.dumps({
+        "type": "record", "name": "Transaction", "fields": [
+            {"name": "sortcode", "type": "string"},
+            {"name": "account", "type": "int"},
+            {"name": "txn", "type": "long"},
+            {"name": "amount", "type": "double"},
+            {"name": "ts", "type": "long"},
+        ],
+    })
+    parsed = parse_schema(avro_schema)
+    registry = SchemaRegistry()
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    tbl = KeyedTable(
+        spark, str(tmp_path / "t"), ["sortcode", "account", "txn"], "ts"
+    )
+    tbl.overwrite(spark.createDataFrame(BATCH_1, SCHEMA))
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl), tbl.read().schema)
+    hg.register_stream(
+        "bank", spark.readStream.schema(SCHEMA).json(src), str(tmp_path / "ckpt")
+    )
+    sid = hg.register_avro("bank", registry, avro_schema)
+    port = hg.start()
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+    try:
+        sock.sendall((
+            "GET /subscribe/bank?sortcode=77-77-77 HTTP/1.1\r\n"
+            "Host: 127.0.0.1\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Protocol: avro\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        f = sock.makefile("rb")
+        assert "101" in f.readline().decode()
+        while f.readline().decode().strip():
+            pass  # drain handshake headers
+
+        def send_frame(opcode, payload):
+            mask = os.urandom(4)
+            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            head = bytes([0x80 | opcode])
+            if len(payload) < 126:
+                head += bytes([0x80 | len(payload)])
+            else:
+                head += bytes([0x80 | 126]) + len(payload).to_bytes(2, "big")
+            sock.sendall(head + mask + masked)
+
+        row = {"sortcode": "77-77-77", "account": 9, "txn": 901,
+               "amount": 5.5, "ts": 1_530_400_000_000}
+        send_frame(0x2, python_wrap(sid, encode_datum(parsed, row)))
+        # the write lands in the committed table (poll — the reader
+        # thread applies it asynchronously)
+        import time as _t
+
+        deadline = _t.monotonic() + 60
+        rows = []
+        while _t.monotonic() < deadline:
+            _, rows = _get(port, "/kv/bank?sortcode=77-77-77&account=9&txn=901")
+            if rows:
+                break
+            _t.sleep(0.5)
+        assert len(rows) == 1 and rows[0]["amount"] == 5.5
+        # malformed record id -> text error frame, connection stays up
+        send_frame(0x2, b"\x00\xff\xff\xff\xff" + b"junk")
+        while True:
+            b0, b1 = f.read(1)[0], f.read(1)[0]
+            n = b1 & 0x7F
+            if n == 126:
+                n = int.from_bytes(f.read(2), "big")
+            payload = f.read(n)
+            if (b0 & 0x0F) == 0x1:
+                assert "error" in json.loads(payload)
+                break
+    finally:
+        sock.close()
+        hg.stop()
