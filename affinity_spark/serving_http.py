@@ -451,19 +451,25 @@ class HttpGateway:
                         self.wfile.write(frame)
                         self.wfile.flush()
 
-                if avro is not None:
-                    # binary channel: serve in-band schema requests,
-                    # control frames, AND client-sent avro records (the
-                    # reference forwards them to the keyspace as writes —
-                    # WebSocketSupportSpec "forward ... objects to and
-                    # from the keyspace") from a reader thread (the push
-                    # loop below owns the subscription)
-                    t = threading.Thread(
-                        target=self._ws_serve_client_frames,
-                        args=(route, avro[0], emit, closed),
-                        daemon=True,
-                    )
-                    t.start()
+                # reader thread: control frames and client→server
+                # messages on BOTH channels (the reference's jsonWebSocket
+                # forwards client text to the mediator, avroWebSocket
+                # decodes enveloped records — "objects to AND from the
+                # keyspace"); the push loop below owns the subscription
+                t = threading.Thread(
+                    target=(
+                        self._ws_serve_client_frames
+                        if avro is not None
+                        else self._ws_serve_json_client_frames
+                    ),
+                    args=(
+                        (route, avro[0], emit, closed)
+                        if avro is not None
+                        else (route, emit, closed)
+                    ),
+                    daemon=True,
+                )
+                t.start()
                 while sub.active and not closed.is_set():
                     batch = sub.poll(timeout_s=_HEARTBEAT_S)
                     if closed.is_set():
@@ -480,6 +486,42 @@ class HttpGateway:
                                     json.dumps(event, default=str).encode()
                                 )
                             )
+
+            def _ws_serve_json_client_frames(self, route, emit, closed) -> None:
+                """JSON channel, client→server side (the reference's
+                jsonWebSocket receive): a text frame is a JSON row written
+                into the keyspace as a keyed upsert; ping → pong;
+                close → close (previously client frames were never read,
+                so a clean client close only surfaced as a write failure
+                at the next heartbeat)."""
+                try:
+                    while not closed.is_set():
+                        fr = _ws_read_frame(self.rfile)
+                        if fr is None:
+                            closed.set()
+                            return
+                        opcode, payload = fr
+                        if opcode == 0x8:  # close
+                            emit(_ws_frame(0x8, b""))
+                            closed.set()
+                            return
+                        if opcode == 0x9:  # ping → pong
+                            emit(_ws_frame(0xA, payload))
+                        elif opcode == 0x1:
+                            try:
+                                row = json.loads(payload)
+                                if not isinstance(row, dict):
+                                    raise ValueError("expected a JSON object")
+                                with route.write_lock:
+                                    route.gateway.upsert([row])
+                            except Exception as e:  # noqa: BLE001 - wire error reply
+                                emit(
+                                    _ws_text_frame(
+                                        json.dumps({"error": str(e)}).encode()
+                                    )
+                                )
+                except (BrokenPipeError, ConnectionResetError, OSError):
+                    closed.set()
 
             def _ws_serve_client_frames(self, route, registry, emit, closed) -> None:
                 """Avro Web Socket Protocol, client→server side

@@ -841,3 +841,80 @@ def test_avro_websocket_client_writes_keyspace(spark, tmp_path):
     finally:
         sock.close()
         hg.stop()
+
+
+def test_json_websocket_client_writes_and_close(spark, tmp_path):
+    """The reference's jsonWebSocket receive(): a client TEXT frame is a
+    JSON row written into the keyspace; a client close frame gets the
+    server's close echo (previously client frames were never read)."""
+    import base64
+    import socket
+
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    tbl = KeyedTable(
+        spark, str(tmp_path / "t"), ["sortcode", "account", "txn"], "ts"
+    )
+    tbl.overwrite(spark.createDataFrame(BATCH_1, SCHEMA))
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl), tbl.read().schema)
+    hg.register_stream(
+        "bank", spark.readStream.schema(SCHEMA).json(src), str(tmp_path / "ckpt")
+    )
+    port = hg.start()
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+    try:
+        sock.sendall((
+            "GET /subscribe/bank?sortcode=88-88-88 HTTP/1.1\r\n"
+            "Host: 127.0.0.1\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        f = sock.makefile("rb")
+        assert "101" in f.readline().decode()
+        while f.readline().decode().strip():
+            pass
+
+        def send_frame(opcode, payload):
+            mask = os.urandom(4)
+            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            sock.sendall(bytes([0x80 | opcode, 0x80 | len(payload)]) + mask + masked)
+
+        row = {"sortcode": "88-88-88", "account": 8, "txn": 801,
+               "amount": 3.25, "ts": 1_530_500_000_000}
+        send_frame(0x1, json.dumps(row).encode())
+        import time as _t
+
+        deadline = _t.monotonic() + 60
+        rows = []
+        while _t.monotonic() < deadline:
+            _, rows = _get(port, "/kv/bank?sortcode=88-88-88&account=8&txn=801")
+            if rows:
+                break
+            _t.sleep(0.5)
+        assert len(rows) == 1 and rows[0]["amount"] == 3.25
+        # malformed text frame -> error frame, connection stays up
+        send_frame(0x1, b"[1,2,3]")
+        while True:
+            b0, b1 = f.read(1)[0], f.read(1)[0]
+            n = b1 & 0x7F
+            if n == 126:
+                n = int.from_bytes(f.read(2), "big")
+            payload = f.read(n)
+            if (b0 & 0x0F) == 0x1 and b"error" in payload:
+                break
+        # clean close: client close frame -> server close echo
+        send_frame(0x8, b"")
+        while True:
+            b0, b1 = f.read(1)[0], f.read(1)[0]
+            n = b1 & 0x7F
+            if n == 126:
+                n = int.from_bytes(f.read(2), "big")
+            f.read(n)
+            if (b0 & 0x0F) == 0x8:
+                break
+    finally:
+        sock.close()
+        hg.stop()
