@@ -419,6 +419,16 @@ class PrefixIndex:
         LSH probe: the prefix filter is lossless where banding is
         recall-bounded. Output: (new_id, dup_of, n_common, n_union)."""
         self._check_sync()
+        # the batch's shingle derivation (gram hashing — the expensive
+        # map-side kernel) feeds THREE branches below: the df-pruning
+        # broadcast, the prefix entries, and the verify arrays. Unpersisted
+        # it re-evaluates per branch as serial single-split stages (r13
+        # profile: 3× ~0.6 s scans in a 3.1 s probe). Batch-sized by
+        # definition, so the persist is bounded; released by the caller's
+        # cadence via cache.track (the dedup_winnow_pairs precedent).
+        from affinity_spark import cache
+
+        batch_arr = cache.track(batch_arr.persist())
         batch_sh = batch_arr.select(
             F.col(self.id_col),
             F.col("n_shingles").alias("n"),
