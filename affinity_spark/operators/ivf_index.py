@@ -333,20 +333,35 @@ class IVFIndex:
 
     def codebook(self) -> list[list[float]]:
         """The committed codebook as a plain list (k rows — tiny by
-        design), cell order preserved."""
-        rows = self._centroids.read().orderBy("cell").collect()
-        return [[float(x) for x in r["cv"]] for r in rows]
+        design), cell order preserved. Memoized per committed version (a
+        serving system holds the model driver-side; re-collecting it per
+        query added two driver jobs to every index-served search — the
+        emb_pq_batch_search wall was ~half non-execution, r13). A retrain
+        commits a new version dir, which invalidates the memo."""
+        vdir = self._centroids._current_version_dir()
+        cached = getattr(self, "_codebook_memo", None)
+        if cached is None or cached[0] != vdir:
+            rows = self._centroids.read().orderBy("cell").collect()
+            cached = (vdir, [[float(x) for x in r["cv"]] for r in rows])
+            self._codebook_memo = cached
+        return cached[1]
 
     def pq_codebooks(self) -> list[list[list[float]]]:
         """The committed per-subspace PQ codebooks as a nested list
-        (m*k rows — model-sized by design), (s, idx) order preserved."""
+        (m*k rows — model-sized by design), (s, idx) order preserved.
+        Memoized per committed version (see :meth:`codebook`)."""
         if self._pq_books is None:
             raise ValueError("index was opened without pq_m; no PQ codebooks")
-        rows = self._pq_books.read().orderBy("s", "idx").collect()
-        books: list[list[list[float]]] = [[] for _ in range(self.pq_m)]
-        for r in rows:
-            books[r["s"]].append([float(x) for x in r["cv"]])
-        return books
+        vdir = self._pq_books._current_version_dir()
+        cached = getattr(self, "_pq_books_memo", None)
+        if cached is None or cached[0] != vdir:
+            rows = self._pq_books.read().orderBy("s", "idx").collect()
+            books: list[list[list[float]]] = [[] for _ in range(self.pq_m)]
+            for r in rows:
+                books[r["s"]].append([float(x) for x in r["cv"]])
+            cached = (vdir, books)
+            self._pq_books_memo = cached
+        return cached[1]
 
     def vectors(self) -> DataFrame:
         """(id, vec, cell[, code_*]) — the maintained assignment table.
