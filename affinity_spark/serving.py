@@ -158,9 +158,46 @@ class ServingGateway:
         )
         return raw.select(F.from_json("j", schema).alias("s")).select("s.*")
 
+    def _validate_keys(self, rows: list[Mapping[str, object]]) -> None:
+        """Key columns must be present, non-null and type-compatible in
+        EVERY row BEFORE the frame is built: from_json coerces by
+        nulling mismatches, so a typo'd key value would otherwise write a
+        silent NULL-keyed row instead of answering 400."""
+        from pyspark.sql import types as T
+
+        tbl = self._require_table()
+        schema = self._schema
+        if schema is None:
+            try:
+                schema = tbl.read().schema
+            except FileNotFoundError:
+                schema = None
+        ok_types = {
+            T.LongType: (int,), T.IntegerType: (int,), T.ShortType: (int,),
+            T.DoubleType: (int, float), T.FloatType: (int, float),
+            T.BooleanType: (bool,), T.StringType: (str,),
+        }
+        fields = {f.name: type(f.dataType) for f in schema.fields} if schema else {}
+        for r in rows:
+            for c in tbl.key_cols:
+                v = r.get(c)
+                if v is None:
+                    raise ValueError(f"missing or null key column {c!r} in row")
+                allowed = ok_types.get(fields.get(c))
+                # bool is an int subclass — never a valid numeric key
+                if allowed is not None and (
+                    not isinstance(v, allowed)
+                    or (bool not in allowed and isinstance(v, bool))
+                ):
+                    raise ValueError(
+                        f"key column {c!r} value {v!r} does not match the "
+                        f"table's column type"
+                    )
+
     def upsert(self, rows: list[Mapping[str, object]]) -> dict:
         """POST /{table}: W1 blind replace / W2 merge — last-write-wins by
         (key, event-time) through the KeyedTable CAS merge."""
+        self._validate_keys(rows)
         self._require_table().upsert(self._rows_df(rows))
         return {"upserted": len(rows)}
 
@@ -168,6 +205,7 @@ class ServingGateway:
         """POST /{table}?op=insert: W3 insert-only — keys already present
         are left untouched (anti-join), fresh keys merge in."""
         tbl = self._require_table()
+        self._validate_keys(rows)
         df = self._rows_df(rows)
         fresh = df.join(
             tbl.read().select(*tbl.key_cols).distinct(),

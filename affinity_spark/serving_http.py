@@ -98,9 +98,15 @@ def _ws_text_frame(payload: bytes) -> bytes:
     return _ws_frame(0x1, payload)
 
 
+#: client frames on this protocol are schema requests / single rows —
+#: refuse anything claiming more (an absurd length field would otherwise
+#: drive an arbitrary-size buffer allocation)
+_WS_MAX_CLIENT_FRAME = 1 << 20
+
+
 def _ws_read_frame(rfile) -> tuple[int, bytes] | None:
     """One client frame → (opcode, payload), unmasked (client frames are
-    MASKED per RFC 6455 §5.3). None on EOF/truncation."""
+    MASKED per RFC 6455 §5.3). None on EOF/truncation/oversize."""
     head = rfile.read(2)
     if len(head) < 2:
         return None
@@ -111,6 +117,8 @@ def _ws_read_frame(rfile) -> tuple[int, bytes] | None:
         n = int.from_bytes(rfile.read(2), "big")
     elif n == 127:
         n = int.from_bytes(rfile.read(8), "big")
+    if n > _WS_MAX_CLIENT_FRAME:
+        return None  # treated as a dead peer — the channel tears down
     mask = rfile.read(4) if masked else b""
     payload = rfile.read(n) if n else b""
     if len(payload) < n:

@@ -918,3 +918,30 @@ def test_json_websocket_client_writes_and_close(spark, tmp_path):
     finally:
         sock.close()
         hg.stop()
+
+
+def test_post_rejects_bad_key_values(spark, tmp_path):
+    """A POST row with a missing, null, or wrong-typed KEY value answers
+    400 — from_json would otherwise null the mismatch and commit a
+    silent NULL-keyed row."""
+    tbl = _table_gateway(spark, tmp_path)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl), tbl.read().schema)
+    port = hg.start()
+    base = {"sortcode": "11-10-30", "account": 1, "txn": 1,
+            "amount": 1.0, "ts": 10}
+    try:
+        for row in (
+            {**base, "account": "not_a_number"},   # wrong type
+            {**base, "txn": None},                 # null key
+            {k: v for k, v in base.items() if k != "sortcode"},  # missing
+            {**base, "account": True},             # bool is not a long
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _post(port, "/kv/bank", row)
+            assert e.value.code == 400, row
+        # a NULL VALUE column is fine (only keys are guarded)
+        status, res = _post(port, "/kv/bank", {**base, "amount": None})
+        assert status == 200 and res == {"upserted": 1}
+    finally:
+        hg.stop()
