@@ -59,6 +59,8 @@ class TimeCryptoProofSHA256:
         forged proof's prefix matched (r12 ADVICE)."""
         import hmac
 
+        if not signature.isascii():
+            return False  # hex proofs are ASCII; compare_digest would raise
         sig = signature.upper()
         # evaluate ALL windows (no short-circuit) through compare_digest
         return (

@@ -85,10 +85,17 @@ def srp_project(vec: Column, signs: list[list[int]], scale: int = 1 << 20) -> Co
     proj = F.transform(F.array(q), project).getItem(0)
     # loud dim guard: the sign matrix is FIXED d-wide — a drifted corpus
     # width would otherwise project a prefix silently (zip_with pads with
-    # NULL; r12 verdict #5: assert fixed-matrix dims at query build)
+    # NULL; r12 verdict #5: assert fixed-matrix dims at query build).
+    # A NULL vector is NOT a dim mismatch — it projects to NULL
     d = len(signs[0]) if signs else 0
-    return F.when(F.size(vec) == d, proj).otherwise(
-        F.raise_error(F.lit(f"srp_project: input dim != sign-matrix dim {d}"))
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("array<bigint>"))
+        .when(F.size(vec) == d, proj)
+        .otherwise(
+            F.raise_error(
+                F.lit(f"srp_project: input dim != sign-matrix dim {d}")
+            )
+        )
     )
 
 

@@ -286,8 +286,16 @@ class PostingsIndex:
         # build()): a crash between merges must be DETECTABLE, not a
         # silently skewed index. The committed bucket count rides along —
         # refresh never resizes the lever (rebucket() does).
-        # re-resolve the committed lever: never merge under a bucket count
-        # cached before another instance's rebucket() (r12 ADVICE)
+        # CAS anchors FIRST, then re-resolve the committed lever: never
+        # merge under a bucket count cached before another instance's
+        # rebucket() (r12 ADVICE) — anchoring each commit to the version
+        # the lever was resolved against makes a mid-refresh rebucket
+        # fail the CAS loudly instead of stamping a stale count over
+        # fresh placements (r13 review)
+        bases = {
+            t: t._current_version_dir()
+            for t in (self._doclen, *self._tables.values())
+        }
         self._effective = None
         lineage = {
             "postings_lineage": uuid.uuid4().hex,
@@ -312,7 +320,7 @@ class PostingsIndex:
             touched = F.broadcast(touched_p)
 
             def merge(table: KeyedTable, delta: DataFrame) -> None:
-                base_version = table._current_version_dir()
+                base_version = bases[table]
                 cur = table.read()
                 # ONLY the touched buckets are scanned (partition pruning);
                 # the anti-join would reorder columns (join key first) -

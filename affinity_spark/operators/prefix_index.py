@@ -323,8 +323,15 @@ class PrefixIndex:
         # a prefix/arrays sync tear is fine here — replaying the batch via
         # this very admit is the documented healing path
         self._check_order()
-        # re-resolve the committed lever: never rank/merge under a bucket
-        # count cached before another instance's rebucket() (r12 ADVICE)
+        # CAS anchors FIRST, then re-resolve the committed lever: never
+        # rank/merge under a bucket count cached before another
+        # instance's rebucket() (r12 ADVICE) — and anchor both commits to
+        # the versions the lever was resolved against, so a rebucket
+        # landing mid-admit fails the CAS loudly instead of merging
+        # stale placements (r13 review)
+        bases = {
+            t: t._current_version_dir() for t in (self._arrays, self._prefix)
+        }
         self._effective = None
         docs_arr = docs_arr.persist()
         touched = docs_arr.select(self.id_col).distinct().persist()
@@ -349,7 +356,7 @@ class PrefixIndex:
 
         sync = uuid.uuid4().hex
         for table, delta in ((self._arrays, arrays_delta), (self._prefix, entries)):
-            base_version = table._current_version_dir()
+            base_version = bases[table]
             cur = table.read()
             kept = (
                 cur.filter(F.col("_bucket").isin(buckets))

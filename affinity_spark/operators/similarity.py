@@ -199,10 +199,18 @@ def lsh_hyperplane_buckets(
     # loud dim guard: the planes are FIXED dim-wide literals — a corpus
     # whose embedding width drifted would otherwise dot against a prefix
     # (zip_with pads the shorter side with NULL) and bucket silently
-    # wrong (r12 verdict #5: assert fixed-matrix dims at query build)
-    bucket = F.when(F.size(F.col(vec_col)) == dim, bucket).otherwise(
-        F.raise_error(
-            F.lit(f"lsh_hyperplane_buckets: embedding dim != planes dim {dim}")
+    # wrong (r12 verdict #5: assert fixed-matrix dims at query build).
+    # A NULL vector is NOT a dim mismatch — it flows as a NULL bucket
+    # (excluded from bucket joins), never a query-killing raise
+    bucket = (
+        F.when(F.col(vec_col).isNull(), F.lit(None).cast("int"))
+        .when(F.size(F.col(vec_col)) == dim, bucket)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"lsh_hyperplane_buckets: embedding dim != planes dim {dim}"
+                )
+            )
         )
     )
     return emb.select(

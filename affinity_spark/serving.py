@@ -207,10 +207,14 @@ class ServingGateway:
         tbl = self._require_table()
         self._validate_keys(rows)
         df = self._rows_df(rows)
-        fresh = df.join(
-            tbl.read().select(*tbl.key_cols).distinct(),
-            on=list(tbl.key_cols),
-            how="left_anti",
+        try:
+            existing = tbl.read().select(*tbl.key_cols).distinct()
+        except FileNotFoundError:
+            existing = None  # first write defines the table: all rows fresh
+        fresh = (
+            df
+            if existing is None
+            else df.join(existing, on=list(tbl.key_cols), how="left_anti")
         )
         n = fresh.count()
         if n:

@@ -70,6 +70,20 @@ _SCHEMA_MAGIC = 123
 #: idle-key heartbeat cadence on the push channel (WS ping / SSE comment)
 _HEARTBEAT_S = 5.0
 
+#: write-body cap: a client-declared Content-Length is an allocation
+#: instruction — bound it like the WS frame cap
+_MAX_POST_BYTES = 16 << 20
+
+
+def _check_columns(route, row: dict) -> None:
+    """Unknown columns in a wire-written row answer an error (the POST
+    route's 400 semantics): from_json silently DROPS unknown fields, so a
+    typo'd column name would otherwise merge a row whose real column is
+    NULL — last-write-wins then clobbers the committed value."""
+    bad = set(row) - route.columns
+    if bad:
+        raise ValueError(f"unknown columns {sorted(bad)}")
+
 
 def _ws_accept(key: str) -> str:
     import base64
@@ -326,9 +340,14 @@ class HttpGateway:
                         f"{user}:{pwd}".encode()
                     ).decode()
                     got = self.headers.get("Authorization", "")
-                    # constant-time: an auth guard must not leak prefix
-                    # length through comparison timing
-                    if not hmac.compare_digest(got, expect):
+                    # constant-time on BYTES: an auth guard must not leak
+                    # prefix length through comparison timing, and the str
+                    # form raises TypeError on non-ASCII headers (latin-1
+                    # decoded by http.server) — a malformed header must
+                    # answer 401, not kill the handler thread (r13 review)
+                    if not hmac.compare_digest(
+                        got.encode("latin-1", "replace"), expect.encode()
+                    ):
                         self._send(
                             401,
                             {"error": "authentication required"},
@@ -520,6 +539,7 @@ class HttpGateway:
                                 row = json.loads(payload)
                                 if not isinstance(row, dict):
                                     raise ValueError("expected a JSON object")
+                                _check_columns(route, row)
                                 with route.write_lock:
                                     route.gateway.upsert([row])
                             except Exception as e:  # noqa: BLE001 - wire error reply
@@ -586,6 +606,7 @@ class HttpGateway:
                         ):
                             try:
                                 row = _decode_client_record(registry, payload)
+                                _check_columns(route, row)
                                 with route.write_lock:
                                     route.gateway.upsert([row])
                             except Exception as e:  # noqa: BLE001 - wire error reply
@@ -628,6 +649,11 @@ class HttpGateway:
                     return self._send(400, {"error": f"unknown op {op!r}"})
                 try:
                     n = int(self.headers.get("Content-Length", 0))
+                    if n > _MAX_POST_BYTES:
+                        return self._send(
+                            413,
+                            {"error": f"body exceeds {_MAX_POST_BYTES} bytes"},
+                        )
                     body = json.loads(self.rfile.read(n) or b"null")
                 except (ValueError, UnicodeDecodeError) as e:
                     return self._send(400, {"error": f"bad JSON body: {e}"})

@@ -945,3 +945,114 @@ def test_post_rejects_bad_key_values(spark, tmp_path):
         assert status == 200 and res == {"upserted": 1}
     finally:
         hg.stop()
+
+
+def test_write_hardening_matrix(spark, tmp_path):
+    """r13 review fixes: oversized POST answers 413; non-ASCII auth
+    answers 401 (never a dropped connection); insert-only works on a
+    not-yet-built table with a declared schema; WS writes reject unknown
+    columns with an error frame."""
+    import base64
+    import http.client
+    import socket
+
+    from affinity_spark.functions.crypto import TimeCryptoProofSHA256
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    tbl = KeyedTable(
+        spark, str(tmp_path / "t"), ["sortcode", "account", "txn"], "ts"
+    )
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl, schema=SCHEMA), SCHEMA,
+                basic_auth=("admin", "pw"))
+    port = hg.start()
+    ok = {"Authorization": "Basic " + base64.b64encode(b"admin:pw").decode()}
+    try:
+        # non-ASCII Authorization header -> clean 401, not a reset
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/kv/bank?sortcode=x",
+                     headers={"Authorization": "Basic \xa7garbage"})
+        assert conn.getresponse().status == 401
+        conn.close()
+        # oversized Content-Length -> 413 before any read
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.putrequest("POST", "/kv/bank")
+        conn.putheader("Authorization", ok["Authorization"])
+        conn.putheader("Content-Length", str(64 << 20))
+        conn.endheaders()
+        assert conn.getresponse().status == 413
+        conn.close()
+        # insert-only on the UNBUILT table: every row is fresh
+        row = {"sortcode": "11-10-30", "account": 1, "txn": 1,
+               "amount": 1.0, "ts": 10}
+        status, res = _post(port, "/kv/bank?op=insert", [row], headers=ok)
+        assert status == 200 and res == {"inserted": 1, "skipped": 0}
+        _, got = _get_auth(port, "/kv/bank?sortcode=11-10-30&account=1&txn=1", ok)
+        assert len(got) == 1
+    finally:
+        hg.stop()
+    # non-ASCII crypto proof -> False, not TypeError
+    p = TimeCryptoProofSHA256(b"\x01" * 16)
+    assert p.verify("über", "/route") is False
+
+
+def _get_auth(port, path, headers):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}", headers=headers)
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_ws_write_rejects_unknown_columns(spark, tmp_path):
+    """A WS text-frame write with a typo'd column answers an error frame
+    — from_json would silently drop the field and clobber the committed
+    value with NULL via last-write-wins (r13 review)."""
+    import base64
+    import socket
+
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    tbl = KeyedTable(
+        spark, str(tmp_path / "t"), ["sortcode", "account", "txn"], "ts"
+    )
+    tbl.overwrite(spark.createDataFrame(BATCH_1, SCHEMA))
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl), tbl.read().schema)
+    hg.register_stream(
+        "bank", spark.readStream.schema(SCHEMA).json(src), str(tmp_path / "ckpt")
+    )
+    port = hg.start()
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+    try:
+        sock.sendall((
+            "GET /subscribe/bank?sortcode=99-00-00 HTTP/1.1\r\n"
+            "Host: 127.0.0.1\r\nUpgrade: websocket\r\nConnection: Upgrade\r\n"
+            f"Sec-WebSocket-Key: {key}\r\n"
+            "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+        f = sock.makefile("rb")
+        assert "101" in f.readline().decode()
+        while f.readline().decode().strip():
+            pass
+        bad = {"sortcode": "99-00-00", "account": 1, "txn": 1,
+               "amounnt": 500.0, "ts": 10}  # typo'd column
+        mask = os.urandom(4)
+        payload = json.dumps(bad).encode()
+        masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        sock.sendall(bytes([0x81, 0x80 | len(payload)]) + mask + masked)
+        while True:
+            b0, b1 = f.read(1)[0], f.read(1)[0]
+            n = b1 & 0x7F
+            if n == 126:
+                n = int.from_bytes(f.read(2), "big")
+            p = f.read(n)
+            if (b0 & 0x0F) == 0x1:
+                assert "unknown columns" in json.loads(p)["error"]
+                break
+        # nothing was written
+        _, got = _get(port, "/kv/bank?sortcode=99-00-00")
+        assert got == []
+    finally:
+        sock.close()
+        hg.stop()

@@ -256,3 +256,24 @@ def test_fixed_matrix_dim_guards_fail_loudly(spark):
         f"SELECT {emb_reg._lsh_bucket_expr_n(8)} AS b FROM embeddings"
     ).fetchall()
     assert len(rows) == 1 and 0 <= rows[0][0] < 256
+
+
+def test_dim_guards_pass_null_vectors_through(spark):
+    """A NULL embedding is NOT a dim mismatch: it flows as a NULL bucket /
+    NULL projection (excluded from joins) instead of killing the job with
+    a false 'dim != 64' (r13 review)."""
+    from pyspark.sql import functions as F
+
+    from affinity_spark.functions.vectors import srp_project, srp_signs
+    from affinity_spark.operators.similarity import lsh_hyperplane_buckets
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None)], "vec_id long, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r["bucket"]
+            for r in lsh_hyperplane_buckets(df, 64, 8).collect()}
+    assert rows[2] is None and rows[1] is not None
+    proj = {r["vec_id"]: r["y"] for r in df.select(
+        "vec_id", srp_project(F.col("embedding"), srp_signs(64, 16)).alias("y")
+    ).collect()}
+    assert proj[2] is None and len(proj[1]) == 16
