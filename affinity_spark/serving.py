@@ -85,6 +85,111 @@ class Subscription:
         self._query.stop()
 
 
+class TableSubscription:
+    """Per-key push fed by the TABLE's own commit stream — the reference's
+    mediator push wired to gateway WRITES: a poller watches the version
+    pointer and diffs consecutive committed snapshots
+    (``KeyedTable.changes_between``, the CDF read), so a POST/WS upsert
+    notifies subscribers with no external changelog. Events are flat row
+    dicts: inserts/updates carry the NEW values plus ``_change``; deletes
+    carry the key plus ``_change: 'delete'``. A commit burst that outruns
+    version retention degrades to a ``resync`` event carrying the key's
+    current state (never a silent gap). Duck-typed with
+    :class:`Subscription` (take/poll/events/active/stop)."""
+
+    def __init__(self, gateway, key: Mapping[str, object],
+                 poll_s: float = 0.25, include_initial: bool = True):
+        self._gw = gateway
+        self._key = dict(key)
+        self._tbl = gateway._require_table()
+        self._buffer: deque = deque()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._last = self._tbl._current_version_dir()
+        if include_initial:
+            self._buffer.extend(gateway.point_get(key))
+        self._thread = threading.Thread(
+            target=self._poll_loop, args=(poll_s,), daemon=True
+        )
+        self._thread.start()
+
+    def _poll_loop(self, poll_s: float) -> None:
+        while not self._stop.is_set():
+            try:
+                cur = self._tbl._current_version_dir()
+                if cur != self._last:
+                    try:
+                        events = self._events_between(self._last, cur)
+                    except Exception:  # noqa: BLE001 - reclaimed snapshot
+                        events = [
+                            {**r, "_change": "resync"}
+                            for r in self._gw.point_get(self._key)
+                        ]
+                    with self._lock:
+                        self._buffer.extend(events)
+                    self._last = cur
+            except Exception:  # noqa: BLE001 - poller must not die silently mid-loop
+                pass
+            self._stop.wait(poll_s)
+
+    def _events_between(self, old_dir: str, new_dir: str) -> list[dict]:
+        import os as _os
+
+        ch = self._tbl.changes_between(
+            _os.path.basename(old_dir), _os.path.basename(new_dir)
+        )
+        cond = None
+        for col, val in self._key.items():
+            c = F.col(col).eqNullSafe(F.lit(val))
+            cond = c if cond is None else cond & c
+        if cond is not None:
+            ch = ch.filter(cond)
+        events = []
+        for r in ch.collect():
+            d = r.asDict(recursive=True)
+            keys = {k: d[k] for k in self._tbl.key_cols}
+            if d["change"] == "delete":
+                events.append({**keys, "_change": "delete"})
+            else:
+                events.append(
+                    {**keys, **(d.get("new_values") or {}), "_change": d["change"]}
+                )
+        return events
+
+    def take(self, n: int, timeout_s: float = 20.0) -> list[dict]:
+        out: list[dict] = []
+        deadline = time.monotonic() + timeout_s
+        while len(out) < n:
+            with self._lock:
+                while self._buffer and len(out) < n:
+                    out.append(self._buffer.popleft())
+            if len(out) < n:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"table subscription delivered {len(out)}/{n} events"
+                        f" in {timeout_s}s"
+                    )
+                time.sleep(0.05)
+        return out
+
+    def poll(self, timeout_s: float = 5.0) -> list[dict]:
+        try:
+            return self.take(1, timeout_s)
+        except TimeoutError:
+            return []
+
+    def events(self, timeout_s: float = 20.0) -> Iterator[dict]:
+        while not self._stop.is_set():
+            yield self.take(1, timeout_s)[0]
+
+    @property
+    def active(self) -> bool:
+        return not self._stop.is_set()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+
 class ServingGateway:
     """Point-get + prefix/range + per-key subscribe over keyed state."""
 
@@ -274,3 +379,17 @@ class ServingGateway:
             .start()
         )
         return Subscription(query, buffer, lock)
+
+    def subscribe_table(
+        self,
+        key: Mapping[str, object],
+        poll_s: float = 0.25,
+        include_initial: bool = True,
+    ) -> TableSubscription:
+        """Per-key subscription fed by the TABLE's own commits: a gateway
+        write (POST / WS record / direct upsert) notifies subscribers with
+        no external changelog stream — the reference's
+        write→mediator→push loop closed over the KeyedTable CDF."""
+        return TableSubscription(
+            self, key, poll_s=poll_s, include_initial=include_initial
+        )

@@ -238,6 +238,9 @@ class _Route:
         # front (the reference's partition-master role); without it two
         # concurrent POSTs race the CAS and one always burns a 409
         self.write_lock = threading.Lock()
+        # table-fed push (optional): poll seconds for subscribe routes
+        # served from the table's OWN commit stream (no external changelog)
+        self.table_push: float | None = None
 
 
 class HttpGateway:
@@ -267,6 +270,15 @@ class HttpGateway:
         DataFrame the per-key subscriptions filter (the ws-client's key
         subscription source)."""
         self._routes[name].stream = (changes, checkpoint_dir)
+
+    def register_table_stream(self, name: str, poll_s: float = 0.25) -> None:
+        """Enable /subscribe/{name} fed by the route's TABLE commits: a
+        write through this gateway (POST, DELETE, WS record) pushes to
+        subscribers via the KeyedTable CDF — the reference's
+        write→mediator→push loop with no external changelog stream.
+        Mutually exclusive with :meth:`register_stream` (an explicit
+        changelog wins when both are set)."""
+        self._routes[name].table_push = poll_s
 
     def register_avro(self, name: str, registry, schema_json: str) -> int:
         """Bind the reference's BINARY Avro push channel to
@@ -422,18 +434,26 @@ class HttpGateway:
                 """Push channel: WS (text/JSON or binary/Avro by negotiated
                 subprotocol) or SSE — initial state, then every change;
                 heartbeats bridge idle keys."""
-                if route.stream is None:
+                if route.stream is None and route.table_push is None:
                     return self._send(
                         400, {"error": "no changelog stream bound"}
                     )
-                changes, ckpt_root = route.stream
-                import os
-                import uuid
+                if route.stream is not None:
+                    changes, ckpt_root = route.stream
+                    import os
+                    import uuid
 
-                sub = route.gateway.subscribe(
-                    changes, key,
-                    os.path.join(ckpt_root, uuid.uuid4().hex),
-                )
+                    sub = route.gateway.subscribe(
+                        changes, key,
+                        os.path.join(ckpt_root, uuid.uuid4().hex),
+                    )
+                else:
+                    try:
+                        sub = route.gateway.subscribe_table(
+                            key, poll_s=route.table_push
+                        )
+                    except ValueError as e:  # df-backed route
+                        return self._send(400, {"error": str(e)})
                 ws_key = (
                     self.headers.get("Sec-WebSocket-Key")
                     if (self.headers.get("Upgrade") or "").lower() == "websocket"

@@ -1056,3 +1056,59 @@ def test_ws_write_rejects_unknown_columns(spark, tmp_path):
     finally:
         sock.close()
         hg.stop()
+
+
+def test_table_fed_subscription_write_to_push_loop(spark, tmp_path):
+    """The reference's write→mediator→push loop closed over the table's
+    OWN commits (register_table_stream — no external changelog): an SSE
+    subscriber sees initial state, then a POST upsert's new row, an
+    update, and a DELETE as a delete event; an unrelated key's write
+    pushes nothing."""
+    import http.client
+
+    from affinity_spark.sources.keyed_table import KeyedTable
+
+    tbl = KeyedTable(
+        spark, str(tmp_path / "t"), ["sortcode", "account", "txn"], "ts",
+        retain_versions=4,
+    )
+    tbl.overwrite(spark.createDataFrame(BATCH_1, SCHEMA))
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(table=tbl), tbl.read().schema)
+    hg.register_table_stream("bank", poll_s=0.2)
+    port = hg.start()
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    try:
+        conn.request("GET", "/subscribe/bank?sortcode=11-10-30&account=10233321")
+        resp = conn.getresponse()
+        assert resp.status == 200
+
+        def next_event():
+            while True:
+                line = resp.fp.readline().decode().rstrip("\n")
+                if line.startswith("data: "):
+                    return json.loads(line[len("data: "):])
+
+        initial = sorted(next_event()["txn"] for _ in range(2))
+        assert initial == [1001, 1003]
+        # a write to an UNRELATED key, then ours: only ours arrives
+        _post(port, "/kv/bank", {"sortcode": "zz-zz-zz", "account": 1,
+                                 "txn": 1, "amount": 0.0, "ts": 5})
+        row = {"sortcode": "11-10-30", "account": 10233321, "txn": 7001,
+               "amount": 42.0, "ts": 1_530_600_000_000}
+        _post(port, "/kv/bank", row)
+        ev = next_event()
+        assert ev["txn"] == 7001 and ev["_change"] == "insert"
+        assert ev["amount"] == 42.0
+        _post(port, "/kv/bank", {**row, "amount": 43.0, "ts": 1_530_600_000_001})
+        ev = next_event()
+        assert ev["txn"] == 7001 and ev["_change"] == "update"
+        assert ev["amount"] == 43.0
+        _post(port, "/kv/bank?sortcode=11-10-30&account=10233321&txn=7001",
+              None, method="DELETE")
+        ev = next_event()
+        assert ev["txn"] == 7001 and ev["_change"] == "delete"
+        assert "amount" not in ev
+    finally:
+        conn.close()
+        hg.stop()
