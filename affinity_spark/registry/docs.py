@@ -2083,3 +2083,46 @@ fold AS (
 )
 SELECT doc_id, source, pack_id FROM fold WHERE doc_id IS NOT NULL
 """
+
+
+def docs_textclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text-class hygiene profile — the reference's ``Text``
+    validation classes (``api/.../core/util/Text.java:1-40``) run as
+    COLUMN predicates over the documents table: how many documents are
+    entirely fulltext / literal / plaintext / alphanum / nominal /
+    numeral. One JVM-regex scan, one row out; the gateway uses the same
+    classes python-side to sanitize wire input
+    (``functions/textclass.py``)."""
+    from affinity_spark.functions.textclass import is_class
+
+    kinds = ["fulltext", "literal", "plaintext", "alphanum", "nominal", "numeral"]
+    docs = _t(spark, sf_dir, "documents")
+    flags = docs.select(
+        *[
+            F.when(is_class(k, F.col("text")), 1).otherwise(0).alias(k)
+            for k in kinds
+        ]
+    )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        *[F.sum(F.col(k)).cast("long").alias(f"n_{k}") for k in kinds],
+    )
+
+
+def _textclass_profile_oracle_sql() -> str:
+    from affinity_spark.functions.textclass import SETS
+
+    kinds = ["fulltext", "literal", "plaintext", "alphanum", "nominal", "numeral"]
+    cols = ",\n  ".join(
+        "CAST(sum(CASE WHEN regexp_full_match(text, '[{pat}]+') THEN 1 "
+        "ELSE 0 END) AS BIGINT) AS n_{k}".format(
+            pat=SETS[k].replace("'", "''"), k=k
+        )
+        for k in kinds
+    )
+    return f"""
+SELECT
+  CAST(count(*) AS BIGINT) AS n_docs,
+  {cols}
+FROM documents
+"""
