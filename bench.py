@@ -237,6 +237,13 @@ R12_SET = [
 ]
 
 
+# Round-13 surface: the text-class corpus profile (one JVM-regex scan
+# over the documents table). Tenth set.
+R13_SET = [
+    "docs_textclass_profile",
+]
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -372,6 +379,7 @@ SETS = {
     "r10": R10_SET,
     "r11": R11_SET,
     "r12": R12_SET,
+    "r13": R13_SET,
 }
 
 
@@ -397,6 +405,7 @@ def main() -> None:
         "r10_total": payload["r10_total"],
         "r11_total": payload["r11_total"],
         "r12_total": payload["r12_total"],
+        "r13_total": payload["r13_total"],
         "stderr_classification": verdict,
         **payload,
     }
@@ -501,6 +510,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
     r10 = results["r10"]["timings"]
     r11 = results["r11"]["timings"]
     r12 = results["r12"]["timings"]
+    r13 = results["r13"]["timings"]
     payload = {
         "work": work,
         "queries": timings,
@@ -512,6 +522,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
         "r10": r10,
         "r11": r11,
         "r12": r12,
+        "r13": r13,
         "write_path": results["write_path"]["write_path"],
         "postings_index_build_sec": results["r5"]["postings_index_build_sec"],
         "sf": sf_of(sf_dir),
@@ -523,6 +534,7 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
         "r10_total": round(sum(r10.values()), 3),
         "r11_total": round(sum(r11.values()), 3),
         "r12_total": round(sum(r12.values()), 3),
+        "r13_total": round(sum(r13.values()), 3),
         "metric": "headline_queries_total",
         "unit": "sec",
         "value": round(sum(timings.values()), 3),
