@@ -433,3 +433,72 @@ class ClusterStore:
                 self._table.compact()
 
         return apply
+
+
+# --- build-once-per-process shared store (the QualityStore discipline) ----
+
+_SHARED: dict = {}
+
+
+def shared_clusters(
+    spark: SparkSession,
+    docs: DataFrame,
+    corpus_key: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> ClusterStore:
+    """Build-once-per-process near-dup ClusterStore over ``docs`` — the
+    r10 QualityStore replan applied to the batch cluster-membership
+    family (r13 verdict #1): ``dedup_cluster_canonical``,
+    ``dedup_quality_canonical`` and ``docs_leakage_free_split`` each used
+    to re-run shingle→LSH→exact-Jaccard-verify→connected-components over
+    the whole corpus per query; at 100 TB that is three full-corpus dedup
+    recomputations of truth this store maintains incrementally.
+
+    The FIRST cluster query pays the one derivation (shingle arrays
+    persisted across its two consumers, candidate-sized verify join,
+    lineage-cut CC — exactly the old per-query chain, paid once); every
+    later query is a column-pruned scan of the committed
+    (doc_id, cluster_id) table. Keyed by (application id, corpus_key,
+    params) with the physical corpus fingerprint in the value — a
+    regenerated corpus at the same path rebuilds and evicts the
+    superseded store instead of serving stale clusters."""
+    import shutil
+    import tempfile
+
+    from affinity_spark.operators import dedup as dd
+    from affinity_spark.operators.postings import _corpus_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        corpus_key,
+        id_col,
+        shingle_n,
+        t_num,
+        t_den,
+    )
+    fp = _corpus_fingerprint(docs)
+    cached = _SHARED.get(key)
+    if cached is not None:
+        cached_fp, store = cached
+        if cached_fp == fp and store.exists():
+            return store
+        del _SHARED[key]
+        shutil.rmtree(store.path, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix="affinity_clusters_")
+    store = ClusterStore(spark, root, id_col=id_col)
+    # the one-shot build path == the old per-query chain: shingle arrays
+    # feed BOTH the band derivation and the verify join (persist per the
+    # r5 multi-branch rule; consumed eagerly by build(), released here)
+    arrs = dd.doc_shingle_arrays(docs, id_col, text_col, shingle_n).persist()
+    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, id_col), id_col)
+    pairs = dd.jaccard_verify_arrays(cand, arrs, id_col, t_num, t_den).select(
+        "id_a", "id_b"
+    )
+    store.build(docs.select(id_col), pairs)
+    arrs.unpersist()
+    _SHARED[key] = (fp, store)
+    return store

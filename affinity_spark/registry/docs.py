@@ -871,28 +871,16 @@ def docs_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (split is a pure function of cluster_id), and the assignment stays
     stable as the corpus grows — same md5 bucket bounds as train_split.
 
-    Scale shape: identical to dedup_cluster_canonical (zero-shuffle
-    signatures, candidate-sized verify, lineage-cut CC) plus one
-    broadcast-sized left join of the cluster map back onto doc ids."""
-    from affinity_spark.operators.graph import connected_components
+    SERVED from the maintained ClusterStore (r13 verdict #1): the
+    committed (doc_id, cluster_id) table IS the cluster map — singletons
+    included (cluster_id = own id, the store's build contract) — so this
+    read is a scan of the assignment table plus the pure split function;
+    no shingle/Generate stage, no corpus re-derivation per query."""
     from affinity_spark.operators.sampling import hash_bucket
 
-    docs = _t(spark, sf_dir, "documents")
-    arrs = _track_cache(dd.doc_shingle_arrays(docs, "doc_id", "text", 3).persist())
-    cand = dd.lsh_candidate_pairs(dd.lsh_bands_mapside(arrs, "doc_id"), "doc_id")
-    pairs = dd.jaccard_verify_arrays(cand, arrs, "doc_id", 1, 2).select(
-        "id_a", "id_b"
-    )
-    cc = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
-        "vertex", "doc_id"
-    )
-    lab = (
-        docs.select("doc_id")
-        .join(cc, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
-        )
-    )
+    from affinity_spark.registry.dedup import _clusters
+
+    lab = _clusters(spark, sf_dir).assignments().select("doc_id", "cluster_id")
     b = hash_bucket(F.col("cluster_id"))
     return lab.select(
         "doc_id",

@@ -402,3 +402,45 @@ def test_series_knn_is_broadcast_topk(spark):
     # it): distances + top-k are map-side, TakeOrderedAndProject does
     # the global k-merge without a shuffle
     assert "Exchange" not in plan.split("BroadcastNestedLoopJoin", 1)[0]
+
+
+def test_cluster_family_served_from_store_not_rederived(spark):
+    """The r13 verdict-#1 contract (the QualityStore replan applied to the
+    batch cluster-membership family): dedup_cluster_canonical,
+    dedup_quality_canonical and docs_leakage_free_split serve membership
+    from the committed ClusterStore assignment table — NO shingle
+    derivation (Generate/explode) anywhere in the serving plan, and the
+    only documents.parquet read left is quality_canonical's column-pruned
+    (doc_id, n_chars) side."""
+    import __spark_entry__ as e
+    from affinity_spark.plans.introspect import formatted_plan
+
+    qs = e.queries()
+    for q, docs_ok in (
+        ("dedup_cluster_canonical", False),
+        ("dedup_quality_canonical", True),
+        ("docs_leakage_free_split", False),
+    ):
+        df = qs[q](spark, SF)
+        df.collect()
+        plan = formatted_plan(df)
+        assert "Generate" not in plan, q  # no shingle explode in the read
+        files = df.inputFiles()
+        assert any("affinity_clusters_" in f for f in files), q
+        if docs_ok:
+            # docs side is pruned to the id + length columns only
+            assert "ReadSchema" in plan
+            import re
+
+            docs_scans = [
+                s
+                for s in re.findall(r"ReadSchema: struct<[^>]*>", plan)
+                if "n_chars" in s
+            ]
+            assert docs_scans and all(
+                set(re.findall(r"(\w+):", s.split("struct<")[1]))
+                <= {"doc_id", "n_chars"}
+                for s in docs_scans
+            ), (q, docs_scans)
+        else:
+            assert "documents.parquet" not in plan, q
