@@ -18,8 +18,9 @@ public source + its test matrix, ``TextTest.java``):
 
 =========  ==================================================================
 fulltext   letters, marks, numbers, separators, punctuation, symbols,
-           plus ``\\r \\n \\t`` and whitespace — i.e. anything but other
-           control characters
+           plus Java's ``\\s`` whitespace EXACTLY (space ``\\t \\n \\x0B
+           \\f \\r``) — all other control characters (incl. \\x1c-\\x1f,
+           NEL \\x85) are rejected, matching ``Text.java``
 literal    letters, marks, numbers, punctuation, symbols — NO whitespace
 plaintext  letters, marks, numbers, separators, punctuation, currency
            symbols — no tabs/line feeds/controls, no non-currency symbols
@@ -43,7 +44,11 @@ from pyspark.sql import functions as F
 #: usable verbatim in Spark ``rlike``/``regexp_replace`` and (same
 #: syntax) DuckDB's RE2.
 SETS: dict[str, str] = {
-    "fulltext": r"\p{L}\p{M}\p{N}\p{Z}\p{P}\p{S}\r\n\t\s",
+    # whitespace spelled EXPLICITLY as Java's \s set ([ \t\n\x0B\f\r]):
+    # a bare \s means different sets to Java (no \x85) and DuckDB's RE2
+    # (no \x0B), so both engines must compile the identical class (r13
+    # ADVICE)
+    "fulltext": "\\p{L}\\p{M}\\p{N}\\p{Z}\\p{P}\\p{S} \\t\\n\\x0B\\f\\r",
     "literal": r"\p{L}\p{M}\p{N}\p{P}\p{S}",
     "plaintext": r"\p{L}\p{M}\p{N}\p{Z}\p{P}\p{Sc}",
     "alphanum": r"\p{L}\p{M}\p{N}\-_",
@@ -57,7 +62,11 @@ SETS: dict[str, str] = {
 #: plus explicit extra characters. Categories map 1:1 to the regex
 #: property classes: L/M/N/Z/P/S/C.
 _CATS: dict[str, tuple[str, str]] = {
-    "fulltext": ("LMNZPS", "\r\n\t \x0b\x0c\x1c\x1d\x1e\x1f\x85"),
+    # extras = Java's \s EXACTLY; \x1c-\x1f and \x85 are category Cc/Cf
+    # which the reference's Text.java (and the column form) reject —
+    # including them here made the gateway edge admit control characters
+    # the corpus predicate refuses (r13 ADVICE)
+    "fulltext": ("LMNZPS", " \t\n\x0b\x0c\r"),
     "literal": ("LMNPS", ""),
     "plaintext": ("LMNZP", ""),  # symbols: currency only (special-cased)
     "alphanum": ("LMN", "-_"),
@@ -108,10 +117,15 @@ def require(field: str, kind: str, s: str) -> str:
 
 def is_class(kind: str, col: Column) -> Column:
     """Column predicate: the whole string belongs to the class (JVM
-    regex — codegen'd, no UDF). NULL stays NULL."""
+    regex — codegen'd, no UDF). NULL stays NULL.
+
+    Anchored with ``\\A``/``\\z``, not ``^``/``$``: Java's ``$`` matches
+    BEFORE a final line terminator (\\n, \\r, NEL \\x85, \\u2028/9), so a
+    ``^[...]+$`` form silently admits any string whose one illegal
+    character is a trailing line terminator (r13 ADVICE probe)."""
     if kind not in SETS:
         raise ValueError(f"unknown text class {kind!r}")
-    return col.rlike(f"^[{SETS[kind]}]+$")
+    return col.rlike(f"\\A[{SETS[kind]}]+\\z")
 
 
 def filter_class(kind: str, col: Column) -> Column:

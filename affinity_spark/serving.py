@@ -312,10 +312,19 @@ class ServingGateway:
         tbl = self._require_table()
         self._validate_keys(rows)
         df = self._rows_df(rows)
-        try:
-            existing = tbl.read().select(*tbl.key_cols).distinct()
-        except FileNotFoundError:
-            existing = None  # first write defines the table: all rows fresh
+        # capture the base BEFORE the anti-join and CAS the merge to it
+        # (as delete() does): an external writer committing the same key
+        # between the existing-keys read and the merge must raise
+        # ConcurrentWriteError, not be silently overwritten — insert-only
+        # semantics hold outside the HTTP write_lock too (r13 ADVICE)
+        base_version = tbl._current_version_dir()
+        existing = (
+            None  # first write defines the table: all rows fresh
+            if base_version is None
+            else tbl.spark.read.parquet(base_version)
+            .select(*tbl.key_cols)
+            .distinct()
+        )
         fresh = (
             df
             if existing is None
@@ -323,7 +332,7 @@ class ServingGateway:
         )
         n = fresh.count()
         if n:
-            tbl.upsert(fresh)
+            tbl.upsert(fresh, expected_base=base_version)
         return {"inserted": n, "skipped": len(rows) - n}
 
     def delete(self, key: Mapping[str, object]) -> dict:

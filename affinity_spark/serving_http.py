@@ -454,6 +454,11 @@ class HttpGateway:
                         )
                     except ValueError as e:  # df-backed route
                         return self._send(400, {"error": str(e)})
+                    except FileNotFoundError as e:
+                        # table with no committed version yet — mirror
+                        # _write's 404 mapping instead of dropping the
+                        # connection with no HTTP answer (r13 ADVICE)
+                        return self._send(404, {"error": str(e)})
                 ws_key = (
                     self.headers.get("Sec-WebSocket-Key")
                     if (self.headers.get("Upgrade") or "").lower() == "websocket"

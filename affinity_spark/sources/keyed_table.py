@@ -370,14 +370,27 @@ class KeyedTable:
             removed += 1
         return removed
 
-    def upsert(self, updates: DataFrame) -> None:
+    _UNSET = object()
+
+    def upsert(self, updates: DataFrame, expected_base=_UNSET) -> None:
         """MERGE: last-write-wins by (ts, tiebreaks); tombstones delete.
 
         The base version is captured before the merge and CAS-verified at
         commit: two concurrent upserts cannot silently lose one side's
         updates — the loser raises ``ConcurrentWriteError``.
+
+        ``expected_base`` lets a caller whose WRITE SET was derived from a
+        specific snapshot (e.g. the gateway's insert-only anti-join) tie
+        the merge to THAT base: a racing writer committing in between
+        raises instead of being silently folded over (r13 ADVICE). Pass
+        the version dir (or ``None`` for a first write); leave unset to
+        capture the current pointer here.
         """
-        base_version = self._current_version_dir()
+        base_version = (
+            self._current_version_dir()
+            if expected_base is KeyedTable._UNSET
+            else expected_base
+        )
         if base_version is None:
             merged = merge_upsert(
                 updates.limit(0), updates, self.key_cols, self.ts_col,

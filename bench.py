@@ -490,8 +490,16 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
                 f"identical work — re-running (host contention)",
                 file=sys.stderr,
             )
+        # prefer MEASURED attempts: a retry whose canary work capture
+        # failed (ratio None — no Spark UI snapshot) carries no contention
+        # evidence and must never outrank a measured quiet attempt; only
+        # when every attempt is unmeasured does the first one win (r13
+        # ADVICE)
         disp, res, v, lines = min(
-            attempts, key=lambda a: a[0]["ratio"] if a[0]["ratio"] else 0.0
+            attempts,
+            key=lambda a: (
+                a[0]["ratio"] if a[0]["ratio"] else float("inf")
+            ),
         )
         results[name] = res
         verdicts.append(v)

@@ -87,3 +87,43 @@ def test_per_key_subscription(spark, tmp_path):
         assert sub.take(1)[0]["txn"] == 1007
     finally:
         sub.stop()
+
+
+def test_insert_only_cas_ties_merge_to_antijoin_base(spark, tmp_path):
+    """insert() derives its fresh-keys anti-join from ONE snapshot and
+    must commit AGAINST THAT BASE: an external (non-gateway) writer
+    committing the same key between the read and the merge has to surface
+    as ConcurrentWriteError, never be silently overwritten — insert-only
+    semantics hold outside the HTTP write_lock too (r13 ADVICE)."""
+    from affinity_spark.sources.keyed_table import (
+        ConcurrentWriteError,
+        KeyedTable,
+    )
+
+    tbl = KeyedTable(
+        spark, str(tmp_path / "t"), ["k"], ts_col="ts", num_buckets=2
+    )
+    tbl.upsert(spark.createDataFrame([(1, 10, "a")], "k long, ts long, v string"))
+    gw = ServingGateway(table=tbl)
+
+    # the race window: an external writer lands between the gateway's
+    # existing-keys read (base capture) and its merge commit
+    orig_upsert = KeyedTable.upsert
+
+    def racing_upsert(updates, expected_base=KeyedTable._UNSET):
+        orig_upsert(
+            tbl,
+            spark.createDataFrame(
+                [(2, 20, "external")], "k long, ts long, v string"
+            ),
+        )
+        return orig_upsert(tbl, updates, expected_base=expected_base)
+
+    tbl.upsert = racing_upsert
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            gw.insert([{"k": 2, "ts": 30, "v": "late-insert"}])
+    finally:
+        tbl.upsert = orig_upsert.__get__(tbl)
+    # the externally committed row survives untouched
+    assert gw.point_get({"k": 2})[0]["v"] == "external"

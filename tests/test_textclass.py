@@ -57,6 +57,11 @@ def test_column_forms_agree_with_python(spark):
         FULLTEXT_SOUP, LITERAL_SOUP, "hello world", "12345", "tab\there",
         "line\nfeed", "ctrl\x01char", "price $5.99", "a_b-c", "O'Brien",
         "dash–dash", "x  y", "símbolo ©", "", "العربية", "日本語テスト",
+        # the r13 ADVICE divergence probes: \x1c-\x1f (Cc separators) and
+        # \x85 (NEL) are NOT Java \s — fulltext must reject them in BOTH
+        # forms; \x0b/\x0c ARE Java \s and must pass in both
+        "fs\x1c", "gs\x1d", "rs\x1e", "us\x1f", "nel\x85",
+        "vtab\x0bhere", "ff\x0chere",
     ]
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(samples)], "i long, s string"
