@@ -136,6 +136,7 @@ def batch_search(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    cents_lit=None,
 ) -> DataFrame:
     """Batched ANN read: MANY query vectors at once — the online-serving /
     retrieval-training shape (:func:`search` is the single-query probe).
@@ -158,7 +159,14 @@ def batch_search(
     from affinity_spark.functions.text import let_bound
     from pyspark.sql import Window
 
-    cents = F.lit([[float(x) for x in c] for c in centroids])
+    # cents_lit: callers that hold the codebook (IVFIndex) pass the
+    # literal Column pre-built and memoized — F.lit over a nested list
+    # costs one py4j round trip per scalar (r13 verdict #4)
+    cents = (
+        cents_lit
+        if cents_lit is not None
+        else F.lit([[float(x) for x in c] for c in centroids])
+    )
     qv = F.col(qvec_col).cast("array<double>")
     dists = F.transform(cents, lambda c: _sq_dist(qv, c))
     ranked_cells = let_bound(

@@ -363,6 +363,40 @@ class IVFIndex:
             self._pq_books_memo = cached
         return cached[1]
 
+    def codebook_lit(self):
+        """The committed codebook as ONE literal Column, memoized per
+        version: ``F.lit`` over a nested list costs one py4j round trip
+        PER SCALAR (a k×d codebook ≈ 500 socket calls ≈ 0.5 s of
+        frame-construction wall), so rebuilding it on every query build
+        dominated emb_pq_batch_search's in-set wall (r13 verdict #4).
+        Column expressions are immutable plan fragments — reusing one
+        across queries is safe."""
+        vdir = self._centroids._current_version_dir()
+        cached = getattr(self, "_codebook_lit_memo", None)
+        if cached is None or cached[0] != vdir:
+            cached = (
+                vdir,
+                F.lit([[float(x) for x in c] for c in self.codebook()]),
+            )
+            self._codebook_lit_memo = cached
+        return cached[1]
+
+    def pq_book_lits(self) -> list:
+        """Per-subspace PQ codebooks as literal Columns, memoized per
+        version (see :meth:`codebook_lit`)."""
+        vdir = self._pq_books._current_version_dir()
+        cached = getattr(self, "_pq_book_lits_memo", None)
+        if cached is None or cached[0] != vdir:
+            cached = (
+                vdir,
+                [
+                    F.lit([[float(x) for x in c] for c in book])
+                    for book in self.pq_codebooks()
+                ],
+            )
+            self._pq_book_lits_memo = cached
+        return cached[1]
+
     def vectors(self) -> DataFrame:
         """(id, vec, cell[, code_*]) — the maintained assignment table.
         Filters on ``cell`` are partition-pruned."""
@@ -440,9 +474,8 @@ class IVFIndex:
         from affinity_spark.operators.ivf import _sq_dist
         from affinity_spark.operators.pq import query_distance_tables
 
-        codebook = self.codebook()
         books = self.pq_codebooks()
-        cents = F.lit([[float(x) for x in c] for c in codebook])
+        cents = self.codebook_lit()
         qv = F.col(qvec_col).cast("array<double>")
         dists = F.transform(cents, lambda c: _sq_dist(qv, c))
         ranked_cells = let_bound(
@@ -461,7 +494,10 @@ class IVFIndex:
         )
         probes = queries.select(
             F.col(qid_col),
-            *query_distance_tables(queries, books, qvec_col=qvec_col),
+            *query_distance_tables(
+                queries, books, qvec_col=qvec_col,
+                book_lits=self.pq_book_lits(),
+            ),
             F.explode(
                 F.transform(ranked_cells, lambda s: s["c"])
             ).alias("cell"),
@@ -490,6 +526,7 @@ class IVFIndex:
             self.vectors(), self.codebook(), queries, k, nprobe=nprobe,
             id_col=self.id_col, vec_col=self.vec_col,
             qid_col=qid_col, qvec_col=qvec_col,
+            cents_lit=self.codebook_lit(),
         )
 
 

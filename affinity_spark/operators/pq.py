@@ -102,6 +102,7 @@ def query_distance_tables(
     queries: DataFrame,
     codebooks: list[list[list[float]]],
     qvec_col: str = "qvec",
+    book_lits: list | None = None,
 ) -> list:
     """Per-query ADC distance tables as column expressions
     (``_t0.._t{m-1}``, each ``array<double>[k]``): the query's squared
@@ -117,7 +118,16 @@ def query_distance_tables(
     d_sub = len(codebooks[0][0])
     cols = []
     for s, book in enumerate(codebooks):
-        book_lit = F.lit([[float(x) for x in c] for c in book])
+        # PySpark's F.lit over a nested list recurses ONE py4j round trip
+        # per scalar — a m*k*d codebook costs ~1000 socket calls (~1 s of
+        # frame-construction wall) PER QUERY BUILD. Callers that hold the
+        # codebooks (IVFIndex) pass the literal Columns pre-built and
+        # memoized per committed version instead (r13 verdict #4).
+        book_lit = (
+            book_lits[s]
+            if book_lits is not None
+            else F.lit([[float(x) for x in c] for c in book])
+        )
         sub = F.slice(qv, s * d_sub + 1, d_sub)
         tab = let_bound(
             sub, lambda sv: F.transform(book_lit, lambda c: _sq_dist(sv, c))
