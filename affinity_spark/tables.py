@@ -54,11 +54,36 @@ def _pin_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+# (applicationId, abspath, physical fingerprint) -> normalized DataFrame.
+# A load() used to cost ~0.1-0.25 s of DRIVER work per call — JVM file
+# listing + footer schema read, plus an rdd.getNumPartitions() plan
+# conversion for the CPU-heavy tables — and every registry query pays it
+# per referenced table. Across a ~170-query bench/gate pass that driver
+# constant WAS the "fixed-overhead growth" in the headline set (r13
+# verdict #2). DataFrames are immutable plan fragments, so reusing one per
+# (session, physical file) is safe; the mtime+size fingerprint evicts the
+# memo when the driver regenerates testdata at the same path.
+_LOAD_MEMO: dict = {}
+
+
+def _file_fingerprint(path: str) -> tuple:
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (None, None)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, path, _file_fingerprint(path))
+    cached = _LOAD_MEMO.get(key)
+    if cached is not None:
+        return cached
     _pin_session_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     # Normalize timestamp physical variants to one logical type (TimestampType
     # under the pinned UTC session) so operators see a stable schema whatever
     # the generator wrote:
@@ -77,6 +102,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         parallelism = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < parallelism:
             df = df.repartition(parallelism)
+    _LOAD_MEMO[key] = df
     return df
 
 
