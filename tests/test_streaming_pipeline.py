@@ -502,3 +502,92 @@ def test_store_served_sink_checkpoint_reset_idempotent(spark, tmp_path):
         {r["doc_id"] for r in qstore.signals().collect()},
     )
     assert after == before
+
+
+def test_store_served_pipeline_survives_mid_batch_kills(spark, tmp_path):
+    """The Failover2Spec analog (reference
+    ``core/src/test/scala/io/amient/affinity/core/cluster/Failover2Spec.scala:70``
+    — continuous writes through a master kill with no acked-write loss),
+    composed end-to-end (r13 verdict #5): kill the store-served sink
+    BETWEEN the multi-table admit steps of one micro-batch — after the
+    quality-store signals commit but before the gate read, after the
+    survivors commit but before the index admit, after the index admit but
+    before the corpus-store upsert, and after the last table commit but
+    before the CHECKPOINT commit — then restart from the same checkpoint
+    and require every committed row to equal the uninterrupted run's.
+    This proves the per-store heals + replay fences compose across tables,
+    not just per-store (the per-store tear tests)."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from affinity_spark.streaming.pipeline import store_served_corpus_sink
+
+    def rows(t, cols):
+        return {tuple(r[c] for c in cols) for r in t.read().collect()}
+
+    # uninterrupted reference run
+    surv_r, rej_r, bidx_r, store_r, qstore_r = _store_served_setup(
+        spark, tmp_path / "ref"
+    )
+    src = str(tmp_path / "in")
+    _feed_lang(src, _docs())
+    _run_store_served(
+        spark, src, str(tmp_path / "ckpt_ref"),
+        store_served_corpus_sink(
+            qstore_r, bidx_r, store_r, surv_r, rej_r, run_id="run"
+        ),
+    )
+    want_surv = rows(surv_r, ["doc_id", "n_tokens", "split"])
+    want_rej = rows(rej_r, ["doc_id", "dup_of"])
+    want_corpus = rows(store_r, ["doc_id", "n_shingles"])
+    want_signals = {
+        r["doc_id"] for r in qstore_r.signals().collect()
+    }
+    assert want_surv and want_rej and want_corpus  # feed exercises all
+
+    class Boom(RuntimeError):
+        pass
+
+    # (which store, method, 1-based call ordinal to kill AFTER) — each
+    # ordinal lands mid-stream so earlier batches are already committed
+    # and later ones still pending:
+    kill_specs = [
+        ("qstore", "admit", 2),   # batch 1: signals committed, gate unread
+        ("surv", "upsert", 2),    # batch 2: survivors committed, admits pending
+        ("bidx", "admit", 1),     # batch 1: index admitted, corpus upsert pending
+        ("store", "upsert", 2),   # batch 1: all tables committed, ckpt pending
+    ]
+    for which, method, ordinal in kill_specs:
+        d = tmp_path / f"kill_{which}_{method}_{ordinal}"
+        surv, rej, bidx, store, qstore = _store_served_setup(spark, d)
+        objs = {"surv": surv, "rej": rej, "bidx": bidx, "store": store,
+                "qstore": qstore}
+        target = objs[which]
+        orig = getattr(target, method)
+        calls = {"n": 0}
+
+        def killing(*a, _orig=orig, _calls=calls, _ord=ordinal, **k):
+            r = _orig(*a, **k)
+            _calls["n"] += 1
+            if _calls["n"] == _ord:
+                raise Boom(f"injected kill after {method} #{_ord}")
+            return r
+
+        setattr(target, method, killing)
+        ckpt = str(d / "ckpt")
+        sink = store_served_corpus_sink(
+            qstore, bidx, store, surv, rej, run_id="run"
+        )
+        with pytest.raises((StreamingQueryException, Exception)) as ei:
+            _run_store_served(spark, src, ckpt, sink)
+        assert "injected kill" in str(ei.value), (which, method, ei.value)
+        # restart from the SAME checkpoint with the kill disarmed — the
+        # failed batch replays whole, later batches follow
+        setattr(target, method, orig)
+        _run_store_served(spark, src, ckpt, sink)
+        tag = (which, method, ordinal)
+        assert rows(surv, ["doc_id", "n_tokens", "split"]) == want_surv, tag
+        assert rows(rej, ["doc_id", "dup_of"]) == want_rej, tag
+        assert rows(store, ["doc_id", "n_shingles"]) == want_corpus, tag
+        assert {
+            r["doc_id"] for r in qstore.signals().collect()
+        } == want_signals, tag
