@@ -770,6 +770,53 @@ def _write_path_bench(spark, sf_dir: str) -> dict:
             out["stream_batches"] = len(execs)
             out["stream_batch_ms_avg"] = round(sum(execs) / len(execs))
             out["stream_rows_per_sec"] = round(batch_rows / (sum(execs) / 1000.0))
+
+        # gateway write path (r13 verdict #8): HTTP POST → from_json
+        # schema coercion → CAS merge commit, through a real socket — the
+        # serving surface gets the same regression tracking as the engine.
+        # Each POST pays one full last-write-wins merge by design (the
+        # single-writer front), so the rate is per-request merge cost, not
+        # bulk ingest.
+        import urllib.request
+
+        from affinity_spark.serving import ServingGateway
+        from affinity_spark.serving_http import HttpGateway
+
+        gw_tbl = KeyedTable(
+            spark, os.path.join(base_dir, "gw"), ["event_id"], "ts_ms"
+        )
+        gw_tbl.overwrite(ev.limit(2_000))
+        hg = HttpGateway()
+        hg.register("events", ServingGateway(table=gw_tbl), gw_tbl.read().schema)
+        port = hg.start()
+        try:
+            def post(chunk):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/kv/events",
+                    data=_json.dumps(chunk).encode(),
+                    headers={"Content-Type": "application/json"},
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    r.read()
+
+            http_rows = [r.asDict() for r in ev.limit(1_010).collect()]
+            post(http_rows[:10])  # warm the POST->merge plan, untimed
+            per = 100
+            chunks = [
+                http_rows[i : i + per] for i in range(10, len(http_rows), per)
+            ]
+            t0 = time.perf_counter()
+            for c in chunks:
+                post(c)
+            dt = time.perf_counter() - t0
+            out["http_posts"] = len(chunks)
+            out["http_post_ms_avg"] = round(dt / len(chunks) * 1000)
+            out["http_upserts_per_sec"] = round(
+                sum(len(c) for c in chunks) / dt
+            )
+        finally:
+            hg.stop()
     finally:
         shutil.rmtree(base_dir, ignore_errors=True)
     return out
