@@ -99,6 +99,73 @@ def srp_project(vec: Column, signs: list[list[int]], scale: int = 1 << 20) -> Co
     )
 
 
+def sign_bit_words(vec: Column, dim: int, word_bits: int = 32) -> Column:
+    """1-bit (sign) quantization of an ``array<float>`` into packed int64
+    words: bit ``i`` of word ``i // word_bits`` is set iff ``vec[i] >= 0``.
+
+    This is the binary-quantization code real vector stores keep beside
+    (or instead of) raw vectors: 64 float32 dims collapse to 8 bytes — a
+    32× smaller scan, and the coarse distance becomes XOR+popcount on
+    longs inside whole-stage codegen (:func:`hamming_words`). Entirely
+    map-side, no shuffle, no UDF.
+
+    ``word_bits`` stays at 32 so ``shiftleft(1L, i)`` never touches the
+    int64 sign bit regardless of lane; ``dim`` is a build-time constant
+    (the codes are only comparable for one fixed width, same contract as
+    :func:`srp_project`'s fixed sign matrix) — a drifted input width
+    raises instead of silently truncating.
+    """
+    nwords = (dim + word_bits - 1) // word_bits
+    bits = F.transform(
+        vec,
+        lambda x: F.when(x.cast("double") >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+    # bit i's place value as ONE literal array node (1<<31 forces long
+    # inference); a shiftleft-by-lambda-var is not expressible via the
+    # python F.shiftleft wrapper, and b ∈ {0,1} makes b·2^i identical
+    pows = F.lit([1 << i for i in range(word_bits)])
+
+    def pack(bb: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda w: F.aggregate(
+                F.zip_with(
+                    # slice is 1-indexed; the tail slice may run short —
+                    # zip_with NULL-pads, coalesce keeps the lane at 0
+                    F.slice(bb, w * word_bits + 1, word_bits),
+                    pows,
+                    lambda b, p: F.coalesce(b * p, F.lit(0).cast("long")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    # let-bind the bit array: the sign pass runs once, not once per word
+    packed = F.transform(F.array(bits), pack).getItem(0)
+    return (
+        F.when(vec.isNull(), F.lit(None).cast("array<bigint>"))
+        .when(F.size(vec) == dim, packed)
+        .otherwise(
+            F.raise_error(F.lit(f"sign_bit_words: input dim != {dim}"))
+        )
+    )
+
+
+def hamming_words(a: Column, b: Column) -> Column:
+    """Hamming distance between two packed sign-bit codes
+    (:func:`sign_bit_words`): Σ popcount(aᵢ XOR bᵢ). Pure int64 codegen —
+    the scan-speed coarse distance of the binary-quantization family."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def dot_int(a: Column, b: Column) -> Column:
     """Exact int64 dot product of two array<bigint> columns."""
     return F.aggregate(

@@ -1243,6 +1243,92 @@ FROM e GROUP BY vec_id
 """
 
 
+def emb_bitq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: 1-bit sign codes + hamming coarse scan +
+    exact cosine rerank — the third compression tier of the quantization
+    family (int8 = 4×, PQ = 32× lossy-trained, sign bits = 32× training-free).
+
+    Shape: ``sign_bit_words`` packs each vector's sign pattern into two
+    int64 words MAP-SIDE (the code column a vector store would commit
+    beside the raw vectors — at 100 TB the coarse scan reads 8 bytes/vec
+    instead of 256 and stays XOR+popcount inside codegen); the query's
+    code broadcasts; coarse top-50 by (hamming, vec_id) is one
+    TakeOrderedAndProject; ONLY those 50 rows pay the exact float
+    cosine for the top-10 rerank. Output keeps the coarse rank evidence
+    (hamming) beside the reranked score, basis-point integer hash."""
+    from affinity_spark.functions.vectors import (
+        cosine_similarity,
+        hamming_words,
+        sign_bit_words,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        sign_bit_words(F.col("embedding"), _PQ_DIM).alias("code"),
+    )
+    q = F.broadcast(
+        coded.filter(F.col("vec_id") == 0).select(
+            F.col("code").alias("_qcode"), F.col("embedding").alias("_qvec")
+        )
+    )
+    coarse = (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "embedding",
+            "_qvec",
+            hamming_words(F.col("code"), F.col("_qcode")).alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(50)
+    )
+    return (
+        coarse.select(
+            "vec_id",
+            "hamming",
+            cosine_similarity(F.col("embedding"), F.col("_qvec")).alias("_cos"),
+        )
+        .orderBy(F.col("_cos").desc(), "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            F.floor(F.col("_cos") * 10000).cast("long").alias("cos_bp"),
+            "hamming",
+        )
+    )
+
+
+_BITQ_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+h AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) >= 0)
+                          <> (CAST(q.qv[i] AS DOUBLE) >= 0)
+                   THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+),
+coarse AS (SELECT vec_id, embedding, hamming FROM h ORDER BY hamming, vec_id LIMIT 50),
+scored AS (
+  SELECT c.vec_id, c.hamming,
+         list_sum(list_transform(range(1, len(c.embedding) + 1),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM coarse c, q
+)
+SELECT vec_id, CAST(floor(cosine * 10000) AS BIGINT) AS cos_bp, hamming
+FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def emb_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced diversity sampling (the DCLM/DiverseEvol-style
     selection move): an even quota of vectors from EVERY embedding-space

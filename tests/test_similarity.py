@@ -277,3 +277,114 @@ def test_dim_guards_pass_null_vectors_through(spark):
         "vec_id", srp_project(F.col("embedding"), srp_signs(64, 16)).alias("y")
     ).collect()}
     assert proj[2] is None and len(proj[1]) == 16
+
+
+def test_sign_bit_words_packs_and_hamming_matches_python(spark):
+    """Binary quantization contract: bit i of word i//32 is the sign of
+    dim i; hamming over packed words equals the per-dimension sign-diff
+    count a python replay (and the DuckDB oracle) computes."""
+    from affinity_spark.functions.vectors import hamming_words, sign_bit_words
+
+    vecs = {
+        1: [0.5, -0.25, 0.0, -0.0] + [(-1.0) ** i * (i + 1) for i in range(60)],
+        2: [-2.0] * 64,
+        3: [1e-9] * 64,
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sorted(vecs.items())],
+        "vec_id long, embedding array<float>",
+    )
+    coded = {
+        r["vec_id"]: r["code"]
+        for r in df.select(
+            "vec_id", sign_bit_words(F.col("embedding"), 64).alias("code")
+        ).collect()
+    }
+
+    def py_words(v):
+        ws = []
+        for w in range(2):
+            acc = 0
+            for i in range(32):
+                if v[w * 32 + i] >= 0:
+                    acc += 1 << i
+            ws.append(acc)
+        return ws
+
+    for k, v in vecs.items():
+        assert coded[k] == py_words(v), k
+    # -0.0 >= 0 is True: dim 3 of vec 1 must be a set bit
+    assert coded[1][0] & (1 << 3)
+
+    a = df.alias("a").select(
+        F.col("vec_id").alias("ida"),
+        sign_bit_words(F.col("embedding"), 64).alias("ca"),
+    )
+    b = df.alias("b").select(
+        F.col("vec_id").alias("idb"),
+        sign_bit_words(F.col("embedding"), 64).alias("cb"),
+    )
+    got = {
+        (r["ida"], r["idb"]): r["h"]
+        for r in a.crossJoin(b).select(
+            "ida", "idb", hamming_words(F.col("ca"), F.col("cb")).alias("h")
+        ).collect()
+    }
+
+    def py_h(x, y):
+        return sum(1 for i in range(64) if (x[i] >= 0) != (y[i] >= 0))
+
+    for ka in vecs:
+        for kb in vecs:
+            assert got[(ka, kb)] == py_h(vecs[ka], vecs[kb]), (ka, kb)
+
+
+def test_sign_bit_words_dim_guard_and_null(spark):
+    """Same fixed-width contract as srp_project: width drift raises, a
+    NULL vector codes to NULL (r13 review rule)."""
+    import pytest
+
+    from affinity_spark.functions.vectors import sign_bit_words
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None)], "vec_id long, embedding array<float>"
+    )
+    rows = {
+        r["vec_id"]: r["code"]
+        for r in df.select(
+            "vec_id", sign_bit_words(F.col("embedding"), 64).alias("code")
+        ).collect()
+    }
+    assert rows[2] is None and len(rows[1]) == 2
+    bad = spark.createDataFrame([(1, [0.5] * 32)], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="dim"):
+        bad.select(sign_bit_words(F.col("embedding"), 64).alias("c")).collect()
+
+
+def test_bitq_coarse_rerank_is_shuffle_free_to_the_topk(spark):
+    """The bitq search plan: code packing + hamming are map-side; the only
+    ordering work is TakeOrderedAndProject (no Exchange before the coarse
+    top-k other than the broadcast of the 1-row query)."""
+    from affinity_spark.functions.vectors import hamming_words, sign_bit_words
+    from affinity_spark.plans.introspect import executed_plan
+
+    df = spark.createDataFrame(
+        [(i, [((i * 31 + j * 7) % 13 - 6.0) for j in range(64)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    coded = df.select(
+        "vec_id", sign_bit_words(F.col("embedding"), 64).alias("code")
+    )
+    q = F.broadcast(
+        coded.filter(F.col("vec_id") == 0).select(F.col("code").alias("qc"))
+    )
+    coarse = (
+        coded.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", hamming_words(F.col("code"), F.col("qc")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(5)
+    )
+    plan = executed_plan(coarse)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
