@@ -375,3 +375,47 @@ def pmi_collocations(
     return scored.orderBy(
         F.desc("pmi_log2_x16"), F.desc("n_ab"), F.asc("w1"), F.asc("w2")
     ).limit(k)
+
+
+def rrf_fuse(
+    ranked: Sequence[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack et al. 2009) of N ranked lists:
+    score(d) = Σ_lists 1e6 div (c + rank_list(d)), top-k by fused score.
+
+    ``ranked`` is (list_name, frame) pairs; each frame carries ``id_col``
+    and a ``rank`` column (1-based; produce it with a row_number over the
+    list's own order — safe as a GLOBAL window because retrieval lists
+    are top-k-truncated before fusion, so every window/join input here is
+    k-sized, independent of corpus scale). Output keeps each list's rank
+    as ``<name>_rank`` (0 = absent) beside the integer ``rrf_x1e6``, so
+    the fused order is auditable and hash-stable across engines."""
+    fused: DataFrame | None = None
+    for name, frame in ranked:
+        one = frame.select(
+            F.col(id_col), F.col("rank").cast("long").alias(f"{name}_rank")
+        )
+        fused = one if fused is None else fused.join(one, id_col, "full_outer")
+    if fused is None:
+        raise ValueError("rrf_fuse: no ranked lists")
+    rank_cols = [f"{name}_rank" for name, _ in ranked]
+    filled = fused.select(
+        id_col,
+        *[F.coalesce(F.col(rc), F.lit(0)).cast("long").alias(rc) for rc in rank_cols],
+    )
+    contrib = None
+    for rc in rank_cols:
+        term = F.when(
+            F.col(rc) > 0, F.expr(f"1000000 div ({c} + {rc})")
+        ).otherwise(F.lit(0))
+        contrib = term if contrib is None else contrib + term
+    return (
+        filled.select(
+            id_col, contrib.cast("long").alias("rrf_x1e6"), *rank_cols
+        )
+        .orderBy(F.col("rrf_x1e6").desc(), F.col(id_col))
+        .limit(k)
+    )

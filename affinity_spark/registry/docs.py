@@ -1251,6 +1251,109 @@ LIMIT 20
 """
 
 
+def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (RRF, Cormack et al.
+    2009 — the fusion every lexical+vector search stack ships): the BM25
+    top-50 from the maintained postings index and the cosine top-50 to
+    the vec_id=0 query vector (doc_id ≡ vec_id) fuse by
+    Σ 1e6 div (60 + rank), top-20.
+
+    Scale shape: each branch is the already-indexed retrieval path (BM25:
+    term-pruned postings scan, zero document reads; vector: map-side scan
+    + TakeOrderedAndProject — or the IVF index at larger corpora); the
+    rank windows and the full-outer fusion join run over k-sized (≤50-row)
+    frames, so fusion cost is independent of corpus size. Ranks are
+    emitted (0 = absent from that list) so the fused order is auditable;
+    all arithmetic is integer div — bit-identical across engines."""
+    from pyspark.sql import Window
+
+    from affinity_spark.operators.ranking import bm25_topk_postings, rrf_fuse
+    from affinity_spark.operators.similarity import knn_to_query
+
+    lex = bm25_topk_postings(_postings(spark, sf_dir), _BM25_TERMS, k=50)
+    # global rank windows are safe here: both inputs are top-50-limited
+    wl = Window.orderBy(F.col("score_x1e6").desc(), F.col("doc_id"))
+    lex_r = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = knn_to_query(
+        emb.filter(F.col("vec_id") != 0),
+        emb.filter(F.col("vec_id") == 0),
+        50,
+    )
+    wv = Window.orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
+    vec_r = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).alias("rank"),
+    )
+    return rrf_fuse([("bm25", lex_r), ("cos", vec_r)], "doc_id", k=20, c=60)
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    tfs = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> x = '{term}')) AS BIGINT) AS tf{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    dfs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    contribs = "\n       + ".join(
+        f"CASE WHEN tf{i} > 0 THEN ((n - df{i}) * 1000 // n) * "
+        f"((tf{i} * 2200 * l * 1000) // (tf{i} * 1000 * l + 300 * l + 900 * dl * n)) "
+        f"ELSE 0 END"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+WITH d AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              t -> t <> '') AS t
+           FROM documents),
+base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+         {tfs}
+         FROM d),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l,
+         {dfs}
+          FROM base),
+scored AS (SELECT doc_id,
+       CAST({contribs} AS BIGINT) AS score_x1e6
+  FROM base, stats),
+ltop AS (SELECT doc_id, score_x1e6 FROM scored WHERE score_x1e6 > 0
+         ORDER BY score_x1e6 DESC, doc_id LIMIT 50),
+lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score_x1e6 DESC, doc_id) AS bm25_rank
+        FROM ltop),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vs AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+),
+vtop AS (SELECT vec_id, cosine FROM vs ORDER BY cosine DESC, vec_id LIMIT 50),
+vr AS (SELECT vec_id AS doc_id,
+              row_number() OVER (ORDER BY cosine DESC, vec_id) AS cos_rank
+       FROM vtop),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(COALESCE(l.bm25_rank, 0) AS BIGINT) AS bm25_rank,
+         CAST(COALESCE(v.cos_rank, 0) AS BIGINT) AS cos_rank
+  FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id
+)
+SELECT doc_id,
+       CAST((CASE WHEN bm25_rank > 0 THEN 1000000 // (60 + bm25_rank) ELSE 0 END)
+          + (CASE WHEN cos_rank > 0 THEN 1000000 // (60 + cos_rank) ELSE 0 END)
+         AS BIGINT) AS rrf_x1e6,
+       bm25_rank, cos_rank
+FROM fused
+ORDER BY rrf_x1e6 DESC, doc_id
+LIMIT 20
+"""
+
+
 def docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-split the corpus 90/5/5 into train/val/test and account for it.
 

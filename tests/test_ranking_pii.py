@@ -73,3 +73,42 @@ def test_bm25_plan_has_no_explode_and_broadcasts_stats(spark):
     assert "Generate" not in plan  # tf via array filter, never explode
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_rrf_fuse_semantics_and_tiebreak(spark):
+    """RRF contract: score = Σ 1e6 div (c + rank); a doc ranked mid-list
+    in BOTH lists outranks either list's sole #1; absent ranks emit 0 and
+    contribute 0; ties break on doc_id."""
+    from affinity_spark.operators.ranking import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (11, 2), (21, 3)], "doc_id long, rank int"
+    )
+    rows = rrf_fuse([("bm25", lex), ("cos", vec)], k=10, c=60).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # doc 11 (rank 2 in both) beats both singleton #1s
+    assert rows[0]["doc_id"] == 11
+    assert by_id[11]["rrf_x1e6"] == 2 * (1000000 // 62)
+    assert by_id[10]["rrf_x1e6"] == 1000000 // 61
+    assert by_id[10]["cos_rank"] == 0 and by_id[20]["bm25_rank"] == 0
+    # equal-score singles (10 vs 20 both rank-1 in one list) tie-break by id
+    order = [r["doc_id"] for r in rows]
+    assert order.index(10) < order.index(20)
+
+
+def test_rrf_fuse_three_lists_and_k_cut(spark):
+    from affinity_spark.operators.ranking import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 6)], "doc_id long, rank int")
+    b = spark.createDataFrame([(i, 6 - i) for i in range(1, 6)], "doc_id long, rank int")
+    c = spark.createDataFrame([(99, 1)], "doc_id long, rank int")
+    rows = rrf_fuse([("x", a), ("y", b), ("z", c)], k=3, c=60).collect()
+    assert len(rows) == 3
+    assert {"x_rank", "y_rank", "z_rank"} <= set(rows[0].asDict())
+    # doc 99: only list z → exactly one contribution
+    got99 = [r for r in rows if r["doc_id"] == 99]
+    if got99:
+        assert got99[0]["rrf_x1e6"] == 1000000 // 61
