@@ -278,3 +278,67 @@ def collect_component(
         comps.join(F.broadcast(target), comps["component"] == F.col("_c"))
         .select("vertex", "component")
     )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact per-vertex triangle counts via degree-ordered edge orientation
+    (the MapReduce scheme of Suri & Vassilvitskii 2011): every undirected
+    edge points from its lower endpoint to its higher one under the total
+    order (degree, vertex id), wedges are enumerated at each edge's LOW
+    vertex only, and a wedge is a triangle iff its far pair is an edge.
+
+    Why this shape survives 100 TB: out-degree under the orientation is
+    O(sqrt(m)) regardless of raw degree skew — a celebrity vertex with
+    10^7 neighbors generates wedges at its (low-degree) neighbors, never
+    C(10^7, 2) pairs at itself. Cost is one vertex-sized degree aggregate,
+    a wedge self-join shuffled on the low vertex, and a closing equi-join
+    shuffled on the far pair — all key-partitioned, nothing broadcast at
+    corpus scale, no iteration. Each triangle is found exactly once (at
+    its order-minimal vertex), then credited to all three corners.
+
+    Returns (vertex, n_triangles) for vertices in >= 1 triangle.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = e.join(
+        deg.select(F.col("v").alias("a"), F.col("deg").alias("_da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("deg").alias("_db")), "b")
+    low_is_a = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(low_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_is_a, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    # wedge far pair in CANONICAL id order so it joins the undirected edge
+    # set directly — the closing edge's own orientation is irrelevant
+    wedges = (
+        oriented.select("u", F.col("w").alias("v1"))
+        .join(oriented.select("u", F.col("w").alias("v2")), "u")
+        .filter(F.col("v1") < F.col("v2"))
+    )
+    closed = wedges.join(
+        e, (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b"))
+    ).select("u", "v1", "v2")
+    corners = (
+        closed.select(F.col("u").alias("vertex"))
+        .unionAll(closed.select(F.col("v1").alias("vertex")))
+        .unionAll(closed.select(F.col("v2").alias("vertex")))
+    )
+    return corners.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

@@ -1391,6 +1391,84 @@ SELECT vertex, r AS rank_ppm FROM r3
 """
 
 
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex exact triangle counts (J4's third member beside
+    components and pagerank) via the degree-ordered orientation in
+    ``operators/graph.py::triangle_counts`` — wedges enumerate only at
+    each edge's lower-(degree, id) endpoint, so out-degree is O(√m) under
+    any skew and the whole count is three key-partitioned joins, no
+    iteration.
+
+    The synthetic tables carry no sparse unipartite relation (every
+    supplier pair co-supplies some part — the co-supply projection is a
+    complete graph at every SF), so the input graph is DERIVED from real
+    keys, the ``graph_components``/``line_dedup`` fixture precedent: the
+    distinct-user ring, each user edged to the user 1+md5%8 and 1+md5%8
+    ranks ahead (two md5-derived steps → a sparse ~2n-edge graph with a
+    nontrivial, data-dependent triangle set that both engines construct
+    independently). The global rank window is construction scaffolding
+    over the vertex set, not the operator: ``triangle_counts`` takes any
+    edge DataFrame."""
+    from pyspark.sql import Window
+
+    from affinity_spark.functions.murmur2 import stable_token_hash
+    from affinity_spark.operators.graph import triangle_counts
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    ranked = users.select(
+        "user_id",
+        (F.row_number().over(Window.orderBy("user_id")) - 1).alias("i"),
+    ).crossJoin(F.broadcast(users.agg(F.count(F.lit(1)).alias("_n"))))
+
+    def step(tag: str) -> F.Column:
+        return 1 + stable_token_hash(
+            F.concat(F.lit(f"tri:{tag}:"), F.col("user_id").cast("string"))
+        ) % 8
+
+    er = ranked.select(
+        "user_id", ((F.col("i") + step("a")) % F.col("_n")).alias("j")
+    ).unionAll(
+        ranked.select(
+            "user_id", ((F.col("i") + step("b")) % F.col("_n")).alias("j")
+        )
+    )
+    rmap = ranked.select(F.col("i").alias("j"), F.col("user_id").alias("dst"))
+    edges = er.join(rmap, "j").select(F.col("user_id").alias("src"), "dst")
+    return triangle_counts(edges)
+
+
+_TRIANGLES_SQL = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM users),
+ranked AS (SELECT user_id,
+                  CAST(row_number() OVER (ORDER BY user_id) - 1 AS BIGINT) AS i
+           FROM users),
+er AS (
+  SELECT r.user_id,
+         (r.i + 1 + CAST(('0x' || substr(md5('tri:a:' || CAST(r.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) % c.n AS j
+  FROM ranked r, cnt c
+  UNION ALL
+  SELECT r.user_id,
+         (r.i + 1 + CAST(('0x' || substr(md5('tri:b:' || CAST(r.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8) % c.n
+  FROM ranked r, cnt c
+),
+eid AS (SELECT er.user_id AS su, d.user_id AS du
+        FROM er JOIN ranked d ON er.j = d.i),
+e AS (SELECT DISTINCT least(su, du) AS a, greatest(su, du) AS b
+      FROM eid WHERE su <> du),
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+tv AS (SELECT x AS v FROM tri
+       UNION ALL SELECT y FROM tri
+       UNION ALL SELECT z FROM tri)
+SELECT v AS vertex, CAST(count(*) AS BIGINT) AS n_triangles
+FROM tv GROUP BY v
+"""
+
+
 def events_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch of per-user event frequencies: the d×w counter
     table (d=3, w=256) built in ONE pass — each row contributes its d

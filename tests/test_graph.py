@@ -145,3 +145,66 @@ def test_star_cc_rounds_logarithmic_on_path_graph(spark):
     }
     assert labels == {i: 0 for i in range(n)}
     assert stats["rounds"] <= 10, stats  # log2(64)=6; propagation needs ~63
+
+
+def _tri_py(edges):
+    """Per-vertex triangle counts by brute force (reference)."""
+    import itertools
+
+    e = {tuple(sorted(p)) for p in edges if p[0] != p[1]}
+    verts = sorted({v for p in e for v in p})
+    counts = {}
+    for a, b, c in itertools.combinations(verts, 3):
+        if (a, b) in e and (b, c) in e and (a, c) in e:
+            for v in (a, b, c):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_counts_fixture_shapes(spark):
+    from affinity_spark.operators.graph import triangle_counts
+
+    cases = [
+        # one triangle
+        [(1, 2), (2, 3), (1, 3)],
+        # square: zero triangles
+        [(1, 2), (2, 3), (3, 4), (4, 1)],
+        # K4: four triangles, every vertex in three
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        # star (no triangles) + one leaf-leaf edge closing exactly one
+        [(0, i) for i in range(1, 6)] + [(1, 2)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r["vertex"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()
+        }
+        assert got == _tri_py(edges), edges
+
+
+def test_triangle_counts_dedups_and_ignores_direction_and_loops(spark):
+    from affinity_spark.operators.graph import triangle_counts
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["vertex"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_skewed_hub_matches_reference(spark):
+    """A hub of raw degree 40 plus a sparse ring among the leaves: the
+    orientation must not enumerate C(40,2) wedges at the hub, and counts
+    must still match brute force exactly."""
+    from affinity_spark.operators.graph import triangle_counts
+
+    hub = [(0, i) for i in range(1, 41)]
+    ring = [(i, i + 1) for i in range(1, 40, 3)]
+    edges = hub + ring
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["vertex"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    assert got == _tri_py(edges)
