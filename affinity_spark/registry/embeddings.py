@@ -812,6 +812,98 @@ FROM q LEFT JOIN k ON q.qid = k.qid LEFT JOIN h ON q.qid = h.qid
 """
 
 
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall: recall@10 of searching on only the
+    FIRST 16 of 64 dimensions versus the full-dimension exact top-10, for
+    4 query vectors — the in-band measurement behind MRL-style dimension
+    truncation (Kusupati et al. 2022): serve a 4× cheaper prefix scan if
+    and only if the measured recall supports it. Same evaluation
+    discipline as the lsh/srp/ivf/ivfpq recall rows: a query SAMPLE pays
+    the exact search, never the corpus; one scored pass computes both
+    cosines (shared broadcast of the query rows), two ≤k rank windows,
+    integer (query_id, n_hits) output."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= 4)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "vec_id",
+            sim.cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
+            sim.cosine_similarity(
+                F.slice(F.col("embedding"), 1, 16), F.slice(F.col("qv"), 1, 16)
+            ).alias("ct"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
+    wt = Window.partitionBy("qid").orderBy(F.col("ct").desc(), F.col("vec_id").asc())
+    full_top = (
+        scored.withColumn("_rn", F.row_number().over(wf))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    trunc_top = (
+        scored.withColumn("_rn", F.row_number().over(wt))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        full_top.join(trunc_top, ["qid", "vec_id"], "inner")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+_MATRYOSHKA_RECALL_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS c,
+         list_sum(list_transform(range(1, 17),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS ct
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= 4
+),
+ftop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+ttop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY ct DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+h AS (SELECT ftop.qid, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ftop JOIN ttop ON ftop.qid = ttop.qid AND ftop.vec_id = ttop.vec_id
+      GROUP BY ftop.qid)
+SELECT q.qid AS query_id, COALESCE(h.n_hits, 0) AS n_hits
+FROM q LEFT JOIN h ON q.qid = h.qid
+"""
+
+
 def emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed-random-projection dim reduction (64→16, Achlioptas-style ±1
     JL transform) evaluated by the repo's recall discipline: recall@10 of
