@@ -300,6 +300,8 @@ def triangle_counts(
 
     Returns (vertex, n_triangles) for vertices in >= 1 triangle.
     """
+    from affinity_spark.cache import track
+
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -308,6 +310,10 @@ def triangle_counts(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # three consumers (degree agg, orientation join, closing join) would
+    # otherwise re-derive the canonical edge set — and its whole upstream
+    # edge derivation — once each (the multi-branch persist rule)
+    e = track(e.persist())
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -324,6 +330,8 @@ def triangle_counts(
         F.when(low_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(low_is_a, F.col("b")).otherwise(F.col("a")).alias("w"),
     )
+    # consumed twice by the wedge self-join
+    oriented = track(oriented.persist())
     # wedge far pair in CANONICAL id order so it joins the undirected edge
     # set directly — the closing edge's own orientation is irrelevant
     wedges = (

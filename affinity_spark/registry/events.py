@@ -1420,6 +1420,9 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.row_number().over(Window.orderBy("user_id")) - 1).alias("i"),
     ).crossJoin(F.broadcast(users.agg(F.count(F.lit(1)).alias("_n"))))
+    # three consumers (two step unions + the rank→id map) each re-pay the
+    # distinct + global rank window otherwise; frame is vertex-sized
+    ranked = _track_cache(ranked.persist())
 
     def step(tag: str) -> F.Column:
         return 1 + stable_token_hash(

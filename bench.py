@@ -244,6 +244,18 @@ R13_SET = [
 ]
 
 
+# Round-14 surface: binary-quantization ANN, hybrid RRF retrieval (built
+# on the shared postings index — its build cost is paid inside this set's
+# first call, best-of-2 keeps the index-served path), exact triangle
+# counting, and the Matryoshka-truncation recall eval. Eleventh set.
+R14_SET = [
+    "emb_bitq_search",
+    "docs_hybrid_rrf_search",
+    "graph_triangles",
+    "emb_matryoshka_recall",
+]
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -380,6 +392,7 @@ SETS = {
     "r11": R11_SET,
     "r12": R12_SET,
     "r13": R13_SET,
+    "r14": R14_SET,
 }
 
 
