@@ -812,6 +812,100 @@ FROM q LEFT JOIN k ON q.qid = k.qid LEFT JOIN h ON q.qid = h.qid
 """
 
 
+def emb_bitq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the RAW 1-bit hamming ranking (no rerank) versus the
+    exact cosine top-10, for 4 query vectors — isolates what the sign-bit
+    quantizer alone keeps, the evidence that sizes ``emb_bitq_search``'s
+    coarse candidate budget (rerank can only recover what coarse
+    retains). Same recall-family discipline: query sample pays the exact
+    search, one scored pass computes both measures, two rank windows,
+    integer (query_id, n_hits)."""
+    from pyspark.sql import Window
+
+    from affinity_spark.functions.vectors import hamming_words, sign_bit_words
+
+    emb = _t(spark, sf_dir, "embeddings")
+    coded = emb.select(
+        "vec_id", "embedding", sign_bit_words(F.col("embedding"), _PQ_DIM).alias("code")
+    )
+    qs = coded.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("code").alias("qc"),
+    )
+    scored = (
+        coded.filter(F.col("vec_id") >= 4)
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "vec_id",
+            sim.cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
+            hamming_words(F.col("code"), F.col("qc")).alias("h"),
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
+    wh = Window.partitionBy("qid").orderBy(F.col("h").asc(), F.col("vec_id").asc())
+    exact_top = (
+        scored.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    ham_top = (
+        scored.withColumn("_rn", F.row_number().over(wh))
+        .filter(F.col("_rn") <= 10)
+        .select("qid", "vec_id")
+    )
+    hits = (
+        exact_top.join(ham_top, ["qid", "vec_id"], "inner")
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        qs.select("qid")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+
+
+_BITQ_RECALL_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           AS c,
+         CAST(list_sum(list_transform(range(1, len(e.embedding) + 1),
+              i -> CASE WHEN (CAST(e.embedding[i] AS DOUBLE) >= 0)
+                          <> (CAST(q.qv[i] AS DOUBLE) >= 0)
+                   THEN 1 ELSE 0 END)) AS BIGINT) AS h
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id >= 4
+),
+etop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+htop AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY h ASC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+hh AS (SELECT etop.qid, CAST(count(*) AS BIGINT) AS n_hits
+       FROM etop JOIN htop ON etop.qid = htop.qid AND etop.vec_id = htop.vec_id
+       GROUP BY etop.qid)
+SELECT q.qid AS query_id, COALESCE(hh.n_hits, 0) AS n_hits
+FROM q LEFT JOIN hh ON q.qid = hh.qid
+"""
+
+
 def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-truncation recall: recall@10 of searching on only the
     FIRST 16 of 64 dimensions versus the full-dimension exact top-10, for

@@ -1391,6 +1391,48 @@ SELECT vertex, r AS rank_ppm FROM r3
 """
 
 
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 materialization of the per-user
+    value changelog — the warehouse-standard validity-interval build every
+    CDC consumer ships (X4/S11's batch read side): each event becomes a
+    version row [valid_from, valid_to) with valid_to = the next change's
+    timestamp (open for the current row), version = change ordinal.
+
+    One key-partitioned window (lead + row_number over user_id, ordered
+    by the ts-monotone event_id — the timestamp-precision rule), no
+    self-join: the naive SCD2 build joins the changelog to itself on
+    "next change", which shuffles twice and breaks on ties. Timestamps
+    emit as formatted strings, money as integer cents (hash rules)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        _cents(F.col("value")).alias("value_cents"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"), F.lit("9999-12-31 00:00:00")
+        ).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       CAST(floor("value" * 100 + 0.5) AS BIGINT) AS value_cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       COALESCE(strftime(lead(ts) OVER w, '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+"""
+
+
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex exact triangle counts (J4's third member beside
     components and pagerank) via the degree-ordered orientation in

@@ -213,9 +213,14 @@ def test_staleness_rotation():
     (1) after the flagship, order is ascending in each query's most recent
     driver-check round (never-checked first); (2) any query >=3 rounds
     stale must sit inside the driver's next-pass window (first 50), i.e.
-    it WILL be re-checked in the imminent run. Regenerate the ordering
-    with tools/staleness_order.py after adding queries or landing a new
-    CORRECTNESS artifact.
+    it WILL be re-checked in the imminent run — UNLESS the stale backlog
+    itself exceeds the window (new queries land at the front by rule (1),
+    and >50 stale queries cannot all fit 50 slots): then the weaker but
+    always-satisfiable optimality invariant applies — no query outside
+    the window may be staler than any inside it, so the overflow is
+    exactly the least-stale tail and clears in the following round.
+    Regenerate the ordering with tools/staleness_order.py after adding
+    queries or landing a new CORRECTNESS artifact.
 
     The ordering is validated against the ledger AS OF the snapshot it was
     generated from (the ``ledger-snapshot: rN`` marker the generator stamps
@@ -241,10 +246,25 @@ def test_staleness_rotation():
         "run tools/staleness_order.py"
     )
     latest = max(last.values(), default=0)
-    for i, q in enumerate(qs):
-        age = latest - last.get(q, 0)
-        if age >= 3:
-            assert i < 50, (
-                f"{q} is {age} rounds stale at position {i} — outside the "
-                "driver's next CORRECTNESS window; run tools/staleness_order.py"
-            )
+    ages = {q: latest - last.get(q, 0) for q in qs}
+    n_stale = sum(1 for q in qs if ages[q] >= 3)
+    if n_stale < 50:
+        for i, q in enumerate(qs):
+            if ages[q] >= 3:
+                assert i < 50, (
+                    f"{q} is {ages[q]} rounds stale at position {i} — outside "
+                    "the driver's next CORRECTNESS window; run "
+                    "tools/staleness_order.py"
+                )
+    else:
+        # backlog exceeds the window: demand optimality — the window must
+        # hold a maximally-stale prefix (ascending last-checked round
+        # already asserted above guarantees it; pin it explicitly)
+        # the flagship is pinned to slot 0 by policy (age 0 every round)
+        worst_inside = min(ages[q] for q in qs[1:50])
+        best_outside = max(ages[q] for q in qs[50:])
+        assert best_outside <= worst_inside, (
+            f"a query outside the 50-slot window (age {best_outside}) is "
+            f"staler than one inside (age {worst_inside}); run "
+            "tools/staleness_order.py"
+        )
