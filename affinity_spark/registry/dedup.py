@@ -170,6 +170,70 @@ FROM comp JOIN csize USING (cluster_id)
 """
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-yield report: the cluster-size histogram every corpus run
+    publishes (how much near-duplication, in what shapes, how many docs a
+    canonical-survivor pass drops). One row per cluster size: number of
+    clusters, docs in them, docs dropped (size − 1 per cluster).
+    Singletons (no verified near-dup) appear as size-1 clusters, so
+    n_docs sums to the corpus and the report is self-auditing.
+
+    SERVED from the maintained ClusterStore like the rest of the
+    cluster-membership family: two assignment-sized aggregates over the
+    committed (doc_id, cluster_id) table — no shingle stage, no corpus
+    scan at read time."""
+    store = _clusters(spark, sf_dir)
+    sizes = store.assignments().groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.groupBy(F.col("n").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") - 1).cast("long").alias("n_dropped"),
+    )
+
+
+def _cluster_stats_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE {_duck_shingles_cte(3)},
+{_duck_lsh_cand_cte()},
+sizes AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN h x ON x.doc_id = c.id_a
+  JOIN h y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+  GROUP BY c.id_a, c.id_b
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE 2 * n_common >= (sa.n + sb.n - n_common)
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+verts AS (SELECT DISTINCT a AS v FROM edges),
+walk AS (
+  SELECT v, v AS r FROM verts
+  UNION
+  SELECT w.v, e.b AS r FROM walk w JOIN edges e ON e.a = w.r
+),
+comp AS (SELECT v AS doc_id, min(r) AS cluster_id FROM walk GROUP BY v),
+allc AS (SELECT doc_id, cluster_id FROM comp
+         UNION ALL
+         SELECT d.doc_id, d.doc_id FROM documents d
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)),
+cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n FROM allc GROUP BY cluster_id)
+SELECT n AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(sum(n - 1) AS BIGINT) AS n_dropped
+FROM cs GROUP BY n
+"""
+
+
 def dedup_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUALITY-AWARE cluster survivor selection: within each near-dup
     cluster (LSH → exact-Jaccard verify → connected components) keep the

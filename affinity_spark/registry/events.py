@@ -1391,6 +1391,47 @@ SELECT vertex, r AS rank_ppm FROM r3
 """
 
 
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-bar aggregation (A5's market-data cousin, the standard
+    downsample every metrics/tick store serves): per (event_type, day)
+    open/high/low/close of the value series plus volume, where open/close
+    are the values at the min/max ``event_id`` in the bar (ts-monotone —
+    the timestamp-precision rule) via ``min_by``/``max_by`` — ONE partial
+    agg + tiny-key shuffle, never a per-bar sort or first/last window.
+    Money in integer cents throughout."""
+    ev = _t(spark, sf_dir, "events")
+    c = _cents(F.col("value"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            c.alias("cents"),
+            "event_id",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.expr("min_by(cents, event_id)").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.expr("max_by(cents, event_id)").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+_OHLC_SQL = """
+SELECT event_type,
+       strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       arg_min(CAST(floor("value" * 100 + 0.5) AS BIGINT), event_id) AS open_cents,
+       max(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS high_cents,
+       min(CAST(floor("value" * 100 + 0.5) AS BIGINT)) AS low_cents,
+       arg_max(CAST(floor("value" * 100 + 0.5) AS BIGINT), event_id) AS close_cents,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, day
+"""
+
+
 def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type-2 materialization of the per-user
     value changelog — the warehouse-standard validity-interval build every
