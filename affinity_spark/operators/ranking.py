@@ -389,22 +389,39 @@ def rrf_fuse(
     ``ranked`` is (list_name, frame) pairs; each frame carries ``id_col``
     and a ``rank`` column (1-based; produce it with a row_number over the
     list's own order — safe as a GLOBAL window because retrieval lists
-    are top-k-truncated before fusion, so every window/join input here is
+    are top-k-truncated before fusion, so every fusion input here is
     k-sized, independent of corpus scale). Output keeps each list's rank
     as ``<name>_rank`` (0 = absent) beside the integer ``rrf_x1e6``, so
-    the fused order is auditable and hash-stable across engines."""
-    fused: DataFrame | None = None
-    for name, frame in ranked:
-        one = frame.select(
-            F.col(id_col), F.col("rank").cast("long").alias(f"{name}_rank")
-        )
-        fused = one if fused is None else fused.join(one, id_col, "full_outer")
-    if fused is None:
+    the fused order is auditable and hash-stable across engines.
+
+    Shape: union the tagged rank rows and aggregate per id — an N-way
+    FULL OUTER join chain would plan as N−1 SortMergeJoins (Spark cannot
+    broadcast a full-outer build side); the union+groupBy form is
+    map-side unions plus ONE k·N-row exchange and generalizes to any
+    list count for free."""
+    if not ranked:
         raise ValueError("rrf_fuse: no ranked lists")
+    parts = [
+        frame.select(
+            F.col(id_col),
+            F.lit(name).alias("_list"),
+            F.col("rank").cast("long").alias("_rank"),
+        )
+        for name, frame in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
     rank_cols = [f"{name}_rank" for name, _ in ranked]
-    filled = fused.select(
-        id_col,
-        *[F.coalesce(F.col(rc), F.lit(0)).cast("long").alias(rc) for rc in rank_cols],
+    fused = u.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("_list") == name, F.col("_rank"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{name}_rank")
+            for name, _ in ranked
+        ]
     )
     contrib = None
     for rc in rank_cols:
@@ -413,7 +430,7 @@ def rrf_fuse(
         ).otherwise(F.lit(0))
         contrib = term if contrib is None else contrib + term
     return (
-        filled.select(
+        fused.select(
             id_col, contrib.cast("long").alias("rrf_x1e6"), *rank_cols
         )
         .orderBy(F.col("rrf_x1e6").desc(), F.col(id_col))

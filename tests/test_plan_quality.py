@@ -444,3 +444,64 @@ def test_cluster_family_served_from_store_not_rederived(spark):
             ), (q, docs_scans)
         else:
             assert "documents.parquet" not in plan, q
+
+
+def test_ohlc_bars_single_exchange_partial_agg(spark):
+    """OHLC bars must be one partial-agg + one (type, day) exchange —
+    min_by/max_by aggregate map-side (partial_min_by in the plan), never
+    a per-bar sort or first/last window."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    df = e.queries()["events_ohlc_bars"](spark, SF)
+    df.collect()
+    plan = executed_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1 or (
+        # AQE prints the final plan twice (initial + adaptive); count
+        # distinct plan_ids instead of raw occurrences
+        len(set(__import__("re").findall(r"Exchange hashpartitioning\([^)]*plan_id=(\d+)", plan))) <= 1
+    ), plan
+    assert "partial_min_by" in plan, plan
+    assert "Window" not in plan and "Sort" not in plan.replace("SortAggregate", ""), plan
+
+
+def test_scd2_single_window_no_self_join(spark):
+    """SCD2 materialization is ONE key-partitioned window — a single
+    user_id exchange, no join (the naive next-change build self-joins the
+    changelog)."""
+    import re
+
+    from affinity_spark.plans.introspect import executed_plan
+
+    df = e.queries()["events_scd2_intervals"](spark, SF)
+    df.collect()
+    plan = executed_plan(df)
+    assert len(set(re.findall(r"Exchange hashpartitioning\([^)]*plan_id=(\d+)", plan))) <= 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_cluster_stats_served_from_store(spark):
+    """The dedup-yield report reads ONLY the committed assignment table:
+    no Generate (shingle) stage, no documents scan."""
+    from affinity_spark.plans.introspect import formatted_plan
+
+    df = e.queries()["dedup_cluster_stats"](spark, SF)
+    df.collect()
+    plan = formatted_plan(df)
+    assert "Generate" not in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert any("affinity_clusters_" in f for f in df.inputFiles())
+
+
+def test_hybrid_rrf_branches_stay_k_sized(spark):
+    """The RRF fusion joins run over top-k-limited inputs: every join in
+    the plan is a broadcast join (nothing corpus-sized reaches the
+    fusion), and the BM25 branch reads the postings index, not the
+    documents table."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    df = e.queries()["docs_hybrid_rrf_search"](spark, SF)
+    df.collect()
+    plan = executed_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "documents.parquet" not in plan, plan
