@@ -247,9 +247,19 @@ class HttpGateway:
     """Stdlib HTTP edge over one or more :class:`ServingGateway` routes."""
 
     def __init__(self) -> None:
+        from affinity_spark.metrics import MetricsRegistry
+
         self._routes: dict[str, _Route] = {}
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        #: per-request-group timers + success/failure meters — the
+        #: reference's AffinityMetrics/Gateway.trace surface
+        #: (AffinityMetrics.scala:50-95, Gateway.scala:78-82): every
+        #: request/response route marks success when status < 400 else
+        #: failure, timed from request arrival; served as GET /metrics.
+        #: (Established push streams are connections, not responses —
+        #: only their handshake failures respond, hence meter.)
+        self.metrics = MetricsRegistry()
 
     def register(self, name: str, gateway, schema, proof=None,
                  basic_auth: tuple[str, str] | None = None) -> None:
@@ -300,12 +310,19 @@ class HttpGateway:
         (an ``ssl.SSLContext`` with a server cert loaded) upgrades the
         listener to HTTPS — the reference's TLS gateway."""
         routes = self._routes
+        metrics = self.metrics
 
         class Handler(BaseHTTPRequestHandler):
             daemon_threads = True
 
             def log_message(self, *a):  # quiet test output
                 pass
+
+            def _meter_begin(self):
+                import time as _time
+
+                self._m_t0 = _time.perf_counter()
+                self._m_group = f"{self.command} unmatched"
 
             def _send(self, code: int, payload, ctype="application/json",
                       extra_headers=()):
@@ -329,6 +346,14 @@ class HttpGateway:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                # Gateway.trace completion: one mark per response, status
+                # < 400 = success (the reference's rule); requests that
+                # never reach a do_* meter hook (static /affinity.js,
+                # /metrics itself) carry no _m_t0 and are unmetered
+                t0 = getattr(self, "_m_t0", None)
+                if t0 is not None:
+                    metrics.mark(self._m_group, t0, code < 400)
+                    self._m_t0 = None
 
             def _resolve(self, ops: tuple[str, ...]):
                 """Shared route resolution + auth for every method: returns
@@ -344,6 +369,9 @@ class HttpGateway:
                 if route is None:
                     self._send(404, {"error": f"unknown table {name!r}"})
                     return None
+                # route resolved: meter under the route group from here on
+                # (incl. its own auth 401s / key 400s)
+                self._m_group = f"{self.command} /{op}/{name}"
                 if route.basic_auth is not None:
                     import base64
 
@@ -403,6 +431,10 @@ class HttpGateway:
                         200, _AFFINITY_JS.encode(),
                         ctype="application/javascript",
                     )
+                # the metrics snapshot (AffinityMetrics reporter surface)
+                if urlparse(self.path).path == "/metrics":
+                    return self._send(200, metrics.snapshot())
+                self._meter_begin()
                 resolved = self._resolve(("kv", "scan", "subscribe"))
                 if resolved is None:
                     return
@@ -665,6 +697,7 @@ class HttpGateway:
             # -- writes -------------------------------------------------------
 
             def do_POST(self):  # noqa: N802 (stdlib API)
+                self._meter_begin()
                 resolved = self._resolve(("kv",))
                 if resolved is None:
                     return
@@ -721,6 +754,7 @@ class HttpGateway:
                     return self._send(404, {"error": str(e)})
 
             def do_DELETE(self):  # noqa: N802 (stdlib API)
+                self._meter_begin()
                 resolved = self._resolve(("kv",))
                 if resolved is None:
                     return

@@ -1112,3 +1112,55 @@ def test_table_fed_subscription_write_to_push_loop(spark, tmp_path):
     finally:
         conn.close()
         hg.stop()
+
+
+def test_metrics_registry_unit():
+    """AffinityMetrics semantics: get-or-create identity per group name,
+    success/failure meters, sliding-window timer stats."""
+    from affinity_spark.metrics import MetricsRegistry
+
+    reg = MetricsRegistry(window=4)
+    pm = reg.meter_and_histogram("g")
+    assert reg.meter_and_histogram("g") is pm
+    for _ in range(6):  # overflow the window: counters keep lifetime totals
+        pm.mark_success(pm.mark_start())
+    pm.mark_failure(pm.mark_start())
+    snap = reg.snapshot()["g"]
+    assert snap["success"] == 6 and snap["failure"] == 1 and snap["count"] == 7
+    d = snap["duration_ms"]
+    assert d["window"] == 4  # ring bounded
+    assert 0 <= d["p50"] <= d["p95"] <= d["max"]
+
+
+def test_gateway_request_metrics_over_http(spark):
+    """Gateway.trace wired end to end: every request/response route marks
+    its group's timer, status < 400 = success (the reference's rule);
+    unresolved routes meter as unmatched; /metrics serves the snapshot
+    and is itself unmetered."""
+    from affinity_spark.serving import ServingGateway
+    from affinity_spark.serving_http import HttpGateway
+    from tests.test_bank_end_to_end import BATCH_1, SCHEMA
+
+    df = spark.createDataFrame([*BATCH_1], SCHEMA)
+    hg = HttpGateway()
+    hg.register("bank", ServingGateway(df=df, ts_col="ts"), df.schema)
+    port = hg.start()
+    try:
+        _get(port, "/scan/bank?sortcode=11-10-30")
+        _get(port, "/scan/bank?sortcode=11-10-30")
+        with pytest.raises(urllib.error.HTTPError):
+            _get(port, "/kv/bank?nonsense_col=1")  # 400 → failure on route
+        with pytest.raises(urllib.error.HTTPError):
+            _get(port, "/kv/nosuch?x=1")  # 404 before resolution → unmatched
+        status, snap = _get(port, "/metrics")
+        assert status == 200
+        scan = snap["GET /scan/bank"]
+        assert scan["success"] == 2 and scan["failure"] == 0
+        assert scan["duration_ms"]["p50"] >= 0 and scan["duration_ms"]["window"] == 2
+        assert snap["GET /kv/bank"]["failure"] == 1
+        assert snap["GET unmatched"]["failure"] == 1
+        assert "GET /metrics" not in snap
+        # the snapshot is also live in-process (reporter surface)
+        assert hg.metrics.snapshot()["GET /scan/bank"]["success"] == 2
+    finally:
+        hg.stop()
