@@ -250,9 +250,13 @@ R13_SET = [
 # counting, and the Matryoshka-truncation recall eval. Eleventh set.
 R14_SET = [
     "emb_bitq_search",
+    "emb_bitq_recall",
     "docs_hybrid_rrf_search",
     "graph_triangles",
     "emb_matryoshka_recall",
+    "events_scd2_intervals",
+    "events_ohlc_bars",
+    "dedup_cluster_stats",
 ]
 
 
