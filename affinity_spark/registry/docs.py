@@ -1020,6 +1020,86 @@ LEFT JOIN hits USING (doc_id)
 """
 
 
+def docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-level SPLIT-LEAKAGE audit: how much of the held-out val/test
+    splits' 4-gram mass also occurs in the train split — the within-corpus
+    contamination measurement that complements ``docs_decontaminate``
+    (external eval suite) and ``docs_leakage_free_split`` (cluster-level
+    prevention): even a cluster-clean split leaks VERBATIM PHRASES, and
+    this is the number a data card reports for it. Per held-out split:
+    docs, leaky docs (≥1 shared gram), distinct-gram count, leaked-gram
+    count.
+
+    Scale shape: the audit keys the join on the GRAM (one gram-keyed
+    shuffle of the 10% held-out side against the distinct train grams) —
+    neither side broadcasts at 100 TB (train grams are corpus-sized, the
+    decontam broadcast trick needs a small eval suite); the reduction to
+    per-split rows happens in the same aggregate chain."""
+    from affinity_spark.operators.dedup import word_ngrams
+    from affinity_spark.operators.sampling import train_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    lab = train_split(docs, "doc_id")
+    gr = lab.select(
+        "split", "doc_id", F.explode(word_ngrams(F.col("text"), 4)).alias("gram")
+    )
+    train_g = gr.filter(F.col("split") == "train").select("gram").distinct()
+    evg = gr.filter(F.col("split") != "train")
+    # word_ngrams is distinct per doc → counts are distinct-gram counts
+    base = evg.groupBy("split", "doc_id").agg(F.count(F.lit(1)).alias("ng"))
+    leaks = (
+        evg.join(train_g, "gram")
+        .groupBy("split", "doc_id")
+        .agg(F.count(F.lit(1)).alias("lg"))
+    )
+    per_doc = base.join(leaks, ["split", "doc_id"], "left")
+    return per_doc.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.coalesce(F.col("lg"), F.lit(0)) > 0).cast("long"))
+        .cast("long")
+        .alias("n_leaky_docs"),
+        F.sum("ng").cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("lg"), F.lit(0))).cast("long").alias("n_leaky_grams"),
+    )
+
+
+_SPLIT_CONTAM_SQL = """
+WITH b AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000
+           AS bucket
+  FROM documents
+),
+lab AS (SELECT doc_id, text,
+               CASE WHEN bucket < 900 THEN 'train'
+                    WHEN bucket < 950 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b),
+d AS (SELECT doc_id, split,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM lab),
+g AS (SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 0) + 1),
+               i -> array_to_string(t[i:i+3], ' ')))) AS gram
+      FROM d WHERE len(t) >= 4),
+tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+base AS (SELECT split, doc_id, CAST(count(*) AS BIGINT) AS ng
+         FROM g WHERE split <> 'train' GROUP BY split, doc_id),
+leaks AS (SELECT g.split, g.doc_id, CAST(count(*) AS BIGINT) AS lg
+          FROM g JOIN tg USING (gram) WHERE g.split <> 'train'
+          GROUP BY g.split, g.doc_id)
+SELECT base.split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN COALESCE(lg, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky_docs,
+       CAST(sum(ng) AS BIGINT) AS n_grams,
+       CAST(sum(COALESCE(lg, 0)) AS BIGINT) AS n_leaky_grams
+FROM base LEFT JOIN leaks ON base.split = leaks.split AND base.doc_id = leaks.doc_id
+GROUP BY base.split
+"""
+
+
 def docs_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-probe decontamination: the eval slice's 4-gram set is folded
     into a 2^17-bit bloom filter (one bitmap-sized shuffle, ≤2081 longs on
