@@ -257,6 +257,7 @@ R14_SET = [
     "events_scd2_intervals",
     "events_ohlc_bars",
     "dedup_cluster_stats",
+    "docs_split_contamination",
 ]
 
 
