@@ -416,14 +416,11 @@ def main() -> None:
         "value": payload["value"],
         "unit": payload["unit"],
         "sf": payload["sf"],
-        "extended_total": payload["extended_total"],
-        "r3_total": payload["r3_total"],
-        "r5_total": payload["r5_total"],
-        "r8_total": payload["r8_total"],
-        "r10_total": payload["r10_total"],
-        "r11_total": payload["r11_total"],
-        "r12_total": payload["r12_total"],
-        "r13_total": payload["r13_total"],
+        **{
+            f"{s}_total": payload[f"{s}_total"]
+            for s in SETS
+            if s != "headline" and f"{s}_total" in payload
+        },
         "stderr_classification": verdict,
         **payload,
     }
@@ -528,43 +525,25 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
     for r in results.values():
         work.update(r.get("work") or {})
     timings = results["headline"]["timings"]
-    extended = results["extended"]["timings"]
-    r3 = results["r3"]["timings"]
-    r5 = results["r5"]["timings"]
-    r8 = results["r8"]["timings"]
-    r9 = results["r9"]["timings"]
-    r10 = results["r10"]["timings"]
-    r11 = results["r11"]["timings"]
-    r12 = results["r12"]["timings"]
-    r13 = results["r13"]["timings"]
     payload = {
         "work": work,
         "queries": timings,
-        "extended": extended,
-        "r3": r3,
-        "r5": r5,
-        "r8": r8,
-        "r9": r9,
-        "r10": r10,
-        "r11": r11,
-        "r12": r12,
-        "r13": r13,
         "write_path": results["write_path"]["write_path"],
         "postings_index_build_sec": results["r5"]["postings_index_build_sec"],
         "sf": sf_of(sf_dir),
-        "extended_total": round(sum(extended.values()), 3),
-        "r3_total": round(sum(r3.values()), 3),
-        "r5_total": round(sum(r5.values()), 3),
-        "r8_total": round(sum(r8.values()), 3),
-        "r9_total": round(sum(r9.values()), 3),
-        "r10_total": round(sum(r10.values()), 3),
-        "r11_total": round(sum(r11.values()), 3),
-        "r12_total": round(sum(r12.values()), 3),
-        "r13_total": round(sum(r13.values()), 3),
         "metric": "headline_queries_total",
         "unit": "sec",
         "value": round(sum(timings.values()), 3),
     }
+    # every non-headline set rides into the artifact by name — a new
+    # round's set must never silently drop out of the payload (the r14
+    # set ran but was absent because this block hard-coded r3..r13)
+    for set_name in SETS:
+        if set_name == "headline":
+            continue
+        t = results[set_name]["timings"]
+        payload[set_name] = t
+        payload[f"{set_name}_total"] = round(sum(t.values()), 3)
     ratios = [d["ratio"] for d in contention_sets.values() if d.get("ratio")]
     measured = [d for d in contention_sets.values() if d["reason"] == "measured"]
     payload["contention"] = {
