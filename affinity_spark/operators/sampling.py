@@ -233,6 +233,52 @@ def per_group_sample(
     )
 
 
+def weighted_group_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    max_tickets: int = 64,
+) -> DataFrame:
+    """Deterministic WEIGHTED K-per-group subsample: each row holds
+    ``clamp(weight, 1, max_tickets)`` md5 "tickets" (hash of ``id:j``),
+    its rank key is the MINIMUM ticket, and the K smallest keys per group
+    win — weight-proportional inclusion by ticket replication.
+
+    Why not the textbook A-ES key (u^(1/w), Efraimidis–Spirakis): that
+    needs ``ln``/``pow`` on doubles, and libm differs across engines in
+    the last ulp — a floor()'d fixed-point log amplifies that into
+    different integers, so the selected SET itself becomes
+    engine-dependent. Ticket replication keeps every quantity an exact
+    int64 (the repo's cross-engine hash rule) at the documented price of
+    weight granularity: weights are effectively integers capped at
+    ``max_tickets``, so inclusion odds are proportional only up to the
+    cap. Per-row cost is ≤ max_tickets md5s, map-side; selection remains
+    one WindowGroupLimit shuffle on the group key, like
+    :func:`per_group_sample`."""
+    from affinity_spark.functions.murmur2 import stable_token_hash
+
+    w_clamped = F.greatest(
+        F.lit(1), F.least(F.col(weight_col).cast("long"), F.lit(max_tickets))
+    )
+    idc = F.col(id_col).cast("string")
+    key = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1).cast("long"), w_clamped),
+            lambda j: stable_token_hash(
+                F.concat(idc, F.lit(":"), j.cast("string"))
+            ),
+        )
+    )
+    win = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def isqrt(x: Column) -> Column:
     """Exact integer sqrt of a nonnegative BIGINT column.
 

@@ -1651,6 +1651,58 @@ WHERE rk <= 5
 """
 
 
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-WEIGHTED 5-per-source subsample
+    (``sampling.weighted_group_sample``): each doc holds
+    clamp(n_chars div 100, 1, 64) md5 tickets and the 5 smallest minimum
+    tickets per source win — the weighted companion of
+    ``docs_reservoir_per_source`` (uniform), for the sampling jobs that
+    must over-represent long documents (eval-set drawing, inspection
+    panels) WITHOUT engine-dependent float keys: the A-ES u^(1/w) key
+    needs libm, which differs across engines in the last ulp; ticket
+    replication keeps the selected set an exact integer function of the
+    ids. Emits the effective weight so the selection is auditable."""
+    from affinity_spark.operators.sampling import weighted_group_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / F.lit(100)).cast("long").alias("w_raw"),
+    )
+    kept = weighted_group_sample(docs, "doc_id", "source", "w_raw", 5)
+    return kept.select(
+        "doc_id",
+        "source",
+        F.greatest(F.lit(1), F.least(F.col("w_raw"), F.lit(64)))
+        .cast("long")
+        .alias("n_tickets"),
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH w AS (
+  SELECT doc_id, source,
+         greatest(1, least(CAST(n_chars // 100 AS BIGINT), 64)) AS n_tickets
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, source, n_tickets,
+         list_min(list_transform(range(1, n_tickets + 1),
+           j -> CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                     CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)))
+           AS k
+  FROM w
+)
+SELECT doc_id, source, n_tickets
+FROM (
+  SELECT doc_id, source, n_tickets,
+         row_number() OVER (PARTITION BY source ORDER BY k ASC, doc_id ASC) AS rk
+  FROM keyed
+)
+WHERE rk <= 5
+"""
+
+
 def docs_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus QA: token-length histogram (50-token buckets, capped at 19) —
     the distribution readout that gates length filters before training.

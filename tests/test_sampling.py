@@ -202,3 +202,39 @@ def test_token_budget_scalable_matches_window_form_exactly(spark):
         args = spec.split(",")
         if "n_tokens" in spec:  # the data-side running sum
             assert "_coarse" in spec, plan
+
+
+def test_weighted_group_sample_weight_proportional_and_exact(spark):
+    """Ticket replication: a weight-64 row competes with 64 hashes, a
+    weight-1 row with one — across 200 independent groups the heavy row
+    must win the single seat in roughly 64/73 of them (deterministic
+    given the ids; the bound is loose). Selection must also be an exact
+    integer function of ids: recomputing yields the identical set."""
+    from affinity_spark.operators.sampling import weighted_group_sample
+
+    rows = []
+    for g in range(200):
+        rows.append((g * 100, g, 64))  # one heavy doc per group
+        for i in range(1, 10):
+            rows.append((g * 100 + i, g, 1))  # nine light docs
+    df = spark.createDataFrame(rows, "doc_id long, grp long, w long")
+    kept = weighted_group_sample(df, "doc_id", "grp", "w", 1)
+    sel = {r["grp"]: r["doc_id"] for r in kept.collect()}
+    assert len(sel) == 200
+    heavy_wins = sum(1 for g, d in sel.items() if d == g * 100)
+    # E ≈ 200·64/73 ≈ 175; far above any uniform sampler's ≈ 20
+    assert heavy_wins > 140, heavy_wins
+    sel2 = {r["grp"]: r["doc_id"] for r in kept.collect()}
+    assert sel == sel2
+
+
+def test_weighted_group_sample_clamps_weights(spark):
+    """Weights ≤ 0 still hold one ticket (never unsampleable); weights
+    above the cap add no tickets beyond it."""
+    from affinity_spark.operators.sampling import weighted_group_sample
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 0, -5), (3, 0, 1000000)], "doc_id long, grp long, w long"
+    )
+    kept = weighted_group_sample(df, "doc_id", "grp", "w", 3, max_tickets=8)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
