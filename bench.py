@@ -258,6 +258,7 @@ R14_SET = [
     "events_ohlc_bars",
     "dedup_cluster_stats",
     "docs_split_contamination",
+    "docs_weighted_sample",
 ]
 
 
