@@ -551,3 +551,92 @@ def test_kmv_union_matches_sketch_of_union(spark, xs, ys):
         return sorted(hs)[:k]
 
     assert list(merged) == model(set(xs) | set(ys))
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=16,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SLOW
+def test_sign_bit_words_matches_model(spark, vecs):
+    """Packed sign codes equal the python model bit for bit on generated
+    vectors (16 dims → one word; exercises the sub-word tail path)."""
+    from affinity_spark.functions.vectors import sign_bit_words
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r["vec_id"]: r["code"]
+        for r in df.select(
+            "vec_id", sign_bit_words(F.col("embedding"), 16).alias("code")
+        ).collect()
+    }
+    import struct
+
+    for i, v in enumerate(vecs):
+        # spark stores float32: replicate the cast before the sign test
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        want = sum((1 << j) for j in range(16) if v32[j] >= 0)
+        assert got[i] == [want], (i, v)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),  # doc id — collisions likely
+            st.integers(min_value=1, max_value=10),  # rank
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=1, max_value=10),
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@SLOW
+def test_rrf_fuse_matches_model(spark, la, lb):
+    """Fused scores and per-list rank evidence equal the python model on
+    generated rank lists (duplicate ids within a list keep the max rank —
+    the union+groupBy contract)."""
+    from affinity_spark.operators.ranking import rrf_fuse
+
+    if not la and not lb:
+        return
+    fa = spark.createDataFrame(la or [(999, 1)], "doc_id long, rank int")
+    fb = spark.createDataFrame(lb or [(998, 1)], "doc_id long, rank int")
+    la = la or [(999, 1)]
+    lb = lb or [(998, 1)]
+    rows = rrf_fuse([("a", fa), ("b", fb)], k=100, c=60).collect()
+
+    def model(pairs):
+        best: dict[int, int] = {}
+        for d, r in pairs:
+            best[d] = max(best.get(d, 0), r)
+        return best
+
+    ma, mb = model(la), model(lb)
+    want = {}
+    for d in set(ma) | set(mb):
+        ra, rb = ma.get(d, 0), mb.get(d, 0)
+        score = (1000000 // (60 + ra) if ra else 0) + (
+            1000000 // (60 + rb) if rb else 0
+        )
+        want[d] = (score, ra, rb)
+    got = {r["doc_id"]: (r["rrf_x1e6"], r["a_rank"], r["b_rank"]) for r in rows}
+    assert got == want
+    # output order: score desc, id asc
+    keys = [(r["rrf_x1e6"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
