@@ -409,7 +409,26 @@ def main() -> None:
         return
     payload, verdict, lines = _orchestrate(sf_dir)
     payload["stderr_classification"] = verdict
-    print(json.dumps(payload))
+    # The driver records only the LAST ~2000 chars of the stdout line: the
+    # r13 artifact lost metric/value entirely because the full contention
+    # block happened to be the final key. Same single line, same content —
+    # but bulky diagnostics (work volumes, per-set per-query timings) are
+    # serialized FIRST and the contract keys (queries/sf/metric/unit/value)
+    # LAST, so any tail window of the line is self-sufficient. Full payload
+    # also lands in BENCH_LOCAL.json.
+    tail_keys = [
+        *[f"{s}_total" for s in SETS if f"{s}_total" in payload],
+        "postings_index_build_sec",
+        "stderr_classification",
+        "queries",
+        "sf",
+        "metric",
+        "unit",
+        "value",
+    ]
+    head = {k: v for k, v in payload.items() if k not in tail_keys}
+    stdout_line = {**head, **{k: payload[k] for k in tail_keys if k in payload}}
+    print(json.dumps(stdout_line))
     # Self-sufficient on-disk artifact (totals FIRST — readable even if the
     # recorded stdout line is clipped from either end).
     ordered = {
