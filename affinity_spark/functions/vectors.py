@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import long_array_lit
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -126,7 +128,7 @@ def sign_bit_words(vec: Column, dim: int, word_bits: int = 32) -> Column:
     # bit i's place value as ONE literal array node (1<<31 forces long
     # inference); a shiftleft-by-lambda-var is not expressible via the
     # python F.shiftleft wrapper, and b ∈ {0,1} makes b·2^i identical
-    pows = F.lit([1 << i for i in range(word_bits)])
+    pows = long_array_lit(1 << i for i in range(word_bits))
 
     def pack(bb: Column) -> Column:
         return F.transform(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import double_array_lit, double_matrix_lit
 from affinity_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
@@ -83,7 +84,7 @@ def assign(
 
     # ONE nested-array literal: k*dim individual Literal nodes make plan
     # analysis/codegen, not execution, the dominant cost (r5 profile)
-    cents = F.lit([[float(x) for x in c] for c in centroids])
+    cents = double_matrix_lit(centroids)
     v = F.col(vec_col).cast("array<double>")
     dists = F.transform(cents, lambda c: _sq_dist(v, c))
     # let-bind the k-centroid distance array: argmin references it twice
@@ -113,7 +114,7 @@ def search(
 
     order = sorted(range(len(centroids)), key=lambda i: sqd(centroids[i], query))
     probes = order[:nprobe]
-    qcol = F.lit([float(x) for x in query])  # one literal node
+    qcol = double_array_lit(query)  # one JVM call, not one per scalar
     return (
         emb_assigned.filter(F.col("cell").isin(probes))
         .select(
@@ -165,7 +166,7 @@ def batch_search(
     cents = (
         cents_lit
         if cents_lit is not None
-        else F.lit([[float(x) for x in c] for c in centroids])
+        else double_matrix_lit(centroids)
     )
     qv = F.col(qvec_col).cast("array<double>")
     dists = F.transform(cents, lambda c: _sq_dist(qv, c))
@@ -233,6 +234,23 @@ def _sq_dist_int(a, b):
     )
 
 
+def _cents_lit(centroids: list[list[int]]):
+    """k×dim nested literal as ONE parsed expression.
+
+    ``F.lit(nested_list)`` recurses a py4j round trip per SCALAR (k*dim
+    socket calls per iteration — the F.lit constant in CLAUDE.md); a single
+    SQL string parses JVM-side in one call. The ``L`` suffix keeps every
+    element BIGINT, matching what ``F.lit`` inferred for python ints, so
+    the zip_with arithmetic types (and results) are unchanged."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{int(x)}L" for x in c) + ")" for c in centroids
+        )
+        + ")"
+    )
+
+
 def kmeans_int(
     emb: DataFrame,
     k: int = 4,
@@ -277,7 +295,7 @@ def kmeans_int(
     q = q.persist()
     try:
         for _ in range(n_iter):
-            cents = F.lit(centroids)
+            cents = _cents_lit(centroids)
             assigned = q.withColumn(
                 "cell",
                 let_bound(
@@ -295,7 +313,7 @@ def kmeans_int(
             for row in rows:
                 new_c[row.cell][row.pos] = _trunc_div(int(row.s), int(row.n))
             centroids = new_c
-        cents = F.lit(centroids)
+        cents = _cents_lit(centroids)
         # ONE distance evaluation per row: min and argmin ride one bound
         # struct (the let_bound discipline — unbound, the k*dim distance
         # transform would evaluate once per referencing column)

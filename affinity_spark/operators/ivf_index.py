@@ -53,6 +53,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import double_matrix_lit
 from affinity_spark.operators.ivf import assign, batch_search, search, train_centroids
 from affinity_spark.sources.keyed_table import KeyedTable
 
@@ -376,7 +377,7 @@ class IVFIndex:
         if cached is None or cached[0] != vdir:
             cached = (
                 vdir,
-                F.lit([[float(x) for x in c] for c in self.codebook()]),
+                double_matrix_lit(self.codebook()),
             )
             self._codebook_lit_memo = cached
         return cached[1]
@@ -390,7 +391,7 @@ class IVFIndex:
             cached = (
                 vdir,
                 [
-                    F.lit([[float(x) for x in c] for c in book])
+                    double_matrix_lit(book)
                     for book in self.pq_codebooks()
                 ],
             )

@@ -136,10 +136,15 @@ def kn_score_bits_per_group(
     reference bigrams) produce no rows — same contract as the < 2-token
     case. Plan shape unchanged: model-sized broadcast aggregates keyed
     by group, map-side joins, ONE corpus-sized shuffle (groupBy doc)."""
+    from affinity_spark.cache import track
+
     d = int(discount_quarters)
     if not 1 <= d <= 3:
         raise ValueError("discount_quarters must be in 1..3 (D = d/4 in (0,1))")
-    c2 = models
+    # four broadcast consumers: persist the (groups × vocab²)-bounded model
+    # so each broadcast reads the cache instead of re-training (see
+    # kn_score_bits)
+    c2 = track(models.persist())
     ctx = c2.groupBy(group_col, "w1").agg(
         F.sum("c").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1f"),
@@ -206,7 +211,14 @@ def lm_score_bits(
     Plan: model-side aggregates are model-sized (broadcast); document
     bigrams join them map-side; ONE corpus-sized shuffle (groupBy doc).
     """
-    c2 = bigram_model
+    from affinity_spark.cache import track
+
+    # three broadcast consumers (v, c2, c1) — broadcast exchanges never
+    # share work, so an unpersisted model re-runs the whole reference-slice
+    # tokenize+bigram aggregation once per broadcast; the model is
+    # vocab²-bounded, so persisting it is the cheap side of the r5
+    # multi-branch rule
+    c2 = track(bigram_model.persist())
     c1 = c2.groupBy("w1").agg(F.sum("c").cast("long").alias("c1"))
     v = c2.agg(F.countDistinct("w1").cast("long").alias("v"))
 
@@ -280,10 +292,16 @@ def kn_score_bits(
     :func:`lm_score_bits`: model-sized broadcast aggregates, map-side
     joins, ONE corpus-sized shuffle (groupBy doc).
     """
+    from affinity_spark.cache import track
+
     d = int(discount_quarters)
     if not 1 <= d <= 3:
         raise ValueError("discount_quarters must be in 1..3 (D = d/4 in (0,1))")
-    c2 = bigram_model
+    # FOUR broadcast consumers (tot, c2, ctx, cont) — broadcast exchanges
+    # never share work, so an unpersisted model re-runs the reference-slice
+    # tokenize+bigram aggregation once per broadcast; the model is
+    # vocab²-bounded (the cheap side of the multi-branch persist rule)
+    c2 = track(bigram_model.persist())
     # left-context totals AND distinct-follower type counts: one pass
     ctx = c2.groupBy("w1").agg(
         F.sum("c").cast("long").alias("c1"),
@@ -435,6 +453,8 @@ def dsir_weights(
     pass is single. At 100 TB, persist the exploded projection (or harvest
     the model from a sample) to collapse the two scans into one.
     """
+    from affinity_spark.cache import track
+
     toks = docs.select(
         F.col(id_col),
         target_filter.alias("_is_target"),
@@ -442,6 +462,11 @@ def dsir_weights(
     ).select(
         id_col, "_is_target", hashed_bucket(F.col("tok"), n_buckets).alias("b")
     )
+    # two consumers (bucket-count model + scoring join): the frame is three
+    # narrow ints per token, so persisting beats re-running the tokenize +
+    # md5 explode (the exception the r8 fan-out counterexample carves out is
+    # frames CARRYING arrays, not this)
+    toks = track(toks.persist())
 
     counts = toks.groupBy("b").agg(
         F.count("*").cast("long").alias("cs"),

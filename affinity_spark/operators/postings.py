@@ -429,18 +429,21 @@ class PostingsIndex:
 
     def top_bigram(self) -> DataFrame:
         """1-row (phrase,) - the corpus's most frequent adjacent-token
-        bigram, computed from the POSITIONAL INDEX (a (doc, pos+1)
-        self-join on postings), never by re-tokenizing the corpus.  Cost is
-        postings-sized; at scale both join sides carry the same clustering.
-        Ties break on bigram text (matches the corpus-scan derivation)."""
+        bigram, computed from the POSITIONAL INDEX, never by re-tokenizing
+        the corpus.  Positions are dense per doc (posexplode of the token
+        array), so lead(term) over (doc, pos) IS the (pos, pos+1) pair —
+        one postings scan and one exchange, vs two of each for the
+        equivalent self-join (exchange reuse does not bridge the pos-1
+        projection).  Ties break on bigram text (matches the corpus-scan
+        derivation)."""
+        from pyspark.sql import Window
+
         p = self.positional()
-        a = p.select(self.id_col, "pos", F.col("term").alias("_w1"))
-        b = p.select(
-            self.id_col, (F.col("pos") - 1).alias("pos"), F.col("term").alias("_w2")
-        )
+        w = Window.partitionBy(self.id_col).orderBy("pos")
         return (
-            a.join(b, [self.id_col, "pos"])
-            .select(F.concat_ws(" ", "_w1", "_w2").alias("bg"))
+            p.withColumn("_w2", F.lead("term").over(w))
+            .filter(F.col("_w2").isNotNull())
+            .select(F.concat_ws(" ", "term", "_w2").alias("bg"))
             .groupBy("bg")
             .agg(F.count(F.lit(1)).alias("c"))
             .orderBy(F.desc("c"), F.asc("bg"))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import double_matrix_lit
 from affinity_spark.operators.ivf import train_centroids
 
 
@@ -73,7 +74,7 @@ def code_columns(
         # would otherwise dominate the plan: analysis/codegen of the
         # thousands-of-Literal tree cost more than executing it - r5
         # profile: the probed-cell encode was ~1.6 ms/ROW at 501 rows)
-        book_lit = F.lit([[float(x) for x in c] for c in book])
+        book_lit = double_matrix_lit(book)
         sub = F.slice(vec, s * d_sub + 1, d_sub)
         # let-bound subvector and distance array: HOFs re-evaluate outer
         # expressions per reference (the repo's HOF re-evaluation trap)
@@ -126,7 +127,7 @@ def query_distance_tables(
         book_lit = (
             book_lits[s]
             if book_lits is not None
-            else F.lit([[float(x) for x in c] for c in book])
+            else double_matrix_lit(book)
         )
         sub = F.slice(qv, s * d_sub + 1, d_sub)
         tab = let_bound(

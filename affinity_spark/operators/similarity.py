@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import double_array_lit
 from affinity_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
@@ -46,7 +47,7 @@ def knn_to_query(
         qcol: Column = F.col("_qvec")
     else:
         joined = emb
-        qcol = F.lit([float(x) for x in query])  # one literal node
+        qcol = double_array_lit(query)  # one JVM call, not one per scalar
     scored = joined.select(
         F.col(id_col),
         cosine_similarity(F.col(vec_col), qcol).alias("cosine_raw"),
@@ -194,7 +195,7 @@ def lsh_hyperplane_buckets(
     for j, plane in enumerate(planes):
         # one array literal per plane, not dim Literal nodes (plan-compile
         # cost dominates execution for big literal trees - r5 profile)
-        pcol = F.lit([float(x) for x in plane])
+        pcol = double_array_lit(plane)
         bucket = bucket + F.when(dot(F.col(vec_col), pcol) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     # loud dim guard: the planes are FIXED dim-wide literals — a corpus
     # whose embedding width drifted would otherwise dot against a prefix

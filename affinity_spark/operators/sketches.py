@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import long_array_lit
+
 
 def _h(x: Column, salt: int, hex_chars: int = 8) -> Column:
     """md5-derived positive integer hash of ``x`` with an integer salt
@@ -214,7 +216,7 @@ def bloom_member_expr(
     from affinity_spark.functions.text import let_bound
 
     words_lit = F.lit(words)
-    pow2 = F.lit([1 << b for b in range(63)])
+    pow2 = long_array_lit(1 << b for b in range(63))
     salts = F.array(*[F.lit(i) for i in range(k_hashes)])
 
     def bit_set(i: Column) -> Column:

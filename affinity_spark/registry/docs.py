@@ -67,11 +67,16 @@ def docs_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from affinity_spark.operators.index import proximity_lookup
 
     idx = _postings(spark, sf_dir)
-    top = idx.top_bigram()
-    w1 = top.select(F.split(F.col("phrase"), " ").getItem(0))
-    w2 = top.select(F.split(F.col("phrase"), " ").getItem(1))
+    # the top bigram is a 1-row model: collect it ONCE (driver-side,
+    # model-sized) instead of re-evaluating the postings aggregation per
+    # consumer — as broadcast frames, w1/w2/the final phrase column each
+    # re-ran the whole top-bigram job, and literal terms additionally give
+    # the positional scans pushable `term = <lit>` predicates where the
+    # 1-row-join form scanned every posting
+    phrase = idx.top_bigram().collect()[0]["phrase"]
+    w1, w2 = phrase.split(" ")
     near = proximity_lookup(idx.positional(), w1, w2, 5, ["doc_id"])
-    return near.crossJoin(F.broadcast(top)).select("doc_id", "phrase", "n_near")
+    return near.select("doc_id", F.lit(phrase).alias("phrase"), "n_near")
 
 
 _PROXIMITY_SQL = r"""
@@ -1833,15 +1838,13 @@ def docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from affinity_spark.operators.index import phrase_lookup
 
     idx = _postings(spark, sf_dir)
-    top = idx.top_bigram()
-    terms = top.select(
-        F.split(F.col("phrase"), " ").getItem(0).alias("term_0"),
-        F.split(F.col("phrase"), " ").getItem(1).alias("term_1"),
-    )
-    matches = phrase_lookup(idx.positional(), terms, ["doc_id"])
-    return matches.crossJoin(F.broadcast(top)).select(
-        "doc_id", "phrase", "n_matches"
-    )
+    # collect the 1-row top bigram ONCE (model-sized) — the broadcast-frame
+    # form re-evaluated the postings aggregation per consumer (terms + the
+    # final phrase column), and literal terms turn the per-term positional
+    # scans into pushable `term = <lit>` filters
+    phrase = idx.top_bigram().collect()[0]["phrase"]
+    matches = phrase_lookup(idx.positional(), phrase.split(" "), ["doc_id"])
+    return matches.select("doc_id", F.lit(phrase).alias("phrase"), "n_matches")
 
 
 _PHRASE_SQL = """
