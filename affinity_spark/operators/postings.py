@@ -249,9 +249,27 @@ class PostingsIndex:
             "doc_buckets": self._effective,
         }
         try:
-            self._doclen.overwrite(self._doclen_delta(toks), meta=lineage)
-            for n in self.grams:
-                self._tables[n].overwrite(self._postings_delta(toks, n), meta=lineage)
+            # the per-table writes are independent jobs over the one
+            # persisted token frame (different tables, own CAS pointers):
+            # submit them concurrently so each job's task tail back-fills
+            # the executors the others free (guide §2.6) instead of paying
+            # three sequential stragglers. 2-3 in flight is the sweet spot.
+            from concurrent.futures import ThreadPoolExecutor
+
+            writes = [
+                lambda: self._doclen.overwrite(
+                    self._doclen_delta(toks), meta=lineage
+                ),
+                *[
+                    (lambda n=n: self._tables[n].overwrite(
+                        self._postings_delta(toks, n), meta=lineage
+                    ))
+                    for n in self.grams
+                ],
+            ]
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for f in [pool.submit(w) for w in writes]:
+                    f.result()
         finally:
             toks.unpersist()
 

@@ -175,35 +175,58 @@ def tfidf_pairs_postings(
     the from-scratch plan).  Scores bit-identical (same integer
     floor-log2 idf, same df cap).
 
-    The tf frame is read ONCE: df derives from the same scan (its
-    groupBy(term) exchange is the one shuffle the tf side reuses for the
-    term join), and the weighted-postings frame `w` keeps term
-    partitioning through the self-join, so only the final pair aggregation
-    adds an exchange."""
+    The tf frame is read ONCE and exchanged ONCE: df is a count window
+    over the term partitioning (the bm25 single-scan discipline), the
+    per-term posting lists (<= max_df entries by construction) are
+    collected in place — no second exchange, the groupBy reuses the
+    window's — and the Σ w_a·w_b pair terms are enumerated MAP-SIDE inside
+    each list, so only the final pair aggregation shuffles. The former
+    shape planned the tf scan + df aggregate TWICE (once per self-join
+    side) plus a term-keyed join; this one has two exchanges total, and
+    the struct HOFs only BUILD pair structs (never sort/distinct them —
+    the interpreted-comparator trap needs per-element struct compares)."""
+    from pyspark.sql import Window
+
     tf = index.tf_postings(n)
-    df_t = (
-        tf.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= F.lit(max_df))
-    )
     n_docs = index.corpus_stats().select(F.col("n_docs").alias("n"))
     w = (
-        tf.join(df_t, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .filter(F.col("df") <= F.lit(max_df))
         .crossJoin(F.broadcast(n_docs))
         .select(
-            F.col(id_col).alias("_id"),
             "term",
+            F.col(id_col).alias("_id"),
             (F.col("tf") * (F.length(F.bin(F.expr("n div df"))) - 1).cast("long")).alias("w"),
         )
         .filter(F.col("w") > 0)
     )
-    a = w.select(F.col("_id").alias("id_a"), "term", F.col("w").alias("w_a"))
-    b = w.select(F.col("_id").alias("id_b"), "term", F.col("w").alias("w_b"))
+    lst = w.groupBy("term").agg(
+        F.collect_list(F.struct(F.col("_id"), F.col("w"))).alias("_lst")
+    )
+
+    def pair_terms(l):
+        # every unordered doc pair within the posting list, keyed
+        # (min id, max id) — list order is immaterial to the product
+        return F.flatten(
+            F.transform(
+                l,
+                lambda x, i: F.transform(
+                    F.slice(l, i + 2, F.size(l) - i - 1),
+                    lambda y: F.struct(
+                        F.least(x["_id"], y["_id"]).alias("id_a"),
+                        F.greatest(x["_id"], y["_id"]).alias("id_b"),
+                        (x["w"] * y["w"]).alias("p"),
+                    ),
+                ),
+            )
+        )
+
     dots = (
-        a.join(b, "term")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot"))
+        lst.select(F.explode(pair_terms(F.col("_lst"))).alias("_pr"))
+        .groupBy(F.col("_pr.id_a").alias("id_a"), F.col("_pr.id_b").alias("id_b"))
+        .agg(F.sum(F.col("_pr.p")).alias("dot"))
     )
     return dots.orderBy(F.col("dot").desc(), "id_a", "id_b").limit(k)
 

@@ -120,6 +120,13 @@ def train_unigram_vocab(
         .orderBy(F.col("c").desc(), F.col("piece").asc())
         .limit(max_pieces)
     )
+    # two consumers (the tot broadcast + the output projection), and
+    # broadcast exchanges never share work: unpersisted, the corpus-linear
+    # substring explode + piece aggregate — the family's one heavy stage —
+    # ran TWICE per vocab. max_pieces rows, the cheapest possible persist.
+    from affinity_spark.cache import track
+
+    top = track(top.persist())
     tot = top.agg(F.sum("c").cast("long").alias("t"))
     return top.crossJoin(F.broadcast(tot)).select(
         "piece",
@@ -389,6 +396,12 @@ def reestimate_costs_soft(
             F.coalesce(F.col("used"), F.lit(0).cast("long")).alias("used"),
         )
     )
+    # two consumers (tot broadcast + output projection): unpersisted, the
+    # type-level E-step pandas UDF upstream (forward-backward / Viterbi)
+    # ran TWICE per round; base is vocab-sized
+    from affinity_spark.cache import track as _track
+
+    base = _track(base.persist())
     tot = base.agg(
         F.sum("used").cast("long").alias("t"),
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -440,6 +453,12 @@ def reestimate_costs(
             F.coalesce(F.col("used"), F.lit(0).cast("long")).alias("used"),
         )
     )
+    # two consumers (tot broadcast + output projection): unpersisted, the
+    # type-level E-step pandas UDF upstream (forward-backward / Viterbi)
+    # ran TWICE per round; base is vocab-sized
+    from affinity_spark.cache import track as _track
+
+    base = _track(base.persist())
     tot = base.agg(
         F.sum("used").cast("long").alias("t"),
         F.count(F.lit(1)).cast("long").alias("k"),

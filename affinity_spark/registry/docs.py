@@ -1050,21 +1050,27 @@ def docs_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train_g = gr.filter(F.col("split") == "train").select("gram").distinct()
     evg = gr.filter(F.col("split") != "train")
-    # word_ngrams is distinct per doc → counts are distinct-gram counts
-    base = evg.groupBy("split", "doc_id").agg(F.count(F.lit(1)).alias("ng"))
-    leaks = (
-        evg.join(train_g, "gram")
+    # ONE aggregate for both per-doc counts: the left join against the
+    # DISTINCT train grams preserves every held-out gram row exactly once,
+    # so count(*) is the total and count(_hit) the leaked subset — the
+    # former base/leaks twin aggregates re-ran the gram explode once each
+    # and re-joined per doc. word_ngrams is distinct per doc → counts are
+    # distinct-gram counts.
+    per_doc = (
+        evg.join(
+            train_g.withColumn("_hit", F.lit(1)), "gram", "left"
+        )
         .groupBy("split", "doc_id")
-        .agg(F.count(F.lit(1)).alias("lg"))
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.count("_hit").alias("lg"),
+        )
     )
-    per_doc = base.join(leaks, ["split", "doc_id"], "left")
     return per_doc.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum((F.coalesce(F.col("lg"), F.lit(0)) > 0).cast("long"))
-        .cast("long")
-        .alias("n_leaky_docs"),
+        F.sum((F.col("lg") > 0).cast("long")).cast("long").alias("n_leaky_docs"),
         F.sum("ng").cast("long").alias("n_grams"),
-        F.sum(F.coalesce(F.col("lg"), F.lit(0))).cast("long").alias("n_leaky_grams"),
+        F.sum("lg").cast("long").alias("n_leaky_grams"),
     )
 
 

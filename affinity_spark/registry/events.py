@@ -1499,10 +1499,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     users = ev.select("user_id").distinct()
+    # _n rides a count window over the same single-partition exchange the
+    # rank already pays — the broadcast-agg form re-scanned and
+    # re-distincted the events table just to count it
     ranked = users.select(
         "user_id",
         (F.row_number().over(Window.orderBy("user_id")) - 1).alias("i"),
-    ).crossJoin(F.broadcast(users.agg(F.count(F.lit(1)).alias("_n"))))
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_n"),
+    )
     # three consumers (two step unions + the rank→id map) each re-pay the
     # distinct + global rank window otherwise; frame is vertex-sized
     ranked = _track_cache(ranked.persist())
