@@ -234,21 +234,36 @@ def _sq_dist_int(a, b):
     )
 
 
-def _cents_lit(centroids: list[list[int]]):
-    """k×dim nested literal as ONE parsed expression.
-
-    ``F.lit(nested_list)`` recurses a py4j round trip per SCALAR (k*dim
-    socket calls per iteration — the F.lit constant in CLAUDE.md); a single
-    SQL string parses JVM-side in one call. The ``L`` suffix keeps every
-    element BIGINT, matching what ``F.lit`` inferred for python ints, so
-    the zip_with arithmetic types (and results) are unchanged."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{int(x)}L" for x in c) + ")" for c in centroids
-        )
-        + ")"
+def _sq_dist_sql(vec_sql: str, cent: list[int]) -> str:
+    """Squared integer distance to ONE centroid as a flat codegen-able SQL
+    sum — higher-order functions are CodegenFallback (interpreted eval),
+    and the per-row k·dim zip_with/aggregate lattice measured ~25 s of
+    executor CPU on a 4k-vector corpus; the expanded sum rides
+    whole-stage codegen. Integer addition is fully associative, so any
+    evaluation order is bit-identical to the HOF fold. One expr string =
+    one py4j call (the F.lit-per-scalar rule). ``vec_sql[i]`` is 0-based
+    GetArrayItem; a drifted embedding width fails loudly under ANSI
+    instead of zip_with's silent truncation."""
+    return " + ".join(
+        f"(({vec_sql}[{i}])-({int(x)}L))*(({vec_sql}[{i}])-({int(x)}L))"
+        for i, x in enumerate(cent)
     )
+
+
+def _argmin_first_sql(k: int, prefix: str = "_d") -> str:
+    """First index attaining the minimum of ``{prefix}0..{prefix}{k-1}`` —
+    the CASE cascade equivalent of array_position(d, array_min(d)) - 1
+    (index j wins iff it is <= every later column; an earlier tie took
+    the earlier branch)."""
+    if k == 1:
+        return "0"
+    whens = " ".join(
+        "WHEN "
+        + " AND ".join(f"{prefix}{j} <= {prefix}{m}" for m in range(j + 1, k))
+        + f" THEN {j}"
+        for j in range(k - 1)
+    )
+    return f"CASE {whens} ELSE {k - 1} END"
 
 
 def kmeans_int(
@@ -283,8 +298,6 @@ def kmeans_int(
 
     Returns one row per non-empty cell:
     (cell, n, inertia, centroid_csv)."""
-    from affinity_spark.functions.text import let_bound
-
     q = emb.select(
         F.col(id_col).alias("_id"), quantize_int(vec_col, scale).alias("_q")
     )
@@ -293,15 +306,24 @@ def kmeans_int(
         for r in q.orderBy("_id").limit(k).collect()
     ]
     q = q.persist()
+
+    # per-centroid distances as SEPARATE projected columns, argmin/min in a
+    # SECOND select: CollapseProject won't inline a non-cheap alias that is
+    # referenced more than once, so each distance is computed exactly once
+    # per row — all in whole-stage codegen (the HOF form was interpreted)
+    def dist_cols(cents: list[list[int]]):
+        return q.select(
+            "_q",
+            *[
+                F.expr(_sq_dist_sql("_q", c)).alias(f"_d{j}")
+                for j, c in enumerate(cents)
+            ],
+        )
+
     try:
         for _ in range(n_iter):
-            cents = _cents_lit(centroids)
-            assigned = q.withColumn(
-                "cell",
-                let_bound(
-                    F.transform(cents, lambda c: _sq_dist_int(F.col("_q"), c)),
-                    lambda d: F.array_position(d, F.array_min(d)) - 1,
-                ).cast("int"),
+            assigned = dist_cols(centroids).select(
+                F.expr(_argmin_first_sql(k)).cast("int").alias("cell"), "_q"
             )
             rows = (
                 assigned.select("cell", F.posexplode("_q").alias("pos", "x"))
@@ -313,23 +335,13 @@ def kmeans_int(
             for row in rows:
                 new_c[row.cell][row.pos] = _trunc_div(int(row.s), int(row.n))
             centroids = new_c
-        cents = _cents_lit(centroids)
-        # ONE distance evaluation per row: min and argmin ride one bound
-        # struct (the let_bound discipline — unbound, the k*dim distance
-        # transform would evaluate once per referencing column)
-        final = q.withColumn(
-            "_da",
-            let_bound(
-                F.transform(cents, lambda c: _sq_dist_int(F.col("_q"), c)),
-                lambda d: F.struct(
-                    F.array_min(d).alias("d"),
-                    (F.array_position(d, F.array_min(d)) - 1)
-                    .cast("int")
-                    .alias("cell"),
-                ),
-            ),
-        ).select(
-            F.col("_da.cell").alias("cell"), F.col("_da.d").alias("_d")
+        min_sql = (
+            "_d0" if k == 1
+            else "least(" + ",".join(f"_d{j}" for j in range(k)) + ")"
+        )
+        final = dist_cols(centroids).select(
+            F.expr(_argmin_first_sql(k)).cast("int").alias("cell"),
+            F.expr(min_sql).alias("_d"),
         )
         stats = (
             final.groupBy("cell")
