@@ -447,13 +447,24 @@ class PostingsIndex:
 
     def top_bigram(self) -> DataFrame:
         """1-row (phrase,) - the corpus's most frequent adjacent-token
-        bigram, computed from the POSITIONAL INDEX, never by re-tokenizing
-        the corpus.  Positions are dense per doc (posexplode of the token
+        bigram, computed from the INDEX, never by re-tokenizing the
+        corpus.  When the index carries a bigram tf table this is a
+        partial-agg sum over it (term-clustered, TakeOrdered finish);
+        otherwise positions are dense per doc (posexplode of the token
         array), so lead(term) over (doc, pos) IS the (pos, pos+1) pair —
         one postings scan and one exchange, vs two of each for the
         equivalent self-join (exchange reuse does not bridge the pos-1
-        projection).  Ties break on bigram text (matches the corpus-scan
-        derivation)."""
+        projection).  Either path counts every adjacent occurrence, ties
+        break on bigram text (matches the corpus-scan derivation)."""
+        if 2 in self.grams:
+            return (
+                self.tf_postings(2)
+                .groupBy("term")
+                .agg(F.sum("tf").alias("c"))
+                .orderBy(F.desc("c"), F.asc("term"))
+                .limit(1)
+                .select(F.col("term").alias("phrase"))
+            )
         from pyspark.sql import Window
 
         p = self.positional()

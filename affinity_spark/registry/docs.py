@@ -49,11 +49,14 @@ def _postings(spark: SparkSession, sf_dir: str):
     tables cover every current consumer."""
     from affinity_spark.operators.postings import shared_postings
 
+    # grams 2 serves top_bigram as a tf-table aggregate (phrase/proximity
+    # term selection) instead of a full positional window pass; the extra
+    # build write overlaps the others in the build thread pool
     return shared_postings(
         spark,
         _t(spark, sf_dir, "documents"),
         corpus_key=os.path.abspath(sf_dir),
-        grams=(1, 3),
+        grams=(1, 2, 3),
     )
 
 
