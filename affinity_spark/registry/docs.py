@@ -1369,6 +1369,9 @@ def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = Window.orderBy(F.col("score_x1e6").desc(), F.col("doc_id"))
     lex_r = lex.select("doc_id", F.row_number().over(wl).alias("rank"))
     emb = _t(spark, sf_dir, "embeddings")
+    # (measured r14: collecting the 1-row query vector to a literal reads
+    # WORSE here — the synchronous driver collect serializes a job the
+    # broadcast build overlaps; the broadcast form stays)
     vec = knn_to_query(
         emb.filter(F.col("vec_id") != 0),
         emb.filter(F.col("vec_id") == 0),

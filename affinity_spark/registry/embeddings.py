@@ -166,6 +166,10 @@ FROM (
 
 _PQ_M, _PQ_K, _PQ_DIM = 4, 8, 64
 
+# emb_incremental_search admit-probe memo: index instances (by unique build
+# path) whose batch admit has been verified/performed this process
+_INCR_ADMIT_DONE: set[str] = set()
+
 
 def _pq_seed_books(emb) -> list[list[list[float]]]:
     """Seed codebooks: subvector slices of the 8 lowest-id vectors —
@@ -467,9 +471,15 @@ def emb_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") % 10 == 0)
     idx = shared_ivf(spark, base, f"embeddings_incr:{sf_dir}", k=8, n_iter=0)
     # admit once per process (admit is an idempotent merge, but skipping a
-    # no-op pass keeps repeat invocations index-read-only)
-    if idx.vectors().filter(F.col("vec_id") % 10 == 0).isEmpty():
-        idx.admit(batch)
+    # no-op pass keeps repeat invocations index-read-only); the emptiness
+    # probe itself is a full index read, so its outcome is memoized per
+    # index instance (idx.path is unique per build — a rebuilt/evicted
+    # index gets a fresh probe)
+    mkey = f"{spark.sparkContext.applicationId}:{idx.path}"
+    if mkey not in _INCR_ADMIT_DONE:
+        if idx.vectors().filter(F.col("vec_id") % 10 == 0).isEmpty():
+            idx.admit(batch)
+        _INCR_ADMIT_DONE.add(mkey)
     qs = batch.orderBy("vec_id").limit(4).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -741,28 +751,32 @@ def emb_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qb",
         sim.cosine_similarity(F.col("embedding"), F.col("qv")).alias("c"),
     )
+    # Both top-10 sets are subsets of the SAME scored frame (unique
+    # (qid, vec_id)) under the SAME total order, so the old
+    # brute-branch/lsh-branch/join shape (3 corpus-scan subtrees + a
+    # shuffle join) collapses to one pass: the brute rank is a
+    # row_number, the LSH rank is the running count of bucket-matched
+    # rows over the identical window order, and the top-10 intersection
+    # is a conditional aggregate — one scan, one exchange.
     w = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
-    brute_top = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 10)
-        .select("qid", "vec_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    in_b = F.col("bucket") == F.col("qb")
+    flags = scored.select(
+        "qid",
+        in_b.alias("_in"),
+        F.row_number().over(w).alias("_rb"),
+        F.sum(F.when(in_b, 1).otherwise(0)).over(wcum).alias("_rl"),
     )
-    lsh_top = (
-        scored.filter(F.col("bucket") == F.col("qb"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    k_lsh = lsh_top.groupBy("qid").agg(F.count("*").alias("k_lsh"))
-    hits = (
-        brute_top.join(lsh_top, ["qid", "vec_id"], "inner")
-        .groupBy("qid")
-        .agg(F.count("*").alias("n_hits"))
+    lsh_member = F.col("_in") & (F.col("_rl") <= 10)
+    agg = flags.groupBy("qid").agg(
+        F.sum(F.when(lsh_member, 1).otherwise(0)).alias("k_lsh"),
+        F.sum(
+            F.when(lsh_member & (F.col("_rb") <= 10), 1).otherwise(0)
+        ).alias("n_hits"),
     )
     return (
         qs.select("qid")
-        .join(k_lsh, "qid", "left")
-        .join(hits, "qid", "left")
+        .join(agg, "qid", "left")
         .select(
             F.col("qid").alias("query_id"),
             F.coalesce(F.col("k_lsh"), F.lit(0)).alias("k_lsh"),
@@ -843,22 +857,21 @@ def emb_bitq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming_words(F.col("code"), F.col("qc")).alias("h"),
         )
     )
+    # Both top-10 sets come from the SAME scored frame (unique
+    # (qid, vec_id)), so the intersection join is just rows whose two rank
+    # columns are both <= 10 — one scan and one exchange (two sorts)
+    # instead of two corpus-scan branches plus a shuffle join.
     wc = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
     wh = Window.partitionBy("qid").orderBy(F.col("h").asc(), F.col("vec_id").asc())
-    exact_top = (
-        scored.withColumn("_rn", F.row_number().over(wc))
-        .filter(F.col("_rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    ham_top = (
-        scored.withColumn("_rn", F.row_number().over(wh))
-        .filter(F.col("_rn") <= 10)
-        .select("qid", "vec_id")
-    )
     hits = (
-        exact_top.join(ham_top, ["qid", "vec_id"], "inner")
+        scored.select(
+            "qid",
+            F.row_number().over(wc).alias("_rc"),
+            F.row_number().over(wh).alias("_rh"),
+        )
+        .filter((F.col("_rc") <= 10) & (F.col("_rh") <= 10))
         .groupBy("qid")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         qs.select("qid")
@@ -934,22 +947,20 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ct"),
         )
     )
+    # Same single-pass shape as emb_bitq_recall: both top-10 sets come
+    # from the SAME scored frame, so the intersection is rows with both
+    # rank columns <= 10 — one scan, one exchange, no shuffle join.
     wf = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("vec_id").asc())
     wt = Window.partitionBy("qid").orderBy(F.col("ct").desc(), F.col("vec_id").asc())
-    full_top = (
-        scored.withColumn("_rn", F.row_number().over(wf))
-        .filter(F.col("_rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    trunc_top = (
-        scored.withColumn("_rn", F.row_number().over(wt))
-        .filter(F.col("_rn") <= 10)
-        .select("qid", "vec_id")
-    )
     hits = (
-        full_top.join(trunc_top, ["qid", "vec_id"], "inner")
+        scored.select(
+            "qid",
+            F.row_number().over(wf).alias("_rf"),
+            F.row_number().over(wt).alias("_rt"),
+        )
+        .filter((F.col("_rf") <= 10) & (F.col("_rt") <= 10))
         .groupBy("qid")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         qs.select("qid")
@@ -1043,26 +1054,24 @@ def emb_srp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             cp_den != 0, dot_int(F.col("y"), F.col("qy")).cast("double") / cp_den
         ).alias("cp"),
     )
+    # Same single-pass shape as emb_bitq_recall: both top-10 sets come
+    # from the SAME scored frame, so the intersection is rows with both
+    # rank columns <= 10 — one scan, one exchange, no shuffle join.
     w_true = Window.partitionBy("qid").orderBy(
         F.col("ct").desc(), F.col("vec_id").asc()
     )
     w_proj = Window.partitionBy("qid").orderBy(
         F.col("cp").desc(), F.col("vec_id").asc()
     )
-    brute_top = (
-        scored.withColumn("_rn", F.row_number().over(w_true))
-        .filter(F.col("_rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    srp_top = (
-        scored.withColumn("_rn", F.row_number().over(w_proj))
-        .filter(F.col("_rn") <= 10)
-        .select("qid", "vec_id")
-    )
     hits = (
-        brute_top.join(srp_top, ["qid", "vec_id"], "inner")
+        scored.select(
+            "qid",
+            F.row_number().over(w_true).alias("_rt"),
+            F.row_number().over(w_proj).alias("_rp"),
+        )
+        .filter((F.col("_rt") <= 10) & (F.col("_rp") <= 10))
         .groupBy("qid")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         qs.select("qid")

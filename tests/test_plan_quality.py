@@ -505,3 +505,23 @@ def test_hybrid_rrf_branches_stay_k_sized(spark):
     plan = executed_plan(df)
     assert "SortMergeJoin" not in plan, plan
     assert "documents.parquet" not in plan, plan
+
+
+def test_recall_family_single_pass_no_intersection_join(spark):
+    """The ANN-recall evaluations (bitq/matryoshka/srp/lsh) intersect two
+    top-10 sets drawn from the SAME scored frame: membership is decided
+    by rank columns over one shared exchange, so the executed plan must
+    not contain an Inner join (the old shape re-ran the corpus crossJoin
+    once per branch and shuffle-joined the two top-10 sets)."""
+    from affinity_spark.plans.introspect import executed_plan
+
+    for name in (
+        "emb_bitq_recall",
+        "emb_matryoshka_recall",
+        "emb_srp_recall",
+        "emb_lsh_recall",
+    ):
+        df = e.queries()[name](spark, SF)
+        df.collect()
+        plan = executed_plan(df)
+        assert "Join type: Inner" not in plan, (name, plan)
