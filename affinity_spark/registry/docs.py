@@ -22,8 +22,6 @@ from affinity_spark.cache import track as _track_cache
 from affinity_spark.functions.text import (
     EN_STOPWORDS,
     doc_fingerprint,
-    lang_id,
-    quality_columns,
     token_count,
     tokenize,
 )
@@ -672,15 +670,33 @@ FROM documents
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality signals: token stats, type/token ratio, stopword density."""
+    """Quality signals: token stats, type/token ratio, stopword density.
+
+    Staged projections: ``quality_columns`` hands out independent Column
+    trees, and Spark's subexpression elimination does not bridge the HOF
+    tokenize they share — the flat form re-ran the regex split once per
+    derived column (measured 2x task time). Aliasing the token array
+    (then the three counts) in inner Projects evaluates each once;
+    CollapseProject keeps multi-referenced non-cheap aliases staged."""
     docs = _t(spark, sf_dir, "documents")
-    q = quality_columns(F.col("text"))
-    return docs.select(
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("_t"))
+    cnt = toks.select(
         "doc_id",
-        q["n_tokens"].alias("n_tokens"),
-        q["n_distinct_tokens"].alias("n_distinct_tokens"),
-        F.floor(q["type_token_ratio"] * 10000).cast("long").alias("ttr_bp"),
-        F.floor(q["stopword_ratio"] * 10000).cast("long").alias("stopword_bp"),
+        F.size(F.col("_t")).alias("_n"),
+        F.size(F.array_distinct(F.col("_t"))).alias("_d"),
+        F.size(
+            F.filter(F.col("_t"), lambda t: t.isin(*EN_STOPWORDS))
+        ).alias("_s"),
+    )
+    ratio = lambda num: F.round(  # noqa: E731 — mirrors quality_columns
+        F.when(F.col("_n") > 0, num / F.col("_n")).otherwise(F.lit(0.0)), 4
+    )
+    return cnt.select(
+        "doc_id",
+        F.col("_n").alias("n_tokens"),
+        F.col("_d").alias("n_distinct_tokens"),
+        F.floor(ratio(F.col("_d")) * 10000).cast("long").alias("ttr_bp"),
+        F.floor(ratio(F.col("_s")) * 10000).cast("long").alias("stopword_bp"),
     )
 
 
@@ -704,9 +720,30 @@ FROM toks
 
 
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID from English-stopword density."""
+    """Heuristic language ID from English-stopword density.
+
+    Same staged-projection discipline as ``text_quality``: the token
+    array is aliased once so the regex split does not re-run per
+    sub-expression of the density test (arithmetic mirrors
+    ``functions.text.lang_id`` exactly)."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    toks = docs.select("doc_id", tokenize(F.col("text")).alias("_t"))
+    cnt = toks.select(
+        "doc_id",
+        F.size(F.col("_t")).alias("_n"),
+        F.size(
+            F.filter(F.col("_t"), lambda t: t.isin(*EN_STOPWORDS))
+        ).alias("_s"),
+    )
+    density = F.when(
+        F.col("_n") > 0, F.col("_s") / F.col("_n")
+    ).otherwise(F.lit(0.0))
+    return cnt.select(
+        "doc_id",
+        F.when(density >= F.lit(0.05), F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+    )
 
 
 _LANGID_SQL = f"""
