@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from affinity_spark.operators.dedup import lsh_bands_mapside
+from affinity_spark.functions.lits import local_df
 from affinity_spark.sources.keyed_table import KeyedTable
 
 
@@ -170,8 +171,8 @@ class BandIndex:
         self._effective = None
         touched = new_arr.select(self.id_col).distinct()
         if len(deleted) > 0:
-            gone = self.spark.createDataFrame(
-                [(d,) for d in deleted], [self.id_col]
+            gone = local_df(
+                self.spark, [(d,) for d in deleted], f"`{self.id_col}` bigint"
             )
             touched = touched.unionByName(gone).distinct()
         touched_p = touched.persist()

@@ -48,6 +48,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import local_df
 from affinity_spark.sources.keyed_table import KeyedTable
 
 
@@ -269,8 +270,8 @@ class ClusterStore:
         )
         partner_cluster: dict[int, int] = {}
         if partner_ids and self.exists():
-            pid_df = self.spark.createDataFrame(
-                [(p,) for p in partner_ids], f"{self.id_col} long"
+            pid_df = local_df(
+                self.spark, [(p,) for p in partner_ids], f"{self.id_col} long"
             )
             partner_cluster = {
                 int(r[0]): int(r[1])
@@ -333,8 +334,8 @@ class ClusterStore:
                 if self._explicit_buckets is not None
                 else self._capped_auto(len(new_rows))
             )
-            rows = self.spark.createDataFrame(
-                new_rows, f"{self.id_col} long, cluster_id long"
+            rows = local_df(
+                self.spark, new_rows, f"{self.id_col} long, cluster_id long"
             )
             self._table.overwrite(
                 rows.withColumn(
@@ -361,8 +362,8 @@ class ClusterStore:
         touched_buckets = sorted(
             {
                 int(r[0])
-                for r in self.spark.createDataFrame(
-                    [(c,) for c in touched_ids], "c long"
+                for r in local_df(
+                    self.spark, [(c,) for c in touched_ids], "c long"
                 )
                 .select(self._bucket_of(F.col("c")))
                 .collect()
@@ -378,7 +379,8 @@ class ClusterStore:
             & ~F.col(self.id_col).isin(new_ids)
         )
         if relabels:
-            mapping = self.spark.createDataFrame(
+            mapping = local_df(
+                self.spark,
                 [(old, new) for old, new in relabels.items()],
                 "cluster_id long, _new long",
             )
@@ -392,8 +394,8 @@ class ClusterStore:
             )
         else:
             kept = kept.select(self.id_col, "cluster_id", "_bucket")
-        delta = self.spark.createDataFrame(
-            new_rows, f"{self.id_col} long, cluster_id long"
+        delta = local_df(
+            self.spark, new_rows, f"{self.id_col} long, cluster_id long"
         ).withColumn("_bucket", self._bucket_of(F.col("cluster_id")))
         self._table.overwrite_partitions(
             kept.unionByName(delta).select(

@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from affinity_spark.functions.lits import double_array_lit, double_matrix_lit
+from affinity_spark.functions.lits import (
+    double_array_lit,
+    double_matrix_lit,
+    local_df,
+)
 from affinity_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
@@ -234,19 +238,29 @@ def _sq_dist_int(a, b):
     )
 
 
-def _sq_dist_sql(vec_sql: str, cent: list[int]) -> str:
-    """Squared integer distance to ONE centroid as a flat codegen-able SQL
-    sum — higher-order functions are CodegenFallback (interpreted eval),
-    and the per-row k·dim zip_with/aggregate lattice measured ~25 s of
-    executor CPU on a 4k-vector corpus; the expanded sum rides
+def _sq_dist_sql(vec_sql: str, cent_sql: str, j: int, dim: int) -> str:
+    """Squared integer distance to centroid ``j`` as a flat codegen-able
+    SQL sum — higher-order functions are CodegenFallback (interpreted
+    eval), and the per-row k·dim zip_with/aggregate lattice measured
+    ~25 s of executor CPU on a 4k-vector corpus; the expanded sum rides
     whole-stage codegen. Integer addition is fully associative, so any
     evaluation order is bit-identical to the HOF fold. One expr string =
-    one py4j call (the F.lit-per-scalar rule). ``vec_sql[i]`` is 0-based
-    GetArrayItem; a drifted embedding width fails loudly under ANSI
-    instead of zip_with's silent truncation."""
+    one py4j call (the F.lit-per-scalar rule).
+
+    Centroid components are read from ``cent_sql`` — the flat k·dim
+    array COLUMN carried by a 1-row broadcast relation — not inlined as
+    literals: an attribute reference keeps the generated source
+    value-independent, so the distance/argmin codegen compiles once and
+    is cache-hit across iterations and corpora (the value-inlined form
+    recompiled ~2 s of parked-task source per NEW centroid set on cold
+    runs). Only the constant INDICES are inlined; they depend on (k,
+    dim) alone. ``[:]`` is 0-based GetArrayItem; a drifted embedding
+    width fails loudly under ANSI instead of zip_with's silent
+    truncation."""
     return " + ".join(
-        f"(({vec_sql}[{i}])-({int(x)}L))*(({vec_sql}[{i}])-({int(x)}L))"
-        for i, x in enumerate(cent)
+        f"(({vec_sql}[{i}])-({cent_sql}[{j * dim + i}]))"
+        f"*(({vec_sql}[{i}])-({cent_sql}[{j * dim + i}]))"
+        for i in range(dim)
     )
 
 
@@ -310,13 +324,26 @@ def kmeans_int(
     # per-centroid distances as SEPARATE projected columns, argmin/min in a
     # SECOND select: CollapseProject won't inline a non-cheap alias that is
     # referenced more than once, so each distance is computed exactly once
-    # per row — all in whole-stage codegen (the HOF form was interpreted)
+    # per row — all in whole-stage codegen (the HOF form was interpreted).
+    # The centroid VALUES ride a 1-row broadcast relation (see
+    # _sq_dist_sql) so the generated source is identical for every
+    # iteration/corpus at a given (k, dim) — one codegen compile total.
+    dim = len(centroids[0]) if centroids else 0
+
     def dist_cols(cents: list[list[int]]):
-        return q.select(
+        # local_df, not createDataFrame: the python-RDD scan behind a
+        # createDataFrame'd broadcast side ran a 32-task python-worker
+        # stage (~8 s parked executorRunTime) per iteration
+        cent_row = local_df(
+            q.sparkSession,
+            [([int(x) for c in cents for x in c],)],
+            "_cf array<bigint>",
+        )
+        return q.crossJoin(F.broadcast(cent_row)).select(
             "_q",
             *[
-                F.expr(_sq_dist_sql("_q", c)).alias(f"_d{j}")
-                for j, c in enumerate(cents)
+                F.expr(_sq_dist_sql("_q", "_cf", j, dim)).alias(f"_d{j}")
+                for j in range(len(cents))
             ],
         )
 
@@ -350,7 +377,8 @@ def kmeans_int(
                 F.sum("_d").alias("inertia"),
             )
         )
-        cent_df = final.sparkSession.createDataFrame(
+        cent_df = local_df(
+            final.sparkSession,
             [
                 (i, ",".join(str(x) for x in c))
                 for i, c in enumerate(centroids)

@@ -53,7 +53,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from affinity_spark.functions.lits import double_matrix_lit
+from affinity_spark.functions.lits import double_matrix_lit, local_df
 from affinity_spark.operators.ivf import assign, batch_search, search, train_centroids
 from affinity_spark.sources.keyed_table import KeyedTable
 
@@ -168,19 +168,21 @@ class IVFIndex:
             "n_at_build": emb.count(),
             "k": len(codebook),
         }
-        cents = self.spark.createDataFrame(
+        cents = local_df(
+            self.spark,
             [(i, [float(x) for x in c], gen) for i, c in enumerate(codebook)],
-            ["cell", "cv", "gen"],
+            "cell bigint, cv array<double>, gen bigint",
         )
         self._centroids.overwrite(cents, meta=lineage)
         if self.pq_m:
-            books_df = self.spark.createDataFrame(
+            books_df = local_df(
+                self.spark,
                 [
                     (s, i, [float(x) for x in c], gen)
                     for s, book in enumerate(pq_books)
                     for i, c in enumerate(book)
                 ],
-                ["s", "idx", "cv", "gen"],
+                "s bigint, idx bigint, cv array<double>, gen bigint",
             )
             self._pq_books.overwrite(books_df, meta=lineage)
         self._assigned.overwrite(
@@ -209,8 +211,8 @@ class IVFIndex:
         )
         touched_ids = new_vectors.select(self.id_col).distinct()
         if len(deleted) > 0:
-            gone = self.spark.createDataFrame(
-                [(d,) for d in deleted], [self.id_col]
+            gone = local_df(
+                self.spark, [(d,) for d in deleted], f"`{self.id_col}` bigint"
             )
             touched_ids = touched_ids.unionByName(gone).distinct()
         touched_p = F.broadcast(touched_ids.persist())

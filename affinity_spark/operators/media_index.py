@@ -39,6 +39,7 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import local_df
 from affinity_spark.sources.keyed_table import KeyedTable
 
 
@@ -235,8 +236,8 @@ class MediaIndex:
         self._effective = None
         touched = new_fps.select(self.id_col).distinct()
         if len(deleted) > 0:
-            gone = self.spark.createDataFrame(
-                [(d,) for d in deleted], [self.id_col]
+            gone = local_df(
+                self.spark, [(d,) for d in deleted], f"`{self.id_col}` bigint"
             )
             touched = touched.unionByName(gone).distinct()
         touched_p = touched.persist()

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import local_df
 from affinity_spark.registry._shared import _t
 
 
@@ -420,8 +421,8 @@ def docs_media_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFra
             fps.unpersist()
         batched.unpersist()
         pairs_tbl.overwrite(
-            spark.createDataFrame(
-                found, "modality string, id_a long, id_b long, hamming int"
+            local_df(
+                spark, found, "modality string, id_a long, id_b long, hamming int"
             )
         )
         _MEDIA_STATE[key] = (cfp, base, pairs_tbl)

@@ -34,6 +34,7 @@ from typing import Iterator, Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from affinity_spark.functions.lits import local_df
 from affinity_spark.operators.kv import point_get, prefix_scan
 from affinity_spark.timerange import TimeRange
 
@@ -258,8 +259,8 @@ class ServingGateway:
                 raise
             schema = self._schema  # first write defines the table
         spark = tbl.spark
-        raw = spark.createDataFrame(
-            [( _json.dumps(dict(r), default=str),) for r in rows], "j string"
+        raw = local_df(
+            spark, [(_json.dumps(dict(r), default=str),) for r in rows], "j string"
         )
         return raw.select(F.from_json("j", schema).alias("s")).select("s.*")
 

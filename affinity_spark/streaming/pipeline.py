@@ -59,6 +59,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from affinity_spark.functions.lits import local_df
 from affinity_spark.functions.text import doc_fingerprint, token_count
 from affinity_spark.operators.dedup import lsh_bands_mapside, word_ngrams
 
@@ -494,8 +495,8 @@ def retract_docs(
     if not ids:
         return
     spark = corpus_store.spark
-    empty = spark.createDataFrame(
-        [], "doc_id long, shingles array<string>, n_shingles int"
+    empty = local_df(
+        spark, [], "doc_id long, shingles array<string>, n_shingles int"
     ).withColumnRenamed("doc_id", id_col)
     if band_index.exists():
         band_index.admit(empty, deleted_ids=ids)

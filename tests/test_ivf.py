@@ -249,3 +249,53 @@ def test_kmeans_int_empty_cell_keeps_centroid(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {r["cell"]: r for r in kmeans_int(emb, k=2, n_iter=2).collect()}
     assert sum(r["n"] for r in out.values()) == 12
+
+
+def test_kmeans_distance_codegen_source_is_value_independent(spark):
+    """The assignment stage's generated source must not embed centroid
+    VALUES: value-inlined sources recompile per NEW centroid set (~2 s of
+    parked tasks per cold iteration — r14 finding), while the broadcast-
+    relation form is a codegen-cache hit across iterations and corpora.
+    Two different centroid sets at the same (k, dim) must produce
+    identical generated source modulo per-session counters."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from affinity_spark.operators.ivf import _argmin_first_sql, _sq_dist_sql
+
+    q = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [5, 6, 7, 8])], "_id bigint, _q array<bigint>"
+    ).select("_q")
+
+    def codegen_src(cents):
+        cent_row = spark.createDataFrame(
+            [([x for c in cents for x in c],)], "_cf array<bigint>"
+        )
+        df = (
+            q.crossJoin(F.broadcast(cent_row))
+            .select(
+                "_q",
+                *[
+                    F.expr(_sq_dist_sql("_q", "_cf", j, 4)).alias(f"_d{j}")
+                    for j in range(len(cents))
+                ],
+            )
+            .select(
+                F.expr(_argmin_first_sql(len(cents))).cast("int").alias("cell"),
+                "_q",
+            )
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "codegen"
+        )
+        src = df._jdf.queryExecution().explainString(mode)  # noqa: SLF001
+        # normalize the per-session counters: expression ids and codegen
+        # stage ids are fresh per plan, the SOURCE must otherwise match
+        src = re.sub(r"#\d+", "#x", src)
+        return re.sub(r"(codegenStageId[=:]?\s*)\d+", r"\g<1>x", src)
+
+    a = codegen_src([[1, 2, 3, 4], [9, 9, 9, 9]])
+    b = codegen_src([[7, 0, 7, 0], [3, 1, 4, 1]])
+    assert "WholeStageCodegen" in a
+    assert a == b
