@@ -188,6 +188,17 @@ def tfidf_pairs_postings(
     from pyspark.sql import Window
 
     tf = index.tf_postings(n)
+    # user-specified term partitioning at the session's parallelism: the
+    # pair-enumeration HOF downstream is CPU-heavy per BYTE, and AQE's
+    # byte-based coalescing squeezed the whole window+collect+Generate
+    # stage onto 4 tasks (3.1 s of its CPU serialized onto a 4-task
+    # critical path at sf0.1). An explicit repartition is exempt from
+    # coalescing, and the window + groupBy(term) both reuse this one
+    # exchange (ClusteredDistribution(term) is satisfied by any count).
+    # defaultParallelism scales with the session's cores, not a constant.
+    tf = tf.repartition(
+        tf.sparkSession.sparkContext.defaultParallelism, "term"
+    )
     n_docs = index.corpus_stats().select(F.col("n_docs").alias("n"))
     w = (
         tf.withColumn(
