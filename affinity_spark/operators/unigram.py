@@ -73,7 +73,16 @@ def train_unigram_vocab(
     occurrence: ``sample_mod=N`` harvests from the deterministic
     1/N hash-sample of token occurrences (md5-based, engine-portable) —
     the standard tokenizer-training move at 100 TB, leaving apply
-    (type-level Viterbi) untouched."""
+    (type-level Viterbi) untouched.
+
+    The explode itself runs at word-TYPE level: occurrences are first
+    reduced to (token, count) by a codegen aggregate with map-side
+    partials, and each type's substrings carry its occurrence count into
+    the piece sum. Piece counts are bit-identical to the per-occurrence
+    form (repeated substrings WITHIN a word are distinct explode rows,
+    so within-word multiplicity survives; across occurrences the weight
+    is the count) — but the interpreted substring-enumeration HOF
+    (CodegenFallback) now runs once per type, not once per occurrence."""
     if sample_mod is None:
         toks_df = docs.select(
             F.explode(tokenize(F.col(text_col))).alias("tok")
@@ -96,7 +105,11 @@ def train_unigram_vocab(
             % sample_mod
             == 0
         ).select("tok")
-    pieces = toks_df.select(
+    types_df = toks_df.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("wc")
+    )
+    pieces = types_df.select(
+        "wc",
         F.explode(
             F.flatten(
                 F.transform(
@@ -112,11 +125,11 @@ def train_unigram_vocab(
                     ),
                 )
             )
-        ).alias("piece")
+        ).alias("piece"),
     )
     top = (
         pieces.groupBy("piece")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum("wc").cast("long").alias("c"))
         .orderBy(F.col("c").desc(), F.col("piece").asc())
         .limit(max_pieces)
     )

@@ -57,6 +57,47 @@ def test_train_vocab_is_deterministic_topk(spark):
     assert costs["a"] < costs["bb"]
 
 
+def test_train_vocab_weights_types_by_occurrence_count(spark):
+    """The word-type-level explode must weight each type's substrings by
+    its occurrence count: piece counts (and therefore costs) are
+    bit-identical to per-occurrence enumeration. 'aaa' x3 vs 'bb' x1:
+    'a' counts 9 (3 within-word positions x 3 occurrences — within-word
+    multiplicity AND cross-occurrence weight), 'b' counts 2."""
+    docs = spark.createDataFrame(
+        [(1, "aaa bb aaa"), (2, "aaa")], "doc_id long, text string"
+    )
+    from collections import Counter
+
+    toks = ["aaa", "bb", "aaa", "aaa"]
+    expected = Counter()
+    for t in toks:
+        for i in range(len(t)):
+            for j in range(1, min(4, len(t) - i) + 1):
+                expected[t[i : i + j]] += 1
+    vocab = {
+        r["piece"]: r["cost_x1024"]
+        for r in train_unigram_vocab(docs, max_pieces=16).collect()
+    }
+    total = sum(expected.values())
+    from affinity_spark.operators.lm import flog2_x1024
+
+    lg = (
+        spark.range(1)
+        .select(
+            *[
+                (
+                    flog2_x1024(F.lit(total + 16))
+                    - flog2_x1024(F.lit(expected[p] + 1))
+                ).alias(p)
+                for p in expected
+            ]
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert vocab == lg
+
+
 def test_spark_segmentation_matches_python_kernel(spark):
     docs = spark.createDataFrame(
         [(1, "alpha beta alphabet bet a"), (2, "beta beta alpha")],
