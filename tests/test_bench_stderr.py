@@ -45,3 +45,20 @@ def test_taskkilled_is_benign():
         "26/08/13 ERROR TaskSetManager: Lost task: TaskKilled (another attempt succeeded)\n"
     )
     assert verdict == "benign"
+
+
+def test_cpu_ticks_steal_meter():
+    """The per-set steal meter: monotone non-negative deltas, steal a
+    subset of total, and a sane steal_pct derivation (the intra-set
+    hypervisor-burst instrument the point-sample canary cannot see)."""
+    import time
+
+    from bench import _cpu_ticks
+
+    t0 = _cpu_ticks()
+    assert t0 is not None  # Linux sandbox
+    time.sleep(0.05)
+    t1 = _cpu_ticks()
+    ds, dt = t1[0] - t0[0], t1[1] - t0[1]
+    assert ds >= 0 and dt > 0 and ds <= dt
+    assert 0.0 <= 100.0 * ds / dt <= 100.0
