@@ -304,7 +304,10 @@ CANARY_ANCHOR = {
 CANARY_TASK_RATIO = 1.6
 CANARY_WALL_RATIO = 2.0
 MAX_SET_ATTEMPTS = 2  # one retry per contended set...
-GLOBAL_RETRY_BUDGET = 4  # ...from a shared budget (bounds total wall)
+# ...from a shared budget (bounds total wall). Default raised 4→6 when the
+# steal gate landed: per-set steal trips fire more often on a bursty day,
+# and 4 was sized for canary-only trips. Env-tunable like the steal gate.
+GLOBAL_RETRY_BUDGET = int(os.environ.get("BENCH_RETRY_BUDGET", "6"))
 # Hypervisor steal gate: the canary is a POINT sample before the set, so a
 # steal burst INSIDE the set (r14: task_time 2-7x at identical rows/bytes
 # on every r11 query while the canary read 1.35 quiet) is invisible to it.
