@@ -561,11 +561,14 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
         # failed (ratio None — no Spark UI snapshot) carries no contention
         # evidence and must never outrank a measured quiet attempt; only
         # when every attempt is unmeasured does the first one win (r13
-        # ADVICE). Steal is the primary rank (it integrates the whole set
-        # window); the canary ratio tie-breaks.
+        # ADVICE). Non-contended attempts outrank contended ones outright
+        # (a quiet-steal attempt with a hot canary is still contended);
+        # within a class, steal ranks first (it integrates the whole set
+        # window) and the canary ratio tie-breaks.
         disp, res, v, lines = min(
             attempts,
             key=lambda a: (
+                a[0]["contended"],
                 a[0]["steal_pct"]
                 if a[0]["steal_pct"] is not None
                 else float("inf"),
