@@ -317,15 +317,25 @@ GLOBAL_RETRY_BUDGET = int(os.environ.get("BENCH_RETRY_BUDGET", "6"))
 # read 0.2-0.5%; a burst window read 3.1% on an ADJACENT idle probe and
 # 2-7x task inflation inside the set. Local default 5%, env-tunable for
 # hosts with different virtualization (scale-dependent settings rule).
+# Since r15 steal_pct is normalized by NON-idle ticks (r14 ADVICE): the
+# same physical burst reads higher than under the old total-tick
+# normalization (a 3% total-tick burst at ~40% busy reads ~7.5%), so the
+# gate is MORE sensitive at the same 5% default — that is the intent.
 STEAL_PCT_MAX = float(os.environ.get("BENCH_STEAL_PCT_MAX", "5.0"))
 
 
-def _cpu_ticks() -> tuple[int, int] | None:
-    """(steal_ticks, total_ticks) from /proc/stat, None off-Linux."""
+def _cpu_ticks() -> tuple[int, int, int] | None:
+    """(steal_ticks, total_ticks, idle_ticks) from /proc/stat, None
+    off-Linux. Sums only user..steal (v[:8]): guest/guest_nice are
+    already folded into user/nice by the kernel, so including them
+    double-counts busy time (r14 ADVICE). idle is returned separately so
+    steal_pct can be normalized by NON-idle ticks — on a mostly-idle
+    host, idle ticks in the denominator dilute a burst that inflated the
+    few busy queries 2-7x below the gate (r14 ADVICE)."""
     try:
         with open("/proc/stat") as f:
             v = [int(x) for x in f.readline().split()[1:]]
-        return v[7], sum(v)
+        return v[7], sum(v[:8]), v[3]
     except (OSError, IndexError, ValueError):
         return None
 
@@ -552,9 +562,9 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
                 break
             retry_budget -= 1
             print(
-                f"bench set {name}: canary x{disp['ratio']} / steal "
-                f"{disp['steal_pct']}% at identical work — re-running "
-                "(host contention)",
+                f"bench set {name}: canary x{disp['ratio'] or 'n/a'} / "
+                f"steal {disp['steal_pct']}% at identical work — "
+                "re-running (host contention)",
                 file=sys.stderr,
             )
         # prefer MEASURED attempts: a retry whose canary work capture
@@ -604,10 +614,17 @@ def _orchestrate(sf_dir: str) -> tuple[dict, str, list[str]]:
         payload[set_name] = t
         payload[f"{set_name}_total"] = round(sum(t.values()), 3)
     ratios = [d["ratio"] for d in contention_sets.values() if d.get("ratio")]
+    # an attempt counts as measured when EITHER instrument produced a
+    # reading: the canary work capture ("measured") or the steal meter
+    # (steal_pct is not None). The old `reason in ("measured","steal")`
+    # form was dead code — reason is only "steal" on contended attempts,
+    # which take the host_contention branch before this filter — so a
+    # quiet steal reading on a no-anchor-canary set never yielded "quiet"
+    # (r14 ADVICE).
     measured = [
         d
         for d in contention_sets.values()
-        if d["reason"] in ("measured", "steal")
+        if d["reason"] == "measured" or d.get("steal_pct") is not None
     ]
     payload["contention"] = {
         "anchor": CANARY_ANCHOR,
@@ -746,9 +763,13 @@ def _child(set_name: str, sf_dir: str) -> None:
     result["work"] = work
     ticks1 = _cpu_ticks()
     if ticks0 is not None and ticks1 is not None:
-        ds, dt = ticks1[0] - ticks0[0], ticks1[1] - ticks0[1]
-        if dt > 0:
-            result["steal_pct"] = round(100.0 * ds / dt, 2)
+        ds = ticks1[0] - ticks0[0]
+        # non-idle denominator (r14 ADVICE): steal relative to the CPU
+        # actually contended for, so idle headroom on a 32-CPU host can't
+        # dilute a burst below the gate over a long set window.
+        dbusy = (ticks1[1] - ticks1[2]) - (ticks0[1] - ticks0[2])
+        if dbusy > 0:
+            result["steal_pct"] = round(100.0 * ds / dbusy, 2)
     # one machine-readable line, newline-guarded against interleaved logs
     sys.stdout.flush()
     print("\n" + json.dumps(result), flush=True)

@@ -50,15 +50,27 @@ def test_taskkilled_is_benign():
 def test_cpu_ticks_steal_meter():
     """The per-set steal meter: monotone non-negative deltas, steal a
     subset of total, and a sane steal_pct derivation (the intra-set
-    hypervisor-burst instrument the point-sample canary cannot see)."""
+    hypervisor-burst instrument the point-sample canary cannot see).
+    The non-idle normalization (r15): steal/(total-idle) must be finite
+    and bounded whenever any CPU was busy in the window."""
     import time
+
+    import pytest
 
     from bench import _cpu_ticks
 
     t0 = _cpu_ticks()
-    assert t0 is not None  # Linux sandbox
-    time.sleep(0.05)
+    if t0 is None:  # deliberate degradation off-Linux (r14 ADVICE)
+        pytest.skip("no /proc/stat on this platform")
+    # burn a little CPU so the non-idle delta is provably positive
+    deadline = time.perf_counter() + 0.05
+    while time.perf_counter() < deadline:
+        pass
     t1 = _cpu_ticks()
     ds, dt = t1[0] - t0[0], t1[1] - t0[1]
+    didle = t1[2] - t0[2]
+    dbusy = dt - didle
     assert ds >= 0 and dt > 0 and ds <= dt
-    assert 0.0 <= 100.0 * ds / dt <= 100.0
+    assert 0 <= didle <= dt
+    assert dbusy > 0  # the busy-loop above guarantees non-idle ticks
+    assert 0.0 <= 100.0 * ds / dbusy <= 100.0
