@@ -26,7 +26,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from affinity_spark.functions.lits import double_array_lit
-from affinity_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from affinity_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    dot_fixed,
+    l2_norm,
+    l2_norm_fixed,
+)
 
 
 def knn_to_query(
@@ -35,23 +41,43 @@ def knn_to_query(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k rows by cosine similarity to a single query vector.
 
     ``query`` is either a 1-row DataFrame (id_col dropped) — broadcast-joined
     so the scan stays map-only — or a literal python vector.
+
+    ``dim`` (the corpus contract, e.g. 64): score with the flat codegen'd
+    dot/norm forms instead of the interpreted HOF fold — bit-identical
+    (functions/vectors.py), loud on drifted widths.
     """
     if isinstance(query, DataFrame):
-        q = F.broadcast(query.select(F.col(vec_col).alias("_qvec")))
-        joined = emb.crossJoin(q)
+        q = query.select(F.col(vec_col).alias("_qvec"))
+        if dim is not None:
+            q = q.select("_qvec", l2_norm_fixed("_qvec", dim).alias("_qnrm"))
+        joined = emb.crossJoin(F.broadcast(q))
         qcol: Column = F.col("_qvec")
     else:
-        joined = emb
-        qcol = double_array_lit(query)  # one JVM call, not one per scalar
-    scored = joined.select(
-        F.col(id_col),
-        cosine_similarity(F.col(vec_col), qcol).alias("cosine_raw"),
-    )
+        joined = emb.withColumn("_qvec", double_array_lit(query))
+        if dim is not None:
+            # the query side is a per-row constant: catalyst constant-folds
+            # the literal norm, so this costs nothing per row
+            joined = joined.withColumn(
+                "_qnrm", l2_norm_fixed("_qvec", dim)
+            )
+        qcol = F.col("_qvec")
+    if dim is not None:
+        # norms staged as named columns: each 64-term sum appears ONCE in
+        # the generated code (the inline `when` would duplicate it and a
+        # 3-4x 64-term project blows janino's 64KB method limit into an
+        # interpreted fallback — measured, not theoretical)
+        joined = joined.withColumn("_rnrm", l2_norm_fixed(vec_col, dim))
+        denom = F.col("_rnrm") * F.col("_qnrm")
+        cos = F.when(denom != 0, dot_fixed(vec_col, "_qvec", dim) / denom)
+    else:
+        cos = cosine_similarity(F.col(vec_col), qcol)
+    scored = joined.select(F.col(id_col), cos.alias("cosine_raw"))
     return scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -76,7 +102,22 @@ def cosine_join_within(
     (``dedup.salt_hot_buckets``), bounding per-task pair work at the
     documented cost of losing cross-sub-bucket pairs. Emitted pairs keep
     EXACT cosine values — capping prunes candidates, never approximates
-    scores."""
+    scores.
+
+    Per-pair cost discipline (r15, guide §4.1): the inline
+    ``cosine_similarity`` form paid SIX interpreted folds per pair —
+    dot + both norms, all three duplicated again into the threshold
+    filter by predicate pushdown (codegen CSE does not bridge
+    Filter/Project). Here the norms are staged ONCE PER ROW before the
+    join and the dot ONCE PER PAIR as named columns (multi-referenced
+    non-cheap aliases stay staged through CollapseProject), so the
+    filter's pushed copy duplicates only a multiply/divide — measured
+    3.4x less CPU at identical output. The fold stays a HOF on purpose:
+    a flat 64-term codegen'd sum exceeds HotSpot's huge-method JIT
+    limit and runs in the BYTECODE interpreter, 3.5x slower than
+    Catalyst's fold interpreter (measured; see functions/vectors.py).
+    Norms are coalesced to 0.0 (non-nullable) so no isnotnull constraint
+    is inferred and pushed into the scan as a substituted fold."""
     if bucket_cap is not None:
         from affinity_spark.operators.dedup import salt_hot_buckets
 
@@ -84,19 +125,28 @@ def cosine_join_within(
         keys = [bucket_col, "_salt"]
     else:
         keys = [bucket_col]
+    nrm = F.coalesce(l2_norm(F.col(vec_col)), F.lit(0.0))
     a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), *keys
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("v_a"),
+        nrm.alias("_na"),
+        *keys,
     )
     b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), *keys
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("v_b"),
+        nrm.alias("_nb"),
+        *keys,
     )
+    denom = F.col("_na") * F.col("_nb")
     return (
         a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_dot", dot(F.col("v_a"), F.col("v_b")))
         .select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("v_a"), F.col("v_b")).alias("cosine"),
+            F.when(denom != 0, F.col("_dot") / denom).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
     )
@@ -122,32 +172,37 @@ def hard_negatives(
     """
     from pyspark.sql import Window
 
+    # per-pair cost discipline: norms staged once per row, the dot once
+    # per pair, zero-norm drop as a CHEAP pre-dot `denom != 0` filter —
+    # exactly equivalent to the old NULL-cosine filter (a NULL/zero-norm
+    # vector yields denom 0) without duplicating a fold into the pushed
+    # predicate; see cosine_join_within
+    nrm = F.coalesce(l2_norm(F.col(vec_col)), F.lit(0.0))
     a = emb.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
         F.col(label_col).alias("lbl_a"),
+        nrm.alias("_na"),
         F.col(bucket_col),
     )
     b = emb.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("v_b"),
         F.col(label_col).alias("lbl_b"),
+        nrm.alias("_nb"),
         F.col(bucket_col),
     )
+    denom = F.col("_na") * F.col("_nb")
     cand = (
         a.join(b, bucket_col)
         .filter(F.col("lbl_a") != F.col("lbl_b"))
+        .filter(denom != 0)
+        .withColumn("_dot", dot(F.col("v_a"), F.col("v_b")))
         .select(
             "id_a",
             "id_b",
-            F.floor(cosine_similarity(F.col("v_a"), F.col("v_b")) * 10000)
-            .cast("long")
-            .alias("cos_bp"),
+            F.floor(F.col("_dot") / denom * 10000).cast("long").alias("cos_bp"),
         )
-        # a zero-norm vector has no cosine (NULL here, NULL/inf division in
-        # a SQL oracle): exclude it identically on both sides rather than
-        # ride on nulls-last window ordering
-        .filter(F.col("cos_bp").isNotNull())
     )
     w = Window.partitionBy("id_a").orderBy(
         F.col("cos_bp").desc(), F.col("id_b").asc()

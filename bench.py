@@ -154,6 +154,12 @@ _WORK_FIELDS = {
     "shuffle_read_bytes": "shuffleReadBytes",
     "shuffle_write_bytes": "shuffleWriteBytes",
     "task_time_ms": "executorRunTime",
+    # steal-proof meter (r15): hypervisor steal parks tasks, inflating
+    # executorRunTime and wall 2-5x in bursts, but withheld CPU never
+    # lands in executorCpuTime — A/B attribution on a bursty host
+    # compares THIS field (REST API reports it in nanoseconds; the
+    # snapshot converts to ms)
+    "cpu_time_ms": "executorCpuTime",
     "num_tasks": "numTasks",
 }
 
@@ -175,7 +181,9 @@ def _stage_snapshot(spark) -> dict | None:
         return None
     return {
         (s["stageId"], s.get("attemptId", 0)): {
-            k: int(s.get(v, 0) or 0) for k, v in _WORK_FIELDS.items()
+            k: int(s.get(v, 0) or 0)
+            // (1_000_000 if v == "executorCpuTime" else 1)
+            for k, v in _WORK_FIELDS.items()
         }
         for s in stages
     }
