@@ -23,13 +23,7 @@ from affinity_spark.functions.lits import (
     double_matrix_lit,
     local_df,
 )
-from affinity_spark.functions.vectors import (
-    cosine_similarity,
-    dot,
-    dot_fixed,
-    l2_norm,
-    l2_norm_fixed,
-)
+from affinity_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def _sq_dist(a, b):
@@ -125,21 +119,25 @@ def search(
     order = sorted(range(len(centroids)), key=lambda i: sqd(centroids[i], query))
     probes = order[:nprobe]
     qcol = double_array_lit(query)  # one JVM call, not one per scalar
-    # flat codegen'd cosine (bit-identical to the HOF fold; the literal
-    # query side constant-folds at plan time) — guide §4.1. Norms staged
-    # as named columns so each 64-term sum lands in the generated code
-    # once (inline duplication blows janino's 64KB method limit).
-    dim = len(query)
+    # per-row cost discipline (r15, guide §4.1): the row norm staged once
+    # per row, the query norm computed DRIVER-SIDE (bit-identical: python
+    # floats are IEEE doubles, same left-associated sum, correctly
+    # rounded sqrt — similarity._py_l2_norm), the dot one fold per row —
+    # vs three interpreted folds per row in the inline cosine form
+    from affinity_spark.operators.similarity import _py_l2_norm
+
     denom = F.col("_rnrm") * F.col("_qnrm")
     return (
         emb_assigned.filter(F.col("cell").isin(probes))
         .withColumn("_qvec", qcol)
-        .withColumn("_qnrm", l2_norm_fixed("_qvec", dim))
-        .withColumn("_rnrm", l2_norm_fixed(vec_col, dim))
+        .withColumn("_qnrm", F.lit(_py_l2_norm(query)))
+        .withColumn(
+            "_rnrm", F.coalesce(l2_norm(F.col(vec_col)), F.lit(0.0))
+        )
         .select(
             F.col(id_col),
             F.col("cell"),
-            F.when(denom != 0, dot_fixed(vec_col, "_qvec", dim) / denom)
+            F.when(denom != 0, dot(F.col(vec_col), F.col("_qvec")) / denom)
             .alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
@@ -209,28 +207,26 @@ def batch_search(
         qv.alias("_qv"),
         F.explode(F.transform(ranked_cells, lambda s: s["c"])).alias("cell"),
     )
-    # flat codegen'd cosine per candidate (guide §4.1): query norms ride
+    # per-candidate cost discipline (r15, guide §4.1): query norms ride
     # the broadcast probe frame (once per query), corpus norms are
-    # computed once per row BEFORE the join (the HOF form re-folded both
-    # norms per (row x query) pair) — bit-identical values
-    if not centroids:
-        raise ValueError("batch_search: empty codebook")
-    dim = len(centroids[0])
-    probes = probes.withColumn("_qnrm", l2_norm_fixed("_qv", dim))
+    # computed once per row BEFORE the join (the inline cosine form
+    # re-folded both norms per (row x query) pair). Norms coalesce to
+    # 0.0 — non-nullable, so no isnotnull constraint is inferred and
+    # pushdown-substituted into the scan. The NULL-cosine drop is the
+    # equivalent CHEAP `denom != 0` on the staged norm columns (a
+    # NULL/zero-norm vector yields denom 0), applied BEFORE the staged
+    # dot so the pushed predicate never carries a fold.
+    probes = probes.withColumn(
+        "_qnrm", F.coalesce(l2_norm(F.col("_qv")), F.lit(0.0))
+    )
     denom = F.col("_rnrm") * F.col("_qnrm")
-    # the NULL-cosine drop is equivalent to `denom != 0` (a NULL vector
-    # yields a NULL norm, so denom is NULL or 0 exactly when cosine would
-    # be NULL) — filtering on the CHEAP pre-join norm columns instead of
-    # isNotNull(cosine) matters: a filter on the computed cosine is
-    # pushdown-substituted through the projection, inlining the 64-term
-    # dot into the join stage twice (blew janino's 64KB method limit into
-    # an interpreted fallback — measured), and it also skips the dot for
-    # zero-norm candidates
     scored = (
-        emb_assigned.withColumn("_rnrm", l2_norm_fixed(vec_col, dim))
+        emb_assigned.withColumn(
+            "_rnrm", F.coalesce(l2_norm(F.col(vec_col)), F.lit(0.0))
+        )
         .join(F.broadcast(probes), "cell")
         .filter(denom != 0)
-        .withColumn("_dot", dot_fixed(vec_col, "_qv", dim))
+        .withColumn("_dot", dot(F.col(vec_col), F.col("_qv")))
         .select(
             F.col(qid_col),
             F.col(id_col),

@@ -26,13 +26,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from affinity_spark.functions.lits import double_array_lit
-from affinity_spark.functions.vectors import (
-    cosine_similarity,
-    dot,
-    dot_fixed,
-    l2_norm,
-    l2_norm_fixed,
-)
+from affinity_spark.functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def _py_l2_norm(vec: Sequence[float]) -> float:
+    """Driver-side L2 norm of a literal query vector, bit-identical to the
+    executor fold: python floats ARE IEEE doubles, the sum is the same
+    left-associated 0.0-seeded chain, and sqrt is correctly rounded in
+    both runtimes."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
 
 
 def knn_to_query(
@@ -48,35 +55,31 @@ def knn_to_query(
     ``query`` is either a 1-row DataFrame (id_col dropped) — broadcast-joined
     so the scan stays map-only — or a literal python vector.
 
-    ``dim`` (the corpus contract, e.g. 64): score with the flat codegen'd
-    dot/norm forms instead of the interpreted HOF fold — bit-identical
-    (functions/vectors.py), loud on drifted widths.
+    Per-row cost discipline (r15, guide §4.1): the inline
+    ``cosine_similarity`` paid THREE interpreted folds per corpus row
+    (dot + both norms). The row norm is staged once per row, the query
+    norm once per query (in the 1-row broadcast frame, or driver-side
+    for a literal vector), so each row pays dot + one norm. ``dim`` is
+    accepted for source compatibility but no longer required — the fold
+    forms carry their own width handling. (A flat fixed-dim unrolling
+    was measured SLOWER at row volume: it exceeds HotSpot's huge-method
+    JIT limit and runs in the bytecode interpreter; see
+    functions/vectors.py.)
     """
+    nrm_row = F.coalesce(l2_norm(F.col(vec_col)), F.lit(0.0))
     if isinstance(query, DataFrame):
-        q = query.select(F.col(vec_col).alias("_qvec"))
-        if dim is not None:
-            q = q.select("_qvec", l2_norm_fixed("_qvec", dim).alias("_qnrm"))
+        q = query.select(F.col(vec_col).alias("_qvec")).select(
+            "_qvec",
+            F.coalesce(l2_norm(F.col("_qvec")), F.lit(0.0)).alias("_qnrm"),
+        )
         joined = emb.crossJoin(F.broadcast(q))
-        qcol: Column = F.col("_qvec")
     else:
-        joined = emb.withColumn("_qvec", double_array_lit(query))
-        if dim is not None:
-            # the query side is a per-row constant: catalyst constant-folds
-            # the literal norm, so this costs nothing per row
-            joined = joined.withColumn(
-                "_qnrm", l2_norm_fixed("_qvec", dim)
-            )
-        qcol = F.col("_qvec")
-    if dim is not None:
-        # norms staged as named columns: each 64-term sum appears ONCE in
-        # the generated code (the inline `when` would duplicate it and a
-        # 3-4x 64-term project blows janino's 64KB method limit into an
-        # interpreted fallback — measured, not theoretical)
-        joined = joined.withColumn("_rnrm", l2_norm_fixed(vec_col, dim))
-        denom = F.col("_rnrm") * F.col("_qnrm")
-        cos = F.when(denom != 0, dot_fixed(vec_col, "_qvec", dim) / denom)
-    else:
-        cos = cosine_similarity(F.col(vec_col), qcol)
+        joined = emb.withColumn(
+            "_qvec", double_array_lit(query)
+        ).withColumn("_qnrm", F.lit(_py_l2_norm(query)))
+    joined = joined.withColumn("_rnrm", nrm_row)
+    denom = F.col("_rnrm") * F.col("_qnrm")
+    cos = F.when(denom != 0, dot(F.col(vec_col), F.col("_qvec")) / denom)
     scored = joined.select(F.col(id_col), cos.alias("cosine_raw"))
     return scored.orderBy(F.col("cosine_raw").desc(), F.col(id_col).asc()).limit(k)
 

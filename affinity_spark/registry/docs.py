@@ -1413,7 +1413,6 @@ def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") != 0),
         emb.filter(F.col("vec_id") == 0),
         50,
-        dim=64,
     )
     wv = Window.orderBy(F.col("cosine_raw").desc(), F.col("vec_id"))
     vec_r = vec.select(

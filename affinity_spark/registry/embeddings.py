@@ -29,8 +29,7 @@ def emb_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     scored = sim.knn_to_query(
-        emb.filter(F.col("vec_id") != 0), query, 10, "vec_id", "embedding",
-        dim=_PQ_DIM,
+        emb.filter(F.col("vec_id") != 0), query, 10, "vec_id", "embedding"
     )
     return scored.select(
         "vec_id", F.floor(F.col("cosine_raw") * 10000).cast("long").alias("cos_bp")
@@ -75,7 +74,6 @@ def emb_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
         "vec_id",
         "embedding",
-        dim=_PQ_DIM,
     )
     return scored.select(
         "vec_id", F.floor(F.col("cosine_raw") * 10000).cast("long").alias("cos_bp")
