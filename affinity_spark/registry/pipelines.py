@@ -49,10 +49,20 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (keepers is checkpointed and feeds both the LSH branch and the final
     # anti-join).
     w_fp = Window.partitionBy(doc_fingerprint(F.col("text"))).orderBy("doc_id")
+    # The repartition pins the CACHED frame's parallelism: keepers is
+    # CPU-dense per byte (the shingle/band HOF kernels downstream chew
+    # ~12 s of CPU on ~30 MB at sf0.1), so AQE's byte-based coalescing of
+    # cached output (session default, r15) would serialize the whole
+    # dedup chain onto 1 task. User repartitions are exempt from
+    # coalescing through the cache boundary (r15 probe; the r14
+    # tfidf_pairs discipline); `arrs` below is narrow over this cache and
+    # inherits the pinned parallelism. A/B: flag-on unpinned 2.56 s vs
+    # pinned/flag-off 1.24 s at sf0.1.
     keepers = (
         quality.withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .persist()
     )
     keepers = _track_cache(keepers)

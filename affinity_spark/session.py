@@ -34,6 +34,20 @@ _DEFAULTS = {
     "spark.sql.parquet.columnarReaderBatchSize": "4096",
     # broadcast joins for dimension tables (region/nation/customer-sized).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Let AQE coalesce the OUTPUT partitioning of cached plans (off by
+    # default in Spark). Without it every persisted frame materializes at
+    # the full shuffle-partition count, so model-sized cached frames
+    # (vocab/seed/model rows) fan every downstream stage — pandas-UDF
+    # stages especially — into shuffle.partitions tasks of ~1 row each;
+    # each Arrow task costs ~230 ms of parked (0-CPU) runtime even on
+    # reused workers (r15 probe). AQE sizes cached output by BYTES, so
+    # the lever is scale-adaptive: corpus-sized cached frames keep their
+    # parallelism, and CPU-dense-per-byte cached frames (cheap bytes,
+    # heavy downstream kernels) pin their parallelism with an explicit
+    # repartition before persist — user repartitions are exempt from
+    # coalescing through the cache boundary (probed r15), the same
+    # exemption the r14 tfidf_pairs discipline relies on.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
@@ -71,6 +85,12 @@ def get_spark(
         merged["spark.sql.shuffle.partitions"] = os.environ[
             "SPARK_GRAFT_SHUFFLE_PARTITIONS"
         ]
+    # A/B lever for the cached-plan AQE default above (same post-conf
+    # precedence rationale as the shuffle-partition sweep).
+    if "SPARK_GRAFT_CACHED_PLAN_AQE" in os.environ:
+        merged["spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"] = (
+            os.environ["SPARK_GRAFT_CACHED_PLAN_AQE"]
+        )
     for k, v in merged.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

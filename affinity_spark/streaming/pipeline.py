@@ -542,10 +542,20 @@ def corpus_pipeline_replay(
     # stored × arriving) and the final label join — unpersisted, the
     # corpus scan + tokenize + fp-window would run once per branch (the
     # r5 dedup_winnow_pairs lesson). Tracked so bench/driver sessions
-    # release it after the query.
+    # release it after the query. The repartition pins the cached
+    # frame's parallelism: keepers is CPU-dense per byte (the LSH
+    # shingle/band kernels run over it twice), so AQE's byte-based
+    # coalescing of cached output (session default, r15) would
+    # serialize both branches onto ~1 task (A/B: 1.8 → 3.3 s at sf0.1).
+    # User repartitions are exempt through the cache boundary.
     from affinity_spark.cache import track as _track_cache
 
-    keepers = _track_cache(keepers.persist())
+    spark = docs.sparkSession
+    keepers = _track_cache(
+        keepers.repartition(
+            spark.sparkContext.defaultParallelism, id_col
+        ).persist()
+    )
     matches = (
         online_lsh_replay(
             keepers, id_col, text_col, n, t_num, t_den, max_bucket_members
